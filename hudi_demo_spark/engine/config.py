@@ -1,0 +1,66 @@
+"""Table configuration — the engine analog of Hudi's table properties.
+
+Reference parity: ``create table ... using hudi options (primaryKey=...,
+preCombineField=..., type='cow')`` (hudi0.12_spark3.1/.../SparkSQLDemo.scala:37-52)
+and ``HoodieTableMetaClient.withPropertyBuilder()`` init
+(java-client/.../HoodieJavaWriteClientExample.java:71-78). Persisted as
+``_catalog.json`` inside the table directory (the ``.hoodie`` metafolder
+analog — SyncHiveWithDatabase.scala:45 detects tables by that folder).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+# Engine meta columns (Hudi's _hoodie_* meta fields).
+COMMIT_TIME_META = "_hoodie_commit_time"
+RECORD_KEY_META = "_hoodie_record_key"
+PARTITION_PATH_META = "_hoodie_partition_path"
+DELETED_META = "_hoodie_is_deleted"  # MOR delete marker (log-file analog)
+META_COLS = [COMMIT_TIME_META, RECORD_KEY_META, PARTITION_PATH_META]
+
+CATALOG_FILE = "_catalog.json"
+TIMELINE_DIR = "_timeline"
+DATA_DIR = "data"
+
+COW = "cow"
+MOR = "mor"
+
+# Merge payloads (java-client/.../JavaClientHive2Hudi.java:145-148):
+# OVERWRITE_LATEST = OverwriteWithLatestAvroPayload (latest commit wins,
+# preCombine breaks intra-batch ties); DEFAULT = DefaultHoodieRecordPayload
+# (preCombine/ordering field wins across commits).
+PAYLOAD_OVERWRITE_LATEST = "overwrite_latest"
+PAYLOAD_DEFAULT = "default"
+
+
+@dataclass
+class TableConfig:
+    name: str
+    path: str
+    record_key_fields: list[str] | None = None  # None => random uuid keys (W13)
+    precombine_field: str | None = None
+    partition_fields: list[str] = field(default_factory=list)
+    table_type: str = COW
+    payload: str = PAYLOAD_OVERWRITE_LATEST
+    hive_style: bool = True  # BootstrapDemo.scala:60-62 HIVE_STYLE_PARTITIONING
+    schema_json: str | None = None  # pinned on first write (incl. meta cols)
+    props: dict = field(default_factory=dict)
+
+    def save(self) -> None:
+        p = Path(self.path) / CATALOG_FILE
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(asdict(self), indent=1))
+        tmp.replace(p)
+
+    @staticmethod
+    def load(path: str | Path) -> "TableConfig":
+        data = json.loads((Path(path) / CATALOG_FILE).read_text())
+        return TableConfig(**data)
+
+    @staticmethod
+    def exists(path: str | Path) -> bool:
+        return (Path(path) / CATALOG_FILE).is_file()

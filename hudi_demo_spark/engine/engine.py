@@ -1,0 +1,884 @@
+"""The lakehouse engine: keyed/partitioned/versioned parquet tables.
+
+Spark-first re-expression of the Hudi semantics the reference exercises
+(SURVEY.md §2): every operator below is a stock DataFrame plan handed to
+Catalyst — no RDDs, no custom rules, no row loops. File/commit bookkeeping
+is driver-side metadata (JSON timeline), mirroring Hudi's timeline-server
+design: reads never list directories, they read the file set named by the
+timeline, so partition pruning happens at metadata level before any scan.
+
+Write-path scale notes (100 TB design intent):
+- upsert/delete/update/merge rewrite ONLY partitions present in the
+  incoming batch (partition-scoped COW, like Hudi's upsert index scoping —
+  java-client/.../JavaClientHive2Hudi.java:167-180). The list of affected
+  partitions is a tiny driver-side collect of distinct partition paths.
+- intra-batch dedup + base-vs-batch merge are single-shuffle window
+  functions over (partition_path, record_key) — map-side combinable and
+  AQE-skew-handled.
+- MOR writes append delta files (no read of base) and defer the merge to
+  read/compaction, the right trade at high write rates.
+- file sizing: `write.parallelism` / `bucket.num` props repartition before
+  write; AQE coalesces small shuffle partitions otherwise (M5/M6/T6).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import urllib.parse
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_demo_spark.engine import timeline as tlmod
+from hudi_demo_spark.engine.config import (
+    COMMIT_TIME_META,
+    COW,
+    DATA_DIR,
+    DELETED_META,
+    META_COLS,
+    MOR,
+    PARTITION_PATH_META,
+    PAYLOAD_DEFAULT,
+    RECORD_KEY_META,
+    TableConfig,
+)
+from hudi_demo_spark.engine.keys import partition_path_col, record_key_col
+from hudi_demo_spark.engine.timeline import Timeline, new_instant
+
+
+def _as_cond(cond: str | Column) -> Column:
+    return F.expr(cond) if isinstance(cond, str) else cond
+
+
+class Engine:
+    """Facade over a directory of tables (the Flink 'hudi catalog' analog,
+    hudi0.13_flink1.15/.../Configurations.java:84-91)."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # catalog / DDL  (D1-D7)
+    # ------------------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        record_key: str | list[str] | None = None,
+        precombine: str | None = None,
+        partition_by: str | list[str] | None = None,
+        table_type: str = COW,
+        payload: str | None = None,
+        hive_style: bool = True,
+        schema: T.StructType | None = None,
+        props: dict | None = None,
+        path: str | None = None,
+        if_not_exists: bool = False,
+    ) -> TableConfig:
+        """CREATE TABLE (D1) — SparkSQLDemo.scala:36-53 options surface."""
+        tpath = Path(path) if path else self.root / name
+        if TableConfig.exists(tpath):
+            if if_not_exists:
+                return TableConfig.load(tpath)
+            raise ValueError(f"table exists: {tpath}")
+        keys = [record_key] if isinstance(record_key, str) else record_key
+        parts = (
+            [partition_by] if isinstance(partition_by, str) else (partition_by or [])
+        )
+        schema_json = None
+        if schema is not None:
+            schema_json = json.dumps(self._full_schema(schema, table_type).jsonValue())
+        cfg = TableConfig(
+            name=name,
+            path=str(tpath),
+            record_key_fields=keys,
+            precombine_field=precombine,
+            partition_fields=parts,
+            table_type=table_type,
+            payload=payload
+            or TableConfig.__dataclass_fields__["payload"].default,
+            hive_style=hive_style,
+            schema_json=schema_json,
+            props=props or {},
+        )
+        cfg.save()
+        return cfg
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE IF EXISTS (D2) — SparkSQLDemo.scala:31."""
+        cfg = self._maybe_resolve(name)
+        if cfg is not None:
+            shutil.rmtree(cfg.path, ignore_errors=True)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+    def list_tables(self) -> list[str]:
+        """SHOW TABLES (D7)."""
+        return sorted(
+            p.parent.name for p in self.root.glob("*/_catalog.json")
+        )
+
+    def sync_catalog(self) -> list[str]:
+        """Hive meta-sync analog (D5) — SyncHiveWithDatabase.scala:37-76:
+        walk the catalog root, register every table as a temp view."""
+        names = []
+        for name in self.list_tables():
+            self.read(name).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    # ------------------------------------------------------------------
+    # resolution / schema
+    # ------------------------------------------------------------------
+
+    def _maybe_resolve(self, table: str | TableConfig) -> TableConfig | None:
+        if isinstance(table, TableConfig):
+            return TableConfig.load(table.path)  # re-read: schema may evolve
+        p = Path(table)
+        if TableConfig.exists(p):
+            return TableConfig.load(p)
+        if TableConfig.exists(self.root / table):
+            return TableConfig.load(self.root / table)
+        return None
+
+    def _resolve(self, table: str | TableConfig) -> TableConfig:
+        cfg = self._maybe_resolve(table)
+        if cfg is None:
+            raise ValueError(f"no such table: {table}")
+        return cfg
+
+    @staticmethod
+    def _full_schema(data_schema: T.StructType, table_type: str) -> T.StructType:
+        fields = [
+            T.StructField(COMMIT_TIME_META, T.StringType()),
+            T.StructField(RECORD_KEY_META, T.StringType()),
+            T.StructField(PARTITION_PATH_META, T.StringType()),
+        ]
+        fields += [
+            f
+            for f in data_schema.fields
+            if f.name not in META_COLS and f.name != DELETED_META
+        ]
+        if table_type == MOR:
+            fields.append(T.StructField(DELETED_META, T.BooleanType()))
+        return T.StructType(fields)
+
+    def _stored_schema(self, cfg: TableConfig) -> T.StructType | None:
+        if cfg.schema_json is None:
+            return None
+        return T.StructType.fromJson(json.loads(cfg.schema_json))
+
+    def _stamp(self, df: DataFrame, cfg: TableConfig, instant: str) -> DataFrame:
+        """Add meta columns (W11/W12/W13): record key, partition path,
+        commit time — all codegen'd Column expressions, no UDFs."""
+        out = (
+            df.withColumn(RECORD_KEY_META, record_key_col(cfg.record_key_fields))
+            .withColumn(
+                PARTITION_PATH_META,
+                partition_path_col(cfg.partition_fields, cfg.hive_style),
+            )
+            .withColumn(COMMIT_TIME_META, F.lit(instant))
+        )
+        if cfg.table_type == MOR and DELETED_META not in out.columns:
+            out = out.withColumn(DELETED_META, F.lit(False))
+        return out
+
+    def _conform(self, df: DataFrame, cfg: TableConfig) -> DataFrame:
+        """Align a stamped frame to the table schema; additive schema
+        evolution (new columns appended — the Flink `_WIDER` fixture)."""
+        stored = self._stored_schema(cfg)
+        if stored is None:
+            evolved = self._full_schema(df.schema, cfg.table_type)
+        else:
+            names = set(stored.names)
+            extra = [f for f in df.schema.fields if f.name not in names]
+            evolved = T.StructType(list(stored.fields) + extra)
+        cols = []
+        have = set(df.columns)
+        for fld in evolved.fields:
+            if fld.name in have:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        new_json = json.dumps(evolved.jsonValue())
+        if new_json != cfg.schema_json:
+            cfg.schema_json = new_json
+            cfg.save()
+        return df.select(*cols)
+
+    # ------------------------------------------------------------------
+    # physical file IO
+    # ------------------------------------------------------------------
+
+    def _materialize(
+        self, df: DataFrame, cfg: TableConfig, instant: str, kind: str
+    ) -> list[dict]:
+        """Write df into the table layout: hive-style partition dirs,
+        files named by instant (the Hudi file-slice naming analog).
+        One partitioned Spark write + driver-side renames (metadata ops)."""
+        par = cfg.props.get("write.parallelism")
+        if par:
+            df = df.repartition(int(par), F.col(RECORD_KEY_META))
+        bucket = cfg.props.get("bucket.num")
+        if bucket:
+            # bucket hash index (T6) — TestStreamingMOR.java:52-53: key→bucket
+            # placement bounds files per partition and co-locates upserts.
+            df = df.repartition(int(bucket), F.col(RECORD_KEY_META))
+        tmp = Path(cfg.path) / "_tmp" / instant
+        prefix = {"base": "b", "delta": "d"}[kind]
+        if cfg.partition_fields:
+            (
+                df.withColumn("__pp", F.col(PARTITION_PATH_META))
+                .write.mode("overwrite")
+                .partitionBy("__pp")
+                .parquet(str(tmp))
+            )
+        else:
+            df.write.mode("overwrite").parquet(str(tmp))
+        data = Path(cfg.path) / DATA_DIR
+        added: list[dict] = []
+        for src in sorted(tmp.rglob("*.parquet")):
+            rel = src.parent.relative_to(tmp)
+            pp = ""
+            if rel.name.startswith("__pp="):
+                pp = urllib.parse.unquote(rel.name[len("__pp=") :])
+            tdir = data / pp if pp else data
+            tdir.mkdir(parents=True, exist_ok=True)
+            fname = f"{prefix}_{instant}_{len(added):05d}.parquet"
+            shutil.move(str(src), str(tdir / fname))
+            added.append(
+                {
+                    "path": f"{pp}/{fname}" if pp else fname,
+                    "kind": kind,
+                    "partition": pp,
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
+        return added
+
+    def _empty(self, cfg: TableConfig) -> DataFrame:
+        schema = self._stored_schema(cfg) or T.StructType(
+            [
+                T.StructField(COMMIT_TIME_META, T.StringType()),
+                T.StructField(RECORD_KEY_META, T.StringType()),
+                T.StructField(PARTITION_PATH_META, T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame([], schema)
+
+    def _read_files(self, cfg: TableConfig, files: dict[str, dict]) -> DataFrame:
+        """Read an explicit file set with the pinned table schema (missing
+        columns in old files surface as nulls — schema evolution without
+        mergeSchema footer scans). External (bootstrap) files get meta
+        columns and partition columns computed lazily on scan (W9)."""
+        native = [p for p, m in files.items() if m.get("kind") != "external"]
+        ext = {p: m for p, m in files.items() if m.get("kind") == "external"}
+        data = Path(cfg.path) / DATA_DIR
+        dfs = []
+        if native:
+            schema = self._stored_schema(cfg)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            dfs.append(reader.parquet(*[str(data / p) for p in native]))
+        if ext:
+            dfs.append(self._read_external(cfg, ext))
+        if not dfs:
+            return self._empty(cfg)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
+
+    def _read_external(self, cfg: TableConfig, files: dict[str, dict]) -> DataFrame:
+        """Metadata-bootstrap scan (W9 — BootstrapDemo.scala:207-232): the
+        source parquet stays in place; record key / partition path / commit
+        time are computed at read. Partition columns absent from the files
+        (partitionBy-stripped sources) are reconstructed from dir names.
+        Grouped per partition dir; at cluster scale the hive-style case
+        would use one `basePath` read instead."""
+        by_pp: dict[str, list[dict]] = {}
+        for m in files.values():
+            by_pp.setdefault(m.get("partition", ""), []).append(m)
+        parts_dfs = []
+        for pp, ms in by_pp.items():
+            df = self.spark.read.parquet(*[m["abs_path"] for m in ms])
+            # reconstruct partition columns missing from the files
+            if cfg.partition_fields and pp:
+                segs = pp.split("/")
+                for i, fld in enumerate(cfg.partition_fields):
+                    if fld in df.columns or i >= len(segs):
+                        continue
+                    val = segs[i]
+                    if "=" in val:
+                        val = val.split("=", 1)[1]
+                    df = df.withColumn(fld, F.lit(val))
+            commit = ms[0].get("commit", "0")
+            df = (
+                df.withColumn(RECORD_KEY_META, record_key_col(cfg.record_key_fields))
+                .withColumn(PARTITION_PATH_META, F.lit(pp))
+                .withColumn(COMMIT_TIME_META, F.lit(commit))
+            )
+            parts_dfs.append(df)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts_dfs
+        )
+
+    # ------------------------------------------------------------------
+    # read path  (S1-S5, R23)
+    # ------------------------------------------------------------------
+
+    def read(
+        self,
+        table: str | TableConfig,
+        as_of: str | None = None,
+        query_type: str = "snapshot",
+        partition_filter: str | Column | None = None,
+    ) -> DataFrame:
+        """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
+        skips MOR deltas; `partition_filter` prunes the file list at
+        metadata level (a predicate on the partition path string)."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        files = tl.live_files(as_of)
+        if query_type == "read_optimized":
+            files = {p: m for p, m in files.items() if m.get("kind") != "delta"}
+        if partition_filter is not None and cfg.partition_fields:
+            files = self._prune_files(files, partition_filter)
+        has_delta = any(m.get("kind") == "delta" for m in files.values())
+        df = self._read_files(cfg, files)
+        if cfg.table_type == MOR and query_type == "snapshot" and has_delta:
+            df = self._merge_view(df, cfg)
+        if DELETED_META in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False))).drop(
+                DELETED_META
+            )
+        return df
+
+    def _prune_files(
+        self, files: dict[str, dict], partition_filter: str | Column
+    ) -> dict[str, dict]:
+        """Metadata-level partition pruning: evaluate the predicate on the
+        distinct partition-path strings (a tiny local DataFrame), keep
+        matching files. At 100 TB this is the difference between scanning
+        the table and scanning one partition."""
+        pps = sorted({m.get("partition", "") for m in files.values()})
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in pps], T.StructType([T.StructField(PARTITION_PATH_META, T.StringType())])
+        )
+        keep = {
+            r[0] for r in pdf.filter(_as_cond(partition_filter)).collect()
+        }
+        return {p: m for p, m in files.items() if m.get("partition", "") in keep}
+
+    def _order_cols(self, cfg: TableConfig) -> list[Column]:
+        """Merge ordering per payload (JavaClientHive2Hudi.java:145-148)."""
+        commit_desc = F.col(COMMIT_TIME_META).desc()
+        if cfg.precombine_field and cfg.precombine_field != COMMIT_TIME_META:
+            pc_desc = F.col(cfg.precombine_field).desc_nulls_last()
+            if cfg.payload == PAYLOAD_DEFAULT:
+                return [pc_desc, commit_desc]
+            return [commit_desc, pc_desc]
+        return [commit_desc]
+
+    def _merge_view(self, df: DataFrame, cfg: TableConfig) -> DataFrame:
+        """MOR read-time merge: latest version per key (one shuffle)."""
+        w = Window.partitionBy(PARTITION_PATH_META, RECORD_KEY_META).orderBy(
+            *self._order_cols(cfg)
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def show_commits(self, table: str | TableConfig) -> DataFrame:
+        """`call show_commits(table => ...)` (R23) —
+        IncrementalQuery.scala:36-37; newest-first like the reference."""
+        cfg = self._resolve(table)
+        rows = []
+        for m in Timeline(cfg.path).instants(include_archived=True):
+            removed = m["files_removed"]
+            rows.append(
+                (
+                    m["instant"],
+                    m["action"],
+                    m["operation"],
+                    int(m.get("stats", {}).get("rows_written", -1)),
+                    len(m["files_added"]),
+                    -1 if removed == "*" else len(removed),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("commit_time", T.StringType()),
+                T.StructField("action", T.StringType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("total_records", T.LongType()),
+                T.StructField("files_added", T.IntegerType()),
+                T.StructField("files_removed", T.IntegerType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema).orderBy(
+            F.col("commit_time").desc()
+        )
+
+    def read_incremental(
+        self,
+        table: str | TableConfig,
+        begin: str | None = None,
+        end: str | None = None,
+        path_glob: str | None = None,
+    ) -> DataFrame:
+        """Incremental query (S3/S4) — IncrementalQuery.scala:48-53:
+        latest state of rows changed in `(begin, end]`. File set comes from
+        the commits in range (metadata pruning); the row-level
+        `_hoodie_commit_time` filter makes the bound exact; a window dedup
+        returns one row per changed key (Hudi's latest-file-slice read)."""
+        import fnmatch
+
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        sel = [
+            m
+            for m in tl.instants(include_archived=True)
+            if m["action"]
+            in (tlmod.COMMIT, tlmod.DELTACOMMIT, tlmod.REPLACECOMMIT)
+            and (begin is None or m["instant"] > begin)
+            and (end is None or m["instant"] <= end)
+        ]
+        files: dict[str, dict] = {}
+        for m in sel:
+            for f in m["files_added"]:
+                files[f["path"]] = {**f, "commit": m["instant"]}
+        if path_glob:
+            g = path_glob if path_glob.startswith("/") else "/" + path_glob
+            files = {
+                p: m for p, m in files.items() if fnmatch.fnmatch("/" + p, g)
+            }
+        # drop files cleaned from disk (Hudi errors here; we skip+warn via stats)
+        data = Path(cfg.path) / DATA_DIR
+        files = {p: m for p, m in files.items() if (data / p).is_file() or m.get("kind") == "external"}
+        df = self._read_files(cfg, files)
+        if COMMIT_TIME_META in df.columns:
+            if begin is not None:
+                df = df.filter(F.col(COMMIT_TIME_META) > begin)
+            if end is not None:
+                df = df.filter(F.col(COMMIT_TIME_META) <= end)
+        df = self._merge_view(df, cfg)
+        if DELETED_META in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False))).drop(
+                DELETED_META
+            )
+        return df
+
+    # ------------------------------------------------------------------
+    # write path  (W1-W14)
+    # ------------------------------------------------------------------
+
+    def _commit_stats(self, files: list[dict], rows: int | None) -> dict:
+        return {"rows_written": rows if rows is not None else -1}
+
+    def insert(
+        self,
+        df: DataFrame,
+        table: str | TableConfig,
+        batch_id: int | None = None,
+        operation: str = "insert",
+    ) -> dict:
+        """INSERT (W1/W2/W7): plain append, no key dedup — Hudi's INSERT
+        operation (HoodieJavaWriteClientExample.java:93-97)."""
+        cfg = self._resolve(table)
+        instant = new_instant()
+        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        kind = "base" if cfg.table_type == COW else "delta"
+        added = self._materialize(out, cfg, instant, kind)
+        action = tlmod.COMMIT if cfg.table_type == COW else tlmod.DELTACOMMIT
+        meta = Timeline(cfg.path).commit(
+            instant, action, operation, added, [], self._commit_stats(added, None),
+            batch_id=batch_id,
+        )
+        self._maybe_compact(cfg)
+        return meta
+
+    def overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
+        """INSERT OVERWRITE / mode(Overwrite) (W14) — BootstrapDemo.scala:230."""
+        cfg = self._resolve(table)
+        instant = new_instant()
+        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        added = self._materialize(out, cfg, instant, "base")
+        return Timeline(cfg.path).commit(
+            instant,
+            tlmod.REPLACECOMMIT,
+            "insert_overwrite",
+            added,
+            "*",
+            self._commit_stats(added, None),
+        )
+
+    def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
+        """preCombine dedup within the incoming batch (W6)."""
+        if cfg.precombine_field and cfg.precombine_field in batch.columns:
+            w = Window.partitionBy(PARTITION_PATH_META, RECORD_KEY_META).orderBy(
+                F.col(cfg.precombine_field).desc_nulls_last()
+            )
+            return (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return batch.dropDuplicates([PARTITION_PATH_META, RECORD_KEY_META])
+
+    def _affected_partitions(self, df: DataFrame) -> list[str]:
+        return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
+
+    def upsert(
+        self, df: DataFrame, table: str | TableConfig, batch_id: int | None = None
+    ) -> dict:
+        """UPSERT (W6) — the default Hudi write (BootstrapDemo.scala:264-273,
+        HoodieJavaWriteClientExample.java:102-107). COW: partition-scoped
+        rewrite, payload-ordered winner per key. MOR: append delta only."""
+        cfg = self._resolve(table)
+        instant = new_instant()
+        batch = self._conform(self._stamp(df, cfg, instant), cfg)
+        batch = self._dedup_batch(batch, cfg)
+        tl = Timeline(cfg.path)
+        if cfg.table_type == MOR:
+            added = self._materialize(batch, cfg, instant, "delta")
+            meta = tl.commit(
+                instant, tlmod.DELTACOMMIT, "upsert", added, [],
+                self._commit_stats(added, None), batch_id=batch_id,
+            )
+            self._maybe_compact(cfg)
+            return meta
+        batch = batch.persist()
+        try:
+            parts = set(self._affected_partitions(batch))
+            live = tl.live_files()
+            affected = {
+                p: m for p, m in live.items() if m.get("partition", "") in parts
+            }
+            if affected:
+                base = self._read_files(cfg, affected)
+                combined = base.unionByName(batch, allowMissingColumns=True)
+            else:
+                combined = batch
+            winner = self._merge_view(combined, cfg)
+            if DELETED_META in winner.columns:
+                winner = winner.filter(
+                    ~F.coalesce(F.col(DELETED_META), F.lit(False))
+                )
+            added = self._materialize(winner, cfg, instant, "base")
+            return tl.commit(
+                instant, tlmod.COMMIT, "upsert", added, sorted(affected),
+                self._commit_stats(added, None), batch_id=batch_id,
+            )
+        finally:
+            batch.unpersist()
+
+    def delete(self, table: str | TableConfig, condition: str | Column) -> dict:
+        """DELETE FROM ... WHERE (W4) — SparkSQLDemo.scala:73-75."""
+        cfg = self._resolve(table)
+        cond = _as_cond(condition)
+        instant = new_instant()
+        tl = Timeline(cfg.path)
+        snap = self.read(cfg)
+        matched = snap.filter(cond).persist()
+        try:
+            parts = set(self._affected_partitions(matched))
+            if not parts:
+                return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
+                                 {"rows_deleted": 0})
+            if cfg.table_type == MOR:
+                markers = matched.withColumn(
+                    DELETED_META, F.lit(True)
+                ).withColumn(COMMIT_TIME_META, F.lit(instant))
+                markers = self._conform(markers, cfg)
+                added = self._materialize(markers, cfg, instant, "delta")
+                meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
+                self._maybe_compact(cfg)
+                return meta
+            live = tl.live_files()
+            affected = {
+                p: m for p, m in live.items() if m.get("partition", "") in parts
+            }
+            keep = self._read_files(cfg, affected).filter(~cond)
+            added = self._materialize(keep, cfg, instant, "base")
+            return tl.commit(instant, tlmod.COMMIT, "delete", added,
+                             sorted(affected))
+        finally:
+            matched.unpersist()
+
+    def delete_keys(self, table: str | TableConfig, keys_df: DataFrame) -> dict:
+        """DELETE by key list (W8) — client.delete(List<HoodieKey>)
+        (HoodieJavaWriteClientExample.java:109-116): keys_df carries the
+        record-key fields (+ partition fields when partitioned)."""
+        cfg = self._resolve(table)
+        instant = new_instant()
+        keyed = (
+            keys_df.withColumn(RECORD_KEY_META, record_key_col(cfg.record_key_fields))
+            .withColumn(
+                PARTITION_PATH_META,
+                partition_path_col(cfg.partition_fields, cfg.hive_style),
+            )
+            .select(PARTITION_PATH_META, RECORD_KEY_META)
+            .distinct()
+            .persist()
+        )
+        tl = Timeline(cfg.path)
+        try:
+            parts = set(self._affected_partitions(keyed))
+            live = tl.live_files()
+            affected = {
+                p: m for p, m in live.items() if m.get("partition", "") in parts
+            }
+            if cfg.table_type == MOR:
+                snap = self.read(cfg)
+                markers = (
+                    snap.join(keyed, [PARTITION_PATH_META, RECORD_KEY_META], "left_semi")
+                    .withColumn(DELETED_META, F.lit(True))
+                    .withColumn(COMMIT_TIME_META, F.lit(instant))
+                )
+                markers = self._conform(markers, cfg)
+                added = self._materialize(markers, cfg, instant, "delta")
+                meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
+                self._maybe_compact(cfg)
+                return meta
+            base = self._read_files(cfg, affected)
+            keep = base.join(
+                keyed, [PARTITION_PATH_META, RECORD_KEY_META], "left_anti"
+            )
+            added = self._materialize(keep, cfg, instant, "base")
+            return tl.commit(instant, tlmod.COMMIT, "delete", added,
+                             sorted(affected))
+        finally:
+            keyed.unpersist()
+
+    def update(
+        self,
+        table: str | TableConfig,
+        set: dict[str, str | Column],
+        where: str | Column,
+    ) -> dict:
+        """UPDATE ... SET ... WHERE (W3) — SparkSQLDemo.scala:69-71.
+        Assignments are evaluated against the pre-update row (single
+        projection). Partition columns cannot be reassigned (non-global
+        key semantics, as in the reference demos)."""
+        cfg = self._resolve(table)
+        for k in set:
+            if k in cfg.partition_fields:
+                raise ValueError(f"cannot update partition column {k}")
+        cond = _as_cond(where)
+        instant = new_instant()
+        tl = Timeline(cfg.path)
+        assigns = {k: _as_cond(v) for k, v in set.items()}
+        if cfg.table_type == MOR:
+            snap = self.read(cfg)
+            updated = snap.filter(cond)
+            for k, v in assigns.items():
+                updated = updated.withColumn(k, v)
+            updated = updated.withColumn(COMMIT_TIME_META, F.lit(instant))
+            updated = self._conform(updated, cfg)
+            added = self._materialize(updated, cfg, instant, "delta")
+            meta = tl.commit(instant, tlmod.DELTACOMMIT, "update", added, [])
+            self._maybe_compact(cfg)
+            return meta
+        snap = self.read(cfg)
+        matched = snap.filter(cond)
+        affected_parts = {r[0] for r in matched.select(PARTITION_PATH_META).distinct().collect()}
+        if not affected_parts:
+            return tl.commit(instant, tlmod.COMMIT, "update", [], [],
+                             {"rows_updated": 0})
+        live = tl.live_files()
+        affected = {
+            p: m for p, m in live.items() if m.get("partition", "") in affected_parts
+        }
+        base = self._read_files(cfg, affected)
+        out = base
+        newcols = {
+            k: F.when(cond, v).otherwise(F.col(k)) for k, v in assigns.items()
+        }
+        newcols[COMMIT_TIME_META] = F.when(
+            cond, F.lit(instant)
+        ).otherwise(F.col(COMMIT_TIME_META))
+        out = out.withColumns(newcols)
+        added = self._materialize(out, cfg, instant, "base")
+        return tl.commit(instant, tlmod.COMMIT, "update", added, sorted(affected))
+
+    def merge(
+        self,
+        table: str | TableConfig,
+        source: DataFrame,
+        matched_update_cond: str | Column | None = None,
+        matched_update_set: dict[str, str | Column] | str = "*",
+        matched_delete_cond: str | Column | None = None,
+        not_matched_insert_cond: str | Column | None = None,
+    ) -> dict:
+        """MERGE INTO (W5) — SparkSQLDemo.scala:77-91: full-outer join on
+        the record key within the source's partitions + row-level CASE.
+        Clause precedence: matched-update, then matched-delete, then
+        not-matched-insert (the demo's clause order). Conditions are
+        expressions over aliases `t` (target) and `s` (source)."""
+        cfg = self._resolve(table)
+        instant = new_instant()
+        tl = Timeline(cfg.path)
+        src = self._conform(self._stamp(source, cfg, instant), cfg)
+        src = self._dedup_batch(src, cfg).persist()
+        try:
+            parts = set(self._affected_partitions(src))
+            live = tl.live_files()
+            affected = {
+                p: m for p, m in live.items() if m.get("partition", "") in parts
+            }
+            base = self._read_files(cfg, affected)
+            if cfg.table_type == MOR:
+                base = self._merge_view(base, cfg)
+                if DELETED_META in base.columns:
+                    base = base.filter(
+                        ~F.coalesce(F.col(DELETED_META), F.lit(False))
+                    )
+            t, s = base.alias("t"), src.alias("s")
+            j = t.join(s, [PARTITION_PATH_META, RECORD_KEY_META], "full_outer")
+            t_here = F.col(f"t.{COMMIT_TIME_META}").isNotNull()
+            s_here = F.col(f"s.{COMMIT_TIME_META}").isNotNull()
+            if matched_update_set is None:
+                upd_c = F.lit(False)
+            elif matched_update_cond is not None:
+                upd_c = _as_cond(matched_update_cond)
+            else:
+                upd_c = F.lit(True)
+            del_c = (
+                _as_cond(matched_delete_cond)
+                if matched_delete_cond is not None
+                else F.lit(False)
+            )
+            ins_c = (
+                _as_cond(not_matched_insert_cond)
+                if not_matched_insert_cond is not None
+                else F.lit(True)
+            )
+            matched = t_here & s_here
+            do_update = matched & upd_c
+            do_delete = matched & ~upd_c & del_c
+            do_insert = ~t_here & s_here & ins_c
+            drop_insert = ~t_here & s_here & ~ins_c
+            keep = ~(do_delete | drop_insert)
+            data_cols = [
+                f.name
+                for f in self._stored_schema(cfg).fields
+                if f.name not in (PARTITION_PATH_META, RECORD_KEY_META)
+            ]
+            use_src = do_update | do_insert
+            sel: list[Column] = [
+                F.col(PARTITION_PATH_META),
+                F.col(RECORD_KEY_META),
+            ]
+            set_map = (
+                {k: _as_cond(v) for k, v in matched_update_set.items()}
+                if isinstance(matched_update_set, dict)
+                else None
+            )
+            for c in data_cols:
+                src_val = F.col(f"s.{c}")
+                if set_map is not None and c in set_map:
+                    src_val = F.when(do_insert, F.col(f"s.{c}")).otherwise(set_map[c])
+                val = F.when(use_src, src_val).otherwise(F.col(f"t.{c}"))
+                sel.append(val.alias(c))
+            out = j.filter(keep).select(*sel)
+            rewritten = self._materialize(out, cfg, instant, "base")
+            return tl.commit(
+                instant, tlmod.COMMIT, "merge", rewritten, sorted(affected)
+            )
+        finally:
+            src.unpersist()
+
+    def bootstrap(self, source_path, name, record_key, **kwargs) -> TableConfig:
+        """Adopt an existing parquet dir as a table (W9/W10) — see
+        hudi_demo_spark.engine.bootstrap."""
+        from hudi_demo_spark.engine.bootstrap import bootstrap as _bootstrap
+
+        return _bootstrap(self, source_path, name, record_key, **kwargs)
+
+    # ------------------------------------------------------------------
+    # table services  (T5, M3, M4)
+    # ------------------------------------------------------------------
+
+    def _maybe_compact(self, cfg: TableConfig) -> None:
+        """Inline compaction trigger (T5) — TestBatchMOR.java:40-46:
+        compact after N delta commits (default 2, `compact.inline` prop)."""
+        if cfg.table_type != MOR:
+            return
+        if not cfg.props.get("compact.inline", False):
+            return
+        max_delta = int(cfg.props.get("compact.max_delta_commits", 2))
+        tl = Timeline(cfg.path)
+        n = 0
+        for m in reversed(tl.instants(include_archived=True)):
+            if m["action"] == tlmod.COMPACTION:
+                break
+            if m["action"] == tlmod.DELTACOMMIT:
+                n += 1
+        if n >= max_delta:
+            self.compact(cfg)
+
+    def compact(self, table: str | TableConfig) -> dict | None:
+        """MOR compaction (T5): merge delta files into columnar base files
+        for every partition that has deltas; one shuffle per run."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        delta_parts = {
+            m.get("partition", "") for m in live.values() if m.get("kind") == "delta"
+        }
+        if not delta_parts:
+            return None
+        affected = {
+            p: m for p, m in live.items() if m.get("partition", "") in delta_parts
+        }
+        instant = new_instant()
+        df = self._read_files(cfg, affected)
+        merged = self._merge_view(df, cfg)
+        if DELETED_META in merged.columns:
+            merged = merged.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
+        added = self._materialize(merged, cfg, instant, "base")
+        return tl.commit(
+            instant, tlmod.COMPACTION, "compact", added, sorted(affected)
+        )
+
+    def clean(self, table: str | TableConfig, retain_commits: int = 10) -> dict:
+        """Cleaning (M4) — retainCommits (JavaClientHive2Hudi.java:185):
+        physically delete data files unreferenced by the last N commits."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        instants = [m["instant"] for m in tl.instants(include_archived=True)]
+        keep_instants = instants[-retain_commits:] if instants else []
+        referenced: set[str] = set()
+        for i in keep_instants:
+            referenced |= set(tl.live_files(as_of=i))
+        referenced |= set(tl.live_files())
+        data = Path(cfg.path) / DATA_DIR
+        removed = []
+        if data.is_dir():
+            for p in data.rglob("*.parquet"):
+                rel = str(p.relative_to(data))
+                if rel not in referenced:
+                    p.unlink()
+                    removed.append(rel)
+        instant = new_instant()
+        return Timeline(cfg.path).commit(
+            instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}
+        )
+
+    def archive(self, table: str | TableConfig, keep: int = 30) -> int:
+        """Timeline archival (M3) — archiveCommitsWith
+        (HoodieJavaWriteClientExample.java:85)."""
+        cfg = self._resolve(table)
+        return Timeline(cfg.path).archive(keep)

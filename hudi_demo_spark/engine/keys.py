@@ -1,0 +1,54 @@
+"""Record-key and partition-path generation — pure Column expressions.
+
+Reference parity (reimplemented Spark-first, no row loops):
+- complex record key ``f1:v1,f2:v2`` with ``__null__`` / ``__empty__``
+  placeholders — java-client/.../JavaClientHive2Hudi.java:390-411 and
+  ComplexKeyGenerator use at hudi0.12_spark3.1/.../BootstrapDemo.scala:217-218,270.
+- partition path ``f=v/f2=v2`` hive-style (or bare values), ``default``
+  for null/empty — JavaClientHive2Hudi.java:421-439.
+- random uuid key when no key fields configured and op is INSERT —
+  JavaClientHive2Hudi.java:323 (W13).
+
+All expressions are JVM-side built-ins => whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_PLACEHOLDER = "__null__"
+EMPTY_PLACEHOLDER = "__empty__"
+DEFAULT_PARTITION = "default"
+
+
+def record_key_col(fields: list[str] | None) -> Column:
+    """Key expression for a row; uuid() when fields is None/empty (W13)."""
+    if not fields:
+        return F.expr("uuid()")
+    if len(fields) == 1:
+        # SimpleKeyGenerator: bare value string.
+        return F.col(fields[0]).cast("string")
+    # ComplexKeyGenerator: f:v,f2:v2 with placeholders.
+    parts = []
+    for f in fields:
+        v = F.col(f).cast("string")
+        v = (
+            F.when(v.isNull(), F.lit(NULL_PLACEHOLDER))
+            .when(v == "", F.lit(EMPTY_PLACEHOLDER))
+            .otherwise(v)
+        )
+        parts.append(F.concat(F.lit(f + ":"), v))
+    return F.concat_ws(",", *parts)
+
+
+def partition_path_col(fields: list[str], hive_style: bool = True) -> Column:
+    """Partition path expression; '' for non-partitioned tables."""
+    if not fields:
+        return F.lit("")
+    parts = []
+    for f in fields:
+        v = F.col(f).cast("string")
+        v = F.when(v.isNull() | (v == ""), F.lit(DEFAULT_PARTITION)).otherwise(v)
+        parts.append(F.concat(F.lit(f + "="), v) if hive_style else v)
+    return F.concat_ws("/", *parts)

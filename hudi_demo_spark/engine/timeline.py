@@ -1,0 +1,169 @@
+"""Commit timeline — the engine analog of Hudi's ``.hoodie`` instant files.
+
+Each completed write is one JSON file ``_timeline/<instant>.<action>.json``
+holding the commit metadata: operation, files added (with kind base/delta/
+external), files removed, row stats, and optional streaming batch id for
+exactly-once ``foreachBatch`` sinks.
+
+Reference parity: ``startCommit()`` / instant lifecycle
+(java-client/.../HoodieJavaWriteClientExample.java:90,100,110), the
+``call show_commits`` procedure (hudi0.12_spark3.1/.../IncrementalQuery.scala:36-37),
+archival bounds (HoodieJavaWriteClientExample.java:85).
+
+Design notes for scale: the timeline is O(#commits) small JSON files; the
+live-file set is replayed driver-side (metadata only, no data scan) — the
+same shape as Hudi's timeline server. Archival compacts replayed state
+into a checkpoint so the active timeline stays bounded (M3).
+Single-writer assumption (matches the reference demos); commit files are
+written atomically via rename.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+from hudi_demo_spark.engine.config import TIMELINE_DIR
+
+ARCHIVED_DIR = "archived"
+CHECKPOINT_PREFIX = "_checkpoint"
+
+# actions
+COMMIT = "commit"  # COW base-file write
+DELTACOMMIT = "deltacommit"  # MOR delta-file write
+REPLACECOMMIT = "replacecommit"  # overwrite: drops all prior files
+COMPACTION = "compaction"  # MOR deltas merged into base
+CLEAN = "clean"
+
+_last_instant = [""]
+
+
+def new_instant() -> str:
+    """Monotonically increasing yyyyMMddHHmmssSSSSSS instant string."""
+    while True:
+        now = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
+        if now > _last_instant[0]:
+            _last_instant[0] = now
+            return now
+        time.sleep(0.000_5)
+
+
+class Timeline:
+    def __init__(self, table_path: str | Path):
+        self.dir = Path(table_path) / TIMELINE_DIR
+
+    # ---------------- write side ----------------
+
+    def commit(
+        self,
+        instant: str,
+        action: str,
+        operation: str,
+        files_added: list[dict],
+        files_removed: list[str] | str,
+        stats: dict | None = None,
+        batch_id: int | None = None,
+    ) -> dict:
+        """files_added: [{"path": rel, "kind": "base"|"delta"|"external",
+        "partition": pp, ...}]; files_removed: rel paths or "*" (replace)."""
+        self.dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "instant": instant,
+            "action": action,
+            "operation": operation,
+            "files_added": files_added,
+            "files_removed": files_removed,
+            "stats": stats or {},
+        }
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        p = self.dir / f"{instant}.{action}.json"
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(p)  # atomic publish
+        return meta
+
+    # ---------------- read side ----------------
+
+    def _checkpoint(self) -> dict | None:
+        cps = sorted(self.dir.glob(CHECKPOINT_PREFIX + "-*.json"))
+        if not cps:
+            return None
+        return json.loads(cps[-1].read_text())
+
+    def instants(self, include_archived: bool = False) -> list[dict]:
+        """Completed instants, ascending. Active timeline only by default."""
+        if not self.dir.is_dir():
+            return []
+        files = [p for p in self.dir.glob("*.json") if not p.name.startswith("_")]
+        if include_archived:
+            files += list((self.dir / ARCHIVED_DIR).glob("*.json"))
+        out = [json.loads(p.read_text()) for p in sorted(files, key=lambda p: p.name)]
+        out.sort(key=lambda m: m["instant"])
+        return out
+
+    def last_instant(self) -> str | None:
+        ins = self.instants()
+        return ins[-1]["instant"] if ins else None
+
+    def committed_batch_ids(self) -> set[int]:
+        return {m["batch_id"] for m in self.instants(True) if "batch_id" in m}
+
+    def live_files(self, as_of: str | None = None) -> dict[str, dict]:
+        """Replay the timeline -> {relpath: file_meta} live as of `as_of`.
+
+        Metadata-only: no data files are touched. A checkpoint written at
+        archive time seeds the replay so archived instants aren't needed.
+        """
+        state: dict[str, dict] = {}
+        cp = self._checkpoint()
+        if cp is not None and as_of is not None and as_of < cp["as_of"]:
+            # time-travel before the archive boundary: full replay
+            cp = None
+            instants = self.instants(include_archived=True)
+        else:
+            instants = self.instants()
+        if cp is not None:
+            state = dict(cp["files"])
+        for m in instants:
+            if as_of is not None and m["instant"] > as_of:
+                break
+            if cp is not None and m["instant"] <= cp["as_of"]:
+                continue
+            if m["files_removed"] == "*":
+                state = {}
+            else:
+                for rp in m["files_removed"]:
+                    state.pop(rp, None)
+            for f in m["files_added"]:
+                state[f["path"]] = {**f, "commit": m["instant"]}
+        return state
+
+    def write_checkpoint(self, as_of: str, files: dict[str, dict]) -> None:
+        p = self.dir / f"{CHECKPOINT_PREFIX}-{as_of}.json"
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"as_of": as_of, "files": files}))
+        tmp.replace(p)
+
+    def archive(self, keep: int = 30) -> int:
+        """Move all but the newest `keep` instants to archived/ (M3),
+        checkpointing replay state at the boundary first."""
+        ins = self.instants()
+        if len(ins) <= keep:
+            return 0
+        cut = ins[-keep]["instant"]  # first instant kept active
+        boundary = [m for m in ins if m["instant"] < cut]
+        if not boundary:
+            return 0
+        state = self.live_files(as_of=boundary[-1]["instant"])
+        self.write_checkpoint(boundary[-1]["instant"], state)
+        arch = self.dir / ARCHIVED_DIR
+        arch.mkdir(exist_ok=True)
+        n = 0
+        for m in boundary:
+            for p in self.dir.glob(f"{m['instant']}.*.json"):
+                p.rename(arch / p.name)
+                n += 1
+        return n

@@ -1,0 +1,82 @@
+"""Batch sources (SURVEY §2.1).
+
+- `load_table` — the fixture loader used by queries/bench; normalizes the
+  TIMESTAMP(NANOS) `events.ts` column (Spark has no nanos timestamp: read
+  as long via `nanosAsLong`, truncate to micros exactly like DuckDB does).
+- JDBC source (S9) — common/.../DfUtils.scala:17-19.
+- JDBC subquery pushdown (S10) — SyncCommentsAcrossClusters.scala:52,126-139:
+  the whole SELECT ships to the RDBMS as a parenthesized `dbtable`.
+- CSV source (S17) — hudi0.13_flink1.15/.../Configurations.java:95-109.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) — unsupported by the vectorized
+        # parquet reader; read as long and truncate to microseconds
+        # (identical to DuckDB's nanos→micros truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def jdbc_source(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """S9 — `spark.read.format("jdbc").options(map).load()`."""
+    return spark.read.format("jdbc").options(**options).load()
+
+
+def jdbc_subquery_source(
+    spark: SparkSession, url: str, subquery: str, alias: str = "a", **options
+) -> DataFrame:
+    """S10 — full query pushed to the RDBMS via parenthesized dbtable."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({subquery}) {alias}")
+        .options(**options)
+        .load()
+    )
+
+
+def csv_source(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options
+) -> DataFrame:
+    """S17 — explicit-schema CSV (no inference scan)."""
+    return spark.read.schema(schema).options(**options).csv(path)

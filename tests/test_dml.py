@@ -1,0 +1,145 @@
+"""DML state-machine golden tests mirroring SparkSQLDemo.main
+(hudi0.12_spark3.1/.../SparkSQLDemo.scala:22-31): create → insert ×2 →
+update → delete → merge, asserting exact table state after each step
+(SURVEY §5 item 2)."""
+
+from pyspark.sql import functions as F
+
+SEED_ROWS = [
+    (1, "hudi", 10.0, 100, "2022-09-05"),
+    (2, "hudi", 10.0, 100, "2022-09-05"),
+    (3, "hudi", 10.0, 100, "2022-09-25"),
+    (4, "hudi", 10.0, 100, "2022-09-25"),
+]
+COLS = ["id", "name", "price", "ts", "dt"]
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, price double, ts long, dt string")
+
+
+def _state(engine, table):
+    df = engine.read(table).select(*COLS)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _setup(engine, spark, table_type="cow"):
+    engine.create_table(
+        "t", record_key="id", precombine="ts", partition_by="dt",
+        table_type=table_type,
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS[:2]), "t")  # insert into values (W1)
+    engine.insert(_mkdf(spark, SEED_ROWS[2:]), "t")  # insert into select union (W2)
+    return "t"
+
+
+def test_insert_snapshot(engine, spark):
+    t = _setup(engine, spark)
+    assert _state(engine, t) == sorted(SEED_ROWS)
+
+
+def test_update(engine, spark):
+    # SparkSQLDemo.scala:69-71
+    t = _setup(engine, spark)
+    engine.update(t, set={"price": F.lit(20.0)}, where="id = 1")
+    st = dict((r[0], r) for r in _state(engine, t))
+    assert st[1][2] == 20.0
+    assert st[2][2] == 10.0
+
+
+def test_delete(engine, spark):
+    # SparkSQLDemo.scala:73-75
+    t = _setup(engine, spark)
+    engine.delete(t, "id = 1")
+    assert [r[0] for r in _state(engine, t)] == [2, 3, 4]
+
+
+def test_merge(engine, spark):
+    """SparkSQLDemo.scala:77-91 — 3-branch MERGE with opt_type."""
+    t = _setup(engine, spark)
+    source = spark.createDataFrame(
+        [
+            (1, "a1", 12.0, 1001, "2022-09-05", "INSERT"),   # matched→update
+            (2, "a2", 10.0, 1002, "2022-09-05", "DELETE"),   # matched→delete
+            (5, "a5", 10.0, 1005, "2022-09-25", "INSERT"),   # not matched→insert
+            (6, "a6", 10.0, 1006, "2022-09-25", "DELETE"),   # not matched+DELETE→skip
+        ],
+        "id int, name string, price double, ts long, dt string, opt_type string",
+    )
+    engine.merge(
+        t,
+        source.drop("opt_type").join(source.select("id", "opt_type"), "id"),
+        matched_update_cond="s.opt_type != 'DELETE'",
+        matched_delete_cond="s.opt_type = 'DELETE'",
+        not_matched_insert_cond="s.opt_type != 'DELETE'",
+    )
+    st = _state(engine, t)
+    ids = [r[0] for r in st]
+    assert ids == [1, 3, 4, 5]
+    by_id = {r[0]: r for r in st}
+    assert by_id[1][1] == "a1" and by_id[1][2] == 12.0
+    assert by_id[5][1] == "a5"
+
+
+def test_upsert_precombine(engine, spark):
+    """W6: intra-batch dedup picks max preCombine; upsert overwrites."""
+    t = _setup(engine, spark)
+    batch = _mkdf(
+        spark,
+        [
+            (1, "v_low", 99.0, 50, "2022-09-05"),    # lower ts — loses intra-batch
+            (1, "v_high", 42.0, 500, "2022-09-05"),  # winner
+            (9, "new", 1.0, 10, "2022-09-25"),
+        ],
+    )
+    engine.upsert(batch, t)
+    by_id = {r[0]: r for r in _state(engine, t)}
+    assert by_id[1][1] == "v_high" and by_id[1][2] == 42.0
+    assert by_id[9][1] == "new"
+    assert len(by_id) == 5
+
+
+def test_upsert_mor_and_compaction(engine, spark):
+    t = _setup(engine, spark, table_type="mor")
+    engine.upsert(_mkdf(spark, [(1, "u1", 7.0, 999, "2022-09-05")]), t)
+    by_id = {r[0]: r for r in _state(engine, t)}
+    assert by_id[1][1] == "u1" and len(by_id) == 4
+    # deltas present before compaction, gone after
+    engine.compact(t)
+    by_id2 = {r[0]: r for r in _state(engine, t)}
+    assert by_id2 == by_id
+    ro = engine.read(t, query_type="read_optimized").select(*COLS)
+    assert {r[0] for r in ro.collect()} == {1, 2, 3, 4}
+
+
+def test_mor_delete_marker(engine, spark):
+    t = _setup(engine, spark, table_type="mor")
+    engine.delete(t, "id = 2")
+    assert [r[0] for r in _state(engine, t)] == [1, 3, 4]
+
+
+def test_delete_keys(engine, spark):
+    t = _setup(engine, spark)
+    keys = spark.createDataFrame([(3, "2022-09-25")], "id int, dt string")
+    engine.delete_keys(t, keys)
+    assert [r[0] for r in _state(engine, t)] == [1, 2, 4]
+
+
+def test_overwrite(engine, spark):
+    t = _setup(engine, spark)
+    engine.overwrite(_mkdf(spark, [(7, "x", 1.0, 1, "2022-10-01")]), t)
+    assert [r[0] for r in _state(engine, t)] == [7]
+
+
+def test_schema_evolution_add_column(engine, spark):
+    """Flink `_WIDER` fixture (Configurations.java:35-42): add `salary`."""
+    t = _setup(engine, spark)
+    wider = spark.createDataFrame(
+        [(8, "w", 2.0, 5, "2022-09-05", 1234.5)],
+        "id int, name string, price double, ts long, dt string, salary double",
+    )
+    engine.upsert(wider, t)
+    df = engine.read(t)
+    assert "salary" in df.columns
+    vals = {r["id"]: r["salary"] for r in df.collect()}
+    assert vals[8] == 1234.5 and vals[1] is None

@@ -1,0 +1,100 @@
+"""Timeline / incremental-query tests mirroring IncrementalQuery.main
+(hudi0.12_spark3.1/.../IncrementalQuery.scala:32-59): 5 single-row commits,
+show_commits order, exact (begin, end] reads, path-glob pruning
+(SURVEY §5 item 3). Plus archival/clean/time-travel."""
+
+from pyspark.sql import functions as F
+
+ROWS = [
+    (1, "a1", 10.0, 1000, "2022-11-25"),
+    (2, "a2", 20.0, 2000, "2022-11-25"),
+    (3, "a3", 30.0, 3000, "2022-11-26"),
+    (4, "a4", 40.0, 4000, "2022-12-26"),
+    (5, "a5", 50.0, 5000, "2022-12-27"),
+]
+SCHEMA = "id int, name string, price double, ts long, dt string"
+
+
+def _setup(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts", partition_by="dt")
+    for row in ROWS:
+        engine.insert(spark.createDataFrame([row], SCHEMA), "t")
+    return "t"
+
+
+def test_show_commits_desc(engine, spark):
+    t = _setup(engine, spark)
+    commits = engine.show_commits(t).collect()
+    assert len(commits) == 5
+    times = [c["commit_time"] for c in commits]
+    assert times == sorted(times, reverse=True)  # newest first, like the proc
+    assert all(c["operation"] == "insert" for c in commits)
+
+
+def test_incremental_begin_end(engine, spark):
+    """IncrementalQuery.scala:37-53: begin = 2nd-to-last, end variants."""
+    t = _setup(engine, spark)
+    commits = engine.show_commits(t).collect()
+    # reference picks commits(commits.length-2) as begin → rows of the last commit...
+    # begin = 2nd commit time → rows from commits 3..5
+    asc = sorted(c["commit_time"] for c in commits)
+    inc = engine.read_incremental(t, begin=asc[1])
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4, 5]
+    inc2 = engine.read_incremental(t, begin=asc[1], end=asc[3])
+    assert sorted(r["id"] for r in inc2.collect()) == [3, 4]
+    # begin=None → everything
+    assert engine.read_incremental(t).count() == 5
+
+
+def test_incremental_path_glob(engine, spark):
+    """INCR_PATH_GLOB (IncrementalQuery.scala:52): restrict to /dt=2022-11*/*."""
+    t = _setup(engine, spark)
+    inc = engine.read_incremental(t, path_glob="/dt=2022-11*/*")
+    assert sorted(r["id"] for r in inc.collect()) == [1, 2, 3]
+
+
+def test_incremental_shows_latest_state_of_changed_keys(engine, spark):
+    t = _setup(engine, spark)
+    before = engine.show_commits(t).collect()[0]["commit_time"]
+    engine.upsert(
+        spark.createDataFrame([(1, "a1x", 11.0, 9999, "2022-11-25")], SCHEMA), "t"
+    )
+    inc = engine.read_incremental(t, begin=before)
+    rows = inc.collect()
+    assert [r["id"] for r in rows] == [1]
+    assert rows[0]["name"] == "a1x"
+
+
+def test_time_travel_as_of(engine, spark):
+    t = _setup(engine, spark)
+    commits = sorted(c["commit_time"] for c in engine.show_commits(t).collect())
+    snap3 = engine.read(t, as_of=commits[2])
+    assert sorted(r["id"] for r in snap3.collect()) == [1, 2, 3]
+
+
+def test_archive_and_time_travel_after(engine, spark):
+    t = _setup(engine, spark)
+    moved = engine.archive(t, keep=2)
+    assert moved == 3
+    # snapshot still complete via checkpoint replay
+    assert engine.read(t).count() == 5
+    # show_commits still sees archived instants
+    assert engine.show_commits(t).count() == 5
+
+
+def test_clean_removes_old_files(engine, spark, tmp_path):
+    import pathlib
+
+    engine.create_table("c", record_key="id", precombine="ts", partition_by="dt")
+    for i in range(3):
+        engine.upsert(
+            spark.createDataFrame([(1, f"v{i}", 1.0 * i, i, "2022-11-25")], SCHEMA),
+            "c",
+        )
+    cfg = engine._resolve("c")
+    data = pathlib.Path(cfg.path) / "data"
+    n_before = len(list(data.rglob("*.parquet")))
+    engine.clean("c", retain_commits=1)
+    n_after = len(list(data.rglob("*.parquet")))
+    assert n_after < n_before
+    assert [r["name"] for r in engine.read("c").collect()] == ["v2"]

@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: ingest sf0.001 lineitem through the
+  lakehouse engine (insert → snapshot read) and run the Q1-style pricing
+  summary over the engine read path.
+- ``queries()`` — one entry per implemented operator from SURVEY.md §2
+  plus the LLM-pipeline extensions (hudi_demo_spark.plans.queries).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query; approximate
+  operators (MinHash-LSH, SimHash, LSH-ANN) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: engine-managed ingest + pricing-summary query at sf0.001."""
+    import shutil
+
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.sources.readers import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = "/tmp/hudi_demo_spark_entry"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "k", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    eng.create_table("lineitem", record_key="k", partition_by="l_returnflag")
+    eng.insert(li, "lineitem")
+    snap = eng.read("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        snap.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from hudi_demo_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hudi_demo_spark.plans import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+- exact: hash-groupBy on the raw or normalized text (one shuffle).
+- MinHash + LSH: shingle → 64 minhashes (xxhash64 seeds) → band buckets →
+  candidate pairs only within buckets (no O(n²) crossJoin) → verify by
+  estimated Jaccard. The classic web-dedup pipeline (Broder; see PAPERS.md).
+- SimHash: per-token hash bit votes → 64-bit signature → banded blocking →
+  Hamming-distance verify with `bit_count(xor)`.
+- n-gram Jaccard: exact set Jaccard over word 3-gram shingles via an
+  explode + self-join on shingle (co-partitioned by shingle hash — the
+  join IS the candidate generation; no full pair enumeration).
+- embedding cosine near-dup: see operators.similarity.cosine_pairs.
+
+Everything is built-in-function DataFrame code — no Python UDFs. At 100 TB
+the shuffles are all keyed by shingle/band/bucket, so skew is bounded by
+banding width; frequent-shingle hot keys can be dropped with
+`max_shingle_freq` (stop-shingle filtering), the standard trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.functions.textfn import normalize_text, tokens, word_trigrams
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str], keep_by: str | None = None) -> DataFrame:
+    """Keep one row per distinct `cols`; deterministic winner = min(keep_by)."""
+    if keep_by is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups with >1 occurrence: (cols..., n_dups)."""
+    return df.groupBy(*cols).agg(F.count("*").alias("n_dups")).filter("n_dups > 1")
+
+
+def dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on the normalized text (lower/collapse-ws/trim)."""
+    return dedup_exact(
+        df.withColumn("__norm", normalize_text(text_col)), ["__norm"], keep_by=id_col
+    ).drop("__norm")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_fn=word_trigrams,
+) -> DataFrame:
+    """(id, sig array<long>) — min over shingles of xxhash64(shingle, seed_i).
+
+    One explode + one groupBy(id) shuffle; the 64 mins are a single
+    aggregation (map-side combinable)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_fn(text_col)).alias("__shingle")
+    ).dropDuplicates([id_col, "__shingle"])
+    mins = [
+        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate (a, b) pairs sharing ≥1 LSH band bucket. Join is keyed by
+    (band, bucket-hash): no crossJoin anywhere."""
+    assert bands * rows_per_band <= 64
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    l = band_rows.alias("l")
+    r = band_rows.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold:
+    (a, b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    a_sig = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b_sig = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    )
+    return (
+        cands.join(a_sig, "a")
+        .join(b_sig, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash long): per-token xxhash64 bit votes, sign-aggregated.
+
+    explode + one groupBy; the 64 vote sums are map-side combinable."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    h = F.xxhash64("__t")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor==or
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming). Blocking: split the 64-bit signature
+    into 64/band_bits chunks; by pigeonhole any pair within Hamming
+    distance < #chunks shares a chunk — join per chunk, verify with
+    bit_count(xor). No crossJoin."""
+    sigs = simhash(df, id_col, text_col)
+    chunks = 64 // band_bits
+    blocked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select(id_col, "simhash", "cb.chunk", "cb.key")
+    l = blocked.alias("l")
+    r = blocked.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(r, ["chunk", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ threshold:
+    (a, b, inter, union_size, jaccard).
+
+    Candidate generation is the shingle self-join (keyed shuffle), so cost
+    is Σ freq(shingle)² — bounded by dropping stop-shingles above
+    `max_shingle_freq` at scale."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_trigrams(text_col)).alias("sh")
+    ).dropDuplicates(["id", "sh"])
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(keep.select("sh"), "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    l = sh.alias("l")
+    r = sh.alias("r")
+    inter = (
+        l.join(r, "sh")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_size", "jaccard")
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+fingerprinting — the standard pre-training corpus filters.
+
+Pure built-in-function DataFrame transforms (codegen'd); each has an
+ANSI-SQL oracle twin in __spark_entry__."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.functions.textfn import (
+    bpe_tokens,
+    fingerprint_md5,
+    punct_ratio,
+    tokens,
+    upper_ratio,
+)
+
+# tiny per-language stopword lists (public, standard closed-class words);
+# enough signal for an n-gram-free heuristic language ID on latin scripts,
+# with a CJK-codepoint check for zh.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "las", "es", "una"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_bpe_tokens, n_chars_seen, avg_token_len)."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_tokens(text_col)).alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_seen"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    penalize very short docs, high punctuation, high uppercase."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    pr = punct_ratio(text_col)
+    ur = upper_ratio(text_col)
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    score = len_score * (1 - F.least(pr * 5, F.lit(1.0))) * (1 - F.least(ur * 5, F.lit(1.0)))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(pr, 4).alias("punct_ratio"),
+        F.round(ur, 4).alias("upper_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def _count_words(text_col: str, words: list[str]) -> F.Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0))
+
+
+LANG_ORDER = ["en", "de", "fr", "es"]  # clause order = tie-break preference
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang): stopword-hit argmax over {en,de,fr,es}, 'zh' when
+    CJK codepoints appear, 'und' when nothing matches. Explicit CASE
+    chain (first language in LANG_ORDER wins ties) so the SQL oracle can
+    mirror it verbatim."""
+    hits = {lang: _count_words(text_col, STOPWORDS[lang]) for lang in LANG_ORDER}
+    n_cjk = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[一-鿿]", "")
+    )
+    pred = F.when(n_cjk > 0, F.lit("zh"))
+    for i, lang in enumerate(LANG_ORDER):
+        cond = hits[lang] > 0
+        for other in LANG_ORDER[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[other])
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint): md5 of the normalized text (see
+    functions.textfn.fingerprint_md5); rolling-hash/simhash variants in
+    operators.dedup."""
+    return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))

@@ -1,0 +1,1067 @@
+"""The query registry: every SURVEY §2 operator (plus the LLM-pipeline
+extensions) as a (PySpark callable, DuckDB oracle SQL) pair.
+
+Contract (driver-enforced): the Spark callable takes (spark, sf_dir) and
+returns a DataFrame whose column NAMES and values match the oracle SQL run
+over the same parquet fixtures. Every computed column is aliased
+identically on both sides; double aggregates are rounded on both sides so
+summation-order noise can't flip the value hash.
+
+Queries named engine_* route through the real lakehouse engine (create →
+write → read on a scratch dir) — the oracle states the equivalent final
+table in pure SQL, so the DML semantics themselves are differentially
+tested, not just relational plans.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SCRATCH = "/tmp/hudi_demo_spark_queries"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def query_names() -> list[str]:
+    return list(QUERIES)
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{SCRATCH}/{name}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# =====================================================================
+# TPC-H-style relational queries (SURVEY §2.4 composite coverage)
+# =====================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5(spark, sf_dir):
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@q(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l.filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# single-operator relational queries (SURVEY §2.4 R1-R22)
+# =====================================================================
+
+
+@q(
+    "filter_isin_negation",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_linestatus NOT IN ('O')
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def filter_isin(spark, sf_dir):
+    """R3 — isin + negated isin (SyncCommentsAcrossClusters.scala:59,71,77)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_returnflag").isin("A", "R") & ~F.col("l_linestatus").isin("O"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "filter_null_and_function",
+    """
+    SELECT count(*) AS n_valid
+    FROM documents
+    WHERE text IS NOT NULL AND text != '' AND lower(lang) = 'en'
+    """,
+)
+def filter_null_fn(spark, sf_dir):
+    """R2/R5 — null/compound filter + function-of-column equality
+    (SyncCommentsAcrossClusters.scala:58,68,94)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").isNotNull() & (F.col("text") != "") & (F.lower(F.col("lang")) == "en")
+    ).agg(F.count("*").alias("n_valid"))
+
+
+@q(
+    "distinct_projection",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_proj(spark, sf_dir):
+    """R10 — .select(...).distinct() (SyncCommentsAcrossClusters.scala:55)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "union_distinct",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    ORDER BY custkey
+    """,
+)
+def union_distinct(spark, sf_dir):
+    """R9 — SQL UNION deduplicates (SparkSQLDemo.scala:59-60)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct().orderBy("custkey")
+
+
+@q(
+    "join_left_outer_counts",
+    """
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_left(spark, sf_dir):
+    """R7 — left outer join (SyncCommentsAcrossClusters.scala:129-137)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "join_inner_using",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey
+    """,
+)
+def join_using(spark, sf_dir):
+    """R6 — inner equi-join on a shared column, broadcast-eligible
+    (SyncCommentsAcrossClusters.scala:79-80)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@q(
+    "agg_count_by_group",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_count(spark, sf_dir):
+    """R11 — count aggregates (SyncCommentsAcrossClusters.scala:40,74,86)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "cast_and_rename_columns",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS nationkey,
+           lower(replace(n_name, ' ', '')) AS name
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def cast_rename(spark, sf_dir):
+    """R13/R14/R20 — cast-to-string + lowercase/strip rename
+    (common/.../DfUtils.scala:21-32)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("string").alias("nationkey"),
+        F.lower(F.regexp_replace(F.col("n_name"), " ", "")).alias("name"),
+    ).orderBy(F.col("n_nationkey").cast("int"))
+
+
+@q(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_k(spark, sf_dir):
+    """R17 — limit / top-k (IncrementalQuery.scala:37)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "window_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def window_latest(spark, sf_dir):
+    """The preCombine primitive (W6): latest row per key via window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "incremental_range_scan",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def incremental_range(spark, sf_dir):
+    """S3 semantics as a pure filter: rows in (begin, end]."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+# =====================================================================
+# engine-path queries: real DML through the lakehouse engine (W1-W8, S3)
+# with the equivalent final state declared in pure SQL
+# =====================================================================
+
+
+@q(
+    "engine_upsert_cow",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           round(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice,
+           o_orderdate,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def engine_upsert_cow(spark, sf_dir):
+    """W6 end-to-end: insert all orders, upsert a modified subset (higher
+    preCombine), read the snapshot — the winner per key must be the
+    upserted version."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_upsert_cow", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq", partition_by="o_orderstatus"
+    )
+    eng.insert(o, "t")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "engine_upsert_mor",
+    """
+    SELECT event_id, user_id, event_type,
+           round(CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END, 4)
+             AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def engine_upsert_mor(spark, sf_dir):
+    """MOR path: insert base, delta-upsert a subset, snapshot read does
+    the read-time merge; also verifies read_optimized excludes deltas."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_upsert_mor", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq",
+        partition_by="event_type", table_type="mor",
+    )
+    eng.insert(e, "t")
+    upd = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    return (
+        eng.read("t")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_delete_where",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem
+    WHERE NOT (l_discount > 0.05 AND l_returnflag = 'A')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def engine_delete_where(spark, sf_dir):
+    """W4 end-to-end: predicate delete rewrites only affected partitions."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_delete_where", sf_dir)
+    eng = Engine(spark, root)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "l_discount",
+    ).withColumn("k", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    eng.create_table("t", record_key="k", partition_by="l_returnflag")
+    eng.insert(l, "t")
+    eng.delete("t", "l_discount > 0.05 AND l_returnflag = 'A'")
+    return (
+        eng.read("t")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "engine_merge_into",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, event_type, value,
+             CASE WHEN event_id % 5 = 0 THEN 'DELETE' ELSE 'UPSERT' END AS opt_type
+      FROM events WHERE event_id % 2 = 0
+    ), tgt AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT coalesce(t.event_id, s.event_id) AS event_id,
+           coalesce(t.user_id, s.user_id) AS user_id,
+           round(CASE WHEN s.event_id IS NOT NULL AND s.opt_type != 'DELETE'
+                      THEN s.value * 10
+                      ELSE t.value END, 4) AS value
+    FROM tgt t FULL OUTER JOIN src s
+      ON t.event_id = s.event_id AND t.event_type = s.event_type
+    WHERE NOT (t.event_id IS NOT NULL AND s.event_id IS NOT NULL
+               AND s.opt_type = 'DELETE')
+      AND NOT (t.event_id IS NULL AND s.opt_type = 'DELETE')
+    ORDER BY event_id
+    """,
+)
+def engine_merge_into(spark, sf_dir):
+    """W5 end-to-end: 3-branch MERGE (update ×10 / delete / insert) —
+    the SparkSQLDemo.scala:77-91 shape on real data."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_merge_into", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tgt = e.filter(F.col("event_id") % 3 == 0)
+    src = e.filter(F.col("event_id") % 2 == 0).withColumn(
+        "opt_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit("DELETE")).otherwise(F.lit("UPSERT")),
+    ).withColumn("value", F.col("value") * 10)
+    eng.create_table("t", record_key="event_id", partition_by="event_type")
+    eng.insert(tgt, "t")
+    eng.merge(
+        "t",
+        src,
+        matched_update_cond="s.opt_type != 'DELETE'",
+        matched_delete_cond="s.opt_type = 'DELETE'",
+        not_matched_insert_cond="s.opt_type != 'DELETE'",
+    )
+    return (
+        eng.read("t")
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_incremental_read",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    ORDER BY event_id
+    """,
+)
+def engine_incremental_read(spark, sf_dir):
+    """S3 end-to-end: 3 commits, incremental read of commits 2..3 returns
+    exactly the rows written by them."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_incremental_read", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    eng.create_table("t", record_key="event_id", partition_by="event_type")
+    eng.insert(e.filter(F.col("event_type").isin("click", "signup", "error")), "t")
+    begin = eng.show_commits("t").collect()[0]["commit_time"]
+    eng.insert(e.filter(F.col("event_type") == "view"), "t")
+    eng.insert(e.filter(F.col("event_type") == "purchase"), "t")
+    return (
+        eng.read_incremental("t", begin=begin)
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_bootstrap_full",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def engine_bootstrap_full(spark, sf_dir):
+    """W10: adopt an existing partitioned parquet dir (full-record mode),
+    then read the snapshot back."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_bootstrap_full", sf_dir)
+    eng = Engine(spark, root)
+    src = f"{root}/src"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(src)
+    eng.bootstrap(
+        src, "bt", record_key="c_custkey", partition_by="c_mktsegment",
+        mode="full_record",
+    )
+    return (
+        eng.read("bt")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# =====================================================================
+# extension operators: dedup / similarity / text / multimodal
+# =====================================================================
+
+
+@q(
+    "dedup_exact_stats",
+    """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("text").alias("n_distinct"))
+        .orderBy("lang")
+    )
+
+
+@q(
+    "dedup_exact_keep_first",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM unioned
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup on normalized text with deterministic keeper (min id);
+    duplicates synthesized by self-union with shifted ids."""
+    from hudi_demo_spark.operators.dedup import dedup_normalized
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup_normalized(dup, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+      FROM toks
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, sh FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM dgrams l JOIN dgrams r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b, inter,
+           na.n + nb.n - inter AS union_size,
+           round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+    FROM inter JOIN sizes na ON inter.a = na.doc_id
+               JOIN sizes nb ON inter.b = nb.doc_id
+    WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    from hudi_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("a", "b")
+    )
+
+
+@q("dedup_minhash_lsh")  # approximate — rows-only check (no SQL oracle)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    from hudi_demo_spark.operators.dedup import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_pairs(d, "doc_id", "text", threshold=0.10)
+        .withColumn("est_jaccard", F.round("est_jaccard", 4))
+        .orderBy("a", "b")
+    )
+
+
+@q("dedup_simhash")  # approximate — rows-only check (no SQL oracle)
+def dedup_simhash_q(spark, sf_dir):
+    from hudi_demo_spark.operators.dedup import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy("a", "b")
+
+
+@q(
+    "neardup_cosine_pairs",
+    """
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                 4) AS score
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) >= 0.30
+    ORDER BY a, b
+    """,
+)
+def neardup_cosine(spark, sf_dir):
+    """Embedding near-dup pairs within label blocks (keyed join, no
+    crossJoin — the 100 TB shape)."""
+    from hudi_demo_spark.operators.similarity import cosine_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_pairs(e, "vec_id", "embedding", threshold=0.30, block_col="label")
+        .withColumn("score", F.round("score", 4))
+        .orderBy("a", "b")
+    )
+
+
+@q(
+    "similarity_topk_bruteforce",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Exact cosine top-5 for 20 query vectors (ids only — float-free)."""
+    from hudi_demo_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        brute_force_topk(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@q("similarity_topk_lsh")  # approximate — rows-only check
+def similarity_topk_lsh(spark, sf_dir):
+    from hudi_demo_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_topk(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@q(
+    "text_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t,
+             regexp_extract_all(text, '\\w+|[^\\w\\s]+', 0) AS bpe,
+             length(text) AS n_chars_seen
+      FROM documents
+    )
+    SELECT doc_id, len(t) AS n_tokens, len(bpe) AS n_bpe_tokens, n_chars_seen,
+           round(list_sum(list_transform(t, x -> length(x))) * 1.0
+                 / greatest(len(t), 1), 4) AS avg_token_len
+    FROM toks ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    from hudi_demo_spark.operators.text import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "text_quality_score",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS pr,
+             (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS ur
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, round(pr, 4) AS punct_ratio,
+           round(ur, 4) AS upper_ratio,
+           round(least(n_tokens / 20.0, 1.0)
+                 * (1 - least(pr * 5, 1.0)) * (1 - least(ur * 5, 1.0)), 4)
+             AS quality_score
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    from hudi_demo_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "text_language_id",
+    """
+    WITH hits AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b', 0)) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|ein)\\b', 0)) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b', 0)) AS h_fr,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una)\\b', 0)) AS h_es,
+        length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+                WHEN h_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM hits ORDER BY doc_id
+    """,
+)
+def text_language_id(spark, sf_dir):
+    from hudi_demo_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    from hudi_demo_spark.operators.text import fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprints(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: text → binary payload → Arrow-batched
+    mapInPandas feature extraction (deterministic fake decode); the
+    byte-level outputs (length, sha256) are oracle-checked."""
+    from hudi_demo_spark.operators.multimodal import attach_fake_media, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    return (
+        extract_features(media, fake=True)
+        .select("media_id", "n_bytes", "sha256")
+        .orderBy("media_id")
+    )

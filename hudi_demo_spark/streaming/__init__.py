@@ -1,0 +1,4 @@
+from hudi_demo_spark.streaming.read import IncrementalPuller, stream_read
+from hudi_demo_spark.streaming.write import stream_write
+
+__all__ = ["stream_write", "stream_read", "IncrementalPuller"]

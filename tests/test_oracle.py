@@ -1,0 +1,59 @@
+"""Local version of the driver's DuckDB-oracle differential gate
+(SURVEY §5 item 1): run every registered query at sf0.001 and compare
+row count + column names + order-insensitive values against the oracle
+SQL. Approximate queries (no oracle) get a rows-run check."""
+
+import math
+
+import duckdb
+import pytest
+
+from hudi_demo_spark.plans import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        # approximate operator: schema sanity + executes end-to-end
+        assert len(scols) > 0
+        return
+    ores = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sc, oc = _canon(srows, scols), _canon(orows, ocols)
+    mismatches = [(a, b) for a, b in zip(sc, oc) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

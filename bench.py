@@ -47,6 +47,11 @@ def main() -> None:
 
     spark = get_spark("hudi_demo_spark_bench")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # warmup: JIT/codegen + parquet reader paths, outside the timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from hudi_demo_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "nation").count()
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

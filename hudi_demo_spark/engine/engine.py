@@ -263,7 +263,45 @@ class Engine:
             )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
+        self._attach_key_ranges(added, data)
         return added
+
+    @staticmethod
+    def _attach_key_ranges(added: list[dict], data: Path) -> None:
+        """Record per-file min/max record key in the commit metadata (from
+        the parquet footer — a driver-side O(#files) metadata read). This
+        is the engine's bloom/range index analog (M1 —
+        JavaClientHive2Hudi.java:167-180): upserts prune base files whose
+        key range cannot intersect the incoming batch."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return
+        for f in added:
+            try:
+                md = pq.ParquetFile(str(data / f["path"])).metadata
+                idx = None
+                for i in range(md.schema.num_columns):
+                    if md.schema.column(i).name == RECORD_KEY_META:
+                        idx = i
+                        break
+                if idx is None:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    lo, hi = min(mins), max(maxs)
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    f["key_min"], f["key_max"] = lo, hi
+            except Exception:
+                continue
 
     def _empty(self, cfg: TableConfig) -> DataFrame:
         schema = self._stored_schema(cfg) or T.StructType(
@@ -473,7 +511,15 @@ class Engine:
                 df = df.filter(F.col(COMMIT_TIME_META) > begin)
             if end is not None:
                 df = df.filter(F.col(COMMIT_TIME_META) <= end)
-        df = self._merge_view(df, cfg)
+        # the key-dedup window is only needed when the range can contain two
+        # versions of a key; a pure-insert range cannot (and Hudi's INSERT op
+        # deliberately preserves duplicate keys), so skip the shuffle then.
+        insert_only = all(
+            m["operation"] in ("insert", "bootstrap", "insert_overwrite")
+            for m in sel
+        )
+        if not insert_only:
+            df = self._merge_view(df, cfg)
         if DELETED_META in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False))).drop(
                 DELETED_META
@@ -540,6 +586,42 @@ class Engine:
     def _affected_partitions(self, df: DataFrame) -> list[str]:
         return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
 
+    @staticmethod
+    def _batch_key_ranges(df: DataFrame) -> dict[str, tuple[str, str]]:
+        """{partition: (min_key, max_key)} of an incoming batch — one tiny
+        aggregate, the upsert 'index lookup' input."""
+        rows = (
+            df.groupBy(PARTITION_PATH_META)
+            .agg(F.min(RECORD_KEY_META), F.max(RECORD_KEY_META))
+            .collect()
+        )
+        return {r[0]: (r[1], r[2]) for r in rows}
+
+    @staticmethod
+    def _affected_files(
+        live: dict[str, dict], ranges: dict[str, tuple[str, str]]
+    ) -> dict[str, dict]:
+        """Bloom/range-index pruning (M1): keep only live files in the
+        batch's partitions whose [key_min, key_max] can intersect the
+        batch's key range — others cannot contain colliding keys and stay
+        live untouched (file-group-scoped rewrite, not whole-partition)."""
+        out: dict[str, dict] = {}
+        for p, m in live.items():
+            pp = m.get("partition", "")
+            if pp not in ranges:
+                continue
+            kmin, kmax = m.get("key_min"), m.get("key_max")
+            bmin, bmax = ranges[pp]
+            if (
+                kmin is not None
+                and kmax is not None
+                and bmin is not None
+                and (kmax < bmin or kmin > bmax)
+            ):
+                continue
+            out[p] = m
+        return out
+
     def upsert(
         self, df: DataFrame, table: str | TableConfig, batch_id: int | None = None
     ) -> dict:
@@ -561,11 +643,9 @@ class Engine:
             return meta
         batch = batch.persist()
         try:
-            parts = set(self._affected_partitions(batch))
+            ranges = self._batch_key_ranges(batch)
             live = tl.live_files()
-            affected = {
-                p: m for p, m in live.items() if m.get("partition", "") in parts
-            }
+            affected = self._affected_files(live, ranges)
             if affected:
                 base = self._read_files(cfg, affected)
                 combined = base.unionByName(batch, allowMissingColumns=True)
@@ -635,11 +715,9 @@ class Engine:
         )
         tl = Timeline(cfg.path)
         try:
-            parts = set(self._affected_partitions(keyed))
+            ranges = self._batch_key_ranges(keyed)
             live = tl.live_files()
-            affected = {
-                p: m for p, m in live.items() if m.get("partition", "") in parts
-            }
+            affected = self._affected_files(live, ranges)
             if cfg.table_type == MOR:
                 snap = self.read(cfg)
                 markers = (
@@ -733,11 +811,9 @@ class Engine:
         src = self._conform(self._stamp(source, cfg, instant), cfg)
         src = self._dedup_batch(src, cfg).persist()
         try:
-            parts = set(self._affected_partitions(src))
+            ranges = self._batch_key_ranges(src)
             live = tl.live_files()
-            affected = {
-                p: m for p, m in live.items() if m.get("partition", "") in parts
-            }
+            affected = self._affected_files(live, ranges)
             base = self._read_files(cfg, affected)
             if cfg.table_type == MOR:
                 base = self._merge_view(base, cfg)
@@ -799,6 +875,24 @@ class Engine:
             )
         finally:
             src.unpersist()
+
+    def sql(self, statement: str):
+        """SQL DML surface (SparkSQLDemo statement set) — see
+        hudi_demo_spark.engine.sql.SqlRouter."""
+        from hudi_demo_spark.engine.sql import SqlRouter
+
+        return SqlRouter(self).sql(statement)
+
+    def alter_column_comment(
+        self, table: str | TableConfig, column: str, comment: str
+    ) -> None:
+        """ALTER TABLE ... CHANGE col comment (D6) —
+        SyncCommentsAcrossClusters.scala:100-103: column comments live in
+        catalog props (no HMS in this environment)."""
+        cfg = self._resolve(table)
+        comments = cfg.props.setdefault("column_comments", {})
+        comments[column] = comment
+        cfg.save()
 
     def bootstrap(self, source_path, name, record_key, **kwargs) -> TableConfig:
         """Adopt an existing parquet dir as a table (W9/W10) — see

@@ -1,0 +1,243 @@
+"""SQL DML surface — the SparkSQLDemo statement set over engine tables.
+
+The reference's primary UX is `spark.sql("...")` DML against Hudi tables,
+enabled by HoodieSparkSessionExtension's parser rules
+(hudi0.12_spark3.1/.../SparkSQLDemo.scala:17,31-91). PySpark cannot
+install analyzer rules for DML against a path-based table, so the engine
+ships a small statement router with the same surface: CREATE/DROP TABLE,
+INSERT INTO (VALUES | SELECT), UPDATE, DELETE, MERGE INTO, CALL
+show_commits, and pass-through SELECT over synced temp views.
+
+Literal parsing is delegated to Spark itself (`SELECT ... FROM VALUES`),
+expressions stay Spark SQL strings evaluated by Catalyst — the router
+only recognizes statement shapes; it is not a new SQL dialect.
+Unsupported shapes raise with a pointer to the Python API.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_WS = r"\s+"
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+class SqlRouter:
+    def __init__(self, engine):
+        self.engine = engine
+        self.spark = engine.spark
+
+    def sql(self, statement: str) -> DataFrame | None:
+        s = statement.strip().rstrip(";").strip()
+        low = s.lower()
+        if low.startswith("create table"):
+            return self._create(s)
+        if low.startswith("drop table"):
+            return self._drop(s)
+        if low.startswith("insert into"):
+            return self._insert(s)
+        if low.startswith("update"):
+            return self._update(s)
+        if low.startswith("delete from"):
+            return self._delete(s)
+        if low.startswith("merge into"):
+            return self._merge(s)
+        if low.startswith("call show_commits"):
+            m = re.search(r"table\s*=>\s*'([^']+)'", s, re.I)
+            if not m:
+                raise ValueError("call show_commits(table => '<name>')")
+            return self.engine.show_commits(m.group(1))
+        # read-side SQL: refresh temp views, let Catalyst do the rest
+        # (IncrementalQuery.scala:57-59 pattern)
+        self.engine.sync_catalog()
+        return self.spark.sql(s)
+
+    # ------------------------------------------------------------------
+
+    def _create(self, s: str) -> None:
+        m = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?(\w+)\s*\((.*?)\)\s*"
+            r"(using\s+\w+\s*)?"
+            r"(partitioned\s+by\s*\(([^)]*)\)\s*)?"
+            r"((options|tblproperties)\s*\((.*)\)\s*)?$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
+        name = m.group(2)
+        cols_sql = m.group(3)
+        part_cols = [c.strip() for c in (m.group(6) or "").split(",") if c.strip()]
+        opts_sql = m.group(9) or ""
+        opts = {}
+        for kv in _split_top_level(opts_sql):
+            km = re.match(r"(\w+)\s*=\s*'([^']*)'", kv.strip())
+            if km:
+                opts[km.group(1).lower()] = km.group(2)
+        from pyspark.sql import types as T
+
+        fields = []
+        for col in _split_top_level(cols_sql):
+            cm = re.match(r"(\w+)\s+(.+)", col.strip(), re.S)
+            if not cm:
+                raise ValueError(f"bad column def: {col}")
+            fields.append(
+                T.StructField(cm.group(1), _parse_type(cm.group(2).strip()))
+            )
+        # DDL lists partition columns inside the column list (Spark SQL
+        # convention keeps them there for `using hudi` tables)
+        schema = T.StructType(fields)
+        self.engine.create_table(
+            name,
+            record_key=opts.get("primarykey"),
+            precombine=opts.get("precombinefield"),
+            partition_by=part_cols or None,
+            table_type=opts.get("type", "cow"),
+            schema=schema,
+            if_not_exists=bool(m.group(1)),
+        )
+        return None
+
+    def _drop(self, s: str) -> None:
+        m = re.match(r"drop\s+table\s+(if\s+exists\s+)?(\w+)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"unsupported DROP TABLE shape: {s}")
+        self.engine.drop_table(m.group(2))
+        return None
+
+    def _insert(self, s: str) -> None:
+        m = re.match(r"insert\s+into\s+(\w+)\s+(.*)$", s, re.I | re.S)
+        name, rest = m.group(1), m.group(2).strip()
+        cfg = self.engine._resolve(name)
+        data_cols = [
+            f.name
+            for f in self.engine._stored_schema(cfg).fields
+            if not f.name.startswith("_hoodie_")
+        ]
+        if rest.lower().startswith("values"):
+            body = rest[len("values") :].strip()
+            df = self.spark.sql(
+                f"SELECT * FROM VALUES {body} AS t({', '.join(data_cols)})"
+            )
+        elif rest.lower().startswith("select"):
+            self.engine.sync_catalog()
+            df = self.spark.sql(rest).toDF(*data_cols)
+        else:
+            raise ValueError(f"unsupported INSERT shape: {rest[:80]}")
+        self.engine.insert(df, name)
+        return None
+
+    def _update(self, s: str) -> None:
+        m = re.match(
+            r"update\s+(\w+)\s+set\s+(.*?)\s+where\s+(.*)$", s, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"unsupported UPDATE shape: {s[:120]}")
+        name, set_sql, where = m.groups()
+        assigns = {}
+        for a in _split_top_level(set_sql):
+            am = re.match(r"([\w.]+)\s*=\s*(.+)$", a.strip(), re.S)
+            if not am:
+                raise ValueError(f"bad assignment: {a}")
+            assigns[am.group(1).split(".")[-1]] = am.group(2).strip()
+        self.engine.update(name, set=assigns, where=where)
+        return None
+
+    def _delete(self, s: str) -> None:
+        m = re.match(r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"unsupported DELETE shape: {s[:120]}")
+        name, cond = m.group(1), m.group(3) or "true"
+        self.engine.delete(name, cond)
+        return None
+
+    def _merge(self, s: str) -> None:
+        """MERGE INTO t [AS] t0 USING (<query>|table) [AS] s0 ON <cond>
+        WHEN MATCHED [AND c] THEN UPDATE SET * | WHEN MATCHED [AND c] THEN
+        DELETE | WHEN NOT MATCHED [AND c] THEN INSERT * —
+        SparkSQLDemo.scala:77-91's exact shape."""
+        m = re.match(
+            r"merge\s+into\s+(\w+)(?:\s+as)?(?:\s+(\w+))?\s+using\s+(.*?)"
+            r"(?:\s+as)?\s+(\w+)\s+on\s+(.*?)\s+(when\s+.*)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unsupported MERGE shape: {s[:120]}")
+        name, t_alias, src_sql, s_alias, on_sql, clauses_sql = m.groups()
+        t_alias = t_alias or "t0"
+        src_sql = src_sql.strip()
+        if src_sql.startswith("("):
+            src_sql = src_sql[1:-1]
+        else:
+            src_sql = f"select * from {src_sql}"
+        self.engine.sync_catalog()
+        source = self.spark.sql(src_sql)
+
+        def fix(cond: str | None) -> str | None:
+            if cond is None:
+                return None
+            return re.sub(
+                rf"\b({re.escape(s_alias)})\.", "s.",
+                re.sub(rf"\b({re.escape(t_alias)})\.", "t.", cond),
+            )
+
+        upd_cond = del_cond = ins_cond = None
+        has_update = has_delete = has_insert = False
+        for cm in re.finditer(
+            r"when\s+(not\s+)?matched(?:\s+and\s+(.*?))?\s+then\s+"
+            r"(update\s+set\s+\*|delete|insert\s+\*)",
+            clauses_sql,
+            re.I | re.S,
+        ):
+            notm, cond, action = cm.groups()
+            action = action.lower()
+            if notm and action.startswith("insert"):
+                has_insert, ins_cond = True, cond
+            elif action.startswith("update"):
+                has_update, upd_cond = True, cond
+            elif action == "delete":
+                has_delete, del_cond = True, cond
+        self.engine.merge(
+            name,
+            source,
+            matched_update_cond=fix(upd_cond) if has_update else None,
+            matched_update_set="*" if has_update else None,
+            matched_delete_cond=(fix(del_cond) or "true") if has_delete else None,
+            not_matched_insert_cond=fix(ins_cond) if ins_cond else None,
+        )
+        return None
+
+
+def _parse_type(t: str):
+    from pyspark.sql import types as T
+
+    return T._parse_datatype_string(t)

@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 
 from hudi_demo_spark.functions.textfn import normalize_text, tokens, word_trigrams
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before CPU-heavy
+    per-row work (regex/tokenize/hash). Small fixture files arrive as one
+    input split, which would serialize the whole map phase on one core; at
+    cluster scale inputs already have many splits and this is a no-op."""
+    target = df.sparkSession._sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -48,9 +60,13 @@ def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup on the normalized text (lower/collapse-ws/trim)."""
+    """Exact dedup on the normalized text (lower/collapse-ws/trim).
+    The window partitions on a 64-bit hash of the normal form, not the
+    string itself — the shuffle moves 8-byte keys instead of documents."""
     return dedup_exact(
-        df.withColumn("__norm", normalize_text(text_col)), ["__norm"], keep_by=id_col
+        _spread(df).withColumn("__norm", F.xxhash64(normalize_text(text_col))),
+        ["__norm"],
+        keep_by=id_col,
     ).drop("__norm")
 
 
@@ -66,16 +82,23 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_fn=word_trigrams,
 ) -> DataFrame:
-    """(id, sig array<long>) — min over shingles of xxhash64(shingle, seed_i).
+    """(id, sig array<long>) — classic one-hash minwise family: each
+    shingle is xxhash64'd ONCE, then the i-th hash is the universal affine
+    mix `(a_i·h + b_i) mod p` with p = 2^31−1 (products stay < 2^62, so
+    the arithmetic is ANSI-overflow-safe). One explode + one groupBy(id)
+    shuffle; the 64 mins are a single map-side-combinable aggregation."""
+    import random
 
-    One explode + one groupBy(id) shuffle; the 64 mins are a single
-    aggregation (map-side combinable)."""
-    sh = df.select(
+    p = 2_147_483_647  # Mersenne prime 2^31-1
+    rng = random.Random(46474747)  # seeded like the reference datagen
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    sh = _spread(df).select(
         F.col(id_col), F.explode(shingle_fn(text_col)).alias("__shingle")
     ).dropDuplicates([id_col, "__shingle"])
+    h = F.pmod(F.xxhash64("__shingle"), F.lit(p))
     mins = [
-        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -157,7 +180,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """(id, simhash long): per-token xxhash64 bit votes, sign-aggregated.
 
     explode + one groupBy; the 64 vote sums are map-side combinable."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tok = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     h = F.xxhash64("__t")
     votes = [
         F.sum(
@@ -240,7 +263,7 @@ def ngram_jaccard_pairs(
     Candidate generation is the shingle self-join (keyed shuffle), so cost
     is Σ freq(shingle)² — bounded by dropping stop-shingles above
     `max_shingle_freq` at scale."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_trigrams(text_col)).alias("sh")
     ).dropDuplicates(["id", "sh"])
     if max_shingle_freq is not None:

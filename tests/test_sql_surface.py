@@ -1,0 +1,80 @@
+"""The reference's SparkSQLDemo.main SQL script, statement for statement,
+through the engine's SQL router (SparkSQLDemo.scala:22-91) — the closest
+thing to running the demo verbatim on this engine."""
+
+import pytest
+
+
+def test_spark_sql_demo_script(engine, spark):
+    engine.sql("drop table if exists test_hudi_table")
+    engine.sql(
+        """
+        create table test_hudi_table (
+          id int,
+          name string,
+          price double,
+          ts long,
+          dt string
+        ) using hudi
+        partitioned by (dt)
+        options (
+          primaryKey = 'id',
+          preCombineField = 'ts',
+          type = 'cow'
+        )
+        """
+    )
+    # SparkSQLDemo.scala:56
+    engine.sql(
+        "insert into test_hudi_table values (1,'hudi',10,100,'2022-09-05'),"
+        "(2,'hudi',10,100,'2022-09-05')"
+    )
+    # :57-61 insert select ... union
+    engine.sql(
+        "insert into test_hudi_table select 3, 'hudi', 10, 100, '2022-09-25' "
+        "union select 4, 'hudi', 10, 100, '2022-09-25'"
+    )
+    # :69-71
+    engine.sql("update test_hudi_table set price = 20.0 where id = 1")
+    # :73-75
+    engine.sql("delete from test_hudi_table where id = 1")
+    # :77-91
+    engine.sql(
+        """
+        merge into test_hudi_table as t0
+        using (
+          select 2 as id, 'hudi_2' as name, 20 as price, 2000 as ts,
+                 '2022-09-05' as dt, 'DELETE' as opt_type
+          union
+          select 3 as id, 'hudi_3' as name, 30 as price, 3000 as ts,
+                 '2022-09-25' as dt, 'UPDATE' as opt_type
+          union
+          select 5 as id, 'hudi_5' as name, 50 as price, 5000 as ts,
+                 '2022-09-25' as dt, 'INSERT' as opt_type
+        ) s0
+        on t0.id = s0.id
+        when matched and s0.opt_type != 'DELETE' then update set *
+        when matched and s0.opt_type = 'DELETE' then delete
+        when not matched and s0.opt_type != 'DELETE' then insert *
+        """
+    )
+    # :65-67 select * from test_hudi_table
+    out = engine.sql("select id, name, price from test_hudi_table order by id")
+    rows = [(r[0], r[1], r[2]) for r in out.collect()]
+    assert rows == [(3, "hudi_3", 30.0), (4, "hudi", 10.0), (5, "hudi_5", 50.0)]
+    # call show_commits (IncrementalQuery.scala:36)
+    commits = engine.sql("call show_commits(table => 'test_hudi_table')")
+    ops = [c["operation"] for c in commits.collect()]
+    assert ops == ["merge", "delete", "update", "insert", "insert"]
+
+
+def test_sql_router_rejects_unknown_dml(engine):
+    with pytest.raises(ValueError):
+        engine.sql("update t set x")  # no WHERE
+
+
+def test_alter_column_comment(engine, spark):
+    engine.create_table("c", record_key="id")
+    engine.alter_column_comment("c", "id", "the key")
+    cfg = engine._resolve("c")
+    assert cfg.props["column_comments"]["id"] == "the key"

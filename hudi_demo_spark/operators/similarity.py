@@ -58,28 +58,64 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_col: str | None = None,
+    num_buckets: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, score ≥ threshold), a < b. With
-    `block_col`, the join is keyed by the block (e.g. label or LSH
-    bucket) instead of a full crossJoin."""
+    `block_col`, the join is keyed by the block (e.g. a cluster label or
+    LSH bucket) instead of a full crossJoin.
+
+    Parallelism does NOT depend on the number of blocks: rows are salted
+    into `num_buckets` triangle buckets, so each block's O(|block|²) pair
+    work spreads over num_buckets·(num_buckets+1)/2 join keys — one giant
+    block cannot serialize onto a single task (the skew case at 100 TB).
+    Each row is replicated num_buckets+1 times; raise num_buckets when
+    blocks are huge, lower it when replication dominates.
+
+    Norms are computed once per ROW before the join (not twice per pair);
+    the per-pair score expression dot(a,b)/(norm_a·norm_b) is unchanged,
+    so values are bit-identical to the naive form."""
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
-    l = base.alias("l")
-    r = base.alias("r")
-    on = [F.col("l.blk") == F.col("r.blk")] if block_col else []
-    cond = F.col("l.id") < F.col("r.id")
-    joined = (
-        l.join(r, on[0] if on else cond, "inner")
-        if on
-        else l.crossJoin(r)
+    base = df.select(*cols).withColumn("__n", l2_norm("v"))
+    s = num_buckets
+    bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(s)).cast("int")
+    base = base.withColumn("__b", bucket)
+    keys = (["blk"] if block_col else []) + ["__lo", "__hi"]
+    # triangle join: row in bucket b is on the left for keys (b, b..s-1)
+    # and on the right for keys (0..b, b); an unordered pair with buckets
+    # (x ≤ y) meets exactly once, at key (x, y) — twice when x == y,
+    # deduped by the id ordering below.
+    l = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("__n").alias("n_a"),
+        F.col("__b").alias("b_a"),
+        *([F.col("blk")] if block_col else []),
+        F.col("__b").alias("__lo"),
+        F.explode(F.sequence(F.col("__b"), F.lit(s - 1))).alias("__hi"),
     )
+    r = base.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__b").alias("b_b"),
+        *([F.col("blk")] if block_col else []),
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__lo"),
+        F.col("__b").alias("__hi"),
+    )
+    pairs = l.join(r, keys).filter(
+        (F.col("b_a") < F.col("b_b")) | (F.col("id_a") < F.col("id_b"))
+    )
+    score = dot_product("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
     return (
-        joined.filter(cond)
-        .withColumn("score", cosine_similarity("l.v", "r.v"))
+        pairs.withColumn("score", score)
         .filter(F.col("score") >= threshold)
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "score")
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+            "score",
+        )
     )
 
 

@@ -763,6 +763,352 @@ def engine_bootstrap_full(spark, sf_dir):
     )
 
 
+@q(
+    "engine_update_where",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(CASE WHEN l_returnflag = 'R' AND l_quantity >= 30
+                      THEN l_extendedprice * 2 ELSE l_extendedprice END, 2)
+             AS l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def engine_update_where(spark, sf_dir):
+    """W3 end-to-end: UPDATE ... SET ... WHERE rewrites only affected
+    partitions (SparkSQLDemo.scala:69-71)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_update_where", sf_dir)
+    eng = Engine(spark, root)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    ).withColumn("k", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    eng.create_table("t", record_key="k", partition_by="l_returnflag")
+    eng.insert(l, "t")
+    eng.update(
+        "t",
+        set={"l_extendedprice": "l_extendedprice * 2"},
+        where="l_returnflag = 'R' AND l_quantity >= 30",
+    )
+    return (
+        eng.read("t")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "engine_delete_by_keys",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 13 != 0
+    ORDER BY o_orderkey
+    """,
+)
+def engine_delete_by_keys(spark, sf_dir):
+    """W8 end-to-end: delete by HoodieKey list
+    (HoodieJavaWriteClientExample.java:109-116) — keys_df carries key +
+    partition fields only; base files are range-pruned before the
+    anti-join."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_delete_by_keys", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table("t", record_key="o_orderkey", partition_by="o_orderstatus")
+    eng.insert(o, "t")
+    keys = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    eng.delete_keys("t", keys)
+    return (
+        eng.read("t")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "engine_bootstrap_metadata",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def engine_bootstrap_metadata(spark, sf_dir):
+    """W9: metadata bootstrap — adopt an existing hive-style parquet dir
+    WITHOUT rewriting data (BootstrapDemo.scala:207-232); meta columns are
+    computed lazily at read over the in-place source files."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_bootstrap_metadata", sf_dir)
+    eng = Engine(spark, root)
+    src = f"{root}/src"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(src)
+    eng.bootstrap(
+        src, "bt", record_key="c_custkey", partition_by="c_mktsegment",
+        mode="metadata",
+    )
+    return (
+        eng.read("bt")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "engine_time_travel",
+    """
+    SELECT p_partkey, p_name, p_type, p_size
+    FROM part WHERE p_size <= 25
+    ORDER BY p_partkey
+    """,
+)
+def engine_time_travel(spark, sf_dir):
+    """S1 `as_of` variant: snapshot read pinned to an earlier instant sees
+    only the commits up to it (the timeline IS the version history)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_time_travel", sf_dir)
+    eng = Engine(spark, root)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type", "p_size")
+    eng.create_table("t", record_key="p_partkey")
+    eng.insert(p.filter(F.col("p_size") <= 25), "t")
+    first = eng.show_commits("t").collect()[0]["commit_time"]
+    eng.insert(p.filter(F.col("p_size") > 25), "t")
+    return (
+        eng.read("t", as_of=first)
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "engine_read_optimized",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def engine_read_optimized(spark, sf_dir):
+    """MOR read-optimized view: compacted base only — uncompacted delta
+    upserts are invisible (TestBatchMOR.java semantics: RO vs snapshot)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_read_optimized", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq",
+        partition_by="event_type", table_type="mor",
+    )
+    eng.insert(e, "t")
+    eng.compact("t")  # deltas → columnar base
+    upd = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") * 100)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")  # delta only — must NOT appear below
+    return (
+        eng.read("t", query_type="read_optimized")
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_compaction",
+    """
+    SELECT event_id, user_id, event_type,
+           round(CASE WHEN event_id % 4 = 0 THEN value + 1 ELSE value END, 4)
+             AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def engine_compaction(spark, sf_dir):
+    """T5 end-to-end: MOR insert + delta upsert, explicit compaction, then
+    a read-optimized read — correct ONLY if compaction merged the deltas
+    into base files (TestBatchMOR.java:40-46)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_compaction", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq",
+        partition_by="event_type", table_type="mor",
+    )
+    eng.insert(e, "t")
+    upd = (
+        e.filter(F.col("event_id") % 4 == 0)
+        .withColumn("value", F.col("value") + 1)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    eng.compact("t")
+    return (
+        eng.read("t", query_type="read_optimized")
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_incremental_glob",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'view'
+    ORDER BY event_id
+    """,
+)
+def engine_incremental_glob(spark, sf_dir):
+    """S4: incremental read restricted by partition path glob
+    (INCR_PATH_GLOB — IncrementalQuery.scala:52)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_incremental_glob", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    eng.create_table("t", record_key="event_id", partition_by="event_type")
+    eng.insert(e.filter(F.col("event_id") % 2 == 0), "t")
+    eng.insert(e.filter(F.col("event_id") % 2 == 1), "t")
+    return (
+        eng.read_incremental("t", path_glob="event_type=view/*")
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "sql_dml_lifecycle",
+    """
+    WITH ins AS (
+      SELECT * FROM (VALUES
+        (1, 'a1', 10.0, 1000, '2022-10-08'),
+        (2, 'a2', 20.0, 1000, '2022-10-08'),
+        (3, 'a3', 30.0, 1000, '2022-10-09')) t(id, name, price, ts, dt)
+    ), upd AS (
+      SELECT id, name,
+             CASE WHEN id = 1 THEN price + 15 ELSE price END AS price,
+             ts, dt
+      FROM ins
+    ), del AS (
+      SELECT * FROM upd WHERE NOT (id = 2)
+    ), src AS (
+      SELECT * FROM (VALUES
+        (1, 'a1_new', 40.0, 1111, '2022-10-08', 'UPSERT'),
+        (3, 'a3',     30.0, 1000, '2022-10-09', 'DELETE'),
+        (4, 'a4',     50.0, 1000, '2022-10-09', 'UPSERT'))
+        s(id, name, price, ts, dt, opt_type)
+    )
+    SELECT coalesce(t.id, s.id) AS id,
+           CASE WHEN s.id IS NOT NULL AND s.opt_type != 'DELETE'
+                THEN s.name ELSE t.name END AS name,
+           round(CAST(CASE WHEN s.id IS NOT NULL AND s.opt_type != 'DELETE'
+                           THEN s.price ELSE t.price END AS DOUBLE), 2) AS price,
+           CAST(CASE WHEN s.id IS NOT NULL AND s.opt_type != 'DELETE'
+                     THEN s.ts ELSE t.ts END AS BIGINT) AS ts,
+           coalesce(t.dt, s.dt) AS dt
+    FROM del t FULL OUTER JOIN src s ON t.id = s.id AND t.dt = s.dt
+    WHERE NOT (t.id IS NOT NULL AND s.id IS NOT NULL AND s.opt_type = 'DELETE')
+      AND NOT (t.id IS NULL AND s.opt_type = 'DELETE')
+    ORDER BY id
+    """,
+)
+def sql_dml_lifecycle(spark, sf_dir):
+    """The SparkSQLDemo.scala:22-91 statement lifecycle through the SQL
+    surface: CREATE → INSERT VALUES → INSERT SELECT → UPDATE → DELETE →
+    MERGE INTO → SELECT, every statement a SQL string."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_dml_lifecycle", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql(
+        """
+        create table sql_demo_t (
+          id int, name string, price double, ts long, dt string
+        ) using hudi
+        partitioned by (dt)
+        options (primaryKey = 'id', preCombineField = 'ts', type = 'cow')
+        """
+    )
+    eng.sql("insert into sql_demo_t values (1, 'a1', 10.0, 1000, '2022-10-08')")
+    eng.sql(
+        "insert into sql_demo_t select 2, 'a2', 20.0, 1000, '2022-10-08' "
+        "union select 3, 'a3', 30.0, 1000, '2022-10-09'"
+    )
+    eng.sql("update sql_demo_t set price = price + 15 where id = 1")
+    eng.sql("delete from sql_demo_t where id = 2")
+    eng.sql(
+        """
+        merge into sql_demo_t as t0
+        using (
+          select 1 as id, 'a1_new' as name, 40.0 as price, 1111 as ts,
+                 '2022-10-08' as dt, 'UPSERT' as opt_type
+          union select 3, 'a3', 30.0, 1000, '2022-10-09', 'DELETE'
+          union select 4, 'a4', 50.0, 1000, '2022-10-09', 'UPSERT'
+        ) s0
+        on t0.id = s0.id
+        when matched and s0.opt_type != 'DELETE' then update set *
+        when matched and s0.opt_type = 'DELETE' then delete
+        when not matched and s0.opt_type != 'DELETE' then insert *
+        """
+    )
+    out = eng.sql("select id, name, price, ts, dt from sql_demo_t order by id")
+    return out.select("id", "name", F.round("price", 2).alias("price"), "ts", "dt")
+
+
+@q(
+    "csv_source_roundtrip",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def csv_source_roundtrip(spark, sf_dir):
+    """S17: CSV source with explicit schema (Configurations.java:95-109) —
+    parquet → CSV → schema-pinned read → aggregate."""
+    root = _scratch("csv_source_roundtrip", sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = f"{root}/nation_csv"
+    n.write.mode("overwrite").option("header", "false").csv(path)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    back = spark.read.schema(schema).csv(path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation"))
+        .orderBy("n_regionkey")
+    )
+
+
 # =====================================================================
 # extension operators: dedup / similarity / text / multimodal
 # =====================================================================

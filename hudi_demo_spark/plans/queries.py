@@ -1109,6 +1109,88 @@ def csv_source_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_ingest_mor",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def streaming_ingest_mor(spark, sf_dir):
+    """T1/T2/T5 end-to-end: bounded Structured Streaming ingest
+    (availableNow, maxFilesPerTrigger=1 → one engine delta commit per
+    micro-batch, the Flink checkpoint→instant mapping of
+    TestStreamingMOR.java:38-59) into a MOR table with inline compaction
+    every 2 delta commits; the final snapshot must equal the source."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.streaming.write import stream_write
+
+    root = _scratch("streaming_ingest_mor", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = f"{root}/src"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    eng.create_table(
+        "t",
+        record_key="event_id",
+        partition_by="event_type",
+        table_type="mor",
+        props={"compact.inline": True, "compact.max_delta_commits": 2},
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = stream_write(
+        eng, "t", stream, checkpoint=f"{root}/ck", mode="insert", bounded=True
+    )
+    query.awaitTermination()
+    return (
+        eng.read("t")
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "streaming_incremental_pull",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    ORDER BY event_id
+    """,
+)
+def streaming_incremental_pull(spark, sf_dir):
+    """S21/T4: the DeltaStreamer-style change feed — IncrementalPuller
+    with a start offset (READ_START_COMMIT, HudiDemo.java:38-39) returns
+    exactly the rows committed after the offset."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.streaming.read import IncrementalPuller
+
+    root = _scratch("streaming_incremental_pull", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    eng.create_table("t", record_key="event_id", partition_by="event_type")
+    eng.insert(e.filter(~F.col("event_type").isin("view", "purchase")), "t")
+    start = eng.show_commits("t").collect()[0]["commit_time"]
+    eng.insert(e.filter(F.col("event_type") == "view"), "t")
+    eng.insert(e.filter(F.col("event_type") == "purchase"), "t")
+    puller = IncrementalPuller(eng, "t", start_commit=start)
+    df = puller.pull()
+    assert puller.pull() is None  # caught up after one pull
+    return (
+        df.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
 # =====================================================================
 # extension operators: dedup / similarity / text / multimodal
 # =====================================================================

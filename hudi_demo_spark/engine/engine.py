@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import shutil
 import urllib.parse
+from contextlib import contextmanager
 from functools import reduce
 from pathlib import Path
 
@@ -234,15 +235,16 @@ class Engine:
             df = df.repartition(int(bucket), F.col(RECORD_KEY_META))
         tmp = Path(cfg.path) / "_tmp" / instant
         prefix = {"base": "b", "delta": "d"}[kind]
-        if cfg.partition_fields:
-            (
-                df.withColumn("__pp", F.col(PARTITION_PATH_META))
-                .write.mode("overwrite")
-                .partitionBy("__pp")
-                .parquet(str(tmp))
-            )
-        else:
-            df.write.mode("overwrite").parquet(str(tmp))
+        with self._file_sizing(cfg):
+            if cfg.partition_fields:
+                (
+                    df.withColumn("__pp", F.col(PARTITION_PATH_META))
+                    .write.mode("overwrite")
+                    .partitionBy("__pp")
+                    .parquet(str(tmp))
+                )
+            else:
+                df.write.mode("overwrite").parquet(str(tmp))
         data = Path(cfg.path) / DATA_DIR
         added: list[dict] = []
         for src in sorted(tmp.rglob("*.parquet")):
@@ -259,12 +261,44 @@ class Engine:
                     "path": f"{pp}/{fname}" if pp else fname,
                     "kind": kind,
                     "partition": pp,
+                    "bytes": (tdir / fname).stat().st_size,
                 }
             )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
         self._attach_key_ranges(added, data)
         return added
+
+    @contextmanager
+    def _file_sizing(self, cfg: TableConfig):
+        """Small-file handling (M5 — parquetMaxFileSize/compactionSmallFileSize,
+        JavaClientHive2Hudi.java:92-95,181-187): for the duration of a write
+        job, steer AQE to coalesce the final shuffle read by SIZE (target ≈
+        one parquet file per task) instead of preferring parallelism. No
+        extra shuffle; file count stays bounded at any scale."""
+        target_mb = int(cfg.props.get("write.target_file_mb", 128))
+        conf = self.spark.conf
+        keys = {
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+                target_mb * 1024 * 1024
+            ),
+        }
+        old = {}
+        for k, v in keys.items():
+            try:
+                old[k] = conf.get(k)
+            except Exception:
+                old[k] = None
+            conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
 
     @staticmethod
     def _attach_key_ranges(added: list[dict], data: Path) -> None:

@@ -26,15 +26,7 @@ from pyspark.sql import functions as F
 from hudi_demo_spark.functions.textfn import normalize_text, tokens, word_trigrams
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow scan out to the session's parallelism before CPU-heavy
-    per-row work (regex/tokenize/hash). Small fixture files arrive as one
-    input split, which would serialize the whole map phase on one core; at
-    cluster scale inputs already have many splits and this is a no-op."""
-    target = df.sparkSession._sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from hudi_demo_spark.operators.util import spread as _spread
 
 
 # ---------------------------------------------------------------------------

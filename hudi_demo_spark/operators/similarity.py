@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hudi_demo_spark.functions.vectorfn import cosine_similarity, dot_product, l2_norm
+from hudi_demo_spark.operators.util import spread as _spread
 
 
 def brute_force_topk(
@@ -34,8 +35,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -77,7 +78,7 @@ def cosine_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols).withColumn("__n", l2_norm("v"))
+    base = _spread(df.select(*cols)).withColumn("__n", l2_norm("v"))
     s = num_buckets
     bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(s)).cast("int")
     base = base.withColumn("__b", bucket)
@@ -167,7 +168,7 @@ def lsh_topk(
             F.explode(buckets).alias("tb"),
         ).select(idalias, f"__{idalias}_v", "tb.tbl", "tb.bucket")
 
-    c = tables(corpus, "neighbor_id")
+    c = tables(_spread(corpus), "neighbor_id")
     q = tables(queries, "query_id")
     cands = (
         c.join(F.broadcast(q), ["tbl", "bucket"])

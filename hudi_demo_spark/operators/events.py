@@ -1,0 +1,169 @@
+"""Event-time operators: merge as-of join, gap sessionization, tumbling
+windows. The operators a training-data / telemetry pipeline needs that
+plain SQL joins don't express directly.
+
+All three are single-shuffle compositions of built-in DataFrame ops — no
+Python UDFs, no crossJoin, no range explosion:
+
+- `as_of_join`: the classic union + window carry-forward merge-asof.
+  Both sides shuffle ONCE on the join key; within each key the rows are
+  ordered by timestamp and the latest right-side row is carried forward
+  with `last(ignorenulls)`. Cost is O(n log n) per key — at 100 TB this
+  beats an inequality range join (which Spark would plan as a broadcast
+  nested loop) by orders of magnitude, and skew is bounded by key
+  cardinality, same as any keyed window.
+- `sessionize`: lag + running sum over one keyed window (the standard
+  gap-based session assignment).
+- `session_stats`: one groupBy over the sessionized output.
+
+Reference parity: the reference has no event-time operators (its Hudi
+demos dedup by preCombine instead — SURVEY §2.5 T7); these are the
+BASELINE.json-mandated pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = True,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key with
+    ``right_ts < left_ts`` (``strict=True``) or ``<=`` (``strict=False``).
+
+    Right-side columns come back prefixed ``asof_`` (including
+    ``asof_<right_ts>``); rows with no match keep them NULL. With
+    ``tolerance_seconds`` the match is dropped when the gap exceeds it.
+
+    Ties on ``right_ts`` within a key are resolved by whichever right row
+    sorts last in the union order — pre-dedup the right side to one row
+    per (key, ts) for full determinism.
+
+    Implementation: union both sides tagged with a side marker, one window
+    per key ordered by (ts, side), carry the last non-null right-side
+    payload forward, keep left rows. One shuffle total; no range join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in keys
+    ]
+    if right_ts not in rcols:
+        rcols = [right_ts, *rcols]
+
+    payload = F.struct(*[F.col(c).alias(c) for c in rcols])
+    # strict: at equal ts the left row must sort BEFORE the right row so
+    # the carry-forward cannot see it; non-strict: right first.
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__asof_ts"),
+        payload.alias("__asof_payload"),
+        F.lit(r_side).alias("__asof_side"),
+    )
+    null_payload = F.lit(None).cast(r.schema["__asof_payload"].dataType)
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__asof_ts"),
+        null_payload.alias("__asof_payload"),
+        F.lit(l_side).alias("__asof_side"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__asof_side") == l_side)  # left rows only
+    if tolerance_seconds is not None:
+        gap = F.col("__asof_ts").cast("double") - F.col(
+            "__asof_match"
+        )[right_ts].cast("double")
+        out = out.withColumn(
+            "__asof_match",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__asof_match")),
+        )
+    for c in rcols:
+        out = out.withColumn(f"asof_{c}", F.col("__asof_match")[c])
+    return out.drop("__asof_ts", "__asof_payload", "__asof_side", "__asof_match")
+
+
+def _epoch(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event of the same key exceeds ``gap_seconds``.
+    Adds ``session_id`` (1-based, per key). One keyed window, one shuffle."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | (_epoch(ts_col) - _epoch(prev) > float(gap_seconds)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_session).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    value_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: (key, session_id, n_events, session_start,
+    session_end, duration_sec[, sum_value])."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        # exact integer milliseconds — float rounding of an epoch diff can
+        # straddle a half-up boundary and break cross-engine parity
+        F.floor(
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1000
+        ).alias("duration_ms"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return s.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form of the Structured
+    Streaming windowed agg): (window_start, *group_cols, *aggs)."""
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w")
+    )

@@ -120,6 +120,87 @@ def cosine_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `n_probe` nearest centroids:
+    (id, vec, centroid_id, centroid_rank). The centroid table is tiny
+    (n_centroids rows) and broadcast — the big side never shuffles for
+    the assignment itself."""
+    scored = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(centroids.select("centroid_id", "__cv")))
+    w = Window.partitionBy(id_col).orderBy(
+        cosine_similarity("__v", "__cv").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("centroid_rank", F.row_number().over(w))
+        .filter(F.col("centroid_rank") <= n_probe)
+        .select(id_col, "__v", "centroid_id", "centroid_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the standard
+    ANN scale path (see PAPERS.md; e.g. IVF-Flat in Faiss terms):
+
+    1. pick `n_centroids` deterministic seed centroids (hash-ordered
+       sample of the corpus — at scale, replace with k-means iterations,
+       same plumbing);
+    2. partition the corpus into cells: each vector joins its single
+       nearest centroid (one broadcast pass, no shuffle of the corpus);
+    3. each query probes its `n_probe` nearest cells;
+    4. exact cosine re-rank only inside probed cells — the corpus-side
+       join is keyed by centroid_id, so cost is n_probe/n_centroids of
+       brute force, and the big side shuffles once on the cell key.
+
+    Recall is tunable with n_probe (n_probe = n_centroids degenerates to
+    exact search)."""
+    cents = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .orderBy(F.xxhash64(F.col("__cid").cast("string")))
+        .limit(n_centroids)
+        .withColumn(
+            "centroid_id",
+            F.row_number().over(Window.orderBy(F.col("__cid").asc())),
+        )
+        .select("centroid_id", "__cv")
+    )
+    c = ivf_assign(_spread(corpus), cents, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        "centroid_id",
+    )
+    q = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "centroid_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine_similarity("__qv", "__nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_bucket(vec_col: str, dims: list[int]) -> F.Column:
     """Deterministic bit-sampling bucket: sign pattern of the vector at
     the sampled dimensions (cosine-LSH by coordinate hyperplanes)."""

@@ -1493,3 +1493,672 @@ def multimodal_features(spark, sf_dir):
         .select("media_id", "n_bytes", "sha256")
         .orderBy("media_id")
     )
+
+
+# =====================================================================
+# TPC-H-adapted relational coverage (semi/anti joins, correlated
+# aggregates, disjunctive pushdown, rollup/cube, set ops) — the
+# operator classes SURVEY §2.4 marks "not present in the reference",
+# added as first-class extensions
+# =====================================================================
+
+
+@q(
+    "q2_min_cost_per_type",
+    """
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM (SELECT *, min(p_retailprice) OVER (PARTITION BY p_type) AS m
+          FROM part)
+    WHERE p_retailprice = m
+    ORDER BY p_type, p_partkey
+    """,
+)
+def q2_min_cost(spark, sf_dir):
+    """Q2 shape (min-per-group correlated subquery) as a window min."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("m", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("m"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_priority(spark, sf_dir):
+    """Q4: EXISTS correlated subquery → left-semi join."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            l.filter(F.col("l_quantity") > 45),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume(spark, sf_dir):
+    """Q7: two-role dimension join (nation joined twice) + year rollup."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["supplier", "lineitem", "orders", "customer", "nation"]}
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit(spark, sf_dir):
+    """Q9: LIKE-filtered multi-join profit rollup (supply cost stands in
+    as 0.5·retailprice — no partsupp fixture)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["part", "lineitem", "supplier", "orders", "nation"]}
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["part"].filter(F.col("p_name").like("%red%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@q(
+    "q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_lines(spark, sf_dir):
+    """Q12 shape: conditional-count pivot by priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_distribution(spark, sf_dir):
+    """Q13: two-level aggregation over a left outer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """Q15: scalar max subquery — broadcast the 1-row aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__m"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS alq
+            FROM lineitem GROUP BY l_partkey) ON ap = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < alq
+    """,
+)
+def q17_small_qty(spark, sf_dir):
+    """Q17: correlated per-part average → explicit aggregate join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    aq = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.2).alias("alq")
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(aq, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("alq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q19_disjunctive_filters",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive(spark, sf_dir):
+    """Q19: OR-of-ANDs predicate spanning both join sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q22_sales_opportunity",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """Q22: scalar-average subquery + NOT EXISTS → anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__a"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "rollup_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_pricing(spark, sf_dir):
+    """Hierarchical rollup (the hypertable continuous-aggregate shape):
+    per (flag, status), per flag, and grand total in ONE pass — Spark
+    expands grouping sets map-side, no extra scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@q(
+    "cube_segment_status",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    ORDER BY segment, status
+    """,
+)
+def cube_segment_status(spark, sf_dir):
+    """CUBE over two dims: all 4 grouping sets in one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("segment", "status")
+    )
+
+
+@q(
+    "intersect_except_custkeys",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+    ) ORDER BY custkey
+    """,
+)
+def intersect_except(spark, sf_dir):
+    """Set operators: customers active in both 1996 and 1997 but not 1998
+    ((A ∩ B) − C, standard left-to-right precedence)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y):
+        return o.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    return (
+        year_keys(1996).intersect(year_keys(1997)).subtract(year_keys(1998))
+        .orderBy("custkey")
+    )
+
+
+# =====================================================================
+# event-time operators: windows, sessions, as-of join, stateful stream
+# =====================================================================
+
+
+@q(
+    "events_windowed_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_windowed_agg(spark, sf_dir):
+    """Tumbling 1-day event-time window aggregate (the batch twin of the
+    Structured Streaming windowed agg)."""
+    from hudi_demo_spark.operators.events import tumbling_window_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        tumbling_window_agg(
+            e,
+            "ts",
+            "1 day",
+            ["event_type"],
+            [
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ],
+        )
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) / 1000000.0
+                          - epoch_us(prev_ts) / 1000000.0 > 3600
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT *, CAST(sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS BIGINT)
+             AS duration_ms,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (1 h inactivity gap) + per-session rollup."""
+    from hudi_demo_spark.operators.events import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        session_stats(
+            e, "user_id", "ts", gap_seconds=3600,
+            value_col="value", tiebreak="event_id",
+        )
+        .select("user_id", "session_id", "n_events", "duration_ms", "sum_value")
+        .orderBy("user_id", "session_id")
+    )
+
+
+@q(
+    "events_asof_join",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, v.view_id AS prior_view_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join_q(spark, sf_dir):
+    """Merge as-of: each purchase joined to the user's latest strictly
+    prior 'view' event (union + window carry-forward — one keyed shuffle,
+    no range join; oracle uses DuckDB's native ASOF JOIN)."""
+    from hudi_demo_spark.operators.events import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        as_of_join(
+            purchases, views, on="user_id",
+            left_ts="ts", right_ts="ts",
+            right_cols=["view_id"], strict=True,
+        )
+        .select("event_id", "user_id", F.col("asof_view_id").alias("prior_view_id"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals over a bounded micro-batched stream; the
+    final update per user must equal the global batch aggregate — state
+    survives across micro-batches in the executor state store."""
+    from hudi_demo_spark.streaming.stateful import running_totals
+
+    root = _scratch("streaming_stateful_totals", sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = f"{root}/src"
+    e.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    totals = running_totals(stream, "user_id", "value")
+    query = (
+        totals.writeStream.format("memory")
+        .queryName("stateful_totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sink = spark.table("stateful_totals_sink")
+    # latest update per user = the row with the max running count
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# vector aggregation + IVF ANN
+# =====================================================================
+
+
+@q(
+    "embedding_label_centroids",
+    """
+    WITH pos AS (
+      SELECT label, i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS a
+      FROM embeddings, range(0, 64) t(i)
+      GROUP BY label, i
+    ), norms AS (
+      SELECT label, round(sqrt(sum(a * a)), 4) AS centroid_norm
+      FROM pos GROUP BY label
+    ), counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM embeddings GROUP BY label
+    )
+    SELECT norms.label, n_vectors, centroid_norm
+    FROM norms JOIN counts USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Vector aggregate: per-label centroid via posexplode + positional
+    avg (two keyed shuffles, map-side combinable — the distributed way to
+    average vectors without a Python UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = pos.groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("a"))
+    norms = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("a") * F.col("a"))), 4).alias("centroid_norm")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return (
+        norms.join(counts, "label")
+        .select("label", "n_vectors", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+@q("similarity_topk_ivf")  # approximate — rows-only check
+def similarity_topk_ivf(spark, sf_dir):
+    from hudi_demo_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_topk(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, n_centroids=16, n_probe=4,
+        )
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )

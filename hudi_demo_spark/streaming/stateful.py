@@ -1,0 +1,54 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`).
+
+The reference has no stateful streaming beyond Hudi's own key-dedup
+(SURVEY §2.5 T7); this is the extension path for operators Structured
+Streaming's built-in windowed aggs can't express — running per-key
+accumulators, custom eviction, session state machines.
+
+Pattern: `groupBy(key).applyInPandasWithState(fn, output, state,
+"update", NoTimeout)` — state is an Arrow-typed tuple per key, the
+function sees each micro-batch's rows for that key as pandas frames.
+State lives in the executor state store (checkpointed), so a 1000-node
+cluster scales state horizontally by key hash — no driver involvement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, sum) over an unbounded stream: each
+    micro-batch emits the key's updated totals (output mode `update`).
+
+    The classic stateful-enrichment shape: downstream sinks (or a
+    foreachBatch upsert into an engine table keyed on `key_col`) always
+    hold the latest totals per key."""
+    out_schema = f"{key_col} long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

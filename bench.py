@@ -21,7 +21,13 @@ HEADLINE = [
     "q10_returned_revenue",
     "q14_promo_share",
     "q18_large_orders",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "rollup_pricing",
     "window_latest_per_key",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_asof_join",
     "engine_upsert_cow",
     "engine_upsert_mor",
     "engine_delete_where",
@@ -33,6 +39,8 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_cosine_pairs",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "embedding_label_centroids",
     "text_token_stats",
     "text_language_id",
     "text_fingerprint",

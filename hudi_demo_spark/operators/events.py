@@ -152,6 +152,55 @@ def session_stats(
     return s.groupBy(key_col, "session_id").agg(*aggs)
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lo_seconds: float = 0.0,
+    hi_seconds: float = 3600.0,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Keyed interval join: left row L matches right rows R of the same
+    key with ``R.right_ts ∈ (L.left_ts + lo, L.left_ts + hi]``.
+
+    Naively this is a theta join Spark plans as a broadcast nested loop
+    (or a full per-key cross product) — quadratic per key. Instead both
+    sides are co-partitioned on (key, time-bucket): the right side lands
+    in one bucket of width `bucket` (default hi−lo), the left interval
+    spans at most ⌈(hi−lo)/bucket⌉+1 buckets and is exploded across them,
+    so the join is a plain equi-join on (key, bucket) with an exact range
+    filter after. Cost is linear in matches; skew follows key×bucket, not
+    key. Column names (other than the key) must be disjoint."""
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(f"range_join: overlapping non-key columns {sorted(clash)}")
+    lo_us = int(lo_seconds * 1_000_000)
+    hi_us = int(hi_seconds * 1_000_000)
+    w_us = int((bucket_seconds or (hi_seconds - lo_seconds)) * 1_000_000)
+    if w_us <= 0:
+        raise ValueError("range_join: bucket width must be positive")
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn(
+        "__rj_b",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + F.lit(lo_us)) / F.lit(w_us)),
+                F.floor((l_us + F.lit(hi_us)) / F.lit(w_us)),
+            )
+        ),
+    )
+    r2 = right.withColumn("__rj_b", F.floor(r_us / F.lit(w_us)))
+    return (
+        l2.join(r2, [*keys, "__rj_b"])
+        .filter((r_us > l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us)))
+        .drop("__rj_b")
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

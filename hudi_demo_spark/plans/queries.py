@@ -2162,3 +2162,39 @@ def similarity_topk_ivf(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@q(
+    "events_range_join",
+    """
+    SELECT l.event_id AS error_id, r.event_id AS click_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_type = 'error' AND r.event_type = 'click'
+    ORDER BY error_id, click_id
+    """,
+)
+def events_range_join_q(spark, sf_dir):
+    """Keyed interval join via time-bucket co-partitioning: clicks within
+    10 minutes after each error, same user. A plain equi-join on
+    (user, bucket) + exact filter — never the broadcast-nested-loop plan
+    Spark gives the naive theta join."""
+    from hudi_demo_spark.operators.events import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    return (
+        range_join(
+            errors, clicks, on="user_id",
+            left_ts="e_ts", right_ts="c_ts",
+            lo_seconds=0, hi_seconds=600,
+        )
+        .select("error_id", "click_id")
+        .orderBy("error_id", "click_id")
+    )

@@ -154,3 +154,38 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     )
     expected = e.groupBy("user_id").agg(F.count("*").alias("n")).orderBy("user_id")
     assert [tuple(r) for r in final.collect()] == [tuple(r) for r in expected.collect()]
+
+
+def test_range_join_semantics(spark):
+    from hudi_demo_spark.operators.events import range_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "l1"),
+         (2, ts("2024-01-01 10:00:00"), "l2")],
+        "k int, lts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "same-instant"),   # excluded: lo strict
+         (1, ts("2024-01-01 10:05:00"), "in-window"),
+         (1, ts("2024-01-01 10:10:00"), "boundary"),        # included: hi inclusive
+         (1, ts("2024-01-01 10:10:01"), "late"),            # excluded
+         (2, ts("2024-01-01 10:03:00"), "other-key")],
+        "k int, rts timestamp, rlbl string",
+    )
+    got = sorted(
+        (r["lbl"], r["rlbl"])
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            lo_seconds=0, hi_seconds=600,
+        ).collect()
+    )
+    assert got == [("l1", "boundary"), ("l1", "in-window"), ("l2", "other-key")]
+
+
+def test_range_join_rejects_column_clash(spark):
+    import pytest as _pytest
+    from hudi_demo_spark.operators.events import range_join
+
+    df = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "k int, ts timestamp")
+    with _pytest.raises(ValueError, match="overlapping"):
+        range_join(df, df, on="k")

@@ -665,9 +665,9 @@ class Engine:
         cfg = self._resolve(table)
         instant = new_instant()
         batch = self._conform(self._stamp(df, cfg, instant), cfg)
-        batch = self._dedup_batch(batch, cfg)
         tl = Timeline(cfg.path)
         if cfg.table_type == MOR:
+            batch = self._dedup_batch(batch, cfg)
             added = self._materialize(batch, cfg, instant, "delta")
             meta = tl.commit(
                 instant, tlmod.DELTACOMMIT, "upsert", added, [],
@@ -685,6 +685,10 @@ class Engine:
                 combined = base.unionByName(batch, allowMissingColumns=True)
             else:
                 combined = batch
+            # COW needs no separate batch pre-dedup: _merge_view applies the
+            # same payload ordering (precombine/commit) over base ∪ batch, so
+            # intra-batch winners fall out of the one merge window — one
+            # keyed shuffle instead of two.
             winner = self._merge_view(combined, cfg)
             if DELETED_META in winner.columns:
                 winner = winner.filter(

@@ -2198,3 +2198,210 @@ def events_range_join_q(spark, sf_dir):
         .select("error_id", "click_id")
         .orderBy("error_id", "click_id")
     )
+
+
+# =====================================================================
+# engine feature coverage: services, bucket index, schema evolution,
+# key generation variants, datagen, frame sampling
+# =====================================================================
+
+
+@q(
+    "engine_table_services",
+    """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def engine_table_services(spark, sf_dir):
+    """M3/M4 end-to-end: after cleaning (drop file versions unreferenced
+    by retained commits) and archival (bound the active timeline), the
+    snapshot must be byte-identical — services touch METADATA and dead
+    files only (retainCommits/archiveCommitsWith,
+    JavaClientHive2Hudi.java:184-185)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_table_services", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq", partition_by="o_orderstatus"
+    )
+    eng.insert(o, "t")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    eng.clean("t", retain_commits=1)
+    eng.archive("t", keep=1)
+    return (
+        eng.read("t")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "engine_bucket_index",
+    """
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events ORDER BY event_id
+    """,
+)
+def engine_bucket_index(spark, sf_dir):
+    """T6: bucket hash index (index.type=BUCKET, 4 buckets —
+    TestStreamingMOR.java:52-53): writes land in exactly `bucket.num`
+    files per partition, keyed by hash(record key); reads are unchanged."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_bucket_index", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    eng.create_table(
+        "t", record_key="event_id", partition_by="event_type",
+        props={"bucket.num": 4},
+    )
+    eng.insert(e, "t")
+    return (
+        eng.read("t")
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_schema_evolution",
+    """
+    SELECT p_partkey, p_name,
+           CASE WHEN p_partkey % 2 = 0 THEN p_retailprice END AS p_retailprice
+    FROM part ORDER BY p_partkey
+    """,
+)
+def engine_schema_evolution(spark, sf_dir):
+    """§1.4 additive schema evolution: a later batch carries a NEW column;
+    earlier files surface NULL for it at read (no rewrite, no
+    mergeSchema footer scan — the pinned-schema read path)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_schema_evolution", sf_dir)
+    eng = Engine(spark, root)
+    p = load_table(spark, sf_dir, "part")
+    eng.create_table("t", record_key="p_partkey")
+    eng.insert(p.filter(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_name"), "t")
+    eng.insert(
+        p.filter(F.col("p_partkey") % 2 == 0).select(
+            "p_partkey", "p_name", "p_retailprice"
+        ),
+        "t",
+    )
+    return eng.read("t").select("p_partkey", "p_name", "p_retailprice").orderBy(
+        "p_partkey"
+    )
+
+
+@q(
+    "engine_keyless_insert",
+    """
+    SELECT doc_id, lang FROM documents ORDER BY doc_id
+    """,
+)
+def engine_keyless_insert(spark, sf_dir):
+    """W13: keyless table → every inserted row gets a random uuid record
+    key (JavaClientHive2Hudi.java:323); data round-trips unchanged."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_keyless_insert", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    eng.create_table("t")
+    eng.insert(d, "t")
+    return eng.read("t").select("doc_id", "lang").orderBy("doc_id")
+
+
+@q(
+    "engine_complex_key",
+    """
+    SELECT concat('l_orderkey:', CAST(l_orderkey AS VARCHAR),
+                  ',l_linenumber:', CAST(l_linenumber AS VARCHAR)) AS rkey,
+           round(l_quantity, 2) AS l_quantity
+    FROM lineitem ORDER BY rkey
+    """,
+)
+def engine_complex_key(spark, sf_dir):
+    """W11: multi-field ComplexKeyGenerator key `f1:v1,f2:v2`
+    (JavaClientHive2Hudi.java:390-411) — the generated key string itself
+    is oracle-checked."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_complex_key", sf_dir)
+    eng = Engine(spark, root)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    eng.create_table("t", record_key=["l_orderkey", "l_linenumber"])
+    eng.insert(l, "t")
+    return (
+        eng.read("t")
+        .select(
+            F.col("_hoodie_record_key").alias("rkey"),
+            F.round("l_quantity", 2).alias("l_quantity"),
+        )
+        .orderBy("rkey")
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 5000 + 1000) // 1000 + 1 AS BIGINT) AS n_frames
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per (media, frame_ts) via
+    sequence+explode, executor-side; frame decode itself stays stubbed
+    (no codec libs here) — the sampled-frame COUNT per media is exact."""
+    from hudi_demo_spark.operators.multimodal import frame_sample_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("doc_id") % 5000 + 1000).cast("long").alias("duration_ms"),
+    )
+    return (
+        frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+@q(
+    "datagen_trips",
+    """
+    SELECT partitionpath, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('2020/01/01', 334), ('2020/01/02', 333), ('2020/01/03', 333))
+      t(partitionpath, n)
+    ORDER BY partitionpath
+    """,
+)
+def datagen_trips_q(spark, sf_dir):
+    """S18: seeded trip datagen (HoodieExampleDataGenerator) — fully
+    distributed spark.range + rand/uuid; the deterministic partition
+    assignment (id mod 3) is oracle-checked."""
+    from hudi_demo_spark.sources.datagen import trips_datagen
+
+    t = trips_datagen(spark, 1000)
+    return (
+        t.groupBy("partitionpath").agg(F.count("*").alias("n")).orderBy("partitionpath")
+    )

@@ -98,3 +98,25 @@ def test_clean_removes_old_files(engine, spark, tmp_path):
     n_after = len(list(data.rglob("*.parquet")))
     assert n_after < n_before
     assert [r["name"] for r in engine.read("c").collect()] == ["v2"]
+
+
+def test_bucket_index_bounds_files_per_partition(engine, spark):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.rand(1).alias("v"),
+    )
+    engine.create_table("tb", record_key="id", partition_by="p",
+                        props={"bucket.num": 3})
+    engine.insert(df, "tb")
+    cfg = engine._resolve("tb")
+    data = Path(cfg.path) / "data"
+    for pdir in data.iterdir():
+        if pdir.is_dir():
+            n = len(list(pdir.glob("*.parquet")))
+            assert 1 <= n <= 3, (pdir, n)
+    assert engine.read("tb").count() == 200

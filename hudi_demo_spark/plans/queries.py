@@ -2405,3 +2405,39 @@ def datagen_trips_q(spark, sf_dir):
     return (
         t.groupBy("partitionpath").agg(F.count("*").alias("n")).orderBy("partitionpath")
     )
+
+
+@q(
+    "catalog_sink_roundtrip",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def catalog_sink_roundtrip(spark, sf_dir):
+    """S13/D5: catalog table sink — df.write.saveAsTable + spark.table
+    read-back (SyncCommentsAcrossClusters.scala:111-113). External
+    location keeps the warehouse out of the repo; append mode exercised
+    by writing in two halves."""
+    root = _scratch("catalog_sink_roundtrip", sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS catalog_sink_t")
+    (
+        n.filter(F.col("n_nationkey") % 2 == 0)
+        .write.option("path", f"{root}/tbl")
+        .saveAsTable("catalog_sink_t")
+    )
+    (
+        n.filter(F.col("n_nationkey") % 2 == 1)
+        .write.mode("append")
+        .saveAsTable("catalog_sink_t")
+    )
+    return (
+        spark.table("catalog_sink_t")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), F.min("n_name").alias("first_nation"))
+        .orderBy("n_regionkey")
+    )

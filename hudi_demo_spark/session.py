@@ -33,6 +33,7 @@ def get_spark(
         # partition-dir values stay strings (bootstrap dir parsing)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/hudi_demo_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():

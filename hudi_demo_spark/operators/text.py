@@ -96,3 +96,35 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     functions.textfn.fingerprint_md5); rolling-hash/simhash variants in
     operators.dedup."""
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+
+
+def top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """TF-IDF-style top-k terms per document: (id, term, tf, df, rank).
+
+    Term frequency and document frequency are exact integers; ranking is
+    (tf desc, df asc, term asc) — the rare-term-first tf-idf ordering
+    without a float score, so results are deterministic across engines.
+    Two keyed shuffles (doc-term count, term doc-frequency), both
+    map-side combinable; the df side is a broadcast-sized term table at
+    any corpus scale that fits a vocabulary."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )

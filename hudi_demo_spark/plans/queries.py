@@ -2441,3 +2441,36 @@ def catalog_sink_roundtrip(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.min("n_name").alias("first_nation"))
         .orderBy("n_regionkey")
     )
+
+
+@q(
+    "text_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+               AS rank
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked
+    WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """TF-IDF-style top-3 terms per document with integer-deterministic
+    (tf desc, rarity asc) ranking."""
+    from hudi_demo_spark.operators.text import top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_terms(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")

@@ -82,31 +82,37 @@ def main() -> None:
     # queries; min-over-repetitions is the standard throughput estimator
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     per_query: dict[str, float] = {}
+    errors: list[str] = []
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(max(1, reps)):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(max(1, reps)):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as ex:
+            # one broken query must not lose the JSON for the others
+            print(f"[bench] {name} FAILED: {ex}", file=sys.stderr)
+            errors.append(name)
+            continue
         best = round(best, 3)
         per_query[name] = best
         total += best
         print(f"[bench] {name}: {best:.3f}s", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,7 +63,14 @@ def as_of_join(
     # strict: at equal ts the left row must sort BEFORE the right row so
     # the carry-forward cannot see it; non-strict: right first.
     l_side, r_side = (0, 1) if strict else (1, 0)
-    r = right.select(
+    # SQL join semantics: a NULL key or NULL timestamp on the right can
+    # never be "the latest prior row" — drop them, otherwise the window's
+    # NULLS-FIRST ordering would carry a null-ts payload into every left
+    # row, and NULL keys would match each other (unlike any equi-join).
+    r_valid = F.col(right_ts).isNotNull()
+    for k in keys:
+        r_valid = r_valid & F.col(k).isNotNull()
+    r = right.filter(r_valid).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         payload.alias("__asof_payload"),
@@ -113,7 +120,12 @@ def sessionize(
 ) -> DataFrame:
     """Assign gap-based session ids per key: a new session starts when the
     time since the previous event of the same key exceeds ``gap_seconds``.
-    Adds ``session_id`` (1-based, per key). One keyed window, one shuffle."""
+    Adds ``session_id`` (1-based, per key). One keyed window, one shuffle.
+
+    Rows with a NULL key or NULL timestamp are dropped: a session
+    assignment is undefined without an event time, and keeping them would
+    both fabricate sessions and shift the numbering of real ones."""
+    df = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
@@ -135,7 +147,7 @@ def session_stats(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Per-session rollup: (key, session_id, n_events, session_start,
-    session_end, duration_sec[, sum_value])."""
+    session_end, duration_ms[, sum_value])."""
     s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
     aggs = [
         F.count("*").alias("n_events"),

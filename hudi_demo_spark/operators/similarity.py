@@ -122,25 +122,46 @@ def cosine_pairs(
 
 def ivf_assign(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its `n_probe` nearest centroids:
-    (id, vec, centroid_id, centroid_rank). The centroid table is tiny
-    (n_centroids rows) and broadcast — the big side never shuffles for
-    the assignment itself."""
-    scored = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(centroids.select("centroid_id", "__cv")))
-    w = Window.partitionBy(id_col).orderBy(
-        cosine_similarity("__v", "__cv").desc(), F.col("centroid_id").asc()
+    (id, vec, centroid_id, centroid_rank). The centroids are a plan-level
+    LITERAL (n_centroids × dim floats — tiny), so the assignment is pure
+    map-side expression work: no crossJoin, no window, no shuffle of the
+    big side. Ranking is cosine desc, centroid_id asc (ties), computed
+    per row via sort_array over (score, -id) structs.
+
+    Normalizing by the row's own norm is skipped — it is a common factor
+    across that row's centroid scores and cannot change the ranking."""
+    import math
+
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    dot_product(
+                        F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+                    )
+                    / F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0)
+                ).alias("s"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, vec in centroids
+        ]
     )
-    return (
-        scored.withColumn("centroid_rank", F.row_number().over(w))
-        .filter(F.col("centroid_rank") <= n_probe)
-        .select(id_col, "__v", "centroid_id", "centroid_rank")
+    probes = F.slice(F.sort_array(arr, asc=False), 1, n_probe)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(probes).alias("__p", "__c"),
+    ).select(
+        id_col,
+        "__v",
+        (-F.col("__c.negid")).cast("int").alias("centroid_id"),
+        (F.col("__p") + 1).alias("centroid_rank"),
     )
 
 
@@ -159,8 +180,9 @@ def ivf_topk(
     1. pick `n_centroids` deterministic seed centroids (hash-ordered
        sample of the corpus — at scale, replace with k-means iterations,
        same plumbing);
-    2. partition the corpus into cells: each vector joins its single
-       nearest centroid (one broadcast pass, no shuffle of the corpus);
+    2. partition the corpus into cells: each vector computes its nearest
+       centroid map-side against the literal centroid array (no join, no
+       shuffle of the corpus);
     3. each query probes its `n_probe` nearest cells;
     4. exact cosine re-rank only inside probed cells — the corpus-side
        join is keyed by centroid_id, so cost is n_probe/n_centroids of
@@ -168,16 +190,16 @@ def ivf_topk(
 
     Recall is tunable with n_probe (n_probe = n_centroids degenerates to
     exact search)."""
-    cents = (
+    seed_rows = (
         corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
         .orderBy(F.xxhash64(F.col("__cid").cast("string")))
         .limit(n_centroids)
-        .withColumn(
-            "centroid_id",
-            F.row_number().over(Window.orderBy(F.col("__cid").asc())),
-        )
-        .select("centroid_id", "__cv")
+        .collect()  # n_centroids × dim floats — driver-side by design
     )
+    cents = [
+        (i + 1, list(r["__cv"]))
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["__cid"]))
+    ]
     c = ivf_assign(_spread(corpus), cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__v").alias("__nv"),

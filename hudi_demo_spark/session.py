@@ -33,7 +33,11 @@ def get_spark(
         # partition-dir values stay strings (bootstrap dir parsing)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/hudi_demo_spark_warehouse")
+        # per-process path: no collisions between users or concurrent runs
+        .config(
+            "spark.sql.warehouse.dir",
+            f"/tmp/hudi_demo_spark_warehouse_{os.getuid()}_{os.getpid()}",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -32,7 +32,16 @@ def running_totals(
     The classic stateful-enrichment shape: downstream sinks (or a
     foreachBatch upsert into an engine table keyed on `key_col`) always
     hold the latest totals per key."""
-    out_schema = f"{key_col} long, n_events long, sum_value double"
+    from pyspark.sql import types as T
+
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
     state_schema = "n long, s double"
 
     def update(

@@ -189,3 +189,58 @@ def test_range_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "k int, ts timestamp")
     with _pytest.raises(ValueError, match="overlapping"):
         range_join(df, df, on="k")
+
+
+def test_as_of_join_ignores_null_keys_and_null_ts(spark):
+    left = spark.createDataFrame(
+        [(None, ts("2024-01-01 10:00:00"), "null-key"),
+         (1, ts("2024-01-01 10:00:00"), "real")],
+        "k int, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(None, ts("2024-01-01 09:00:00"), 1),   # NULL key: never matches
+         (1, None, 2),                            # NULL ts: never matches
+         (1, ts("2024-01-01 09:30:00"), 3)],
+        "k int, ts timestamp, rv int",
+    )
+    got = {
+        r["lbl"]: r["asof_rv"]
+        for r in as_of_join(left, right, on="k", right_cols=["rv"]).collect()
+    }
+    assert got == {"null-key": None, "real": 3}
+
+
+def test_sessionize_drops_null_ts_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None, 1), (1, None, 2),
+         (1, ts("2024-01-01 10:00:00"), 3),
+         (1, ts("2024-01-01 10:10:00"), 4)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    rows = sessionize(df, "user_id", "ts", 3600, tiebreak="event_id").collect()
+    got = {r["event_id"]: r["session_id"] for r in rows}
+    # null-ts rows are dropped; real rows start at session 1
+    assert got == {3: 1, 4: 1}
+
+
+def test_stateful_running_totals_string_key(spark, sf_dir, tmp_path):
+    from hudi_demo_spark.sources.readers import load_table
+    from hudi_demo_spark.streaming.stateful import running_totals
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "src2")
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q = (
+        running_totals(stream, "event_type", "value")
+        .writeStream.format("memory")
+        .queryName("t_stateful_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("t_stateful_str")
+    total = sink.agg(F.sum("n_events")).collect()[0][0]
+    assert total is not None and total >= e.count()

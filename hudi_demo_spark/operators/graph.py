@@ -1,0 +1,92 @@
+"""Iterative graph operators — connected components for near-dup
+clustering.
+
+The last step of every dedup pipeline: pair evidence (MinHash / SimHash /
+Jaccard / cosine pairs) → connected components → one canonical document
+per component. Spark has no built-in CC; this is the classic label-
+propagation loop expressed as DataFrame joins:
+
+- state: (node, label), label initialized to the node id;
+- step: every node sends its label across its edges; each node keeps the
+  MIN of its own and received labels (one keyed shuffle per iteration);
+- converges in O(diameter) iterations — near-dup graphs are
+  overwhelmingly small star-shaped clusters, so 3-5 iterations in
+  practice; `max_iter` bounds pathological chains.
+
+Driver involvement is one convergence COUNT per iteration (a boolean,
+not data); `localCheckpoint` truncates the growing lineage every few
+rounds so plans stay constant-size at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`; component =
+    the smallest node id in its connected component. Undirected: edges
+    are symmetrized. Deterministic."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().persist()
+    labels = (
+        e.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for i in range(max_iter):
+            msgs = e.join(labels, e["s"] == labels["id"]).select(
+                F.col("d").alias("id"), F.col("label")
+            )
+            new_labels = (
+                labels.select("id", "label")
+                .union(msgs)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            if (i + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("node"), F.col("label").alias("component")
+        )
+    finally:
+        e.unpersist()
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Dedup finale: keep one row per near-dup component (the min-id
+    member) plus every row not in any pair. `pairs` is the (a, b)
+    evidence from any pair miner."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -2474,3 +2474,53 @@ def text_top_terms(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return top_terms(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+@q(
+    "dedup_components",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+      FROM toks
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, sh FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM dgrams l JOIN dgrams r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ), pairs AS (
+      SELECT a, b FROM inter
+        JOIN sizes na ON inter.a = na.doc_id
+        JOIN sizes nb ON inter.b = nb.doc_id
+      WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+    ), edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS r FROM edges
+      UNION
+      SELECT e.s AS node, reach.r FROM edges e JOIN reach ON e.d = reach.node
+    )
+    SELECT node, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def dedup_components_q(spark, sf_dir):
+    """The dedup-pipeline finale: n-gram Jaccard pair evidence →
+    connected components (iterative min-label propagation; the oracle is
+    a recursive transitive-closure CTE)."""
+    from hudi_demo_spark.operators.dedup import ngram_jaccard_pairs
+    from hudi_demo_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select("a", "b")
+    return connected_components(pairs).orderBy("node")

@@ -140,3 +140,29 @@ def test_frame_sample_plan(spark):
     assert {(r["media_id"], r["frame_ts_ms"]) for r in rows} == {
         (1, 0), (1, 1000), (1, 2000), (1, 3000)
     }
+
+
+def test_connected_components_chain_and_islands(spark):
+    from hudi_demo_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple iterations), pair 10-11,
+    # and an isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_canonical_docs_keeps_min_and_singletons(spark):
+    from hudi_demo_spark.operators.graph import canonical_docs
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 7, 9]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in canonical_docs(df, pairs, "doc_id").collect())
+    assert kept == [1, 7, 9]  # 2,3 collapse into component 1; singletons stay

@@ -1,3 +1,10 @@
-from hudi_demo_spark.operators import dedup, multimodal, similarity, text
+from hudi_demo_spark.operators import (
+    dedup,
+    events,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "events", "graph", "similarity", "text", "multimodal"]

@@ -1,4 +1,5 @@
 from hudi_demo_spark.streaming.read import IncrementalPuller, stream_read
+from hudi_demo_spark.streaming.stateful import running_totals
 from hudi_demo_spark.streaming.write import stream_write
 
-__all__ = ["stream_write", "stream_read", "IncrementalPuller"]
+__all__ = ["stream_write", "stream_read", "IncrementalPuller", "running_totals"]

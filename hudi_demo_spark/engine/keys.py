@@ -27,19 +27,32 @@ def record_key_col(fields: list[str] | None) -> Column:
     if not fields:
         return F.expr("uuid()")
     if len(fields) == 1:
-        # SimpleKeyGenerator: bare value string.
-        return F.col(fields[0]).cast("string")
-    # ComplexKeyGenerator: f:v,f2:v2 with placeholders.
+        # SimpleKeyGenerator: bare value string. A NULL key is a write
+        # error, as in Hudi ("recordKey value: null") — raise_error sits
+        # in a lazy CASE branch, so the guard costs nothing per valid row
+        # and needs no extra validation job.
+        v = F.col(fields[0]).cast("string")
+        return F.when(
+            v.isNull(),
+            F.raise_error(F.lit(f"record key field '{fields[0]}' is null")),
+        ).otherwise(v)
+    # ComplexKeyGenerator: f:v,f2:v2 with placeholders; error when ALL
+    # key fields are null (JavaClientHive2Hudi.java:390-411 parity).
+    all_null = None
     parts = []
     for f in fields:
         v = F.col(f).cast("string")
+        all_null = v.isNull() if all_null is None else (all_null & v.isNull())
         v = (
             F.when(v.isNull(), F.lit(NULL_PLACEHOLDER))
             .when(v == "", F.lit(EMPTY_PLACEHOLDER))
             .otherwise(v)
         )
         parts.append(F.concat(F.lit(f + ":"), v))
-    return F.concat_ws(",", *parts)
+    return F.when(
+        all_null,
+        F.raise_error(F.lit(f"all record key fields {fields} are null")),
+    ).otherwise(F.concat_ws(",", *parts))
 
 
 def partition_path_col(fields: list[str], hive_style: bool = True) -> Column:

@@ -143,3 +143,26 @@ def test_schema_evolution_add_column(engine, spark):
     assert "salary" in df.columns
     vals = {r["id"]: r["salary"] for r in df.collect()}
     assert vals[8] == 1234.5 and vals[1] is None
+
+
+def test_null_record_key_raises(engine, spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    engine.create_table("nk", record_key="id")
+    df = spark.createDataFrame([(None, "x"), (1, "y")], "id int, v string")
+    with _pytest.raises(Exception, match="record key"):
+        engine.insert(df, "nk")
+
+
+def test_all_null_complex_key_raises_partial_ok(engine, spark):
+    import pytest as _pytest
+
+    engine.create_table("ck", record_key=["a", "b"])
+    ok = spark.createDataFrame([(None, 2, "x"), (1, None, "y")], "a int, b int, v string")
+    engine.insert(ok, "ck")  # partial nulls get __null__ placeholders
+    keys = sorted(r[0] for r in engine.read("ck").select("_hoodie_record_key").collect())
+    assert keys == ["a:1,b:__null__", "a:__null__,b:2"]
+    bad = spark.createDataFrame([(None, None, "z")], "a int, b int, v string")
+    with _pytest.raises(Exception, match="record key"):
+        engine.insert(bad, "ck")

@@ -28,6 +28,7 @@ HEADLINE = [
     "events_windowed_agg",
     "events_sessionize",
     "events_asof_join",
+    "events_range_join",
     "engine_upsert_cow",
     "engine_upsert_mor",
     "engine_delete_where",
@@ -37,11 +38,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
     "neardup_cosine_pairs",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_label_centroids",
     "text_token_stats",
+    "text_top_terms",
     "text_language_id",
     "text_fingerprint",
     "multimodal_features",

@@ -702,13 +702,22 @@ class Engine:
         finally:
             batch.unpersist()
 
-    def delete(self, table: str | TableConfig, condition: str | Column) -> dict:
-        """DELETE FROM ... WHERE (W4) — SparkSQLDemo.scala:73-75."""
+    def delete(
+        self,
+        table: str | TableConfig,
+        condition: str | Column,
+        partition_filter: str | Column | None = None,
+    ) -> dict:
+        """DELETE FROM ... WHERE (W4) — SparkSQLDemo.scala:73-75.
+
+        `partition_filter` (a predicate on `_hoodie_partition_path`)
+        prunes the FILE LIST before any scan — at scale, a delete known
+        to touch one partition reads one partition, not the table."""
         cfg = self._resolve(table)
         cond = _as_cond(condition)
         instant = new_instant()
         tl = Timeline(cfg.path)
-        snap = self.read(cfg)
+        snap = self.read(cfg, partition_filter=partition_filter)
         matched = snap.filter(cond).persist()
         try:
             parts = set(self._affected_partitions(matched))
@@ -783,11 +792,13 @@ class Engine:
         table: str | TableConfig,
         set: dict[str, str | Column],
         where: str | Column,
+        partition_filter: str | Column | None = None,
     ) -> dict:
         """UPDATE ... SET ... WHERE (W3) — SparkSQLDemo.scala:69-71.
         Assignments are evaluated against the pre-update row (single
         projection). Partition columns cannot be reassigned (non-global
-        key semantics, as in the reference demos)."""
+        key semantics, as in the reference demos). `partition_filter`
+        prunes the file list before the scan, as in `delete`."""
         cfg = self._resolve(table)
         for k in set:
             if k in cfg.partition_fields:
@@ -797,7 +808,7 @@ class Engine:
         tl = Timeline(cfg.path)
         assigns = {k: _as_cond(v) for k, v in set.items()}
         if cfg.table_type == MOR:
-            snap = self.read(cfg)
+            snap = self.read(cfg, partition_filter=partition_filter)
             updated = snap.filter(cond)
             for k, v in assigns.items():
                 updated = updated.withColumn(k, v)
@@ -807,7 +818,7 @@ class Engine:
             meta = tl.commit(instant, tlmod.DELTACOMMIT, "update", added, [])
             self._maybe_compact(cfg)
             return meta
-        snap = self.read(cfg)
+        snap = self.read(cfg, partition_filter=partition_filter)
         matched = snap.filter(cond)
         affected_parts = {r[0] for r in matched.select(PARTITION_PATH_META).distinct().collect()}
         if not affected_parts:

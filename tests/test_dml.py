@@ -166,3 +166,25 @@ def test_all_null_complex_key_raises_partial_ok(engine, spark):
     bad = spark.createDataFrame([(None, None, "z")], "a int, b int, v string")
     with _pytest.raises(Exception, match="record key"):
         engine.insert(bad, "ck")
+
+
+def test_delete_update_with_partition_filter(engine, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(20)],
+        "id int, p string, v double",
+    )
+    engine.create_table("pf", record_key="id", partition_by="p")
+    engine.insert(df, "pf")
+    engine.delete("pf", "v >= 10", partition_filter="_hoodie_partition_path = 'p=A'")
+    # only partition A's matching rows deleted; B untouched even though v>=10
+    left = {(r["id"]) for r in engine.read("pf").collect()}
+    assert left == {i for i in range(20) if not (i % 2 == 0 and i >= 10)}
+    engine.update(
+        "pf", set={"v": "v + 100"}, where="v < 5",
+        partition_filter="_hoodie_partition_path = 'p=B'",
+    )
+    got = {r["id"]: r["v"] for r in engine.read("pf").collect()}
+    assert got[1] == 101.0 and got[3] == 103.0   # B partition updated
+    assert got[0] == 0.0 and got[2] == 2.0       # A partition untouched

@@ -3,8 +3,9 @@ from hudi_demo_spark.operators import (
     events,
     graph,
     multimodal,
+    sampling,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "events", "graph", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "events", "graph", "similarity", "sampling", "text", "multimodal"]

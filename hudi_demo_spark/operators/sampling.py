@@ -1,0 +1,60 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+RNG-based sampling (`df.sample`) is not reproducible across engines,
+partitionings, or reruns — a training pipeline needs the SAME split for
+the same key every time, on any engine. The standard fix is hash-based
+assignment: bucket each key by a stable hash of its id and carve the
+bucket space into splits. Pure map-side expression work — no shuffle, no
+state, and a row's split never changes when the dataset grows.
+
+md5 is used (not xxhash64) so the assignment is bit-identical in any
+engine that can compute md5 of the same string — the DuckDB oracle
+checks the split row-by-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, buckets: int = 16) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key's string
+    form. buckets must divide 16**k for exact uniformity; 16 uses the
+    first hex nibble."""
+    c = F.col(key) if isinstance(key, str) else key
+    nibbles = 1
+    space = 16
+    while space < buckets:
+        nibbles += 1
+        space *= 16
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, nibbles), 16, 10)
+        .cast("int")
+        % buckets
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction_16ths: int) -> DataFrame:
+    """Deterministic ~fraction_16ths/16 sample by key hash (same rows on
+    every engine and every run)."""
+    return df.filter(hash_bucket(key, 16) < fraction_16ths)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_16ths: int = 2,
+    test_16ths: int = 2,
+) -> DataFrame:
+    """Adds a `split` column ('train' | 'val' | 'test') keyed on the
+    stable hash bucket: the last `test_16ths` buckets are test, the
+    `val_16ths` before them val, the rest train."""
+    b = hash_bucket(key, 16)
+    train_hi = 16 - val_16ths - test_16ths
+    return df.withColumn(
+        "split",
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < 16 - test_16ths, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -2524,3 +2524,31 @@ def dedup_components_q(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select("a", "b")
     return connected_components(pairs).orderBy("node")
+
+
+@q(
+    "sample_split_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 12 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                  AS INTEGER) % 16 AS b
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def sample_split_hash(spark, sf_dir):
+    """Deterministic train/val/test split by md5 hash bucket — the same
+    row lands in the same split on any engine, any partitioning, any
+    rerun (RNG-free; the oracle checks the assignment row-by-row)."""
+    from hudi_demo_spark.operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(d, "doc_id").select("doc_id", "split").orderBy(
+        "doc_id"
+    )

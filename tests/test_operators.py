@@ -166,3 +166,24 @@ def test_canonical_docs_keeps_min_and_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     kept = sorted(r["doc_id"] for r in canonical_docs(df, pairs, "doc_id").collect())
     assert kept == [1, 7, 9]  # 2,3 collapse into component 1; singletons stay
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.operators.sampling import hash_sample, train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    s = train_val_test_split(df, "id")
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 1000
+    # same assignment on recompute (no RNG)
+    s2 = {r["id"]: r["split"] for r in train_val_test_split(df, "id").collect()}
+    s1 = {r["id"]: r["split"] for r in s.collect()}
+    assert s1 == s2
+    # hash_sample(16/16) is everything; (0/16) is nothing
+    assert hash_sample(df, "id", 16).count() == 1000
+    assert hash_sample(df, "id", 0).count() == 0

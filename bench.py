@@ -47,6 +47,8 @@ HEADLINE = [
     "text_top_terms",
     "text_language_id",
     "text_fingerprint",
+    "sample_split_hash",
+    "profile_numeric_columns",
     "multimodal_features",
 ]
 

@@ -2552,3 +2552,44 @@ def sample_split_hash(spark, sf_dir):
     return train_val_test_split(d, "doc_id").select("doc_id", "split").orderBy(
         "doc_id"
     )
+
+
+@q(
+    "profile_numeric_columns",
+    """
+    SELECT 'l_discount' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(l_discount) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+           round(CAST(min(l_discount) AS DOUBLE), 4) AS min_val,
+           round(CAST(max(l_discount) AS DOUBLE), 4) AS max_val,
+           round(CAST(quantile_cont(l_discount, 0.5) AS DOUBLE), 4) AS median
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_quantity) AS BIGINT),
+           CAST(count(DISTINCT l_quantity) AS BIGINT),
+           round(CAST(min(l_quantity) AS DOUBLE), 4),
+           round(CAST(max(l_quantity) AS DOUBLE), 4),
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+           round(CAST(max(l_extendedprice) AS DOUBLE), 4),
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def profile_numeric_columns(spark, sf_dir):
+    """Column profiling: count/nulls/distinct/min/max/exact-median per
+    numeric column (Spark `percentile` == DuckDB `quantile_cont`, both
+    sort-based continuous interpolation — no sketch nondeterminism)."""
+    from hudi_demo_spark.operators.text import profile_numeric
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        l, ["l_discount", "l_quantity", "l_extendedprice"]
+    ).orderBy("col")

@@ -2593,3 +2593,32 @@ def profile_numeric_columns(spark, sf_dir):
     return profile_numeric(
         l, ["l_discount", "l_quantity", "l_extendedprice"]
     ).orderBy("col")
+
+
+@q(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark, sf_dir):
+    """Q16: NOT IN subquery (anti join on a non-null key) + count distinct
+    per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_size").isin(1, 5, 10, 15, 20))),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

@@ -41,9 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # `div` = exact integer division. `/` would go through DOUBLE,
+            # and nanosecond epochs (~1.7e18) exceed double's exact-integer
+            # range (2^53) — the roundtrip is off by ±1 µs for ~0.1% of
+            # values, which diverges from DuckDB's exact truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

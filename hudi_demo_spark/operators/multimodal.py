@@ -119,3 +119,46 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_w", T.IntegerType()),
+        T.StructField("orig_h", T.IntegerType()),
+        T.StructField("new_w", T.IntegerType()),
+        T.StructField("new_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, max_w: int = 256, max_h: int = 256, fake: bool = True
+) -> DataFrame:
+    """Aspect-preserving resize plan over mapInPandas: the dimension math
+    (fit into max_w × max_h, never upscale) is real and oracle-checked;
+    the pixel work is the stubbed codec step — with `fake=True` the
+    payload passes through unchanged, without it the decode stub raises."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(lambda b: decode_image(b, fake=False))
+            scale = (max_w / pdf["width"]).clip(upper=1.0).combine(
+                (max_h / pdf["height"]).clip(upper=1.0), min
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_w": pdf["width"],
+                    "orig_h": pdf["height"],
+                    "new_w": (pdf["width"] * scale).astype(int),
+                    "new_h": (pdf["height"] * scale).astype(int),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return media.select("media_id", "width", "height", "payload").mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )

@@ -2622,3 +2622,37 @@ def q16_supplier_counts(spark, sf_dir):
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 1920 + 1 AS INTEGER) AS orig_w,
+           CAST(doc_id % 1080 + 1 AS INTEGER) AS orig_h,
+           CAST(FLOOR((doc_id % 1920 + 1) *
+                LEAST(256.0 / (doc_id % 1920 + 1),
+                      256.0 / (doc_id % 1080 + 1), 1.0)) AS INTEGER) AS new_w,
+           CAST(FLOOR((doc_id % 1080 + 1) *
+                LEAST(256.0 / (doc_id % 1920 + 1),
+                      256.0 / (doc_id % 1080 + 1), 1.0)) AS INTEGER) AS new_h
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing: Arrow-batched mapInPandas with stubbed pixel work;
+    the aspect-fit dimension arithmetic is exact and oracle-checked."""
+    from hudi_demo_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 1920 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 1080 + 1).cast("int").alias("height"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        resize_media(media, 256, 256, fake=True)
+        .select("media_id", "orig_w", "orig_h", "new_w", "new_h")
+        .orderBy("media_id")
+    )

@@ -423,7 +423,10 @@ class Engine:
         files = tl.live_files(as_of)
         if query_type == "read_optimized":
             files = {p: m for p, m in files.items() if m.get("kind") != "delta"}
-        if partition_filter is not None and cfg.partition_fields:
+        if partition_filter is not None:
+            # honored for unpartitioned tables too (partition path is ""):
+            # silently ignoring it would widen a caller's delete/update
+            # scope to the whole table.
             files = self._prune_files(files, partition_filter)
         has_delta = any(m.get("kind") == "delta" for m in files.values())
         df = self._read_files(cfg, files)
@@ -737,7 +740,11 @@ class Engine:
             affected = {
                 p: m for p, m in live.items() if m.get("partition", "") in parts
             }
-            keep = self._read_files(cfg, affected).filter(~cond)
+            # SQL DELETE removes rows where cond is TRUE; rows where it is
+            # NULL must survive — a bare ~cond would drop them (NULL).
+            keep = self._read_files(cfg, affected).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
             added = self._materialize(keep, cfg, instant, "base")
             return tl.commit(instant, tlmod.COMMIT, "delete", added,
                              sorted(affected))

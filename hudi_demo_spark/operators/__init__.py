@@ -3,9 +3,10 @@ from hudi_demo_spark.operators import (
     events,
     graph,
     multimodal,
+    profile,
     sampling,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "events", "graph", "similarity", "sampling", "text", "multimodal"]
+__all__ = ["dedup", "events", "graph", "similarity", "profile", "sampling", "text", "multimodal"]

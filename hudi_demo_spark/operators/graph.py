@@ -43,6 +43,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    converged = False
     try:
         for i in range(max_iter):
             msgs = e.join(labels, e["s"] == labels["id"]).select(
@@ -67,7 +68,16 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # silently returning intermediate labels would split one
+            # component in two — fail loudly instead (long chains need
+            # max_iter ≥ graph diameter).
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations; raise max_iter (diameter bound)"
+            )
         return labels.select(
             F.col("id").alias("node"), F.col("label").alias("component")
         )

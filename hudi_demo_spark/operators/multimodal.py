@@ -145,16 +145,24 @@ def resize_media(
         for pdf in batches:
             if not fake:
                 pdf["payload"].map(lambda b: decode_image(b, fake=False))
-            scale = (max_w / pdf["width"]).clip(upper=1.0).combine(
-                (max_h / pdf["height"]).clip(upper=1.0), min
+            # NULL/non-positive dims (audio rows in a mixed-media table)
+            # pass through with NULL output dims instead of NaN crashes
+            valid = pdf["width"].notna() & pdf["height"].notna()
+            valid &= (pdf["width"].fillna(0) > 0) & (pdf["height"].fillna(0) > 0)
+            w = pdf["width"].where(valid, 1)
+            h = pdf["height"].where(valid, 1)
+            scale = (max_w / w).clip(upper=1.0).combine(
+                (max_h / h).clip(upper=1.0), min
             )
+            new_w = (w * scale).astype(int).where(valid).astype("Int32")
+            new_h = (h * scale).astype(int).where(valid).astype("Int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "orig_w": pdf["width"],
-                    "orig_h": pdf["height"],
-                    "new_w": (pdf["width"] * scale).astype(int),
-                    "new_h": (pdf["height"] * scale).astype(int),
+                    "orig_w": pdf["width"].astype("Int32"),
+                    "orig_h": pdf["height"].astype("Int32"),
+                    "new_w": new_w,
+                    "new_h": new_h,
                     "payload": pdf["payload"],
                 }
             )

@@ -49,12 +49,19 @@ def train_val_test_split(
 ) -> DataFrame:
     """Adds a `split` column ('train' | 'val' | 'test') keyed on the
     stable hash bucket: the last `test_16ths` buckets are test, the
-    `val_16ths` before them val, the rest train."""
+    `val_16ths` before them val, the rest train. NULL keys get a NULL
+    split (consistent with `hash_sample`, which excludes them) — they
+    must never silently leak into the evaluation splits."""
+    if val_16ths < 0 or test_16ths < 0 or val_16ths + test_16ths >= 16:
+        raise ValueError(
+            "val_16ths + test_16ths must leave at least one train bucket"
+        )
     b = hash_bucket(key, 16)
     train_hi = 16 - val_16ths - test_16ths
     return df.withColumn(
         "split",
-        F.when(b < train_hi, F.lit("train"))
+        F.when(b.isNull(), F.lit(None).cast("string"))
+        .when(b < train_hi, F.lit("train"))
         .when(b < 16 - test_16ths, F.lit("val"))
         .otherwise(F.lit("test")),
     )

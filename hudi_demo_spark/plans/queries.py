@@ -56,6 +56,39 @@ def _scratch(name: str, sf_dir: str) -> str:
     return path
 
 
+# Shared word-3-gram pair-evidence CTEs (DuckDB dialect), used by BOTH the
+# dedup_ngram_jaccard and dedup_components oracles so the shingling and the
+# 0.12 threshold cannot drift apart between them.
+NGRAM_PAIR_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+      FROM toks
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, sh FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM dgrams l JOIN dgrams r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ), pairs AS (
+      SELECT a, b, inter, na.n + nb.n - inter AS union_size,
+             inter * 1.0 / (na.n + nb.n - inter) AS jaccard
+      FROM inter JOIN sizes na ON inter.a = na.doc_id
+                 JOIN sizes nb ON inter.b = nb.doc_id
+      WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+    )
+"""
+
+
 # =====================================================================
 # TPC-H-style relational queries (SURVEY §2.4 composite coverage)
 # =====================================================================
@@ -1241,33 +1274,10 @@ def dedup_exact_keep_first(spark, sf_dir):
 
 @q(
     "dedup_ngram_jaccard",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, unnest(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [] END) AS sh
-      FROM toks
-    ), dgrams AS (
-      SELECT DISTINCT doc_id, sh FROM grams
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
-    ), inter AS (
-      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-      FROM dgrams l JOIN dgrams r ON l.sh = r.sh AND l.doc_id < r.doc_id
-      GROUP BY l.doc_id, r.doc_id
-    )
-    SELECT a, b, inter,
-           na.n + nb.n - inter AS union_size,
-           round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
-    FROM inter JOIN sizes na ON inter.a = na.doc_id
-               JOIN sizes nb ON inter.b = nb.doc_id
-    WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+    f"""
+    WITH {NGRAM_PAIR_CTES}
+    SELECT a, b, inter, union_size, round(jaccard, 4) AS jaccard
+    FROM pairs
     ORDER BY a, b
     """,
 )
@@ -2478,32 +2488,8 @@ def text_top_terms(spark, sf_dir):
 
 @q(
     "dedup_components",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, unnest(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [] END) AS sh
-      FROM toks
-    ), dgrams AS (
-      SELECT DISTINCT doc_id, sh FROM grams
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
-    ), inter AS (
-      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-      FROM dgrams l JOIN dgrams r ON l.sh = r.sh AND l.doc_id < r.doc_id
-      GROUP BY l.doc_id, r.doc_id
-    ), pairs AS (
-      SELECT a, b FROM inter
-        JOIN sizes na ON inter.a = na.doc_id
-        JOIN sizes nb ON inter.b = nb.doc_id
-      WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
-    ), edges AS (
+    f"""
+    WITH RECURSIVE {NGRAM_PAIR_CTES}, edges AS (
       SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
     ), reach AS (
       SELECT s AS node, s AS r FROM edges
@@ -2587,7 +2573,7 @@ def profile_numeric_columns(spark, sf_dir):
     """Column profiling: count/nulls/distinct/min/max/exact-median per
     numeric column (Spark `percentile` == DuckDB `quantile_cont`, both
     sort-based continuous interpolation — no sketch nondeterminism)."""
-    from hudi_demo_spark.operators.text import profile_numeric
+    from hudi_demo_spark.operators.profile import profile_numeric
 
     l = load_table(spark, sf_dir, "lineitem")
     return profile_numeric(

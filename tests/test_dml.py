@@ -188,3 +188,26 @@ def test_delete_update_with_partition_filter(engine, spark):
     got = {r["id"]: r["v"] for r in engine.read("pf").collect()}
     assert got[1] == 101.0 and got[3] == 103.0   # B partition updated
     assert got[0] == 0.0 and got[2] == 2.0       # A partition untouched
+
+
+def test_cow_delete_keeps_null_condition_rows(engine, spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 20.0)], "id int, v double"
+    )
+    engine.create_table("nd", record_key="id")
+    engine.insert(df, "nd")
+    engine.delete("nd", "v >= 10")
+    # SQL DELETE removes only rows where cond is TRUE — NULL rows survive
+    assert sorted(r["id"] for r in engine.read("nd").collect()) == [1, 2]
+
+
+def test_partition_filter_honored_on_unpartitioned_table(engine, spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 20.0)], "id int, v double")
+    engine.create_table("up", record_key="id")
+    engine.insert(df, "up")
+    # predicate matches no partition path ("" for unpartitioned) → no-op,
+    # never a silent table-wide delete
+    engine.delete("up", "v >= 10", partition_filter="_hoodie_partition_path = 'p=A'")
+    assert engine.read("up").count() == 2
+    engine.delete("up", "v >= 10", partition_filter="_hoodie_partition_path = ''")
+    assert sorted(r["id"] for r in engine.read("up").collect()) == [1]

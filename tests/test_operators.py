@@ -187,3 +187,42 @@ def test_hash_split_stable_and_exhaustive(spark):
     # hash_sample(16/16) is everything; (0/16) is nothing
     assert hash_sample(df, "id", 16).count() == 1000
     assert hash_sample(df, "id", 0).count() == 0
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2).collect()
+    got = connected_components(chain, max_iter=20).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_split_validation_and_null_keys(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.operators.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(1,), (None,)], "id int")
+    with _pytest.raises(ValueError, match="train bucket"):
+        train_val_test_split(df, "id", val_16ths=10, test_16ths=10)
+    got = {r["id"]: r["split"] for r in train_val_test_split(df, "id").collect()}
+    assert got[None] is None and got[1] in ("train", "val", "test")
+
+
+def test_resize_media_null_dims(spark):
+    from hudi_demo_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, 1920, 1080, b"x"), (2, None, None, b"y"), (3, 100, 50, b"z")],
+        "media_id long, width int, height int, payload binary",
+    )
+    got = {r["media_id"]: (r["new_w"], r["new_h"]) for r in
+           resize_media(media).collect()}
+    assert got[1] == (256, 144)       # scaled to fit 256 on the long side
+    assert got[2] == (None, None)     # null dims pass through as null
+    assert got[3] == (100, 50)        # never upscaled

@@ -21,8 +21,10 @@ HEADLINE = [
     "q10_returned_revenue",
     "q14_promo_share",
     "q18_large_orders",
+    "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "rollup_pricing",
     "window_latest_per_key",
     "events_windowed_agg",

@@ -2642,3 +2642,244 @@ def multimodal_resize(spark, sf_dir):
         .select("media_id", "orig_w", "orig_h", "new_w", "new_h")
         .orderBy("media_id")
     )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """Q8: national market share — conditional share of a 7-table join,
+    dimension side fully broadcast (nation twice, region)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["part", "supplier", "lineitem", "orders", "customer", "nation",
+          "region"]}
+    cust_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        t["part"].filter(F.col("p_type") == "PROMO")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS supply_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_suppkey % 5 = 0
+      GROUP BY l_partkey
+    )
+    SELECT partkey, supply_value
+    FROM supply
+    WHERE supply_value > (SELECT round(avg(supply_value) * 2, 2) FROM supply)
+    ORDER BY supply_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """Q11-style: per-part supply value vs a global scalar-aggregate
+    threshold. 2×avg (scale-invariant) replaces TPC-H's FRACTION·total,
+    which shifts with row count; supplier-key modulo replaces the nation
+    filter (tiny fixtures have no suppliers in most nations). Both sides
+    compare ROUNDED value to ROUNDED threshold so a last-ulp summation
+    difference can never flip a borderline row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 5 == 0)
+    supply = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("supply_value")
+        )
+    )
+    threshold = supply.agg(
+        F.round(F.avg("supply_value") * 2, 2).alias("thr")
+    )
+    return (
+        supply.crossJoin(F.broadcast(threshold))
+        .filter(F.col("supply_value") > F.col("thr"))
+        .select("partkey", "supply_value")
+        .orderBy(F.col("supply_value").desc(), "partkey")
+    )
+
+
+@q(
+    "q20_part_promotion",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_12'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """Q20-style: IN over an aggregated subquery → left-semi join on the
+    (small) qualifying-supplier list, broadcast to avoid shuffling the
+    supplier table. Quantity threshold stands in for partsupp
+    availability (no partsupp fixture)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["supplier", "nation", "lineitem", "part"]}
+    qual = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(
+            t["part"].filter(F.col("p_name").like("%bolt%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_12")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21-style: suppliers who were the SOLE late supplier on
+    multi-supplier finished orders ("late" = shipped >90 days after the
+    order date — no commit/receipt dates in the fixture). The correlated
+    EXISTS / NOT EXISTS pair is re-expressed as one per-(order, supplier)
+    aggregate followed by one per-order aggregate — two keyed shuffles
+    total, no per-row subquery re-scans; the oracle keeps the literal
+    EXISTS form so both formulations are differentially checked."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["supplier", "nation", "lineitem", "orders"]}
+    lines = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .cast("int").alias("late"),
+        )
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("late_lines")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+        F.max(
+            F.when(F.col("late_lines") > 0, F.col("l_suppkey"))
+        ).alias("late_supp"),
+        F.sum(
+            F.when(F.col("late_lines") > 0, F.col("late_lines")).otherwise(0)
+        ).alias("late_total"),
+    )
+    qual = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        qual.join(t["supplier"], F.col("late_supp") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_total").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -36,6 +36,7 @@ HEADLINE = [
     "engine_delete_where",
     "engine_merge_into",
     "engine_incremental_read",
+    "engine_clustering",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -220,16 +220,20 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _materialize(
-        self, df: DataFrame, cfg: TableConfig, instant: str, kind: str
+        self, df: DataFrame, cfg: TableConfig, instant: str, kind: str,
+        pre_arranged: bool = False,
     ) -> list[dict]:
         """Write df into the table layout: hive-style partition dirs,
         files named by instant (the Hudi file-slice naming analog).
-        One partitioned Spark write + driver-side renames (metadata ops)."""
+        One partitioned Spark write + driver-side renames (metadata ops).
+        `pre_arranged` skips the key-hash repartitions (parallelism /
+        bucket props) — clustering arranges rows by sort range and a hash
+        repartition here would destroy that layout."""
         par = cfg.props.get("write.parallelism")
-        if par:
+        if par and not pre_arranged:
             df = df.repartition(int(par), F.col(RECORD_KEY_META))
         bucket = cfg.props.get("bucket.num")
-        if bucket:
+        if bucket and not pre_arranged:
             # bucket hash index (T6) — TestStreamingMOR.java:52-53: key→bucket
             # placement bounds files per partition and co-locates upserts.
             df = df.repartition(int(bucket), F.col(RECORD_KEY_META))
@@ -248,6 +252,11 @@ class Engine:
         data = Path(cfg.path) / DATA_DIR
         added: list[dict] = []
         for src in sorted(tmp.rglob("*.parquet")):
+            if self._parquet_rows(src) == 0:
+                # empty part files (empty input slices) are dead weight:
+                # never prunable, opened by every snapshot read forever
+                src.unlink()
+                continue
             rel = src.parent.relative_to(tmp)
             pp = ""
             if rel.name.startswith("__pp="):
@@ -268,6 +277,17 @@ class Engine:
         shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
         self._attach_key_ranges(added, data)
         return added
+
+    @staticmethod
+    def _parquet_rows(path: Path) -> int:
+        """Row count from the parquet footer; -1 if unreadable (file is
+        then kept — conservative)."""
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(str(path)).metadata.num_rows
+        except Exception:  # pragma: no cover
+            return -1
 
     @contextmanager
     def _file_sizing(self, cfg: TableConfig):
@@ -315,7 +335,7 @@ class Engine:
             try:
                 md = pq.ParquetFile(str(data / f["path"])).metadata
                 idx = None
-                for i in range(md.schema.num_columns):
+                for i in range(md.num_columns):
                     if md.schema.column(i).name == RECORD_KEY_META:
                         idx = i
                         break
@@ -334,6 +354,52 @@ class Engine:
                     if isinstance(lo, bytes):
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                     f["key_min"], f["key_max"] = lo, hi
+            except Exception:
+                continue
+
+    @staticmethod
+    def _attach_col_stats(
+        added: list[dict], data: Path, cols: list[str]
+    ) -> None:
+        """Record per-file [min, max] for `cols` in the commit metadata
+        (parquet-footer read, driver-side O(#files)) — the column-stats
+        index behind clustering's file skipping. Only JSON-safe scalar
+        types (int/float/str) are recorded; anything else is skipped and
+        the file simply stays un-prunable (conservative)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return
+        for f in added:
+            try:
+                md = pq.ParquetFile(str(data / f["path"])).metadata
+                name_to_idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                stats: dict[str, list] = {}
+                for c in cols:
+                    idx = name_to_idx.get(c)
+                    if idx is None:
+                        continue
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if not mins:
+                        continue
+                    lo, hi = min(mins), max(maxs)
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    stats[c] = [lo, hi]
+                if stats:
+                    f["col_stats"] = stats
             except Exception:
                 continue
 
@@ -414,10 +480,15 @@ class Engine:
         as_of: str | None = None,
         query_type: str = "snapshot",
         partition_filter: str | Column | None = None,
+        range_filter: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
-        metadata level (a predicate on the partition path string)."""
+        metadata level (a predicate on the partition path string).
+        `range_filter=(col, lo, hi)` applies `lo <= col <= hi` AND skips
+        files whose clustered col-stats range cannot overlap — exact
+        results whether or not the table was ever clustered (files
+        without stats are always scanned)."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
         files = tl.live_files(as_of)
@@ -428,6 +499,8 @@ class Engine:
             # silently ignoring it would widen a caller's delete/update
             # scope to the whole table.
             files = self._prune_files(files, partition_filter)
+        if range_filter is not None:
+            files = self._prune_by_stats(files, *range_filter)
         has_delta = any(m.get("kind") == "delta" for m in files.values())
         df = self._read_files(cfg, files)
         if cfg.table_type == MOR and query_type == "snapshot" and has_delta:
@@ -436,7 +509,30 @@ class Engine:
             df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False))).drop(
                 DELETED_META
             )
+        if range_filter is not None:
+            col, lo, hi = range_filter
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
+
+    @staticmethod
+    def _prune_by_stats(
+        files: dict[str, dict], col: str, lo, hi
+    ) -> dict[str, dict]:
+        """Column-stats file skipping: drop files whose recorded
+        [min, max] for `col` cannot intersect [lo, hi]. Files without
+        stats for the column (never clustered, delta logs, incomparable
+        types) are kept — pruning is an optimization, never a filter."""
+        out: dict[str, dict] = {}
+        for p, m in files.items():
+            rng = (m.get("col_stats") or {}).get(col)
+            if rng is not None:
+                try:
+                    if rng[1] < lo or rng[0] > hi:
+                        continue
+                except TypeError:
+                    pass
+            out[p] = m
+        return out
 
     def _prune_files(
         self, files: dict[str, dict], partition_filter: str | Column
@@ -1001,6 +1097,60 @@ class Engine:
         added = self._materialize(merged, cfg, instant, "base")
         return tl.commit(
             instant, tlmod.COMPACTION, "compact", added, sorted(affected)
+        )
+
+    def cluster(
+        self,
+        table: str | TableConfig,
+        sort_cols: list[str],
+        partition_filter: str | Column | None = None,
+    ) -> dict | None:
+        """Clustering table service (Hudi's replacecommit clustering
+        analog): rewrite the live file slices range-partitioned and
+        sorted on `sort_cols`, so each output file covers a disjoint
+        sort-key range, then record per-file [min, max] column stats in
+        the commit metadata. Subsequent `read(range_filter=...)` calls
+        skip non-overlapping files at metadata level — at 100 TB this
+        turns a full-table scan into a few file reads for range
+        predicates on the cluster key. MOR deltas in scope are folded in
+        (clustering emits base files, like Hudi's).
+
+        Layout note: the range shuffle keys on (partition_path, sort
+        cols) so hive partitions stay contiguous; AQE size coalescing
+        only merges ADJACENT ranges, so per-file disjointness survives
+        file sizing."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        if partition_filter is not None:
+            live = self._prune_files(live, partition_filter)
+        if not live:
+            return None
+        instant = new_instant()
+        df = self._read_files(cfg, live)
+        if cfg.table_type == MOR and any(
+            m.get("kind") == "delta" for m in live.values()
+        ):
+            df = self._merge_view(df, cfg)
+        if DELETED_META in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
+        range_keys = [F.col(PARTITION_PATH_META)] if cfg.partition_fields else []
+        range_keys += [F.col(c) for c in sort_cols]
+        arranged = df.repartitionByRange(*range_keys).sortWithinPartitions(
+            *range_keys
+        )
+        with self._file_sizing(cfg):
+            added = self._materialize(
+                arranged, cfg, instant, "base", pre_arranged=True
+            )
+        self._attach_col_stats(added, Path(cfg.path) / DATA_DIR, sort_cols)
+        return tl.commit(
+            instant,
+            tlmod.REPLACECOMMIT,
+            "cluster",
+            added,
+            sorted(live),
+            self._commit_stats(added, None),
         )
 
     def clean(self, table: str | TableConfig, retain_commits: int = 10) -> dict:

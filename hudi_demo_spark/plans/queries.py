@@ -2883,3 +2883,38 @@ def q21_waiting_suppliers(spark, sf_dir):
         .agg(F.sum("late_total").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@q(
+    "engine_clustering",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
+    ORDER BY o_orderkey
+    """,
+)
+def engine_clustering(spark, sf_dir):
+    """Clustering table service end-to-end: sort-range rewrite by
+    o_totalprice, then a range read that skips non-overlapping files via
+    the recorded per-file column stats. Result must equal a plain
+    BETWEEN — clustering reorganizes layout, never content."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_clustering", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    eng.create_table("t", record_key="o_orderkey")
+    eng.insert(o, "t")
+    eng.cluster("t", ["o_totalprice"])
+    return (
+        eng.read("t", range_filter=("o_totalprice", 100000.0, 200000.0))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )

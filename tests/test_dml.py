@@ -211,3 +211,75 @@ def test_partition_filter_honored_on_unpartitioned_table(engine, spark):
     assert engine.read("up").count() == 2
     engine.delete("up", "v >= 10", partition_filter="_hoodie_partition_path = ''")
     assert sorted(r["id"] for r in engine.read("up").collect()) == [1]
+
+
+def test_cluster_rewrites_sorted_and_prunes(engine, spark):
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine import timeline as tlmod
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    engine.create_table("cl", record_key="k")
+    engine.insert(df.filter("k < 1000"), "cl")
+    engine.insert(df.filter("k >= 1000"), "cl")
+    meta = engine.cluster("cl", ["v"])
+    assert meta["action"] == tlmod.REPLACECOMMIT and meta["operation"] == "cluster"
+    # all rows survive, values intact
+    got = engine.read("cl")
+    assert got.count() == 2000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # every new file carries v stats, and file ranges are disjoint
+    cfg = engine._resolve("cl")
+    live = Timeline(cfg.path).live_files()
+    ranges = sorted(
+        tuple(m["col_stats"]["v"]) for m in live.values()
+    )
+    assert all("col_stats" in m for m in live.values())
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint sort ranges per file
+    # metadata skipping: a narrow range touches fewer files than live set
+    if len(ranges) > 1:
+        pruned = engine._prune_by_stats(live, "v", 0.0, 1.0)
+        assert len(pruned) < len(live)
+    # range read is exact
+    want = df.filter((F.col("v") >= 100.0) & (F.col("v") <= 200.0)).count()
+    assert engine.read("cl", range_filter=("v", 100.0, 200.0)).count() == want
+
+
+def test_cluster_folds_mor_deltas(engine, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "k int, v double, ts int"
+    )
+    engine.create_table("clm", record_key="k", precombine="ts",
+                        table_type="mor")
+    engine.insert(df, "clm")
+    engine.upsert(
+        spark.createDataFrame([(2, 99.0, 2)], "k int, v double, ts int"), "clm"
+    )
+    engine.cluster("clm", ["v"])
+    got = {r["k"]: r["v"] for r in engine.read("clm").collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    # post-cluster read needs no merge view (all base files)
+    from hudi_demo_spark.engine.timeline import Timeline
+    cfg = engine._resolve("clm")
+    assert all(
+        m["kind"] == "base" for m in Timeline(cfg.path).live_files().values()
+    )
+
+
+def test_key_ranges_recorded_in_commit_meta(engine, spark):
+    # regression: pyarrow API drift once made _attach_key_ranges throw on
+    # every file (swallowed), silently disabling M1 range-index pruning
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id int, v double")
+    engine.create_table("kr", record_key="id")
+    meta = engine.insert(df, "kr")
+    for f in meta["files_added"]:
+        assert f.get("key_min") is not None, f
+        assert f.get("key_max") is not None, f

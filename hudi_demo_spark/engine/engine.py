@@ -1177,6 +1177,43 @@ class Engine:
             instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}
         )
 
+    def rollback(self, table: str | TableConfig, instant: str) -> list[str]:
+        """Rollback (Hudi `call rollback_to_instant` analog): undo every
+        commit AFTER `instant` — delete the data files those commits
+        added and drop their timeline entries, restoring the table to
+        its state as of `instant`. Files the undone commits *replaced*
+        are still on disk (clean removes them physically, rollback does
+        not), so the restored snapshot is complete. Refuses to cross a
+        clean (physically deleted files cannot be restored) or the
+        archive boundary. Returns the rolled-back instants."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        active = tl.instants()
+        if not any(m["instant"] == instant for m in active):
+            raise ValueError(
+                f"rollback target {instant} not in the active timeline "
+                "(archived or unknown instant)"
+            )
+        undo = [m for m in active if m["instant"] > instant]
+        if any(m["action"] == tlmod.CLEAN for m in undo):
+            raise ValueError(
+                "cannot rollback across a clean: cleaned files are "
+                "physically deleted"
+            )
+        data = Path(cfg.path) / DATA_DIR
+        rolled: list[str] = []
+        # newest first, so a crash mid-rollback leaves a consistent prefix
+        for m in sorted(undo, key=lambda m: m["instant"], reverse=True):
+            for f in m["files_added"]:
+                p = data / f["path"]
+                if p.exists():
+                    p.unlink()
+            (tl.dir / f"{m['instant']}.{m['action']}.json").unlink(
+                missing_ok=True
+            )
+            rolled.append(m["instant"])
+        return rolled
+
     def archive(self, table: str | TableConfig, keep: int = 30) -> int:
         """Timeline archival (M3) — archiveCommitsWith
         (HoodieJavaWriteClientExample.java:85)."""

@@ -70,17 +70,60 @@ class SqlRouter:
             return self._delete(s)
         if low.startswith("merge into"):
             return self._merge(s)
-        if low.startswith("call show_commits"):
-            m = re.search(r"table\s*=>\s*'([^']+)'", s, re.I)
-            if not m:
-                raise ValueError("call show_commits(table => '<name>')")
-            return self.engine.show_commits(m.group(1))
+        if low.startswith("call"):
+            return self._call(s)
         # read-side SQL: refresh temp views, let Catalyst do the rest
         # (IncrementalQuery.scala:57-59 pattern)
         self.engine.sync_catalog()
         return self.spark.sql(s)
 
     # ------------------------------------------------------------------
+
+    def _call(self, s: str) -> DataFrame | None:
+        """Hudi Spark-SQL procedure surface (CALL <proc>(k => 'v', ...)) —
+        IncrementalQuery.scala:36-37's `call show_commits` plus the
+        table-service procedures (rollback_to_instant, run_compaction,
+        run_clustering, clean)."""
+        m = re.match(r"call\s+(\w+)\s*\((.*)\)\s*$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"unsupported CALL shape: {s[:120]}")
+        proc = m.group(1).lower()
+        args = {}
+        for kv in _split_top_level(m.group(2)):
+            am = re.match(r"(\w+)\s*=>\s*'?([^']*)'?\s*$", kv.strip())
+            if am:
+                args[am.group(1).lower()] = am.group(2)
+        table = args.get("table")
+        if table is None:
+            raise ValueError(f"call {proc}(table => '<name>', ...)")
+        if proc == "show_commits":
+            return self.engine.show_commits(table)
+        if proc == "rollback_to_instant":
+            instant = args.get("instant_time")
+            if not instant:
+                raise ValueError(
+                    "call rollback_to_instant(table => 't', instant_time => 'i')"
+                )
+            self.engine.rollback(table, instant)
+            return None
+        if proc == "run_compaction":
+            self.engine.compact(table)
+            return None
+        if proc == "run_clustering":
+            order = [c.strip() for c in args.get("order", "").split(",")
+                     if c.strip()]
+            if not order:
+                raise ValueError(
+                    "call run_clustering(table => 't', order => 'c1,c2')"
+                )
+            self.engine.cluster(table, order)
+            return None
+        if proc == "clean":
+            self.engine.clean(
+                table, retain_commits=int(args.get("retain_commits", 10))
+            )
+            return None
+        raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:
         m = re.match(

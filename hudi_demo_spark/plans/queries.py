@@ -2918,3 +2918,38 @@ def engine_clustering(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@q(
+    "engine_rollback",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events WHERE event_id % 3 = 0
+    ORDER BY event_id
+    """,
+)
+def engine_rollback(spark, sf_dir):
+    """Rollback end-to-end (Hudi rollback_to_instant): a second write
+    mutates half the keys, rollback undoes it — the snapshot must equal
+    the first commit exactly."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_rollback", sf_dir)
+    eng = Engine(spark, root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    eng.create_table("t", record_key="event_id")
+    m1 = eng.insert(base, "t")
+    eng.upsert(
+        base.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") * 10),
+        "t",
+    )
+    eng.rollback("t", m1["instant"])
+    return (
+        eng.read("t")
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )

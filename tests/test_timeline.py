@@ -120,3 +120,61 @@ def test_bucket_index_bounds_files_per_partition(engine, spark):
             n = len(list(pdir.glob("*.parquet")))
             assert 1 <= n <= 3, (pdir, n)
     assert engine.read("tb").count() == 200
+
+
+def test_rollback_to_instant(engine, spark):
+    import pytest as _pytest
+
+    df1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    df2 = spark.createDataFrame([(3, 3.0)], "id int, v double")
+    df3 = spark.createDataFrame([(2, 99.0)], "id int, v double")
+    engine.create_table("rb", record_key="id")
+    m1 = engine.insert(df1, "rb")
+    m2 = engine.insert(df2, "rb")
+    engine.upsert(df3, "rb")
+    assert {r["v"] for r in engine.read("rb").collect()} == {1.0, 99.0, 3.0}
+    rolled = engine.rollback("rb", m2["instant"])
+    assert len(rolled) == 1
+    assert {r["v"] for r in engine.read("rb").collect()} == {1.0, 2.0, 3.0}
+    rolled = engine.rollback("rb", m1["instant"])
+    assert {r["v"] for r in engine.read("rb").collect()} == {1.0, 2.0}
+    with _pytest.raises(ValueError, match="not in the active timeline"):
+        engine.rollback("rb", "19990101000000000000")
+
+
+def test_rollback_refuses_crossing_clean(engine, spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    engine.create_table("rbc", record_key="id")
+    m1 = engine.insert(df, "rbc")
+    engine.upsert(spark.createDataFrame([(1, 2.0)], "id int, v double"), "rbc")
+    engine.clean("rbc", retain_commits=1)
+    with _pytest.raises(ValueError, match="clean"):
+        engine.rollback("rbc", m1["instant"])
+
+
+def test_call_procedures_route(engine, spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "id int, v double, ts int"
+    )
+    engine.create_table("cp", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.insert(df, "cp")
+    engine.upsert(
+        spark.createDataFrame([(2, 21.0, 2)], "id int, v double, ts int"), "cp"
+    )
+    engine.sql("call run_compaction(table => 'cp')")
+    engine.sql("call run_clustering(table => 'cp', order => 'v')")
+    commits = engine.sql("call show_commits(table => 'cp')").collect()
+    assert any(r["operation"] == "cluster" for r in commits)
+    last = max(r["commit_time"] for r in commits
+               if r["operation"] in ("insert", "upsert", "compact", "cluster"))
+    # rollback the clustering via CALL, content unchanged
+    prev = sorted(r["commit_time"] for r in commits)[-2]
+    engine.sql(
+        f"call rollback_to_instant(table => 'cp', instant_time => '{prev}')"
+    )
+    got = {r["id"]: r["v"] for r in engine.read("cp").collect()}
+    assert got == {1: 10.0, 2: 21.0}
+    engine.sql("call clean(table => 'cp', retain_commits => 10)")

@@ -1164,6 +1164,10 @@ class Engine:
         for i in keep_instants:
             referenced |= set(tl.live_files(as_of=i))
         referenced |= set(tl.live_files())
+        # savepointed snapshots stay restorable forever (Hudi savepoint
+        # semantics): their file sets are never physically deleted
+        for sp in tl.savepoints():
+            referenced |= set(tl.live_files(as_of=sp))
         data = Path(cfg.path) / DATA_DIR
         removed = []
         if data.is_dir():
@@ -1177,7 +1181,10 @@ class Engine:
             instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}
         )
 
-    def rollback(self, table: str | TableConfig, instant: str) -> list[str]:
+    def rollback(
+        self, table: str | TableConfig, instant: str,
+        _allow_cross_clean: bool = False,
+    ) -> list[str]:
         """Rollback (Hudi `call rollback_to_instant` analog): undo every
         commit AFTER `instant` — delete the data files those commits
         added and drop their timeline entries, restoring the table to
@@ -1185,7 +1192,9 @@ class Engine:
         are still on disk (clean removes them physically, rollback does
         not), so the restored snapshot is complete. Refuses to cross a
         clean (physically deleted files cannot be restored) or the
-        archive boundary. Returns the rolled-back instants."""
+        archive boundary — unless the target is savepoint-protected
+        (restore path), whose file set clean never deletes. Returns the
+        rolled-back instants."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
         active = tl.instants()
@@ -1195,10 +1204,13 @@ class Engine:
                 "(archived or unknown instant)"
             )
         undo = [m for m in active if m["instant"] > instant]
-        if any(m["action"] == tlmod.CLEAN for m in undo):
+        if not _allow_cross_clean and any(
+            m["action"] == tlmod.CLEAN for m in undo
+        ):
             raise ValueError(
                 "cannot rollback across a clean: cleaned files are "
-                "physically deleted"
+                "physically deleted (savepoint + restore_to_savepoint "
+                "protects a snapshot across cleans)"
             )
         data = Path(cfg.path) / DATA_DIR
         rolled: list[str] = []
@@ -1213,6 +1225,35 @@ class Engine:
             )
             rolled.append(m["instant"])
         return rolled
+
+    def savepoint(self, table: str | TableConfig) -> str:
+        """Savepoint (Hudi `call create_savepoint`): mark the latest
+        commit's snapshot as restorable — clean will never physically
+        delete the files that snapshot references."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        last = tl.last_instant()
+        if last is None:
+            raise ValueError("cannot savepoint an empty table")
+        tl.create_savepoint(last)
+        return last
+
+    def delete_savepoint(self, table: str | TableConfig, instant: str) -> bool:
+        return Timeline(self._resolve(table).path).delete_savepoint(instant)
+
+    def savepoints(self, table: str | TableConfig) -> list[str]:
+        return Timeline(self._resolve(table).path).savepoints()
+
+    def restore_to_savepoint(
+        self, table: str | TableConfig, instant: str
+    ) -> list[str]:
+        """Restore (Hudi `call rollback_to_savepoint`): rollback to a
+        savepointed instant — valid across cleans because savepointed
+        file sets are clean-protected."""
+        tl = Timeline(self._resolve(table).path)
+        if instant not in tl.savepoints():
+            raise ValueError(f"no savepoint at instant {instant}")
+        return self.rollback(table, instant, _allow_cross_clean=True)
 
     def archive(self, table: str | TableConfig, keep: int = 30) -> int:
         """Timeline archival (M3) — archiveCommitsWith

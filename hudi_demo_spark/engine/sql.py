@@ -123,6 +123,26 @@ class SqlRouter:
                 table, retain_commits=int(args.get("retain_commits", 10))
             )
             return None
+        if proc == "create_savepoint":
+            self.engine.savepoint(table)
+            return None
+        if proc == "delete_savepoint":
+            self.engine.delete_savepoint(table, args.get("instant_time", ""))
+            return None
+        if proc == "show_savepoints":
+            return self.spark.createDataFrame(
+                [(i,) for i in self.engine.savepoints(table)],
+                "savepoint_time string",
+            )
+        if proc == "rollback_to_savepoint":
+            instant = args.get("instant_time")
+            if not instant:
+                raise ValueError(
+                    "call rollback_to_savepoint(table => 't', "
+                    "instant_time => 'i')"
+                )
+            self.engine.restore_to_savepoint(table, instant)
+            return None
         raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:

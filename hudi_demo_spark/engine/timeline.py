@@ -141,6 +141,31 @@ class Timeline:
                 state[f["path"]] = {**f, "commit": m["instant"]}
         return state
 
+    # ---------------- savepoints ----------------
+
+    SAVEPOINT_PREFIX = "_savepoint"
+
+    def create_savepoint(self, instant: str) -> None:
+        p = self.dir / f"{self.SAVEPOINT_PREFIX}-{instant}.json"
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"instant": instant}))
+        tmp.replace(p)
+
+    def delete_savepoint(self, instant: str) -> bool:
+        p = self.dir / f"{self.SAVEPOINT_PREFIX}-{instant}.json"
+        if p.exists():
+            p.unlink()
+            return True
+        return False
+
+    def savepoints(self) -> list[str]:
+        if not self.dir.is_dir():
+            return []
+        return sorted(
+            json.loads(p.read_text())["instant"]
+            for p in self.dir.glob(self.SAVEPOINT_PREFIX + "-*.json")
+        )
+
     def write_checkpoint(self, as_of: str, files: dict[str, dict]) -> None:
         p = self.dir / f"{CHECKPOINT_PREFIX}-{as_of}.json"
         tmp = p.with_suffix(".tmp")

@@ -2953,3 +2953,36 @@ def engine_rollback(spark, sf_dir):
         .select("event_id", "user_id", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+@q(
+    "engine_savepoint_restore",
+    """
+    SELECT event_id, round(value, 4) AS value
+    FROM events WHERE event_id % 4 = 0
+    ORDER BY event_id
+    """,
+)
+def engine_savepoint_restore(spark, sf_dir):
+    """Savepoint + restore end-to-end: savepoint the first commit, write
+    two more batches, clean down to the latest snapshot, then restore —
+    valid across the clean because savepointed file sets are
+    clean-protected. Final table must equal the first commit."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_savepoint_restore", sf_dir)
+    eng = Engine(spark, root)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    base = ev.filter(F.col("event_id") % 4 == 0)
+    eng.create_table("t", record_key="event_id")
+    eng.insert(base, "t")
+    sp = eng.savepoint("t")
+    eng.upsert(base.withColumn("value", F.col("value") + 1), "t")
+    eng.upsert(base.withColumn("value", F.col("value") + 2), "t")
+    eng.clean("t", retain_commits=1)
+    eng.restore_to_savepoint("t", sp)
+    return (
+        eng.read("t")
+        .select("event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )

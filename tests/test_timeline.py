@@ -178,3 +178,43 @@ def test_call_procedures_route(engine, spark):
     got = {r["id"]: r["v"] for r in engine.read("cp").collect()}
     assert got == {1: 10.0, 2: 21.0}
     engine.sql("call clean(table => 'cp', retain_commits => 10)")
+
+
+def test_savepoint_restore_across_clean(engine, spark):
+    import pytest as _pytest
+
+    engine.create_table("sv", record_key="id")
+    engine.insert(spark.createDataFrame([(1, 1.0)], "id int, v double"), "sv")
+    engine.upsert(spark.createDataFrame([(1, 2.0)], "id int, v double"), "sv")
+    sp = engine.savepoint("sv")
+    assert engine.savepoints("sv") == [sp]
+    engine.upsert(spark.createDataFrame([(1, 3.0)], "id int, v double"), "sv")
+    engine.upsert(spark.createDataFrame([(1, 4.0)], "id int, v double"), "sv")
+    # clean aggressively: only the latest snapshot plus savepoints survive
+    engine.clean("sv", retain_commits=1)
+    # plain rollback refuses to cross the clean ...
+    with _pytest.raises(ValueError, match="clean"):
+        engine.rollback("sv", sp)
+    # ... but the savepointed snapshot is clean-protected and restorable
+    engine.restore_to_savepoint("sv", sp)
+    assert [r["v"] for r in engine.read("sv").collect()] == [2.0]
+    with _pytest.raises(ValueError, match="no savepoint"):
+        engine.restore_to_savepoint("sv", "19990101000000000000")
+
+
+def test_savepoint_sql_procedures(engine, spark):
+    engine.create_table("svq", record_key="id")
+    engine.insert(spark.createDataFrame([(1, 1.0)], "id int, v double"), "svq")
+    engine.sql("call create_savepoint(table => 'svq')")
+    sps = engine.sql("call show_savepoints(table => 'svq')").collect()
+    assert len(sps) == 1
+    sp = sps[0]["savepoint_time"]
+    engine.insert(spark.createDataFrame([(2, 2.0)], "id int, v double"), "svq")
+    engine.sql(
+        f"call rollback_to_savepoint(table => 'svq', instant_time => '{sp}')"
+    )
+    assert engine.read("svq").count() == 1
+    engine.sql(
+        f"call delete_savepoint(table => 'svq', instant_time => '{sp}')"
+    )
+    assert engine.savepoints("svq") == []

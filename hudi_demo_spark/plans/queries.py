@@ -2986,3 +2986,59 @@ def engine_savepoint_restore(spark, sf_dir):
         .select("event_id", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+@q(
+    "streaming_windowed_agg",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_windowed_agg(spark, sf_dir):
+    """T7 as a real Structured Streaming pipeline: file-source replay in
+    micro-batches (maxFilesPerTrigger=1) → event-time watermark → hourly
+    tumbling window aggregate → sink; the final state must equal the
+    batch GROUP BY. Complete mode keeps the result deterministic under
+    bounded replay (append emission depends on watermark timing across
+    the final batch); at scale the same plan runs append-mode with
+    watermark state eviction, and the production sink is foreachBatch →
+    engine upsert (covered by streaming_ingest_mor)."""
+    from hudi_demo_spark.sources.readers import load_table as _lt
+
+    root = _scratch("streaming_windowed_agg", sf_dir)
+    ev = _lt(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartition(8).write.parquet(f"{root}/in")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("raw_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("raw_sum", 2).alias("sum_value"),
+        )
+    )
+    sq = (
+        stream.writeStream.format("memory")
+        .queryName("streaming_windowed_agg_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table("streaming_windowed_agg_sink").orderBy(
+        "window_start", "event_type"
+    )

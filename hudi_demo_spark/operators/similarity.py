@@ -290,3 +290,31 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the standard 4×
+    storage shrink for ANN corpora: q_i = round(127 · x_i / max|x|),
+    scale = max|x| / 127 (dequantize: q_i · scale). All-zero vectors
+    quantize to zeros with scale 0. Pure JVM expressions (`transform`/
+    `array_max` — codegen, no UDF); math is done in DOUBLE on every
+    engine so the rounding boundary is bit-identical."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    qvec = F.when(
+        mabs == 0.0,
+        F.transform(xd, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            xd, lambda x: F.round(x * F.lit(127.0) / mabs).cast("tinyint")
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        (mabs / F.lit(127.0)).alias("scale"),
+    )

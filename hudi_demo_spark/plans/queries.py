@@ -3042,3 +3042,48 @@ def streaming_windowed_agg(spark, sf_dir):
     return spark.table("streaming_windowed_agg_sink").orderBy(
         "window_start", "event_type"
     )
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH xd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mabs
+      FROM xd
+    ), qq AS (
+      SELECT vec_id, mabs,
+             CASE WHEN mabs = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x * 127.0 / mabs)
+                                                   AS INTEGER)) END AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(list_min(qv) AS INTEGER) AS qmin,
+           CAST(list_max(qv) AS INTEGER) AS qmax,
+           round(mabs / 127.0, 6) AS scale
+    FROM qq ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """int8 scalar quantization, verified through integer projections
+    (sum/min/max of the quantized vector are exact — no float hash) plus
+    the rounded scale."""
+    from hudi_demo_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("qsum"),
+        F.array_min("qvec").cast("int").alias("qmin"),
+        F.array_max("qvec").cast("int").alias("qmax"),
+        F.round("scale", 6).alias("scale"),
+    ).orderBy("vec_id")

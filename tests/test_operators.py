@@ -226,3 +226,22 @@ def test_resize_media_null_dims(spark):
     assert got[1] == (256, 144)       # scaled to fit 256 on the long side
     assert got[2] == (None, None)     # null dims pass through as null
     assert got[3] == (100, 50)        # never upscaled
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    from hudi_demo_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 4.0]), (2, [0.0, 0.0, 0.0]), (3, [-0.5, 0.25, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # max|x| maps to ±127 exactly; everything stays in int8 range
+    assert got[1]["qvec"] == [32, -64, 127]
+    assert abs(got[1]["scale"] - 4.0 / 127) < 1e-12
+    assert got[2]["qvec"] == [0, 0, 0] and got[2]["scale"] == 0.0
+    assert got[3]["qvec"] == [-127, 64, 127]
+    # dequantization round-trips within half a step
+    step = got[3]["scale"]
+    for q, x in zip(got[3]["qvec"], [-0.5, 0.25, 0.5]):
+        assert abs(q * step - x) <= step / 2 + 1e-12

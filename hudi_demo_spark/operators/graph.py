@@ -44,6 +44,7 @@ def connected_components(
         .persist()
     )
     converged = False
+    prev_sum = None
     try:
         for i in range(max_iter):
             msgs = e.join(labels, e["s"] == labels["id"]).select(
@@ -58,18 +59,20 @@ def connected_components(
             if (i + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint()
             new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            # labels only ever DECREASE (min-propagation), so the label
+            # sum is strictly monotone: equal consecutive sums ⟺ fixed
+            # point. One cheap aggregate per iteration — no join against
+            # the previous labels. decimal(38,0) cannot overflow below
+            # ~1e19 nodes of 64-bit ids.
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = cur_sum
         if not converged:
             # silently returning intermediate labels would split one
             # component in two — fail loudly instead (long chains need

@@ -37,6 +37,8 @@ HEADLINE = [
     "engine_merge_into",
     "engine_incremental_read",
     "engine_clustering",
+    "engine_insert_overwrite",
+    "engine_cdc_read",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

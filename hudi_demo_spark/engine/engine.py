@@ -647,8 +647,12 @@ class Engine:
         # the key-dedup window is only needed when the range can contain two
         # versions of a key; a pure-insert range cannot (and Hudi's INSERT op
         # deliberately preserves duplicate keys), so skip the shuffle then.
+        # replacecommits are excluded: an insert_overwrite in range can
+        # shadow a key written by an earlier in-range commit, so the range
+        # is not duplicate-free even though each commit is insert-shaped.
         insert_only = all(
-            m["operation"] in ("insert", "bootstrap", "insert_overwrite")
+            m["operation"] in ("insert", "bootstrap")
+            and m["action"] != tlmod.REPLACECOMMIT
             for m in sel
         )
         if not insert_only:
@@ -658,6 +662,87 @@ class Engine:
                 DELETED_META
             )
         return df
+
+    def read_cdc(
+        self,
+        table: str | TableConfig,
+        begin: str | None = None,
+        end: str | None = None,
+    ) -> DataFrame:
+        """Change-data-capture read: per-key row changes in `(begin, end]`
+        (end defaults to the latest instant) — the engine analog of Hudi's
+        incremental CDC query (`hoodie.datasource.query.incremental
+        .format=cdc`), re-expressed as a snapshot diff. Output: the data
+        columns (after-image; before-image for deletes) plus
+        `_change_type` ∈ {insert, update, delete}. Requires a record key
+        (CDC needs row identity).
+
+        Scale: for COW tables every live key lives in exactly one base
+        file, so files present in BOTH snapshots cannot hold changed rows
+        — only the file-set DIFFERENCE is scanned (the two sides of the
+        diff join are the rewritten file groups, not the table). MOR
+        falls back to two merged snapshot reads. Files already removed by
+        `clean` are skipped like in read_incremental (Hudi errors there;
+        cleaning inside an open CDC window is a retention misconfig).
+        """
+        cfg = self._resolve(table)
+        if not cfg.record_key_fields:
+            raise ValueError("read_cdc requires a table with a record key")
+        tl = Timeline(cfg.path)
+        end = end or tl.last_instant()
+        data = Path(cfg.path) / DATA_DIR
+
+        def _on_disk(files: dict[str, dict]) -> dict[str, dict]:
+            return {
+                p: m
+                for p, m in files.items()
+                if (data / p).is_file() or m.get("kind") == "external"
+            }
+
+        if cfg.table_type == COW:
+            b_files = _on_disk(tl.live_files(as_of=begin)) if begin else {}
+            a_files = _on_disk(tl.live_files(as_of=end))
+            common = set(b_files) & set(a_files)
+            before = self._read_files(
+                cfg, {p: m for p, m in b_files.items() if p not in common}
+            )
+            after = self._read_files(
+                cfg, {p: m for p, m in a_files.items() if p not in common}
+            )
+        else:
+            before = self.read(cfg, as_of=begin) if begin else self._empty(cfg)
+            after = self.read(cfg, as_of=end)
+        for side_deleted in (DELETED_META,):
+            if side_deleted in before.columns:
+                before = before.filter(
+                    ~F.coalesce(F.col(side_deleted), F.lit(False))
+                )
+            if side_deleted in after.columns:
+                after = after.filter(
+                    ~F.coalesce(F.col(side_deleted), F.lit(False))
+                )
+        meta = set(META_COLS) | {DELETED_META}
+        data_cols = [c for c in after.columns if c not in meta]
+        b = before.select(
+            F.col(RECORD_KEY_META), F.struct(*data_cols).alias("__before")
+        )
+        a = after.select(
+            F.col(RECORD_KEY_META), F.struct(*data_cols).alias("__after")
+        )
+        j = b.join(a, RECORD_KEY_META, "full_outer")
+        change = (
+            F.when(F.col("__before").isNull(), F.lit("insert"))
+            .when(F.col("__after").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("__before").eqNullSafe(F.col("__after")), F.lit("update")
+            )
+        )
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .withColumn("__img", F.coalesce("__after", "__before"))
+            .select(RECORD_KEY_META, "_change_type", "__img.*")
+        )
 
     # ------------------------------------------------------------------
     # write path  (W1-W14)
@@ -689,7 +774,8 @@ class Engine:
         return meta
 
     def overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
-        """INSERT OVERWRITE / mode(Overwrite) (W14) — BootstrapDemo.scala:230."""
+        """INSERT OVERWRITE TABLE / mode(Overwrite) (W14) —
+        BootstrapDemo.scala:230; Hudi WriteOperationType.INSERT_OVERWRITE_TABLE."""
         cfg = self._resolve(table)
         instant = new_instant()
         out = self._conform(self._stamp(df, cfg, instant), cfg)
@@ -697,9 +783,42 @@ class Engine:
         return Timeline(cfg.path).commit(
             instant,
             tlmod.REPLACECOMMIT,
-            "insert_overwrite",
+            "insert_overwrite_table",
             added,
             "*",
+            self._commit_stats(added, None),
+        )
+
+    def insert_overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
+        """Partition-scoped INSERT OVERWRITE (Hudi
+        WriteOperationType.INSERT_OVERWRITE): replace ONLY the partitions
+        the batch writes into; every other partition is untouched. The
+        replacement is a metadata operation — a replacecommit listing the
+        prior live files of the written partitions as removed — so at
+        100 TB overwriting one partition of a 10k-partition table costs
+        one partition's write, zero rewrites elsewhere. For a
+        non-partitioned table this degenerates to `overwrite`."""
+        cfg = self._resolve(table)
+        if not cfg.partition_fields:
+            return self.overwrite(df, table)
+        instant = new_instant()
+        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        added = self._materialize(out, cfg, instant, "base")
+        # partitions actually written (empty input slices are dropped by
+        # _materialize, matching Hudi: only partitions receiving data are
+        # replaced)
+        parts = {f["partition"] for f in added}
+        removed = [
+            rp for rp, m in live.items() if m.get("partition", "") in parts
+        ]
+        return tl.commit(
+            instant,
+            tlmod.REPLACECOMMIT,
+            "insert_overwrite",
+            added,
+            removed,
             self._commit_stats(added, None),
         )
 

@@ -64,6 +64,8 @@ class SqlRouter:
             return self._drop(s)
         if low.startswith("insert into"):
             return self._insert(s)
+        if low.startswith("insert overwrite"):
+            return self._insert_overwrite(s)
         if low.startswith("update"):
             return self._update(s)
         if low.startswith("delete from"):
@@ -216,6 +218,40 @@ class SqlRouter:
         else:
             raise ValueError(f"unsupported INSERT shape: {rest[:80]}")
         self.engine.insert(df, name)
+        return None
+
+    def _insert_overwrite(self, s: str) -> None:
+        """INSERT OVERWRITE [TABLE] t VALUES …/SELECT …: `TABLE` form
+        replaces the whole table (Hudi insert_overwrite_table); without it
+        the write replaces only the partitions receiving data (Hudi
+        insert_overwrite) — Spark's static vs dynamic partition-overwrite
+        split, expressed the Hudi way."""
+        m = re.match(
+            r"insert\s+overwrite\s+(table\s+)?(\w+)\s+(.*)$", s, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"unsupported INSERT OVERWRITE shape: {s[:80]}")
+        whole_table, name, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
+        cfg = self.engine._resolve(name)
+        data_cols = [
+            f.name
+            for f in self.engine._stored_schema(cfg).fields
+            if not f.name.startswith("_hoodie_")
+        ]
+        if rest.lower().startswith("values"):
+            body = rest[len("values") :].strip()
+            df = self.spark.sql(
+                f"SELECT * FROM VALUES {body} AS t({', '.join(data_cols)})"
+            )
+        elif rest.lower().startswith("select"):
+            self.engine.sync_catalog()
+            df = self.spark.sql(rest).toDF(*data_cols)
+        else:
+            raise ValueError(f"unsupported INSERT OVERWRITE shape: {rest[:80]}")
+        if whole_table:
+            self.engine.overwrite(df, name)
+        else:
+            self.engine.insert_overwrite(df, name)
         return None
 
     def _update(self, s: str) -> None:

@@ -3087,3 +3087,101 @@ def embedding_quantize_int8(spark, sf_dir):
         F.array_max("qvec").cast("int").alias("qmax"),
         F.round("scale", 6).alias("scale"),
     ).orderBy("vec_id")
+
+
+@q(
+    "engine_insert_overwrite",
+    """
+    SELECT event_id, user_id, event_type, round(value * 2, 4) AS value
+    FROM events WHERE event_type = 'view' AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events WHERE event_type <> 'view'
+    ORDER BY event_id
+    """,
+)
+def engine_insert_overwrite(spark, sf_dir):
+    """Partition-scoped INSERT OVERWRITE (Hudi
+    WriteOperationType.INSERT_OVERWRITE): the 'view' partition is replaced
+    wholesale (odd keys vanish, values doubled); every other partition is
+    byte-identical to the original insert — a metadata-only replacecommit."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_insert_overwrite", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    eng.create_table("t", record_key="event_id", partition_by="event_type")
+    eng.insert(e, "t")
+    repl = (
+        e.filter((F.col("event_type") == "view") & (F.col("event_id") % 2 == 0))
+        .withColumn("value", F.col("value") * 2)
+    )
+    eng.insert_overwrite(repl, "t")
+    return (
+        eng.read("t")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_cdc_read",
+    """
+    SELECT event_id, user_id, event_type, round(value + 100, 4) AS value,
+           'update' AS change_type
+    FROM events WHERE event_id % 5 = 0 AND event_id % 11 <> 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, round(value, 4) AS value,
+           'delete' AS change_type
+    FROM events WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT event_id + 100000000 AS event_id, user_id, event_type,
+           round(value, 4) AS value, 'insert' AS change_type
+    FROM events WHERE event_id % 13 = 0
+    ORDER BY event_id, change_type
+    """,
+)
+def engine_cdc_read(spark, sf_dir):
+    """CDC read (Hudi incremental query format=cdc): after an upsert, a
+    delete and an insert, `read_cdc(begin=first_commit)` returns exactly
+    the per-key inserts/updates/deletes with after-images (before-image
+    for deletes). A key updated then deleted reports only the delete
+    (snapshot-diff semantics). COW path scans only the file-set diff."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_cdc_read", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq", partition_by="event_type"
+    )
+    eng.insert(e, "t")
+    first = eng.show_commits("t").collect()[0]["commit_time"]
+    upd = (
+        e.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 11 != 0))
+        .withColumn("value", F.col("value") + 100)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    eng.delete("t", "event_id % 11 = 0")
+    new = e.filter(F.col("event_id") % 13 == 0).withColumn(
+        "event_id", F.col("event_id") + 100000000
+    )
+    eng.insert(new, "t")
+    return (
+        eng.read_cdc("t", begin=first)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 4).alias("value"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("event_id", "change_type")
+    )

@@ -78,3 +78,25 @@ def test_alter_column_comment(engine, spark):
     engine.alter_column_comment("c", "id", "the key")
     cfg = engine._resolve("c")
     assert cfg.props["column_comments"]["id"] == "the key"
+
+
+def test_sql_insert_overwrite_partition_scoped(engine, spark):
+    engine.sql(
+        "create table iow (id int, name string, price double, ts long, dt string) "
+        "using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts', type = 'cow')"
+    )
+    engine.sql(
+        "insert into iow values (1,'a',10,100,'2022-09-05'),"
+        "(2,'b',20,100,'2022-09-06')"
+    )
+    # partition-scoped: only dt=2022-09-06 is replaced
+    engine.sql("insert overwrite iow values (9,'z',90,200,'2022-09-06')")
+    rows = sorted(
+        tuple(r) for r in engine.read("iow").select("id", "dt").collect()
+    )
+    assert rows == [(1, "2022-09-05"), (9, "2022-09-06")]
+    # TABLE form: whole table replaced
+    engine.sql("insert overwrite table iow values (7,'q',70,300,'2022-09-07')")
+    rows = sorted(tuple(r) for r in engine.read("iow").select("id", "dt").collect())
+    assert rows == [(7, "2022-09-07")]

@@ -87,15 +87,19 @@ def minhash_signatures(
     sh = _spread(df).select(
         F.col(id_col), F.explode(shingle_fn(text_col)).alias("__shingle")
     ).dropDuplicates([id_col, "__shingle"])
-    h = F.pmod(F.xxhash64("__shingle"), F.lit(p))
+    # the 64 affine-mix mins are generated as parsed SQL, not composed
+    # Column objects — per-literal driver round-trips cost more than the
+    # query itself at this expression count (see similarity.ivf_assign)
+    sh = sh.withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(p)))
     mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {p}L))").alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    sig = F.expr(
+        "array({})".format(",".join(f"h{i}" for i in range(num_hashes)))
     )
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -104,24 +108,19 @@ def lsh_candidate_pairs(
     """Candidate (a, b) pairs sharing ≥1 LSH band bucket. Join is keyed by
     (band, bucket-hash): no crossJoin anywhere."""
     assert bands * rows_per_band <= 64
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
+            b=b,
+            cols=",".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     band_rows = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     l = band_rows.alias("l")
     r = band_rows.alias("r")
@@ -172,22 +171,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """(id, simhash long): per-token xxhash64 bit votes, sign-aggregated.
 
     explode + one groupBy; the 64 vote sums are map-side combinable."""
-    tok = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-    h = F.xxhash64("__t")
+    tok = _spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    # 64 vote sums + the 64-term bit reassembly as parsed SQL — composed
+    # Column objects at this count cost ~1.4s of driver round-trips per
+    # plan build (see similarity.ivf_assign)
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v{i}")
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # disjoint bit positions: + == xor == or
+    sig = F.expr(
+        " + ".join(
+            f"shiftleft(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i in range(bits)
         )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor==or
+    )
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 

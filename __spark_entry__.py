@@ -5,8 +5,10 @@
   summary over the engine read path.
 - ``queries()`` — one entry per implemented operator from SURVEY.md §2
   plus the LLM-pipeline extensions (hudi_demo_spark.plans.queries).
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query; approximate
-  operators (MinHash-LSH, SimHash, LSH-ANN) are rows-only by design.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query, including the
+  approximate operators (MinHash-LSH, SimHash, LSH-ANN, IVF-ANN), which
+  use an engine-portable md5-derived hash so their signatures and
+  candidate sets are reproducible in SQL.
 """
 
 from __future__ import annotations

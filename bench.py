@@ -55,6 +55,9 @@ HEADLINE = [
     "sample_split_hash",
     "profile_numeric_columns",
     "multimodal_features",
+    "corpus_chunk_documents",
+    "corpus_pack_offsets",
+    "corpus_decontaminate",
 ]
 
 

@@ -27,15 +27,20 @@ def bpe_tokens(col: Column | str) -> Column:
 
 def word_trigrams(col: Column | str) -> Column:
     """Word 3-gram shingles (space-joined); empty array for <3 tokens."""
+    return word_ngrams(col, 3)
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-gram shingles (space-joined); empty array for <n tokens."""
     toks = tokens(col)
-    n = F.size(toks)
+    sz = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(2)),
+        F.sequence(F.lit(1), sz - F.lit(n - 1)),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def normalize_text(col: Column | str) -> Column:

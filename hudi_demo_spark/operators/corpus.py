@@ -1,0 +1,204 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+document chunking, stream packing into fixed-length sequences, test-set
+decontamination, repetition (boilerplate) scoring, and PII redaction.
+
+These extend the reference's surface (dongkelun/hudi-demo exercises none
+of them — SURVEY.md §2.4 "not present" note) per the BASELINE.json
+extension mandate. All are pure built-in-function DataFrame transforms
+(whole-stage codegen, no Python UDFs) with exact DuckDB oracle twins in
+plans/queries.py.
+
+Scale notes (100 TB):
+- chunking / repetition / redaction are narrow per-row transforms — zero
+  shuffle, trivially parallel.
+- pack_offsets needs a global prefix sum; a naive global-ORDER-BY window
+  collapses to ONE partition. We do the classic two-phase scan instead:
+  per-bucket cumsum (windows partitioned by a range bucket) + a
+  broadcast-joined table of bucket base offsets — every stage stays
+  parallel at any scale.
+- decontaminate shuffles on the shingle; the test side of the join is
+  tiny in practice (benchmarks/eval sets), so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.functions.textfn import tokens, word_ngrams
+from hudi_demo_spark.operators.util import spread as _spread
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token windows:
+    (id, chunk_id, chunk_text, chunk_n_tokens).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); chunks are
+    emitted while their start is inside the document, so every token is
+    covered and short docs yield exactly one chunk. Pure array ops — the
+    explode multiplies rows but never shuffles."""
+    assert 0 < stride <= chunk_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("chunk_n_tokens"),
+        ),
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream packing
+# ---------------------------------------------------------------------------
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 64,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """GPT-style stream packing: documents are concatenated in `id` order
+    into one token stream (one EOS token between docs) and the stream is
+    cut into fixed `seq_len` sequences. Returns per-document placement:
+    (id, n_tokens, start_token, first_seq, last_seq).
+
+    The global prefix sum is computed scalably: docs are range-bucketed
+    on id, cumsum'd per bucket (parallel windows), and bucket base
+    offsets — n_buckets rows — are prefix-summed and broadcast back.
+    No single-partition window at any stage."""
+    base = df.select(
+        F.col(id_col),
+        (F.size(tokens(text_col)) + F.lit(1)).cast("long").alias("__len"),  # +1 EOS
+    )
+    lo_hi = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+    width = max(1, (int(lo_hi["hi"]) - int(lo_hi["lo"]) + n_buckets) // n_buckets)
+    bucketed = base.withColumn(
+        "__b", ((F.col(id_col) - F.lit(int(lo_hi["lo"]))) / width).cast("int")
+    )
+    w = Window.partitionBy("__b").orderBy(id_col)
+    local = bucketed.withColumn(
+        "__cum", F.sum("__len").over(w) - F.col("__len")
+    )
+    bucket_tot = (
+        bucketed.groupBy("__b").agg(F.sum("__len").alias("__tot"))
+    )
+    wb = Window.orderBy("__b")  # n_buckets rows only — single partition is fine
+    bucket_base = bucket_tot.withColumn(
+        "__base", F.sum("__tot").over(wb) - F.col("__tot")
+    ).select("__b", "__base")
+    start = F.col("__cum") + F.col("__base")
+    end = start + F.col("__len") - 1  # inclusive last token (EOS)
+    return (
+        local.join(F.broadcast(bucket_base), "__b")
+        .select(
+            F.col(id_col),
+            (F.col("__len") - 1).alias("n_tokens"),
+            start.alias("start_token"),
+            F.floor(start / seq_len).alias("first_seq"),
+            F.floor(end / seq_len).alias("last_seq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """Remove training documents that share any word n-gram with the test
+    set (the standard eval-contamination filter). Returns the surviving
+    train rows.
+
+    Shingle both sides, left_anti join train shingles against test
+    shingles, keep docs with no hit. The test side is distinct'd and
+    broadcast (eval sets are small); train shingles stream through
+    map-side — no shuffle of the 100-TB side."""
+    tr = _spread(train).select(
+        F.col(id_col), F.explode(word_ngrams(text_col, ngram)).alias("__g")
+    )
+    te = test.select(F.explode(word_ngrams(text_col, ngram)).alias("__g")).distinct()
+    dirty = tr.join(F.broadcast(te), "__g", "left_semi").select(id_col).distinct()
+    return train.join(dirty, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """(id, n_grams, n_distinct_grams, dup_ratio): fraction of repeated
+    word n-grams — the cheap boilerplate/template detector. Per-row array
+    math only; no shuffle, no explode."""
+    grams = word_ngrams(text_col, ngram)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct_grams"),
+        F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
+        ).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# dialect-portable patterns (valid and equivalent in Java regex and RE2):
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Replace emails, IPv4 addresses and international phone numbers
+    with [EMAIL]/[IP]/[PHONE] placeholders. Order matters: emails first
+    (so user@host never half-matches), then IPs, then phones."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, PII_PATTERNS["email"], "[EMAIL]")
+    c = F.regexp_replace(c, PII_PATTERNS["ip"], "[IP]")
+    c = F.regexp_replace(c, PII_PATTERNS["phone"], "[PHONE]")
+    return df.withColumn(out_col or text_col, c)

@@ -23,10 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_demo_spark.functions.hashfn import portable_hash60
 from hudi_demo_spark.functions.textfn import normalize_text, tokens, word_trigrams
 
 
 from hudi_demo_spark.operators.util import spread as _spread
+
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
+
+
+def minhash_coeffs(num_hashes: int, p: int = MINHASH_P) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash coefficients, seeded like the
+    reference datagen (HoodieExampleDataGenerator.java:54). Shared with
+    the DuckDB oracle generator so both engines mix identically."""
+    import random
+
+    rng = random.Random(46474747)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
 
 
 # ---------------------------------------------------------------------------
@@ -73,24 +86,28 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_fn=word_trigrams,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — classic one-hash minwise family: each
-    shingle is xxhash64'd ONCE, then the i-th hash is the universal affine
+    shingle is hashed ONCE, then the i-th hash is the universal affine
     mix `(a_i·h + b_i) mod p` with p = 2^31−1 (products stay < 2^62, so
     the arithmetic is ANSI-overflow-safe). One explode + one groupBy(id)
-    shuffle; the 64 mins are a single map-side-combinable aggregation."""
-    import random
+    shuffle; the 64 mins are a single map-side-combinable aggregation.
 
-    p = 2_147_483_647  # Mersenne prime 2^31-1
-    rng = random.Random(46474747)  # seeded like the reference datagen
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    `portable=True` swaps xxhash64 for the md5-derived 60-bit hash so a
+    DuckDB oracle can reproduce the signatures bit-for-bit (hashfn)."""
+    p = MINHASH_P
+    coeffs = minhash_coeffs(num_hashes, p)
     sh = _spread(df).select(
         F.col(id_col), F.explode(shingle_fn(text_col)).alias("__shingle")
     ).dropDuplicates([id_col, "__shingle"])
     # the 64 affine-mix mins are generated as parsed SQL, not composed
     # Column objects — per-literal driver round-trips cost more than the
     # query itself at this expression count (see similarity.ivf_assign)
-    sh = sh.withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(p)))
+    base_hash = (
+        portable_hash60("__shingle") if portable else F.xxhash64("__shingle")
+    )
+    sh = sh.withColumn("__h", F.pmod(base_hash, F.lit(p)))
     mins = [
         F.expr(f"min(pmod(__h * {a}L + {b}L, {p}L))").alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -141,11 +158,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_hashes: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard ≥ threshold:
     (a, b, est_jaccard)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, portable=portable)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a_sig = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b_sig = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
@@ -167,13 +185,19 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, simhash long): per-token xxhash64 bit votes, sign-aggregated.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """(id, simhash long): per-token hash bit votes, sign-aggregated.
 
-    explode + one groupBy; the 64 vote sums are map-side combinable."""
+    explode + one groupBy; the 64 vote sums are map-side combinable.
+    `portable=True` uses the md5-derived 60-bit hash (oracle-reproducible;
+    requires bits <= 60)."""
+    if portable:
+        assert bits <= 60, "portable hash provides 60 bits"
     tok = _spread(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).withColumn("__h", F.xxhash64("__t"))
+    ).withColumn("__h", portable_hash60("__t") if portable else F.xxhash64("__t"))
     # 64 vote sums + the 64-term bit reassembly as parsed SQL — composed
     # Column objects at this count cost ~1.4s of driver round-trips per
     # plan build (see similarity.ivf_assign)
@@ -200,13 +224,15 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     band_bits: int = 16,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming). Blocking: split the 64-bit signature
-    into 64/band_bits chunks; by pigeonhole any pair within Hamming
-    distance < #chunks shares a chunk — join per chunk, verify with
-    bit_count(xor). No crossJoin."""
-    sigs = simhash(df, id_col, text_col)
-    chunks = 64 // band_bits
+    """(a, b, hamming ≤ max_hamming). Blocking: split the `bits`-bit
+    signature into bits/band_bits chunks; by pigeonhole any pair within
+    Hamming distance < #chunks shares a chunk — join per chunk, verify
+    with bit_count(xor). No crossJoin."""
+    sigs = simhash(df, id_col, text_col, bits=bits, portable=portable)
+    chunks = bits // band_bits
     blocked = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -199,9 +199,13 @@ def ivf_topk(
 
     Recall is tunable with n_probe (n_probe = n_centroids degenerates to
     exact search)."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
     seed_rows = (
         corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-        .orderBy(F.xxhash64(F.col("__cid").cast("string")))
+        # md5-derived hash order (not xxhash64) so a DuckDB oracle can
+        # re-derive the exact same seed set; id tiebreak = total order
+        .orderBy(portable_hash60(F.col("__cid").cast("string")), F.col("__cid"))
         .limit(n_centroids)
         .collect()  # n_centroids × dim floats — driver-side by design
     )

@@ -56,10 +56,10 @@ def _scratch(name: str, sf_dir: str) -> str:
     return path
 
 
-# Shared word-3-gram pair-evidence CTEs (DuckDB dialect), used by BOTH the
-# dedup_ngram_jaccard and dedup_components oracles so the shingling and the
-# 0.12 threshold cannot drift apart between them.
-NGRAM_PAIR_CTES = """
+# Shared word-3-gram shingling CTEs (DuckDB dialect): raw text → distinct
+# (doc_id, shingle). Reused by the ngram-Jaccard, connected-components AND
+# MinHash oracles so the shingling can never drift between them.
+NGRAM_SHINGLE_CTES = """
     toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
@@ -73,7 +73,11 @@ NGRAM_PAIR_CTES = """
       FROM toks
     ), dgrams AS (
       SELECT DISTINCT doc_id, sh FROM grams
-    ), sizes AS (
+    )"""
+
+# Pair-evidence CTEs on top of the shingling, shared by the
+# dedup_ngram_jaccard and dedup_components oracles (0.12 threshold).
+NGRAM_PAIR_CTES = NGRAM_SHINGLE_CTES + """, sizes AS (
       SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id
     ), inter AS (
       SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -1292,24 +1296,127 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     )
 
 
-@q("dedup_minhash_lsh")  # approximate — rows-only check (no SQL oracle)
+def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
+    """Full MinHash+LSH pipeline in DuckDB SQL: portable 60-bit shingle
+    hash → 64 affine-mix mins → band-bucket candidates (joined on the raw
+    band values — equality of the 4 mins IS bucket equality) → estimated
+    Jaccard. Coefficients come from the same seeded generator as the
+    Spark side, so signatures are integer-identical."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+    from hudi_demo_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    p = MINHASH_P
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, p))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vs} FROM sigs".format(
+            b=b,
+            vs=", ".join(f"h{b * rpb + r} AS v{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    band_eq = " AND ".join(f"l.v{r} = r.v{r}" for r in range(rpb))
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    h = PORTABLE_HASH60_SQL.format(x="sh")
+    return f"""
+    WITH {NGRAM_SHINGLE_CTES}, hashed AS (
+      SELECT doc_id, {h} % {p} AS h FROM dgrams
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hashed GROUP BY doc_id
+    ), band_rows AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band_rows l JOIN band_rows r
+        ON l.band = r.band AND {band_eq} AND l.doc_id < r.doc_id
+    )
+    SELECT c.a, c.b, round(({matches}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+    WHERE ({matches}) / {num_hashes}.0 >= {threshold}
+    ORDER BY a, b
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_oracle(threshold=0.10))
 def dedup_minhash_lsh_q(spark, sf_dir):
+    """MinHash signatures + banded LSH blocking, portable-hash variant —
+    the oracle rebuilds the identical signature matrix in SQL."""
     from hudi_demo_spark.operators.dedup import minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        minhash_dedup_pairs(d, "doc_id", "text", threshold=0.10)
+        minhash_dedup_pairs(d, "doc_id", "text", threshold=0.10, portable=True)
         .withColumn("est_jaccard", F.round("est_jaccard", 4))
         .orderBy("a", "b")
     )
 
 
-@q("dedup_simhash")  # approximate — rows-only check (no SQL oracle)
+def _simhash_oracle(max_hamming: int, bits: int = 60, band_bits: int = 15) -> str:
+    """SimHash in DuckDB SQL: portable token hash → per-bit sign votes →
+    signature → pigeonhole chunk blocking → bit_count(xor) verify. Same
+    blocking as the Spark side, so the (deterministic) recall profile is
+    identical, not just approximately similar."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(x="t")
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunks = bits // band_bits
+    mask = (1 << band_bits) - 1
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, s, {c} AS chunk, (s >> {c * band_bits}) & {mask} AS k FROM sigs"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {h} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, {votes}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig} AS s FROM votes
+    ), chunked AS (
+      {chunk_rows}
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+    FROM chunked l JOIN chunked r
+      ON l.chunk = r.chunk AND l.k = r.k AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
+@q("dedup_simhash", _simhash_oracle(max_hamming=8))
 def dedup_simhash_q(spark, sf_dir):
+    """60-bit portable SimHash (15-bit chunk blocking) — oracle recomputes
+    the exact signatures and the exact blocked candidate set."""
     from hudi_demo_spark.operators.dedup import simhash_near_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy("a", "b")
+    return (
+        simhash_near_pairs(
+            d, "doc_id", "text", max_hamming=8, band_bits=15, bits=60, portable=True
+        )
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("a", "b")
+    )
 
 
 @q(
@@ -1374,8 +1481,54 @@ def similarity_topk(spark, sf_dir):
     )
 
 
-@q("similarity_topk_lsh")  # approximate — rows-only check
+def _lsh_topk_oracle(
+    k: int = 5, num_tables: int = 8, bits_per_table: int = 4, n_queries: int = 20
+) -> str:
+    """Multi-table sign-pattern LSH in SQL. The hyperplanes are coordinate
+    axes (deterministic sampled dims), so bucket membership is just sign
+    tests on fixed positions — a pair is a candidate iff ANY table's
+    bucket matches, then exact cosine re-rank. Mirrors
+    operators.similarity.lsh_topk bit-for-bit."""
+
+    def bucket(t: int, side: str) -> str:
+        return " + ".join(
+            "(CASE WHEN {s}.embedding[{d}] >= 0 THEN {v} ELSE 0 END)".format(
+                s=side, d=(t * bits_per_table + j) % 64 + 1, v=1 << j
+            )
+            for j in range(bits_per_table)
+        )
+
+    collide = "\n           OR ".join(
+        f"({bucket(t, 'q')}) = ({bucket(t, 'c')})" for t in range(num_tables)
+    )
+    return f"""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {n_queries} AND q.vec_id != c.vec_id
+       AND ({collide})
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+             / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS score
+      FROM cand
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@q("similarity_topk_lsh", _lsh_topk_oracle())
 def similarity_topk_lsh(spark, sf_dir):
+    """OR-amplified multi-table LSH ANN — deterministic hyperplanes make
+    even the *approximate* index differentially testable."""
     from hudi_demo_spark.operators.similarity import lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2159,8 +2312,62 @@ def embedding_label_centroids(spark, sf_dir):
     )
 
 
-@q("similarity_topk_ivf")  # approximate — rows-only check
+def _ivf_topk_oracle(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4, n_queries: int = 20
+) -> str:
+    """The whole IVF index lifecycle in SQL: portable-hash seed selection
+    → cell assignment (score = dot/centroid-norm, row norm skipped — a
+    common factor per row) → n_probe query probing → exact cosine re-rank
+    inside probed cells. Assignment ties break on centroid id, mirroring
+    similarity.ivf_assign's sort_array((score, -id)) ordering."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             embedding::DOUBLE[] AS cv,
+             coalesce(nullif(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])), 0), 1) AS cnorm
+      FROM seeds
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / c.cnorm DESC,
+                        c.cid) AS crank
+      FROM embeddings e CROSS JOIN cents c
+    ), corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM assign WHERE crank = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM assign WHERE vec_id < {n_queries} AND crank <= {n_probe}
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv::DOUBLE[], nv::DOUBLE[])
+             / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                * sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[]))) AS score
+      FROM probes JOIN corpus USING (cid)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@q("similarity_topk_ivf", _ivf_topk_oracle())
 def similarity_topk_ivf(spark, sf_dir):
+    """IVF-Flat ANN, oracle-checked end-to-end: the seed centroids are a
+    deterministic portable-hash sample, so DuckDB re-derives the same
+    index and the same probe/re-rank results."""
     from hudi_demo_spark.operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3185,3 +3392,186 @@ def engine_cdc_read(spark, sf_dir):
         )
         .orderBy("event_id", "change_type")
     )
+
+
+# =====================================================================
+# Corpus-preparation extensions (chunking, packing, decontamination,
+# repetition scoring, PII redaction) — operators/corpus.py
+# =====================================================================
+
+
+@q(
+    "corpus_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), nn AS (
+      SELECT doc_id, t, len(t) AS n,
+             greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT) + 1, 1) AS n_chunks
+      FROM toks
+    ), ch AS (
+      SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM nn
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text,
+           least(n - chunk_id * 24, 32) AS chunk_n_tokens
+    FROM ch ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, stride 24) —
+    per-row array transform + explode, shuffle-free."""
+    from hudi_demo_spark.operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@q(
+    "corpus_pack_offsets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               + 1 AS l
+      FROM documents
+    ), c AS (
+      SELECT doc_id, l,
+             sum(l) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - l AS s
+      FROM toks
+    )
+    SELECT doc_id, l - 1 AS n_tokens, s AS start_token,
+           s // 64 AS first_seq, (s + l - 1) // 64 AS last_seq
+    FROM c ORDER BY doc_id
+    """,
+)
+def corpus_pack_offsets(spark, sf_dir):
+    """GPT-style stream packing into 64-token sequences. The Spark side
+    uses the two-phase bucketed prefix sum (no single-partition window);
+    the oracle states the same placement with a plain global cumsum."""
+    from hudi_demo_spark.operators.corpus import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_offsets(d, "doc_id", "text", seq_len=64).orderBy("doc_id")
+
+
+@q(
+    "corpus_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i : i + 7], ' '))
+             ELSE [] END) AS g8
+      FROM toks
+    ), tg AS (
+      SELECT DISTINCT g8 FROM g WHERE doc_id % 7 = 0
+    ), dirty AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 7 <> 0 AND g8 IN (SELECT g8 FROM tg)
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: drop train docs sharing any word 8-gram
+    with the held-out set (doc_id % 7 = 0). Test shingles broadcast."""
+    from hudi_demo_spark.operators.corpus import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return (
+        decontaminate(train, test, "doc_id", "text", ngram=8)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "corpus_repetition_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS gs
+      FROM toks
+    )
+    SELECT doc_id,
+           len(gs) AS n_grams,
+           len(list_distinct(gs)) AS n_distinct_grams,
+           round(CASE WHEN len(gs) > 0
+                      THEN (len(gs) - len(list_distinct(gs)))
+                           / CAST(len(gs) AS DOUBLE)
+                      ELSE 0.0 END, 4) AS dup_ratio
+    FROM g ORDER BY doc_id
+    """,
+)
+def corpus_repetition_score(spark, sf_dir):
+    """Repeated-trigram boilerplate score — narrow per-row array math,
+    zero shuffle."""
+    from hudi_demo_spark.operators.corpus import repetition_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_score(d, "doc_id", "text", ngram=3).orderBy("doc_id")
+
+
+@q(
+    "corpus_redact_pii",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-867-5309 at 192.168.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+             '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}', '[PHONE]', 'g')
+             AS text
+    FROM injected ORDER BY doc_id
+    """,
+)
+def corpus_redact_pii(spark, sf_dir):
+    """PII redaction over deterministically injected emails/IPs/phones —
+    the injection makes the redaction observable (the fixture corpus
+    itself is PII-free), and both engines run the same portable regexes."""
+    from hudi_demo_spark.operators.corpus import redact_pii
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-867-5309 at 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(d, "text").orderBy("doc_id")

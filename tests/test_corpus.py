@@ -1,0 +1,101 @@
+"""Edge-case tests for operators/corpus.py — the sf fixtures have no
+empty/short docs, so the boundary logic (n < chunk, n < ngram, empty
+text, bucket-phase prefix sum) is pinned here."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    pack_offsets,
+    redact_pii,
+    repetition_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_short_and_boundary(spark):
+    df = _docs(
+        spark,
+        [
+            (1, ""),  # 0 tokens -> one empty chunk
+            (2, "a b c"),  # < chunk -> one chunk
+            (3, " ".join(f"t{i}" for i in range(32))),  # == chunk -> one chunk
+            (4, " ".join(f"t{i}" for i in range(33))),  # chunk+1 -> two chunks
+        ],
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(df, "doc_id", "text", 32, 24).collect()
+    }
+    assert out[(1, 0)] == ("", 0)
+    assert out[(2, 0)] == ("a b c", 3)
+    assert (3, 1) not in out and out[(3, 0)][1] == 32
+    assert out[(4, 1)] == (" ".join(f"t{i}" for i in range(24, 33)), 9)
+
+
+def test_chunk_full_coverage(spark):
+    n = 100
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(n)))])
+    rows = chunk_documents(df, "doc_id", "text", 32, 24).collect()
+    covered = set()
+    for r in rows:
+        start = r.chunk_id * 24
+        covered |= set(range(start, start + r.chunk_n_tokens))
+    assert covered == set(range(n))
+
+
+def test_pack_offsets_matches_naive_cumsum(spark):
+    # scrambled ids across buckets; n_buckets > #docs exercises empties
+    rows = [(i * 7 % 50, f"doc {i} " + "tok " * (i % 13)) for i in range(50)]
+    df = _docs(spark, [(i, t.strip()) for i, t in rows])
+    got = {
+        r.doc_id: (r.n_tokens, r.start_token, r.first_seq, r.last_seq)
+        for r in pack_offsets(df, "doc_id", "text", seq_len=16, n_buckets=8).collect()
+    }
+    # naive: global cumsum in id order
+    lens = sorted((i, len(t.strip().split()) + 1) for i, t in rows)
+    off = 0
+    for i, l in lens:
+        assert got[i] == (l - 1, off, off // 16, (off + l - 1) // 16), i
+        off += l
+
+
+def test_decontaminate_exact_overlap_only(spark):
+    clean = "alpha beta gamma delta epsilon zeta eta theta"
+    shared = "one two three four five six seven eight nine"
+    train = _docs(spark, [(1, clean), (2, shared + " tail"), (3, "short text")])
+    test = _docs(spark, [(100, "lead " + shared)])
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(train, test, "doc_id", "text", ngram=8).collect()
+    )
+    # doc 2 shares the 8-gram "one..eight"; doc 3 is too short to shingle
+    assert kept == [1, 3]
+
+
+def test_repetition_score_bounds(spark):
+    df = _docs(spark, [(1, "a b"), (2, "x y z x y z x y z")])
+    got = {r.doc_id: r for r in repetition_score(df, "doc_id", "text", 3).collect()}
+    assert (got[1].n_grams, got[1].dup_ratio) == (0, 0.0)
+    assert got[2].n_grams == 7 and got[2].n_distinct_grams == 3
+    assert got[2].dup_ratio == pytest.approx(4 / 7, abs=1e-4)
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org now"),
+            (2, "server 10.0.255.3 and call +44-207-946-0958"),
+            (3, "no pii here, just 3.14 and v1.2.3"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.text for r in redact_pii(df, "text").collect()}
+    assert got[1] == "mail me at [EMAIL] now"
+    assert got[2] == "server [IP] and call [PHONE]"
+    assert got[3] == "no pii here, just 3.14 and v1.2.3"

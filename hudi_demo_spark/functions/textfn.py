@@ -18,6 +18,19 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
+def bind(col: Column, f) -> Column:
+    """Evaluate `col` ONCE per row and feed the result to `f`.
+
+    Referencing a composed Column (e.g. ``tokens(text)``) several times
+    inside a higher-order-function lambda re-evaluates the whole subtree
+    at every reference — for n-gram builders that turns O(tokens) work
+    into O(tokens²·n) (measured 8x slowdown at n=8). Wrapping the value
+    in a single-element array and binding it to a transform() lambda
+    variable forces one evaluation; the variable is then free to reuse.
+    """
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def bpe_tokens(col: Column | str) -> Column:
     """BPE-ish pre-tokenization: word runs or punctuation runs (the
     GPT-2-style `\\w+|[^\\w\\s]+` split)."""
@@ -31,16 +44,20 @@ def word_trigrams(col: Column | str) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int) -> Column:
-    """Word n-gram shingles (space-joined); empty array for <n tokens."""
-    toks = tokens(col)
-    sz = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), sz - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles (space-joined); empty array for <n tokens.
+
+    Tokenization is bound once per row (see `bind`); each gram is a
+    slice + join of the bound array, so total cost is O(tokens·n)."""
+
+    def build(toks: Column) -> Column:
+        sz = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(col), build)
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hudi_demo_spark.functions.textfn import tokens, word_ngrams
+from hudi_demo_spark.functions.textfn import bind, tokens, word_ngrams
 from hudi_demo_spark.operators.util import spread as _spread
 
 
@@ -49,19 +49,26 @@ def chunk_documents(
     covered and short docs yield exactly one chunk. Pure array ops — the
     explode multiplies rows but never shuffles."""
     assert 0 < stride <= chunk_tokens
-    toks = tokens(text_col)
-    n = F.size(toks)
-    n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
-                "chunk_text"
+
+    def build(toks):
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(chunk_tokens)).alias("chunk_n_tokens"),
             ),
-            F.least(n - i * stride, F.lit(chunk_tokens)).alias("chunk_n_tokens"),
-        ),
-    )
+        )
+
+    # tokenization bound once per row (textfn.bind) — referencing the
+    # token subtree inside the lambda would re-split the text per chunk
+    chunks = bind(tokens(text_col), build)
     return (
         _spread(df)
         .select(F.col(id_col), F.explode(chunks).alias("c"))
@@ -168,16 +175,23 @@ def repetition_score(
     """(id, n_grams, n_distinct_grams, dup_ratio): fraction of repeated
     word n-grams — the cheap boilerplate/template detector. Per-row array
     math only; no shuffle, no explode."""
-    grams = word_ngrams(text_col, ngram)
-    n = F.size(grams)
-    nd = F.size(F.array_distinct(grams))
-    return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_grams"),
-        nd.cast("long").alias("n_distinct_grams"),
-        F.round(
-            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
-        ).alias("dup_ratio"),
+    stats = bind(
+        word_ngrams(text_col, ngram),
+        lambda grams: F.struct(
+            F.size(grams).alias("n"), F.size(F.array_distinct(grams)).alias("nd")
+        ),
+    )
+    n, nd = F.col("__s.n"), F.col("__s.nd")
+    return (
+        df.withColumn("__s", stats)
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_grams"),
+            nd.cast("long").alias("n_distinct_grams"),
+            F.round(
+                F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
+            ).alias("dup_ratio"),
+        )
     )
 
 

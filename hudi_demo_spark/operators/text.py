@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hudi_demo_spark.functions.textfn import (
+    bind,
     bpe_tokens,
     fingerprint_md5,
     punct_ratio,
@@ -29,33 +30,47 @@ STOPWORDS = {
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_tokens, n_bpe_tokens, n_chars_seen, avg_token_len)."""
-    toks = tokens(text_col)
-    return df.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(bpe_tokens(text_col)).alias("n_bpe_tokens"),
-        F.length(F.col(text_col)).alias("n_chars_seen"),
-        F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
-            )
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
-        ).alias("avg_token_len"),
+    """(id, n_tokens, n_bpe_tokens, n_chars_seen, avg_token_len).
+
+    The token array is bound once per row (textfn.bind) — its three
+    references would otherwise re-split the text each time."""
+    stats = bind(
+        tokens(text_col),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)).alias(
+                "chars"
+            ),
+        ),
+    )
+    return (
+        df.withColumn("__s", stats)
+        .select(
+            F.col(id_col),
+            F.col("__s.n").alias("n_tokens"),
+            F.size(bpe_tokens(text_col)).alias("n_bpe_tokens"),
+            F.length(F.col(text_col)).alias("n_chars_seen"),
+            F.round(
+                F.col("__s.chars") / F.greatest(F.col("__s.n"), F.lit(1)), 4
+            ).alias("avg_token_len"),
+        )
     )
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1]:
     penalize very short docs, high punctuation, high uppercase."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    pr = punct_ratio(text_col)
-    ur = upper_ratio(text_col)
+    feats = F.struct(
+        F.size(tokens(text_col)).alias("n_tok"),
+        punct_ratio(text_col).alias("pr"),
+        upper_ratio(text_col).alias("ur"),
+    )
+    n_tok, pr, ur = F.col("__f.n_tok"), F.col("__f.pr"), F.col("__f.ur")
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     score = len_score * (1 - F.least(pr * 5, F.lit(1.0))) * (1 - F.least(ur * 5, F.lit(1.0)))
-    return df.select(
+    # one projection computes each regex/split feature once; the score
+    # then reads cheap struct fields instead of re-running the regexes
+    return df.withColumn("__f", feats).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(pr, 4).alias("punct_ratio"),
@@ -77,18 +92,25 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     CJK codepoints appear, 'und' when nothing matches. Explicit CASE
     chain (first language in LANG_ORDER wins ties) so the SQL oracle can
     mirror it verbatim."""
-    hits = {lang: _count_words(text_col, STOPWORDS[lang]) for lang in LANG_ORDER}
-    n_cjk = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[一-鿿]", "")
+    feats = F.struct(
+        *[_count_words(text_col, STOPWORDS[lang]).alias(lang) for lang in LANG_ORDER],
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"[一-鿿]", ""))
+        ).alias("cjk"),
     )
-    pred = F.when(n_cjk > 0, F.lit("zh"))
+    # one projection runs each stopword regex once; the CASE chain below
+    # references the counts many times (argmax comparisons) and would
+    # otherwise re-run every regexp_extract_all per reference
+    hits = {lang: F.col(f"__f.{lang}") for lang in LANG_ORDER}
+    pred = F.when(F.col("__f.cjk") > 0, F.lit("zh"))
     for i, lang in enumerate(LANG_ORDER):
         cond = hits[lang] > 0
         for other in LANG_ORDER[i + 1 :]:
             cond = cond & (hits[lang] >= hits[other])
         pred = pred.when(cond, F.lit(lang))
     pred = pred.otherwise(F.lit("und"))
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return df.withColumn("__f", feats).select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

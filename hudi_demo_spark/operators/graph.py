@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -30,13 +31,44 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    driver_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
     the smallest node id in its connected component. Undirected: edges
-    are symmetrized. Deterministic."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct().persist()
+    are symmetrized. Deterministic.
+
+    Adaptive execution: near-dup edge sets are a tiny fraction of the
+    corpus (pairs survive LSH + verify), so when the materialized edge
+    count is ≤ `driver_threshold` (2M edges ≈ 32 MB of int64 pairs) the
+    loop is replaced by exact driver-side union-find — same output, none
+    of the per-iteration job/shuffle overhead. Above the gate (or with
+    driver_threshold=None) the distributed label-propagation loop runs;
+    the count that decides this materializes the persisted edge cache
+    the first iteration would have paid for anyway."""
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    # the pair-evidence plan is the expensive part (shingle self-join);
+    # persist it BEFORE symmetrizing — a union of two references to the
+    # uncached subplan would execute it twice
+    if driver_threshold is not None and ed.count() <= driver_threshold:
+        try:
+            return _driver_union_find(ed)
+        finally:
+            ed.unpersist()
+    # one-pass symmetrize: each cached row emits both directions
+    e = (
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .persist()
+    )
+    ed.unpersist()
     labels = (
         e.select(F.col("s").alias("id"))
         .distinct()
@@ -86,6 +118,41 @@ def connected_components(
         )
     finally:
         e.unpersist()
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact union-find (path compression + union by min) over a
+    collected edge list (any orientation, duplicates fine); returns the
+    same (node, component) frame as the distributed loop. Only called
+    under the size gate."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = e.collect()
+    for r in rows:
+        a, b = r["s"], r["d"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min keeps component = smallest id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", e.schema["s"].dataType),
+            T.StructField("component", e.schema["d"].dataType),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
 
 
 def canonical_docs(

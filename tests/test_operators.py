@@ -142,17 +142,21 @@ def test_frame_sample_plan(spark):
     }
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, None])
+def test_connected_components_chain_and_islands(spark, threshold):
     from hudi_demo_spark.operators.graph import connected_components
 
     # chain 1-2-3-4 (diameter > 1 forces multiple iterations), pair 10-11,
-    # and an isolated edge 20-21
+    # and an isolated edge 20-21; threshold=None forces the distributed
+    # loop, the default takes the driver union-find path — same answer
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "a long, b long"
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(edges, max_iter=10).collect()
+        for r in connected_components(
+            edges, max_iter=10, driver_threshold=threshold
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
@@ -196,8 +200,8 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=2).collect()
-    got = connected_components(chain, max_iter=20).collect()
+        connected_components(chain, max_iter=2, driver_threshold=None).collect()
+    got = connected_components(chain, max_iter=20, driver_threshold=None).collect()
     assert all(r["component"] == 0 for r in got)
 
 

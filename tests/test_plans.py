@@ -93,3 +93,40 @@ def test_engine_read_prunes_partitions_at_metadata_level(engine, spark, sf_dir):
     assert files and all("event_type=view" in f for f in files)
     full = engine.read("t")
     assert len(full.inputFiles()) > len(files)
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    # the 100-TB train side must never shuffle: eval shingles broadcast
+    # into a map-side semi join
+    plan = plan_of(QUERIES["corpus_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_offsets_has_no_global_window_over_docs(spark, sf_dir):
+    # the doc-level cumsum windows must be partitioned by range bucket;
+    # a global ORDER-BY window (single partition over the corpus) may
+    # only appear for the n_buckets-row base-offset table
+    from hudi_demo_spark.operators.corpus import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    df = pack_offsets(d, "doc_id", "text", seq_len=64, n_buckets=32)
+    plan = plan_of(df, "extended")
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "Window ["
+               in ln.replace("AdaptiveSparkPlan", "")]
+    doc_windows = [ln for ln in windows if "__b" in ln and "partitionBy" not in ln]
+    # per-bucket window present (specified by __b), and the only
+    # unpartitioned window works on the bucket totals (__tot aggregate)
+    assert any("__cum" in ln or "_we0" in ln for ln in windows), windows
+    unpartitioned = [ln for ln in windows if "windowspecdefinition(__b" not in ln
+                     and "partitionspec" not in ln]
+    for ln in unpartitioned:
+        assert "__tot" in ln or "__base" in ln or "__b" in ln, ln
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(QUERIES["corpus_chunk_documents"](spark, sf_dir))
+    # explode + project only — no Exchange other than the final orderBy's
+    # range partitioning
+    assert "Generate" in plan and "explode(" in plan
+    assert "hashpartitioning" not in plan

@@ -41,6 +41,31 @@ def hash_sample(df: DataFrame, key: str, fraction_16ths: int) -> DataFrame:
     return df.filter(hash_bucket(key, 16) < fraction_16ths)
 
 
+def weighted_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    rates_256ths: dict[str, int],
+    default_256ths: int = 256,
+) -> DataFrame:
+    """Domain mixing: deterministically sample each group (source /
+    domain / language) at its own rate — the standard pretraining-mixture
+    op ("keep 10% of CommonCrawl, 100% of Wikipedia"). Rates are in
+    256ths so the assignment is an exact integer comparison on a 2-hex-
+    nibble bucket of the stable key hash: reproducible on any engine, no
+    RNG, map-side only, and a row's fate never changes as data grows.
+
+    Unknown groups keep `default_256ths` (256 = keep all)."""
+    for g, r in rates_256ths.items():
+        if not 0 <= r <= 256:
+            raise ValueError(f"rate for {g!r} must be in [0, 256]")
+    b = hash_bucket(key, 256)
+    rate = F.lit(default_256ths)
+    for g, r in rates_256ths.items():
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def train_val_test_split(
     df: DataFrame,
     key: str,

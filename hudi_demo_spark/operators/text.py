@@ -120,6 +120,23 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
 
 
+def term_frequencies(
+    df: DataFrame, text_col: str, min_freq: int = 1
+) -> DataFrame:
+    """(term, freq) corpus vocabulary — tokenizer/BPE prep. One explode
+    + one keyed count (map-side combinable); `min_freq` prunes the
+    hapax tail before it reaches the driver or any sink."""
+    terms = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != "")
+        ).alias("term")
+    )
+    out = terms.groupBy("term").agg(F.count("*").alias("freq"))
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out
+
+
 def top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -3575,3 +3575,90 @@ def corpus_redact_pii(spark, sf_dir):
         ).alias("text"),
     )
     return redact_pii(d, "text").orderBy("doc_id")
+
+
+@q(
+    "corpus_weighted_mix",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) % 256 AS b
+      FROM documents
+    )
+    WHERE b < (CASE source WHEN 'src0' THEN 64 WHEN 'src1' THEN 256
+               WHEN 'src2' THEN 0 ELSE 128 END)
+    ORDER BY doc_id
+    """,
+)
+def corpus_weighted_mix(spark, sf_dir):
+    """Pretraining domain mixing: per-source deterministic sampling rates
+    (src0 25%, src1 100%, src2 dropped, default 50%) — map-side hash
+    comparison, zero shuffle, engine-portable."""
+    from hudi_demo_spark.operators.sampling import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_mix(
+            d, "doc_id", "source",
+            {"src0": 64, "src1": 256, "src2": 0},
+            default_256ths=128,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "corpus_term_frequencies",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x != '')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS freq
+    FROM toks GROUP BY term
+    HAVING count(*) >= 5
+    ORDER BY freq DESC, term
+    """,
+)
+def corpus_term_frequencies(spark, sf_dir):
+    """Corpus vocabulary with min frequency (BPE/tokenizer prep): one
+    explode + one map-side-combinable count per term."""
+    from hudi_demo_spark.operators.text import term_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_frequencies(d, "text", min_freq=5).orderBy(
+        F.desc("freq"), "term"
+    )
+
+
+@q(
+    "embedding_covariance",
+    """
+    WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+    e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    means AS (
+      SELECT d.i AS i, avg(v[d.i + 1]) AS m
+      FROM e, dims d GROUP BY d.i
+    ), prods AS (
+      SELECT p.i, p.j, avg(v[p.i + 1] * v[p.j + 1]) AS exy
+      FROM e, (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE a.i <= b.i) p
+      GROUP BY p.i, p.j
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           round(p.exy - mi.m * mj.m, 6) AS cov
+    FROM prods p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i
+    ORDER BY i, j
+    """,
+)
+def embedding_covariance_q(spark, sf_dir):
+    """Corpus covariance of the embedding column: per-partition numpy
+    Gram partials via one Arrow-batched mapInPandas pass (the shuffle
+    moves one dim^2 row per partition, independent of corpus size),
+    assembled on the driver. Upper triangle as (i, j, cov)."""
+    from hudi_demo_spark.operators.embeddings import embedding_covariance
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, "embedding").orderBy("i", "j")

@@ -249,3 +249,43 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
     step = got[3]["scale"]
     for q, x in zip(got[3]["qvec"], [-0.5, 0.25, 0.5]):
         assert abs(q * step - x) <= step / 2 + 1e-12
+
+
+def test_embedding_moments_match_numpy(spark):
+    import numpy as np
+
+    from hudi_demo_spark.operators.embeddings import embedding_moments
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)], "id long, embedding array<float>"
+    ).repartition(5)  # multiple partitions -> multiple partials
+    n, mean, cov = embedding_moments(df, "embedding")
+    xd = x.astype(np.float64)
+    assert n == 300
+    assert np.allclose(mean, xd.mean(0), atol=1e-9)
+    assert np.allclose(cov, np.cov(xd.T, bias=True), atol=1e-9)
+
+
+def test_pca_project_recovers_dominant_direction(spark):
+    import numpy as np
+
+    from hudi_demo_spark.operators.embeddings import pca_project
+
+    rng = np.random.default_rng(11)
+    # variance concentrated on a known direction
+    d = np.zeros((400, 6)); d[:, 2] = rng.normal(scale=10.0, size=400)
+    noise = rng.normal(scale=0.1, size=(400, 6))
+    x = (d + noise).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)], "id long, embedding array<float>"
+    )
+    rows = pca_project(df, "embedding", k=1).orderBy("id").collect()
+    proj = np.array([r["pca"][0] for r in rows])
+    # projection ~ the dominant coordinate (sign fixed deterministically)
+    corr = np.corrcoef(proj, x[:, 2].astype(np.float64))[0, 1]
+    assert corr > 0.999, corr
+    # deterministic across recomputation
+    rows2 = pca_project(df, "embedding", k=1).orderBy("id").collect()
+    assert [r["pca"] for r in rows] == [r["pca"] for r in rows2]

@@ -163,7 +163,10 @@ def minhash_dedup_pairs(
     """Near-dup pairs with estimated Jaccard ≥ threshold:
     (a, b, est_jaccard)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, portable=portable)
+    # the signature plan (shingle explode + 64-min aggregate) is referenced
+    # four times below (band join l/r + both verify sides); persist so it
+    # executes once, not four times
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, portable=portable).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a_sig = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b_sig = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
@@ -231,7 +234,8 @@ def simhash_near_pairs(
     signature into bits/band_bits chunks; by pigeonhole any pair within
     Hamming distance < #chunks shares a chunk — join per chunk, verify
     with bit_count(xor). No crossJoin."""
-    sigs = simhash(df, id_col, text_col, bits=bits, portable=portable)
+    # persisted: the signature plan feeds both sides of the chunk self-join
+    sigs = simhash(df, id_col, text_col, bits=bits, portable=portable).persist()
     chunks = bits // band_bits
     blocked = sigs.select(
         F.col(id_col),
@@ -295,6 +299,9 @@ def ngram_jaccard_pairs(
             F.transform(word_trigrams(text_col), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).dropDuplicates(["id", "sh"])
+    # NOT persisted: the l/r self-join sides are identical subplans, so
+    # Spark reuses one shuffle (ReusedExchange); caching only adds an
+    # in-memory columnar write (measured ~15% slower at sf0.1)
     if max_shingle_freq is not None:
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(keep.select("sh"), "sh")

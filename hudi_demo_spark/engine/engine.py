@@ -839,15 +839,18 @@ class Engine:
         return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
 
     @staticmethod
-    def _batch_key_ranges(df: DataFrame) -> dict[str, tuple[str, str]]:
-        """{partition: (min_key, max_key)} of an incoming batch — one tiny
-        aggregate, the upsert 'index lookup' input."""
+    def _batch_key_ranges(
+        df: DataFrame,
+    ) -> tuple[dict[str, tuple[str, str]], int]:
+        """({partition: (min_key, max_key)}, total_rows) of an incoming
+        batch — one tiny aggregate, the upsert 'index lookup' input; the
+        row count gates the broadcast merge fast path."""
         rows = (
             df.groupBy(PARTITION_PATH_META)
-            .agg(F.min(RECORD_KEY_META), F.max(RECORD_KEY_META))
+            .agg(F.min(RECORD_KEY_META), F.max(RECORD_KEY_META), F.count("*"))
             .collect()
         )
-        return {r[0]: (r[1], r[2]) for r in rows}
+        return {r[0]: (r[1], r[2]) for r in rows}, sum(r[3] for r in rows)
 
     @staticmethod
     def _affected_files(
@@ -895,19 +898,61 @@ class Engine:
             return meta
         batch = batch.persist()
         try:
-            ranges = self._batch_key_ranges(batch)
+            ranges, batch_rows = self._batch_key_ranges(batch)
             live = tl.live_files()
             affected = self._affected_files(live, ranges)
-            if affected:
+            # cost-based merge strategy: when the affected base is LARGE
+            # and the batch small, shuffling every affected file through
+            # the payload window dominates — switch to the broadcast
+            # plan. Below the threshold the single window is cheaper
+            # (the broadcast plan pays two base scans + two broadcast
+            # builds in fixed overhead). File bytes come from commit
+            # metadata — no filesystem calls.
+            affected_bytes = sum(m.get("bytes") or 0 for m in affected.values())
+            min_base = int(
+                cfg.props.get(
+                    "upsert.broadcast.min_base_bytes", 512 * 1024 * 1024
+                )
+            )
+            if (
+                affected
+                and batch_rows <= 1_000_000
+                and affected_bytes >= min_base
+            ):
+                # broadcast merge fast path (batch ≪ base): dedup the
+                # batch alone (small window), broadcast its keys, and
+                # split base map-side into untouched (anti) and
+                # contested (semi) rows — only contested ∪ batch goes
+                # through the payload-ordering window. The base NEVER
+                # shuffles. Key groups are either fully untouched or
+                # fully contested, so the result is identical to the
+                # one-window formulation.
                 base = self._read_files(cfg, affected)
-                combined = base.unionByName(batch, allowMissingColumns=True)
+                # persisted: the deduped batch feeds two broadcast builds
+                # and the contested union — without it the dedup window
+                # executes three times
+                deduped = self._merge_view(batch, cfg).persist()
+                keys = deduped.select(PARTITION_PATH_META, RECORD_KEY_META)
+                on = [PARTITION_PATH_META, RECORD_KEY_META]
+                untouched = base.join(F.broadcast(keys), on, "left_anti")
+                contested = base.join(F.broadcast(keys), on, "left_semi")
+                winner = untouched.unionByName(
+                    self._merge_view(
+                        contested.unionByName(deduped, allowMissingColumns=True),
+                        cfg,
+                    ),
+                    allowMissingColumns=True,
+                )
             else:
-                combined = batch
-            # COW needs no separate batch pre-dedup: _merge_view applies the
-            # same payload ordering (precombine/commit) over base ∪ batch, so
-            # intra-batch winners fall out of the one merge window — one
-            # keyed shuffle instead of two.
-            winner = self._merge_view(combined, cfg)
+                if affected:
+                    base = self._read_files(cfg, affected)
+                    combined = base.unionByName(batch, allowMissingColumns=True)
+                else:
+                    combined = batch
+                # big-batch path: _merge_view applies the payload ordering
+                # (precombine/commit) over base ∪ batch in ONE keyed
+                # shuffle; intra-batch winners fall out of the same window.
+                winner = self._merge_view(combined, cfg)
             if DELETED_META in winner.columns:
                 winner = winner.filter(
                     ~F.coalesce(F.col(DELETED_META), F.lit(False))
@@ -984,7 +1029,7 @@ class Engine:
         )
         tl = Timeline(cfg.path)
         try:
-            ranges = self._batch_key_ranges(keyed)
+            ranges, _ = self._batch_key_ranges(keyed)
             live = tl.live_files()
             affected = self._affected_files(live, ranges)
             if cfg.table_type == MOR:
@@ -1082,7 +1127,7 @@ class Engine:
         src = self._conform(self._stamp(source, cfg, instant), cfg)
         src = self._dedup_batch(src, cfg).persist()
         try:
-            ranges = self._batch_key_ranges(src)
+            ranges, _ = self._batch_key_ranges(src)
             live = tl.live_files()
             affected = self._affected_files(live, ranges)
             base = self._read_files(cfg, affected)

@@ -283,3 +283,37 @@ def test_key_ranges_recorded_in_commit_meta(engine, spark):
     for f in meta["files_added"]:
         assert f.get("key_min") is not None, f
         assert f.get("key_max") is not None, f
+
+
+def test_upsert_broadcast_path_matches_window_path(spark, tmp_path, sf_dir):
+    """The cost-gated broadcast merge plan and the single-window plan
+    must produce identical tables (forced via the min_base_bytes prop)."""
+    from hudi_demo_spark import Engine
+    from hudi_demo_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    snaps = []
+    for tag, props in [("bc", {"upsert.broadcast.min_base_bytes": "0"}), ("win", None)]:
+        eng = Engine(spark, tmp_path / tag)
+        eng.create_table(
+            "t", record_key="o_orderkey", precombine="seq",
+            partition_by="o_orderstatus", props=props,
+        )
+        eng.insert(o, "t")
+        eng.upsert(upd, "t")
+        snaps.append(
+            sorted(
+                tuple(r)
+                for r in eng.read("t")
+                .drop("_hoodie_commit_time")
+                .collect()
+            )
+        )
+    assert snaps[0] == snaps[1]

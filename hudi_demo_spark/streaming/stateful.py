@@ -21,6 +21,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row seen per key —
+    the ingest guard in front of an append-only sink (an upsert sink
+    needs no dedup; preCombine supersedes it, SURVEY §2.5 T7).
+
+    With `event_time_col`, uses `dropDuplicatesWithinWatermark` so the
+    per-key state is EVICTED once the watermark passes — bounded state,
+    the only formulation that survives an unbounded 100-TB/day stream.
+    Without it, plain `dropDuplicates` keeps all keys forever (fine for
+    bounded backfills). State is hash-partitioned by key across the
+    executor state stores; no driver involvement."""
+    if event_time_col is not None:
+        return stream_df.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream_df.dropDuplicates(key_cols)
+
+
 def running_totals(
     stream_df: DataFrame,
     key_col: str,

@@ -101,3 +101,36 @@ def test_stream_read_file_source(engine, spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("select id from feed_out").collect()
     assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_stream_dedup_exact_with_watermark(spark, tmp_path):
+    """Duplicate keys across micro-batches are emitted once; watermark
+    variant uses bounded per-key state (dropDuplicatesWithinWatermark)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.streaming.stateful import stream_dedup_exact
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    rows = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:05"),
+            (1, "2024-01-01 00:00:10"), (3, "2024-01-01 00:00:15"),
+            (2, "2024-01-01 00:00:20")]
+    df = spark.createDataFrame(rows, "k long, ts string")
+    df.coalesce(1).write.json(str(src_dir / "batch"))
+    feed = (
+        spark.readStream.schema("k long, ts string")
+        .json(str(src_dir / "batch"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_dedup_exact(feed, ["k"], event_time_col="ts")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r["k"] for r in spark.sql("select k from dedup_t").collect())
+    assert got == [1, 2, 3]
+    shutil.rmtree(tmp_path, ignore_errors=True)

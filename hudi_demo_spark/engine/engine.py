@@ -1263,11 +1263,55 @@ class Engine:
             instant, tlmod.COMPACTION, "compact", added, sorted(affected)
         )
 
+    @staticmethod
+    def _zorder_col(df: DataFrame, cols: list[str]) -> Column:
+        """Z-value (Morton code) of up to 4 numeric columns: min-max
+        normalize each to a 16-bit code (one tiny agg for the bounds,
+        shipped as literals — no join), then interleave bits so sorting
+        by the single z-value clusters locality in EVERY dimension at
+        once. Nulls code to 0 (sort first). Used by
+        cluster(strategy='zorder'); stats-based file skipping then works
+        for range predicates on ANY of the z-ordered columns."""
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("zorder supports 1-4 columns")
+        for c in cols:
+            if not isinstance(
+                df.schema[c].dataType,
+                (
+                    T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                    T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+                    T.TimestampType,
+                ),
+            ):
+                raise ValueError(f"zorder column {c!r} must be numeric/temporal")
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        codes = []
+        for c in cols:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+            norm = (F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span)
+            code = F.least(
+                F.greatest(F.floor(norm * 65535), F.lit(0)), F.lit(65535)
+            )
+            codes.append(F.coalesce(code, F.lit(0)).cast("long"))
+        z = F.lit(0).cast("long")
+        for bit in range(16):
+            for i, code in enumerate(codes):
+                z = z + F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * len(codes) + i,
+                )
+        return z
+
     def cluster(
         self,
         table: str | TableConfig,
         sort_cols: list[str],
         partition_filter: str | Column | None = None,
+        strategy: str = "linear",
     ) -> dict | None:
         """Clustering table service (Hudi's replacecommit clustering
         analog): rewrite the live file slices range-partitioned and
@@ -1299,7 +1343,15 @@ class Engine:
         if DELETED_META in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
         range_keys = [F.col(PARTITION_PATH_META)] if cfg.partition_fields else []
-        range_keys += [F.col(c) for c in sort_cols]
+        if strategy == "zorder":
+            # multi-dimensional clustering: one interleaved sort key
+            # instead of lexicographic (which only skips on the leading
+            # column); per-file stats still recorded per ORIGINAL column
+            range_keys += [self._zorder_col(df, sort_cols)]
+        elif strategy == "linear":
+            range_keys += [F.col(c) for c in sort_cols]
+        else:
+            raise ValueError(f"unknown clustering strategy: {strategy!r}")
         arranged = df.repartitionByRange(*range_keys).sortWithinPartitions(
             *range_keys
         )

@@ -118,7 +118,9 @@ class SqlRouter:
                 raise ValueError(
                     "call run_clustering(table => 't', order => 'c1,c2')"
                 )
-            self.engine.cluster(table, order)
+            self.engine.cluster(
+                table, order, strategy=args.get("strategy", "linear")
+            )
             return None
         if proc == "clean":
             self.engine.clean(

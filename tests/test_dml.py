@@ -3,6 +3,7 @@
 update → delete → merge, asserting exact table state after each step
 (SURVEY §5 item 2)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 SEED_ROWS = [
@@ -317,3 +318,40 @@ def test_upsert_broadcast_path_matches_window_path(spark, tmp_path, sf_dir):
             )
         )
     assert snaps[0] == snaps[1]
+
+
+def test_cluster_zorder_two_dim_locality(engine, spark):
+    """Z-order clustering: results exact, per-file stats present for BOTH
+    dimensions, and metadata skipping prunes on the SECOND column too
+    (lexicographic sort could only skip on the leading one)."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.floor(F.col("id") / 64)).cast("double").alias("y"),
+    )
+    engine.create_table("zc", record_key="k", props={"write.target_file_mb": "1"})
+    engine.insert(df, "zc")
+    meta = engine.cluster("zc", ["x", "y"], strategy="zorder")
+    assert meta["operation"] == "cluster"
+    got = engine.read("zc")
+    assert got.count() == 4096
+    assert got.agg(F.sum("x"), F.sum("y")).first() == \
+        df.agg(F.sum("x"), F.sum("y")).first()
+    cfg = engine._resolve("zc")
+    live = Timeline(cfg.path).live_files()
+    assert all(
+        "x" in m.get("col_stats", {}) and "y" in m.get("col_stats", {})
+        for m in live.values()
+    )
+    if len(live) > 2:
+        # a narrow slice in EACH dimension skips files
+        px = engine._prune_by_stats(live, "x", 0.0, 3.0)
+        py = engine._prune_by_stats(live, "y", 0.0, 3.0)
+        assert len(px) < len(live) and len(py) < len(live)
+    for col, lo, hi in [("x", 0.0, 3.0), ("y", 60.0, 63.0)]:
+        want = df.filter((F.col(col) >= lo) & (F.col(col) <= hi)).count()
+        assert engine.read("zc", range_filter=(col, lo, hi)).count() == want
+    with pytest.raises(ValueError, match="strategy"):
+        engine.cluster("zc", ["x"], strategy="hilbert")

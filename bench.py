@@ -58,6 +58,9 @@ HEADLINE = [
     "corpus_chunk_documents",
     "corpus_pack_offsets",
     "corpus_decontaminate",
+    "corpus_weighted_mix",
+    "corpus_term_frequencies",
+    "embedding_covariance",
 ]
 
 

@@ -14,14 +14,18 @@ Design notes for scale: the timeline is O(#commits) small JSON files; the
 live-file set is replayed driver-side (metadata only, no data scan) — the
 same shape as Hudi's timeline server. Archival compacts replayed state
 into a checkpoint so the active timeline stays bounded (M3).
-Single-writer assumption (matches the reference demos); commit files are
-written atomically via rename.
+Concurrency: commit files are written atomically via rename; ``commit()``
+enforces optimistic concurrency control at file-group granularity (a
+writer may only replace files still live — conflicts raise
+ConcurrentWriteError instead of losing updates), and ``lock()`` offers a
+pessimistic per-table writer lock for serialized-writer deployments.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -40,6 +44,10 @@ CLEAN = "clean"
 _last_instant = [""]
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers replaced the same file group (OCC conflict)."""
+
+
 def new_instant() -> str:
     """Monotonically increasing yyyyMMddHHmmssSSSSSS instant string."""
     while True:
@@ -56,6 +64,38 @@ class Timeline:
 
     # ---------------- write side ----------------
 
+    @contextmanager
+    def lock(self, timeout_s: float = 60.0, stale_s: float = 600.0):
+        """Pessimistic per-table writer lock (the lock-provider analog of
+        Hudi's FileSystemBasedLockProvider): atomic mkdir as the mutex,
+        stale locks broken after `stale_s`. OCC in `commit()` already
+        prevents corruption; this is for callers who prefer serialized
+        writers over retry-on-conflict."""
+        lockdir = self.dir / "_lock"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                lockdir.mkdir()
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - lockdir.stat().st_mtime > stale_s:
+                        lockdir.rmdir()
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"table writer lock held: {lockdir}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                lockdir.rmdir()
+            except FileNotFoundError:
+                pass
+
     def commit(
         self,
         instant: str,
@@ -67,7 +107,25 @@ class Timeline:
         batch_id: int | None = None,
     ) -> dict:
         """files_added: [{"path": rel, "kind": "base"|"delta"|"external",
-        "partition": pp, ...}]; files_removed: rel paths or "*" (replace)."""
+        "partition": pp, ...}]; files_removed: rel paths or "*" (replace).
+
+        Optimistic concurrency control (Hudi's OCC analog, file-group
+        granularity): a writer may only replace files that are STILL
+        live at publish time. If another writer replaced any of them
+        since this writer read its snapshot, the commit raises
+        ConcurrentWriteError and publishes nothing — last-writer-wins
+        corruption is impossible, lost updates surface loudly. Writers
+        that touch disjoint file groups commit concurrently without
+        coordination; `lock()` exists for callers who prefer pessimistic
+        serialization."""
+        if files_removed and files_removed != "*":
+            live = self.live_files()
+            gone = [p for p in files_removed if p not in live]
+            if gone:
+                raise ConcurrentWriteError(
+                    f"instant {instant} replaces files already replaced by "
+                    f"a concurrent writer: {gone[:3]}"
+                )
         self.dir.mkdir(parents=True, exist_ok=True)
         meta = {
             "instant": instant,

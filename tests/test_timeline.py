@@ -218,3 +218,48 @@ def test_savepoint_sql_procedures(engine, spark):
         f"call delete_savepoint(table => 'svq', instant_time => '{sp}')"
     )
     assert engine.savepoints("svq") == []
+
+
+def test_occ_conflict_on_same_file_group(tmp_path):
+    """Two writers replacing the same file group: second commit raises
+    ConcurrentWriteError (no silent lost update)."""
+    import pytest
+
+    from hudi_demo_spark.engine.timeline import (
+        ConcurrentWriteError,
+        Timeline,
+        new_instant,
+    )
+
+    tl = Timeline(tmp_path / "t")
+    i0 = new_instant()
+    tl.commit(i0, "commit", "insert",
+              [{"path": "f0.parquet", "kind": "base", "partition": ""}], [])
+    # writer A and writer B both saw f0 live; A wins
+    ia, ib = new_instant(), new_instant()
+    tl.commit(ia, "commit", "upsert",
+              [{"path": "fa.parquet", "kind": "base", "partition": ""}],
+              ["f0.parquet"])
+    with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        tl.commit(ib, "commit", "upsert",
+                  [{"path": "fb.parquet", "kind": "base", "partition": ""}],
+                  ["f0.parquet"])
+    # disjoint file groups commit freely
+    tl.commit(new_instant(), "commit", "upsert",
+              [{"path": "fc.parquet", "kind": "base", "partition": ""}],
+              ["fa.parquet"])
+
+
+def test_table_writer_lock(tmp_path):
+    import pytest
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    tl = Timeline(tmp_path / "t")
+    with tl.lock():
+        with pytest.raises(TimeoutError, match="lock held"):
+            with tl.lock(timeout_s=0.2):
+                pass
+    # released: re-acquirable
+    with tl.lock(timeout_s=0.2):
+        pass

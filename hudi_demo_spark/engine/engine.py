@@ -237,6 +237,20 @@ class Engine:
             # bucket hash index (T6) — TestStreamingMOR.java:52-53: key→bucket
             # placement bounds files per partition and co-locates upserts.
             df = df.repartition(int(bucket), F.col(RECORD_KEY_META))
+        if cfg.props.get("write.sort_mode") == "partition_sort" and not pre_arranged:
+            # Hudi bulk-insert GLOBAL_SORT analog: without a shuffle, a
+            # write of S input splits into P hive partitions emits up to
+            # S×P files (AQE size-coalescing only acts on shuffle reads)
+            # — the classic small-files explosion at high S. The range
+            # shuffle groups each hive partition's rows contiguously,
+            # key-sorts within, and gives AQE a shuffle to coalesce to
+            # the target file size. Opt-in: worth one shuffle for bulk
+            # ingests of pre-split data, pointless for post-shuffle
+            # writes (upsert/merge already arrive shuffled).
+            keys = [F.col(PARTITION_PATH_META)]
+            if cfg.record_key_fields:
+                keys.append(F.col(RECORD_KEY_META))
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         tmp = Path(cfg.path) / "_tmp" / instant
         prefix = {"base": "b", "delta": "d"}[kind]
         with self._file_sizing(cfg):

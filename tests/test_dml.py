@@ -355,3 +355,32 @@ def test_cluster_zorder_two_dim_locality(engine, spark):
         assert engine.read("zc", range_filter=(col, lo, hi)).count() == want
     with pytest.raises(ValueError, match="strategy"):
         engine.cluster("zc", ["x"], strategy="hilbert")
+
+
+def test_partition_sort_write_bounds_file_count(spark, tmp_path):
+    """write.sort_mode=partition_sort: a pre-split insert coalesces to a
+    bounded file count per hive partition (bulk-insert GLOBAL_SORT
+    analog); without it, files scale with input splits x partitions."""
+    from hudi_demo_spark import Engine
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.rand(7).alias("v"),
+    ).repartition(16)  # 16 splits x 3 partitions
+    for tag, props, check in [
+        ("sorted", {"write.sort_mode": "partition_sort"}, None),
+        ("plain", None, None),
+    ]:
+        eng = Engine(spark, tmp_path / tag)
+        eng.create_table("t", record_key="k", partition_by="p", props=props)
+        eng.insert(df, "t")
+        n_files = len(Timeline((tmp_path / tag) / "t").live_files())
+        if tag == "sorted":
+            sorted_n = n_files
+        else:
+            plain_n = n_files
+        assert eng.read("t").count() == 30000
+    assert sorted_n <= 3  # AQE coalesces the range shuffle to ~1 file/range
+    assert plain_n > sorted_n  # the un-shuffled write fans out per split

@@ -6,12 +6,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_numeric(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
     """Per-column (n, n_null, n_distinct, min, max, median). Exact
     percentile (sort-based) so results are engine-portable, unlike
     approximate sketches.
 
-    Shape: ONE wide pass for everything except distinct counts (count,
+    `approx=True` swaps exact distinct/median for HLL++ and a
+    quantile sketch — everything folds into ONE aggregate scan (the
+    100-TB formulation; tolerance-tested, not oracle-exact).
+
+    Shape (exact mode): ONE wide pass for everything except distinct counts (count,
     nulls, min/max, medians all fold into a single aggregate — one scan
     of all profiled columns), plus one single-column aggregate per
     COUNT(DISTINCT): several distincts in one aggregate make Catalyst
@@ -22,6 +28,42 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     serializing per column)."""
     if not cols:
         raise ValueError("profile_numeric: cols must be non-empty")
+    if approx:
+        # the 100-TB path: HLL++ distinct counts and quantile-sketch
+        # medians fold into the SAME single wide aggregate as the other
+        # stats — one scan total, no sort, no per-column passes. Exact
+        # mode stays the default because it is engine-portable
+        # (differentially testable); approx is what you run on a corpus
+        # where an exact median means a terabyte-scale sort.
+        exprs = [F.count("*").alias("n")]
+        for c in cols:
+            exprs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+                F.round(F.min(c).cast("double"), 4).alias(f"__mn_{c}"),
+                F.round(F.max(c).cast("double"), 4).alias(f"__mx_{c}"),
+                F.round(
+                    F.expr(f"approx_percentile(`{c}`, 0.5, 10000)").cast("double"),
+                    4,
+                ).alias(f"__md_{c}"),
+                F.approx_count_distinct(c, rsd=0.02).alias(f"__nd_{c}"),
+            ]
+        wide = df.agg(*exprs)
+        outs = [
+            wide.select(
+                F.lit(c).alias("col"),
+                "n",
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+                F.col(f"__md_{c}").alias("median"),
+            )
+            for c in cols
+        ]
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
     wide = df.agg(
         F.count("*").alias("n"),
         *[F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}") for c in cols],

@@ -289,3 +289,22 @@ def test_pca_project_recovers_dominant_direction(spark):
     # deterministic across recomputation
     rows2 = pca_project(df, "embedding", k=1).orderBy("id").collect()
     assert [r["pca"] for r in rows] == [r["pca"] for r in rows2]
+
+
+def test_profile_approx_within_tolerance(spark, sf_dir):
+    from hudi_demo_spark.operators.profile import profile_numeric
+    from hudi_demo_spark.sources import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_discount", "l_quantity"]
+    exact = {r["col"]: r for r in profile_numeric(l, cols).collect()}
+    approx = {r["col"]: r for r in profile_numeric(l, cols, approx=True).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        # null/min/max identical; distinct within 5%; median within 5%
+        assert (a["n"], a["n_null"], a["min_val"], a["max_val"]) == (
+            e["n"], e["n_null"], e["min_val"], e["max_val"]
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(2, 0.05 * e["n_distinct"])
+        span = (e["max_val"] - e["min_val"]) or 1.0
+        assert abs(a["median"] - e["median"]) <= 0.05 * span

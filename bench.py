@@ -61,6 +61,7 @@ HEADLINE = [
     "corpus_weighted_mix",
     "corpus_term_frequencies",
     "embedding_covariance",
+    "corpus_pipeline_end_to_end",
 ]
 
 

@@ -3662,3 +3662,86 @@ def embedding_covariance_q(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(e, "embedding").orderBy("i", "j")
+
+
+@q(
+    "corpus_pipeline_end_to_end",
+    f"""
+    WITH RECURSIVE {NGRAM_PAIR_CTES}, edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS r FROM edges
+      UNION
+      SELECT e.s AS node, reach.r FROM edges e JOIN reach ON e.d = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), canonical AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    ), train AS (
+      SELECT * FROM canonical WHERE doc_id % 7 <> 0
+    ), t8 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), g8 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i : i + 7], ' '))
+             ELSE [] END) AS g
+      FROM t8
+    ), dirty AS (
+      SELECT DISTINCT tr.doc_id FROM g8 tr
+      WHERE tr.doc_id % 7 <> 0
+        AND tr.g IN (SELECT g FROM g8 WHERE doc_id % 7 = 0)
+    ), decon AS (
+      SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ), mixed AS (
+      SELECT doc_id, text FROM (
+        SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INTEGER) % 256 AS b
+        FROM decon
+      )
+      WHERE b < (CASE source WHEN 'src0' THEN 64 WHEN 'src1' THEN 256
+                 WHEN 'src2' THEN 0 ELSE 128 END)
+    ), lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               + 1 AS l
+      FROM mixed
+    ), placed AS (
+      SELECT doc_id, l,
+             sum(l) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - l AS s
+      FROM lens
+    )
+    SELECT doc_id, l - 1 AS n_tokens, s AS start_token,
+           s // 64 AS first_seq, (s + l - 1) // 64 AS last_seq
+    FROM placed ORDER BY doc_id
+    """,
+)
+def corpus_pipeline_end_to_end(spark, sf_dir):
+    """The whole training-data pipeline as one differentially-tested
+    flow: n-gram near-dup pairs → connected components → canonical docs
+    → eval-set decontamination (8-gram, eval = doc_id%7=0) → weighted
+    domain mixing → GPT-style stream packing. Every stage is the same
+    operator the standalone queries test; the oracle states the entire
+    composition in one recursive-CTE SQL statement."""
+    from hudi_demo_spark.operators.corpus import decontaminate, pack_offsets
+    from hudi_demo_spark.operators.dedup import ngram_jaccard_pairs
+    from hudi_demo_spark.operators.graph import canonical_docs
+    from hudi_demo_spark.operators.sampling import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select("a", "b")
+    canon = canonical_docs(d, pairs, "doc_id")
+    train = canon.filter(F.col("doc_id") % 7 != 0)
+    eval_set = d.filter(F.col("doc_id") % 7 == 0)
+    decon = decontaminate(train, eval_set, "doc_id", "text", ngram=8)
+    mixed = weighted_mix(
+        decon, "doc_id", "source",
+        {"src0": 64, "src1": 256, "src2": 0}, default_256ths=128,
+    )
+    return pack_offsets(mixed, "doc_id", "text", seq_len=64).orderBy("doc_id")

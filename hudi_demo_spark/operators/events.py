@@ -228,3 +228,24 @@ def tumbling_window_agg(
         .withColumn("window_start", F.col("__w.start"))
         .drop("__w")
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregate: each event lands in
+    duration/slide overlapping windows (window_start, *group_cols,
+    *aggs). Spark's window() explodes the assignments map-side; the agg
+    is one keyed shuffle, map-side combinable — the fan-out costs rows,
+    never an extra shuffle."""
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w")
+    )

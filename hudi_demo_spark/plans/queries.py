@@ -3745,3 +3745,36 @@ def corpus_pipeline_end_to_end(spark, sf_dir):
         {"src0": 64, "src1": 256, "src2": 0}, default_256ths=128,
     )
     return pack_offsets(mixed, "doc_id", "text", seq_len=64).orderBy("doc_id")
+
+
+@q(
+    "events_sliding_window",
+    """
+    SELECT CAST(to_timestamp(((CAST(epoch(ts) AS BIGINT) // 43200) - i.i)
+                             * 43200) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events, (SELECT unnest(range(0, 2)) AS i) i
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding 1-day window hopping every 12h: each event lands in two
+    windows (map-side fan-out, one keyed shuffle). The oracle derives
+    the same epoch-aligned window grid arithmetically."""
+    from hudi_demo_spark.operators.events import sliding_window_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        sliding_window_agg(
+            e, "ts", "1 day", "12 hours", ["event_type"],
+            [
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ],
+        )
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )

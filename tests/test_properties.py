@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): engine key semantics and corpus
+operator invariants hold for ARBITRARY inputs, not just fixture shapes.
+
+Each example generates a batch of rows and runs ONE Spark job over it,
+compared against an independent pure-Python model of the reference rules
+(JavaClientHive2Hudi.java:390-439 key/partition semantics)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.engine.keys import (
+    DEFAULT_PARTITION,
+    EMPTY_PLACEHOLDER,
+    NULL_PLACEHOLDER,
+    partition_path_col,
+    record_key_col,
+)
+
+# printable text without the separators the key format uses
+_val = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=8,
+    ),
+)
+_rows = st.lists(st.tuples(_val, _val), min_size=1, max_size=30)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _model_complex_key(a, b):
+    if a is None and b is None:
+        return None  # raises in engine
+    def enc(v):
+        if v is None:
+            return NULL_PLACEHOLDER
+        if v == "":
+            return EMPTY_PLACEHOLDER
+        return v
+    return f"f1:{enc(a)},f2:{enc(b)}"
+
+
+@given(_rows)
+@settings(**_SETTINGS)
+def test_complex_key_matches_reference_model(spark, rows):
+    df = spark.createDataFrame(rows, "f1 string, f2 string")
+    legal = [r for r in rows if not (r[0] is None and r[1] is None)]
+    got = [
+        r["k"]
+        for r in df.filter(
+            F.col("f1").isNotNull() | F.col("f2").isNotNull()
+        ).select(record_key_col(["f1", "f2"]).alias("k")).collect()
+    ]
+    want = [_model_complex_key(a, b) for a, b in legal]
+    assert sorted(got) == sorted(want)
+
+
+@given(_rows)
+@settings(**_SETTINGS)
+def test_all_null_complex_key_raises(spark, rows):
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(None, None)], "f1 string, f2 string"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)):
+        df.select(record_key_col(["f1", "f2"]).alias("k")).collect()
+
+
+@given(_rows, st.booleans())
+@settings(**_SETTINGS)
+def test_partition_path_matches_reference_model(spark, rows, hive):
+    df = spark.createDataFrame(rows, "f1 string, f2 string")
+    got = sorted(
+        r["p"]
+        for r in df.select(
+            partition_path_col(["f1", "f2"], hive_style=hive).alias("p")
+        ).collect()
+    )
+    def enc(v):
+        return DEFAULT_PARTITION if (v is None or v == "") else v
+    want = sorted(
+        (f"f1={enc(a)}/f2={enc(b)}" if hive else f"{enc(a)}/{enc(b)}")
+        for a, b in rows
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=80),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=128),
+)
+@settings(**_SETTINGS)
+def test_pack_offsets_contiguous_any_input(spark, id_lens, seq_len):
+    """Stream packing invariants for arbitrary corpora: offsets are a
+    contiguous token stream in id order, and sequence spans follow from
+    the offsets arithmetically."""
+    from hudi_demo_spark.operators.corpus import pack_offsets
+
+    rows = [(i, " ".join("w" for _ in range(n))) for i, n in id_lens]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["start_token"], r["first_seq"], r["last_seq"])
+        for r in pack_offsets(df, "doc_id", "text", seq_len=seq_len, n_buckets=7).collect()
+    )
+    off = 0
+    for (i, n), (gi, gn, gs, gf, gl) in zip(sorted(id_lens), got):
+        assert (gi, gn, gs) == (i, n, off)
+        assert gf == off // seq_len and gl == (off + n) // seq_len
+        off += n + 1  # EOS

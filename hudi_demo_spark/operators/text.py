@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_demo_spark.operators.util import spread as _spread
+
 from hudi_demo_spark.functions.textfn import (
     bind,
     bpe_tokens,
@@ -135,6 +137,31 @@ def term_frequencies(
     if min_freq > 1:
         out = out.filter(F.col("freq") >= min_freq)
     return out
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 4
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean log10 probability of each
+    document's tokens under the corpus unigram distribution — the
+    cheap perplexity-style quality signal (template junk scores high,
+    rare-token noise scores low).
+
+    Two keyed shuffles: the corpus term-count aggregate (map-side
+    combinable) and the per-doc average; the unigram table joins back
+    broadcast (vocabulary-sized at any corpus scale)."""
+    terms = _spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    )
+    total = terms.count()  # one scalar; needed as an exact constant
+    uni = terms.groupBy("__t").agg(F.count("*").alias("__f"))
+    scored = terms.join(F.broadcast(uni), "__t").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.avg(F.log10(F.col("__f") / F.lit(float(total)))), round_to
+        ).alias("avg_logprob"),
+    )
+    return scored
 
 
 def top_terms(

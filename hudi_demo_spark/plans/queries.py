@@ -3778,3 +3778,30 @@ def events_sliding_window(spark, sf_dir):
         .select("window_start", "event_type", "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+@q(
+    "text_unigram_logprob",
+    """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS t
+      FROM documents
+    ), uni AS (
+      SELECT t, count(*) AS f FROM terms GROUP BY t
+    ), tot AS (SELECT count(*) AS n FROM terms)
+    SELECT terms.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(log10(uni.f / (SELECT CAST(n AS DOUBLE) FROM tot))), 4)
+             AS avg_logprob
+    FROM terms JOIN uni USING (t)
+    GROUP BY terms.doc_id ORDER BY terms.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality signal: mean log10 unigram probability
+    per document under the corpus distribution."""
+    from hudi_demo_spark.operators.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text").orderBy("doc_id")

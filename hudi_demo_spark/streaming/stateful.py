@@ -21,6 +21,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time_col: str,
+    right_time_col: str,
+    watermark_delay: str = "10 minutes",
+    max_gap: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join: rows join when their event
+    times are within `max_gap` of each other. Both sides carry a
+    watermark plus the time-range condition, so each side's join state
+    is EVICTED once the watermark passes — bounded state on an unbounded
+    stream (an unconstrained stream-stream join would buffer both
+    streams forever). State partitions by the join key across executor
+    state stores; outer variants emit the unmatched row once its side's
+    watermark expires."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_time_col, watermark_delay).alias("l")
+    rw = right.withWatermark(right_time_col, watermark_delay).alias("r")
+    gap = f"interval {max_gap}"
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(f"r.{right_time_col}") >= F.col(f"l.{left_time_col}") - F.expr(gap))
+        & (F.col(f"r.{right_time_col}") <= F.col(f"l.{left_time_col}") + F.expr(gap))
+    )
+    j = lw.join(rw, cond, how)
+    # clean output schema: one coalesced column per join key, right-side
+    # non-key collisions suffixed _r
+    sel = [F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in on]
+    sel += [F.col(f"l.{c}") for c in left.columns if c not in on]
+    sel += [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"{c}_r")
+        for c in right.columns
+        if c not in on
+    ]
+    return j.select(*sel)
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     key_cols: list[str],

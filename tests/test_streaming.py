@@ -134,3 +134,34 @@ def test_stream_dedup_exact_with_watermark(spark, tmp_path):
     got = sorted(r["k"] for r in spark.sql("select k from dedup_t").collect())
     assert got == [1, 2, 3]
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_stream_stream_join_within_gap(spark, tmp_path):
+    """Watermarked stream-stream join: pairs within the time gap match;
+    pairs outside it don't. Replay via file sources + availableNow."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.streaming.stateful import stream_stream_join
+
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    l_dir.mkdir(); r_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00")],
+        "k long, lts string",
+    ).coalesce(1).write.json(str(l_dir / "b"))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:02:00"),   # within 5 min of left k=1 -> match
+         (2, "2024-01-01 00:50:00")],  # 20 min after left k=2 -> no match
+        "k long, rts string",
+    ).coalesce(1).write.json(str(r_dir / "b"))
+    lf = (spark.readStream.schema("k long, lts string").json(str(l_dir / "b"))
+          .withColumn("lts", F.col("lts").cast("timestamp")))
+    rf = (spark.readStream.schema("k long, rts string").json(str(r_dir / "b"))
+          .withColumn("rts", F.col("rts").cast("timestamp")))
+    out = stream_stream_join(lf, rf, ["k"], "lts", "rts", max_gap="5 minutes")
+    q = (out.writeStream.format("memory").queryName("ssj_t")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = [r["k"] for r in spark.sql("select k from ssj_t").collect()]
+    assert got == [1]

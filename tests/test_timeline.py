@@ -263,3 +263,28 @@ def test_table_writer_lock(tmp_path):
     # released: re-acquirable
     with tl.lock(timeout_s=0.2):
         pass
+
+
+def test_crash_before_commit_leaves_table_consistent(engine, spark):
+    """A writer that died after writing data files but BEFORE publishing
+    the commit JSON must be invisible: snapshot reads serve the last
+    published commit, and the next write succeeds and cleans up."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    engine.create_table("cc_t", record_key="k")
+    engine.insert(df, "cc_t")
+    cfg = engine._resolve("cc_t")
+    data = Path(cfg.path) / "data"
+    # simulate a crash: orphan data files present, no commit published
+    orphan = data / "b_99999999999999999999_00000.parquet"
+    shutil.copy(next(data.glob("*.parquet")), orphan)
+    (Path(cfg.path) / "_tmp" / "dead_instant").mkdir(parents=True)
+    assert engine.read("cc_t").count() == 100  # orphan not served
+    engine.insert(df.withColumn("v", F.lit("b")), "cc_t")
+    assert engine.read("cc_t").count() == 200
+    # tmp staging from the dead writer was swept by the next write
+    assert not (Path(cfg.path) / "_tmp").exists()

@@ -288,3 +288,46 @@ def test_crash_before_commit_leaves_table_consistent(engine, spark):
     assert engine.read("cc_t").count() == 200
     # tmp staging from the dead writer was swept by the next write
     assert not (Path(cfg.path) / "_tmp").exists()
+
+
+def test_incremental_rollup_matches_batch(engine, spark):
+    """Derived rollup maintained from incremental reads equals the batch
+    aggregate after multiple refresh cycles; non-insert source commits
+    are refused (additive maintenance would drift)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("src_t", record_key="k", partition_by="g")
+    create_rollup(engine, "src_t", "roll_t", ["g"], ["v"])
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 2).cast("double").alias("v"),
+        )
+
+    engine.insert(batch(0, 500), "src_t")
+    assert refresh_rollup(engine, "roll_t") is not None
+    engine.insert(batch(500, 800), "src_t")
+    engine.insert(batch(800, 1000), "src_t")
+    assert refresh_rollup(engine, "roll_t") is not None
+    assert refresh_rollup(engine, "roll_t") is None  # no new commits
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in engine.read("roll_t").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in batch(0, 1000)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # updates in the window are refused, not silently folded
+    engine.update("src_t", set={"v": "v + 1"}, where="k = 1")
+    with _pytest.raises(ValueError, match="retractions"):
+        refresh_rollup(engine, "roll_t")

@@ -3805,3 +3805,41 @@ def text_unigram_logprob(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "engine_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def engine_incremental_rollup(spark, sf_dir):
+    """Derived-table maintenance end-to-end: three incremental source
+    commits folded into a rollup by two refreshes (each reads ONLY the
+    new commits); final rollup state must equal the batch aggregate."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_incremental_rollup", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    create_rollup(eng, "src", "roll", ["event_type"], ["value"])
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.insert(e.filter(F.col("event_id") % 3 == 1), "src")
+    eng.insert(e.filter(F.col("event_id") % 3 == 2), "src")
+    refresh_rollup(eng, "roll")
+    return (
+        eng.read("roll")
+        .select(
+            "event_type", "n_rows", F.round("sum_value", 2).alias("sum_value")
+        )
+        .orderBy("event_type")
+    )

@@ -62,6 +62,9 @@ HEADLINE = [
     "corpus_term_frequencies",
     "embedding_covariance",
     "corpus_pipeline_end_to_end",
+    "events_sliding_window",
+    "text_unigram_logprob",
+    "engine_incremental_rollup",
 ]
 
 

@@ -499,10 +499,11 @@ class Engine:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
         metadata level (a predicate on the partition path string).
-        `range_filter=(col, lo, hi)` applies `lo <= col <= hi` AND skips
-        files whose clustered col-stats range cannot overlap — exact
-        results whether or not the table was ever clustered (files
-        without stats are always scanned)."""
+        `range_filter=(col, lo, hi)` — or a LIST of such tuples for
+        multi-dimensional predicates (the z-order read path) — applies
+        `lo <= col <= hi` AND skips files whose clustered col-stats
+        range cannot overlap — exact results whether or not the table
+        was ever clustered (files without stats are always scanned)."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
         files = tl.live_files(as_of)
@@ -513,8 +514,15 @@ class Engine:
             # silently ignoring it would widen a caller's delete/update
             # scope to the whole table.
             files = self._prune_files(files, partition_filter)
+        ranges = None
         if range_filter is not None:
-            files = self._prune_by_stats(files, *range_filter)
+            ranges = (
+                list(range_filter)
+                if isinstance(range_filter, list)
+                else [range_filter]
+            )
+            for rf in ranges:
+                files = self._prune_by_stats(files, *rf)
         has_delta = any(m.get("kind") == "delta" for m in files.values())
         df = self._read_files(cfg, files)
         if cfg.table_type == MOR and query_type == "snapshot" and has_delta:
@@ -523,9 +531,9 @@ class Engine:
             df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False))).drop(
                 DELETED_META
             )
-        if range_filter is not None:
-            col, lo, hi = range_filter
-            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        if ranges is not None:
+            for col, lo, hi in ranges:
+                df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
 
     @staticmethod
@@ -1243,14 +1251,21 @@ class Engine:
         if not cfg.props.get("compact.inline", False):
             return
         max_delta = int(cfg.props.get("compact.max_delta_commits", 2))
+        max_bytes = int(cfg.props.get("compact.max_delta_bytes", 0))
         tl = Timeline(cfg.path)
-        n = 0
+        n, delta_bytes = 0, 0
         for m in reversed(tl.instants(include_archived=True)):
             if m["action"] == tlmod.COMPACTION:
                 break
             if m["action"] == tlmod.DELTACOMMIT:
                 n += 1
-        if n >= max_delta:
+                delta_bytes += sum(
+                    f.get("bytes") or 0 for f in m["files_added"]
+                )
+        # commit-count trigger (TestBatchMOR.java:40-46) OR size trigger:
+        # write-amplification control for hot tables where N tiny deltas
+        # are cheap to keep but one huge delta should fold promptly
+        if n >= max_delta or (max_bytes and delta_bytes >= max_bytes):
             self.compact(cfg)
 
     def compact(self, table: str | TableConfig) -> dict | None:

@@ -384,3 +384,24 @@ def test_partition_sort_write_bounds_file_count(spark, tmp_path):
         assert eng.read("t").count() == 30000
     assert sorted_n <= 3  # AQE coalesces the range shuffle to ~1 file/range
     assert plain_n > sorted_n  # the un-shuffled write fans out per split
+
+
+def test_multi_column_range_filter_read(engine, spark):
+    """read(range_filter=[(x,..),(y,..)]) prunes on every dimension of a
+    z-ordered table and stays exact."""
+    df = spark.range(0, 2048).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 32).cast("double").alias("x"),
+        (F.floor(F.col("id") / 32)).cast("double").alias("y"),
+    )
+    engine.create_table("zr", record_key="k", props={"write.target_file_mb": "1"})
+    engine.insert(df, "zr")
+    engine.cluster("zr", ["x", "y"], strategy="zorder")
+    want = df.filter(
+        (F.col("x") >= 2.0) & (F.col("x") <= 9.0)
+        & (F.col("y") >= 10.0) & (F.col("y") <= 20.0)
+    ).count()
+    got = engine.read(
+        "zr", range_filter=[("x", 2.0, 9.0), ("y", 10.0, 20.0)]
+    ).count()
+    assert got == want

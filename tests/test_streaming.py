@@ -165,3 +165,23 @@ def test_stream_stream_join_within_gap(spark, tmp_path):
     q.awaitTermination(60)
     got = [r["k"] for r in spark.sql("select k from ssj_t").collect()]
     assert got == [1]
+
+
+def test_size_based_compaction_trigger(engine, spark):
+    """compact.max_delta_bytes triggers compaction by accumulated delta
+    size even below the commit-count threshold."""
+    from hudi_demo_spark.engine import timeline as tlmod
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    from pyspark.sql import functions as F
+
+    engine.create_table(
+        "szc", record_key="k", table_type="mor",
+        props={"compact.inline": True, "compact.max_delta_commits": 100,
+               "compact.max_delta_bytes": "1"},  # 1 byte -> always trigger
+    )
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    engine.upsert(df, "szc")
+    cfg = engine._resolve("szc")
+    actions = [m["action"] for m in Timeline(cfg.path).instants(True)]
+    assert tlmod.COMPACTION in actions  # size trigger fired on commit 1

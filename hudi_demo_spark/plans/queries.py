@@ -3843,3 +3843,72 @@ def engine_incremental_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_BF_TOPK_SQL = """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@q(
+    "ann_recall_report",
+    f"""
+    WITH exact AS ({_BF_TOPK_SQL}),
+    ivf AS ({_ivf_topk_oracle()}),
+    lsh AS ({_lsh_topk_oracle()})
+    SELECT 'ivf' AS method,
+           round(CAST((SELECT count(*) FROM ivf
+                       JOIN exact USING (query_id, neighbor_id)) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 4) AS recall_at_5
+    UNION ALL
+    SELECT 'lsh',
+           round(CAST((SELECT count(*) FROM lsh
+                       JOIN exact USING (query_id, neighbor_id)) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 4)
+    ORDER BY method
+    """,
+)
+def ann_recall_report(spark, sf_dir):
+    """Recall@5 of the IVF and LSH indexes against exact brute force —
+    the quality measurement every ANN deployment needs, differentially
+    testable here because both indexes are deterministic. The oracle
+    re-derives all three rank sets in SQL and computes the same ratios."""
+    from hudi_demo_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q20 = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, q20, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    n_exact = exact.count()
+    rows = []
+    for method, df in [
+        ("ivf", ivf_topk(e, q20, "vec_id", "embedding", k=5)),
+        ("lsh", lsh_topk(e, q20, "vec_id", "embedding", k=5)),
+    ]:
+        hits = df.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        ).count()
+        rows.append((method, round(hits / n_exact, 4)))
+    return spark.createDataFrame(
+        rows, "method string, recall_at_5 double"
+    ).orderBy("method")

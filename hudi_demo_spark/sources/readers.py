@@ -29,12 +29,25 @@ TABLES = [
 ]
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is UTC, so the
+    wall clock is reinterpreted as the same UTC instant DuckDB assumes).
+    The fixture parquet stores plain `timestamp[us]` (no tz); every operator
+    here is written against TIMESTAMP semantics (`unix_micros`, `F.window`,
+    literal casts), so normalize once at the source."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) — unsupported by the vectorized
-        # parquet reader; read as long and truncate to microseconds
-        # (identical to DuckDB's nanos→micros truncation).
+        # older fixture generations wrote events.ts as TIMESTAMP(NANOS) —
+        # unsupported by the vectorized parquet reader; read as long and
+        # truncate to microseconds (identical to DuckDB's nanos→micros
+        # truncation). Current generations write timestamp[us] and skip this.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(path)
@@ -46,8 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # range (2^53) — the roundtrip is off by ±1 µs for ~0.1% of
             # values, which diverges from DuckDB's exact truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict[str, DataFrame]:

@@ -39,6 +39,8 @@ HEADLINE = [
     "engine_clustering",
     "engine_insert_overwrite",
     "engine_cdc_read",
+    "engine_upsert_global",
+    "engine_partial_update",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -31,9 +31,12 @@ MOR = "mor"
 # Merge payloads (java-client/.../JavaClientHive2Hudi.java:145-148):
 # OVERWRITE_LATEST = OverwriteWithLatestAvroPayload (latest commit wins,
 # preCombine breaks intra-batch ties); DEFAULT = DefaultHoodieRecordPayload
-# (preCombine/ordering field wins across commits).
+# (preCombine/ordering field wins across commits); PARTIAL =
+# PartialUpdateAvroPayload (ordering-field winner, but null columns in the
+# winning record fall back to the newest non-null value of older versions).
 PAYLOAD_OVERWRITE_LATEST = "overwrite_latest"
 PAYLOAD_DEFAULT = "default"
+PAYLOAD_PARTIAL = "partial_update"
 
 
 @dataclass

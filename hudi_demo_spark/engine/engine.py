@@ -44,6 +44,7 @@ from hudi_demo_spark.engine.config import (
     MOR,
     PARTITION_PATH_META,
     PAYLOAD_DEFAULT,
+    PAYLOAD_PARTIAL,
     RECORD_KEY_META,
     TableConfig,
 )
@@ -582,21 +583,64 @@ class Engine:
         }
         return {p: m for p, m in files.items() if m.get("partition", "") in keep}
 
+    @staticmethod
+    def _is_global(cfg: TableConfig) -> bool:
+        """Global index (Hudi GLOBAL_BLOOM/GLOBAL_SIMPLE with
+        `hoodie.bloom.index.update.partition.path=true`): record keys are
+        unique across the WHOLE table, and an upsert that changes a
+        record's partition columns moves it — the old-partition copy
+        loses the merge instead of surviving as a duplicate."""
+        return str(cfg.props.get("index.global", "")).lower() in (
+            "1", "true", "yes",
+        )
+
+    def _merge_key_cols(self, cfg: TableConfig) -> list[str]:
+        """Key-identity columns for payload merges: (partition, key) for
+        the default partition-scoped index, key alone under the global
+        index. Partition-scoped is the scale default — the merge shuffle
+        then co-partitions with the table layout."""
+        if self._is_global(cfg):
+            return [RECORD_KEY_META]
+        return [PARTITION_PATH_META, RECORD_KEY_META]
+
     def _order_cols(self, cfg: TableConfig) -> list[Column]:
         """Merge ordering per payload (JavaClientHive2Hudi.java:145-148)."""
         commit_desc = F.col(COMMIT_TIME_META).desc()
         if cfg.precombine_field and cfg.precombine_field != COMMIT_TIME_META:
             pc_desc = F.col(cfg.precombine_field).desc_nulls_last()
-            if cfg.payload == PAYLOAD_DEFAULT:
+            if cfg.payload in (PAYLOAD_DEFAULT, PAYLOAD_PARTIAL):
                 return [pc_desc, commit_desc]
             return [commit_desc, pc_desc]
         return [commit_desc]
 
     def _merge_view(self, df: DataFrame, cfg: TableConfig) -> DataFrame:
-        """MOR read-time merge: latest version per key (one shuffle)."""
-        w = Window.partitionBy(PARTITION_PATH_META, RECORD_KEY_META).orderBy(
-            *self._order_cols(cfg)
-        )
+        """MOR read-time merge: latest version per key (one shuffle).
+
+        PARTIAL payload (PartialUpdateAvroPayload analog): the winning
+        row's null data columns are filled from older versions — per
+        column, the newest non-null value in merge order. Same single
+        window shuffle: `first(col, ignorenulls)` over an unbounded frame
+        shares the partitioning/ordering of the row_number, so Catalyst
+        plans ONE Window operator."""
+        keys = self._merge_key_cols(cfg)
+        order = self._order_cols(cfg)
+        w = Window.partitionBy(*keys).orderBy(*order)
+        if cfg.payload == PAYLOAD_PARTIAL:
+            wf = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            skip = set(META_COLS) | {DELETED_META}
+            sel = [
+                F.first(F.col(c), ignorenulls=True).over(wf).alias(c)
+                if c not in skip
+                else F.col(c)
+                for c in df.columns
+            ]
+            return (
+                df.select(*sel, F.row_number().over(w).alias("__rn"))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -789,12 +833,48 @@ class Engine:
         table: str | TableConfig,
         batch_id: int | None = None,
         operation: str = "insert",
+        drop_duplicates: bool | None = None,
     ) -> dict:
         """INSERT (W1/W2/W7): plain append, no key dedup — Hudi's INSERT
-        operation (HoodieJavaWriteClientExample.java:93-97)."""
+        operation (HoodieJavaWriteClientExample.java:93-97).
+
+        `drop_duplicates` (or table prop `insert.drop_duplicates`) is
+        Hudi's `hoodie.datasource.write.insert.drop.duplicates`: dedup
+        the batch by key and drop rows whose key already exists in the
+        table — the existing-key lookup reads only files whose footer
+        key range intersects the batch (the M1 index pruning), so the
+        anti-join sees a candidate set bounded by the batch's key range,
+        not the whole base."""
         cfg = self._resolve(table)
+        if drop_duplicates is None:
+            drop_duplicates = str(
+                cfg.props.get("insert.drop_duplicates", "")
+            ).lower() in ("1", "true", "yes")
         instant = new_instant()
         out = self._conform(self._stamp(df, cfg, instant), cfg)
+        if drop_duplicates:
+            out = self._dedup_batch(out, cfg)
+            tl = Timeline(cfg.path)
+            ranges, _ = self._batch_key_ranges(out)
+            live = tl.live_files()
+            if self._is_global(cfg):
+                candidates = self._affected_files_global(live, ranges)
+            else:
+                candidates = self._affected_files(live, ranges)
+            if candidates:
+                on = self._merge_key_cols(cfg)
+                existing = self._read_files(cfg, candidates)
+                if cfg.table_type == MOR and any(
+                    m.get("kind") == "delta" for m in candidates.values()
+                ):
+                    # respect delete markers: a key whose latest version is
+                    # a delete is NOT live and must not block the insert
+                    existing = self._merge_view(existing, cfg)
+                if DELETED_META in existing.columns:
+                    existing = existing.filter(
+                        ~F.coalesce(F.col(DELETED_META), F.lit(False))
+                    )
+                out = out.join(existing.select(*on), on, "left_anti")
         kind = "base" if cfg.table_type == COW else "delta"
         added = self._materialize(out, cfg, instant, kind)
         action = tlmod.COMMIT if cfg.table_type == COW else tlmod.DELTACOMMIT
@@ -854,10 +934,38 @@ class Engine:
             self._commit_stats(added, None),
         )
 
+    def delete_partition(
+        self, table: str | TableConfig, partitions: str | list[str]
+    ) -> dict:
+        """Hudi WriteOperationType.DELETE_PARTITION: drop whole partitions
+        as a replacecommit that lists their live files as removed. Pure
+        metadata — zero data files read or written, so dropping one
+        partition of a 10k-partition 100 TB table is O(#files-in-
+        partition) driver-side JSON, not a scan. The files stay on disk
+        for time travel until `clean` reclaims them."""
+        cfg = self._resolve(table)
+        parts = {partitions} if isinstance(partitions, str) else set(partitions)
+        tl = Timeline(cfg.path)
+        removed = sorted(
+            p
+            for p, m in tl.live_files().items()
+            if m.get("partition", "") in parts
+        )
+        instant = new_instant()
+        return tl.commit(
+            instant,
+            tlmod.REPLACECOMMIT,
+            "delete_partition",
+            [],
+            removed,
+            {"partitions_deleted": sorted(parts), "files_removed": len(removed)},
+        )
+
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
         """preCombine dedup within the incoming batch (W6)."""
+        keys = self._merge_key_cols(cfg)
         if cfg.precombine_field and cfg.precombine_field in batch.columns:
-            w = Window.partitionBy(PARTITION_PATH_META, RECORD_KEY_META).orderBy(
+            w = Window.partitionBy(*keys).orderBy(
                 F.col(cfg.precombine_field).desc_nulls_last()
             )
             return (
@@ -865,7 +973,7 @@ class Engine:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        return batch.dropDuplicates([PARTITION_PATH_META, RECORD_KEY_META])
+        return batch.dropDuplicates(keys)
 
     def _affected_partitions(self, df: DataFrame) -> list[str]:
         return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
@@ -909,6 +1017,31 @@ class Engine:
             out[p] = m
         return out
 
+    @staticmethod
+    def _affected_files_global(
+        live: dict[str, dict], ranges: dict[str, tuple[str, str]]
+    ) -> dict[str, dict]:
+        """Global-index lookup (Hudi GLOBAL_BLOOM analog): a key may live
+        in ANY partition, so candidate files are pruned by key range
+        alone, across all partitions. Base files whose [key_min, key_max]
+        cannot intersect the batch's global key range stay untouched —
+        the same footer-stats skipping as the partition-scoped path,
+        minus the partition scoping."""
+        mins = [lo for lo, _ in ranges.values() if lo is not None]
+        maxs = [hi for _, hi in ranges.values() if hi is not None]
+        if not mins:
+            return dict(live)
+        bmin, bmax = min(mins), max(maxs)
+        out: dict[str, dict] = {}
+        for p, m in live.items():
+            kmin, kmax = m.get("key_min"), m.get("key_max")
+            if kmin is not None and kmax is not None and (
+                kmax < bmin or kmin > bmax
+            ):
+                continue
+            out[p] = m
+        return out
+
     def upsert(
         self, df: DataFrame, table: str | TableConfig, batch_id: int | None = None
     ) -> dict:
@@ -932,7 +1065,10 @@ class Engine:
         try:
             ranges, batch_rows = self._batch_key_ranges(batch)
             live = tl.live_files()
-            affected = self._affected_files(live, ranges)
+            if self._is_global(cfg):
+                affected = self._affected_files_global(live, ranges)
+            else:
+                affected = self._affected_files(live, ranges)
             # cost-based merge strategy: when the affected base is LARGE
             # and the batch small, shuffling every affected file through
             # the payload window dominates — switch to the broadcast
@@ -964,8 +1100,8 @@ class Engine:
                 # and the contested union — without it the dedup window
                 # executes three times
                 deduped = self._merge_view(batch, cfg).persist()
-                keys = deduped.select(PARTITION_PATH_META, RECORD_KEY_META)
-                on = [PARTITION_PATH_META, RECORD_KEY_META]
+                on = self._merge_key_cols(cfg)
+                keys = deduped.select(*on)
                 untouched = base.join(F.broadcast(keys), on, "left_anti")
                 contested = base.join(F.broadcast(keys), on, "left_semi")
                 winner = untouched.unionByName(
@@ -1306,6 +1442,18 @@ class Engine:
         affected = {
             p: m for p, m in live.items() if m.get("partition", "") in delta_parts
         }
+        if self._is_global(cfg):
+            # global index: a delta in partition B may supersede a base row
+            # in partition A (partition-path update). Widen compaction to
+            # base files in ANY partition whose key range intersects the
+            # deltas' — otherwise the stale old-partition copy would
+            # resurface once the delta folds away.
+            dranges = {
+                p: (m.get("key_min"), m.get("key_max"))
+                for p, m in live.items()
+                if m.get("kind") == "delta"
+            }
+            affected.update(self._affected_files_global(live, dranges))
         instant = new_instant()
         df = self._read_files(cfg, affected)
         merged = self._merge_view(df, cfg)

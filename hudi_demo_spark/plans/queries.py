@@ -3912,3 +3912,174 @@ def ann_recall_report(spark, sf_dir):
     return spark.createDataFrame(
         rows, "method string, recall_at_5 double"
     ).orderBy("method")
+
+
+# =====================================================================
+# engine-path queries: global index, partial-update payload,
+# delete_partition, insert-drop-duplicates
+# =====================================================================
+
+
+@q(
+    "engine_upsert_global",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def engine_upsert_global(spark, sf_dir):
+    """Global-index upsert (Hudi GLOBAL_BLOOM with partition-path update):
+    the upsert batch CHANGES the partition column for every 10th key — the
+    record must move to the new partition, and the old-partition copy must
+    lose the merge. Row-count equality against the oracle proves no key is
+    duplicated across partitions."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_upsert_global", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq",
+        partition_by="o_orderstatus", props={"index.global": "true"},
+    )
+    eng.insert(o, "t")
+    moved = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(moved, "t")
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "engine_partial_update",
+    """
+    SELECT p_partkey, p_name, p_brand,
+           round(CASE WHEN p_partkey % 5 = 0
+                      THEN p_retailprice + 100 ELSE p_retailprice END, 2)
+             AS p_retailprice
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def engine_partial_update(spark, sf_dir):
+    """PartialUpdateAvroPayload analog: the upsert batch carries NULL for
+    p_name/p_brand — the merged row must keep the base values for those
+    columns while taking the batch's higher-ordered p_retailprice."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_partial_update", sf_dir)
+    eng = Engine(spark, root)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="p_partkey", precombine="seq",
+        payload="partial_update",
+    )
+    eng.insert(p, "t")
+    upd = (
+        p.filter(F.col("p_partkey") % 5 == 0)
+        .withColumn("p_name", F.lit(None).cast("string"))
+        .withColumn("p_brand", F.lit(None).cast("string"))
+        .withColumn("p_retailprice", F.col("p_retailprice") + 100)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    return (
+        eng.read("t")
+        .select(
+            "p_partkey", "p_name", "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "engine_delete_partition",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus != 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def engine_delete_partition(spark, sf_dir):
+    """DELETE_PARTITION operation: drop the 'F' partition as a pure
+    metadata replacecommit (zero data IO); the snapshot must lose exactly
+    that partition's rows."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_delete_partition", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table("t", record_key="o_orderkey", partition_by="o_orderstatus")
+    eng.insert(o, "t")
+    eng.delete_partition("t", "o_orderstatus=F")
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "engine_insert_dedup",
+    """
+    SELECT c_custkey, c_name,
+           round(CASE WHEN c_custkey % 2 = 0
+                      THEN c_acctbal ELSE c_acctbal + 999 END, 2)
+             AS c_acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def engine_insert_dedup(spark, sf_dir):
+    """insert.drop.duplicates: the second insert overlaps the first on
+    every even key — only the genuinely new (odd) keys may append; the
+    existing-key lookup is range-pruned against file footer stats."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_insert_dedup", sf_dir)
+    eng = Engine(spark, root)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    eng.create_table("t", record_key="c_custkey")
+    eng.insert(c.filter(F.col("c_custkey") % 2 == 0), "t")
+    eng.insert(
+        c.withColumn("c_acctbal", F.col("c_acctbal") + 999),
+        "t",
+        drop_duplicates=True,
+    )
+    return (
+        eng.read("t")
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -405,3 +405,129 @@ def test_multi_column_range_filter_read(engine, spark):
         "zr", range_filter=[("x", 2.0, 9.0), ("y", 10.0, 20.0)]
     ).count()
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# global index, partial-update payload, delete_partition, insert-dedup
+# ---------------------------------------------------------------------
+
+
+def _global_setup(engine, spark, table_type="cow", props=None):
+    engine.create_table(
+        "g", record_key="id", precombine="ts", partition_by="dt",
+        table_type=table_type,
+        props={"index.global": "true", **(props or {})},
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS), "g")
+    return "g"
+
+
+def test_global_upsert_moves_partition(engine, spark):
+    """A key upserted with a NEW partition value must move — exactly one
+    row per key afterwards, in the new partition."""
+    t = _global_setup(engine, spark)
+    moved = _mkdf(spark, [(1, "hudi", 99.0, 200, "2022-10-01")])
+    engine.upsert(moved, t)
+    st = _state(engine, t)
+    assert len(st) == 4
+    by_id = {r[0]: r for r in st}
+    assert by_id[1][4] == "2022-10-01" and by_id[1][2] == 99.0
+
+
+def test_global_upsert_mor_compaction_no_stale_copy(engine, spark):
+    """MOR: the partition-moving delta must eliminate the old-partition
+    base row at compaction, not just at read-time merge."""
+    t = _global_setup(engine, spark, table_type="mor")
+    engine.upsert(_mkdf(spark, [(2, "hudi", 77.0, 200, "2022-10-02")]), t)
+    # read-time merge already hides the stale copy
+    assert {r[0] for r in _state(engine, t)} == {1, 2, 3, 4}
+    engine.compact(t)
+    st = _state(engine, t)
+    assert len(st) == 4
+    assert {r[0]: r[4] for r in st}[2] == "2022-10-02"
+
+
+def test_non_global_upsert_keeps_both_partition_copies(engine, spark):
+    """Contrast case: with the default partition-scoped index, the same
+    partition-changing upsert INSERTS into the new partition and leaves
+    the old row — two copies of the key (documented Hudi non-global
+    behavior)."""
+    engine.create_table(
+        "ng", record_key="id", precombine="ts", partition_by="dt",
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS), "ng")
+    engine.upsert(_mkdf(spark, [(1, "hudi", 99.0, 200, "2022-10-01")]), "ng")
+    assert len([r for r in _state(engine, "ng") if r[0] == 1]) == 2
+
+
+def test_partial_update_payload(engine, spark):
+    """NULL columns in the winning version fall back to older values;
+    non-null columns overwrite."""
+    engine.create_table(
+        "p", record_key="id", precombine="ts", payload="partial_update",
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS[:2]), "p")
+    upd = _mkdf(spark, [(1, None, 55.0, 200, None)])
+    engine.upsert(upd, "p")
+    by_id = {r[0]: r for r in _state(engine, "p")}
+    assert by_id[1] == (1, "hudi", 55.0, 200, "2022-09-05")
+    assert by_id[2] == (2, "hudi", 10.0, 100, "2022-09-05")
+
+
+def test_partial_update_lower_ordering_loses(engine, spark):
+    """A partial update with a LOWER preCombine must lose entirely —
+    stale partials cannot clobber newer columns."""
+    engine.create_table(
+        "pl", record_key="id", precombine="ts", payload="partial_update",
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS[:1]), "pl")
+    engine.upsert(_mkdf(spark, [(1, None, 55.0, 50, None)]), "pl")
+    by_id = {r[0]: r for r in _state(engine, "pl")}
+    assert by_id[1] == (1, "hudi", 10.0, 100, "2022-09-05")
+
+
+def test_delete_partition_metadata_only(engine, spark):
+    t = _setup(engine, spark)
+    meta = engine.delete_partition(t, "dt=2022-09-05")
+    assert meta["files_added"] == []
+    assert [r[0] for r in _state(engine, t)] == [3, 4]
+    # time travel still sees the dropped partition
+    commits = [m["instant"] for m in __import__(
+        "hudi_demo_spark.engine.timeline", fromlist=["Timeline"]
+    ).Timeline(engine._resolve(t).path).instants()]
+    before = engine.read(t, as_of=commits[-2]).count()
+    assert before == 4
+
+
+def test_insert_drop_duplicates(engine, spark):
+    engine.create_table("d", record_key="id", precombine="ts")
+    engine.insert(_mkdf(spark, SEED_ROWS[:2]), "d")
+    # batch overlaps key 2, brings new keys 3,4 (and an intra-batch dup of 3)
+    batch = _mkdf(spark, [
+        (2, "new", 99.0, 200, "2022-09-25"),
+        (3, "hudi", 10.0, 100, "2022-09-25"),
+        (3, "hudi", 11.0, 150, "2022-09-25"),
+        (4, "hudi", 10.0, 100, "2022-09-25"),
+    ])
+    engine.insert(batch, "d", drop_duplicates=True)
+    st = _state(engine, "d")
+    by_id = {r[0]: r for r in st}
+    assert len(st) == 4
+    assert by_id[2][1] == "hudi" and by_id[2][2] == 10.0  # existing kept
+    assert by_id[3][2] == 11.0  # intra-batch preCombine winner
+
+
+def test_insert_drop_duplicates_mor_deleted_key_reinsertable(engine, spark):
+    """A key whose latest MOR version is a delete marker is NOT live and
+    must not block re-insert."""
+    engine.create_table(
+        "dm", record_key="id", precombine="ts", table_type="mor",
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS[:2]), "dm")
+    engine.delete("dm", "id = 1")
+    engine.insert(
+        _mkdf(spark, [(1, "back", 33.0, 300, "2022-09-05")]),
+        "dm", drop_duplicates=True,
+    )
+    by_id = {r[0]: r for r in _state(engine, "dm")}
+    assert by_id[1][1] == "back"

@@ -594,6 +594,46 @@ class Engine:
             "1", "true", "yes",
         )
 
+    def _record_index(self, cfg: TableConfig):
+        """RecordIndex when enabled (`index.record_level` prop on a
+        global-index table); None otherwise. Non-global tables derive the
+        partition from the row itself — the index would be dead weight."""
+        if not self._is_global(cfg):
+            return None
+        if str(cfg.props.get("index.record_level", "")).lower() not in (
+            "1", "true", "yes",
+        ):
+            return None
+        from hudi_demo_spark.engine.record_index import RecordIndex
+
+        return RecordIndex(self.spark, cfg)
+
+    def _index_append(self, cfg: TableConfig, stamped: DataFrame) -> None:
+        """Maintain the record index after a committed write: append the
+        batch's (key, partition) pairs. First write on an index-less
+        table builds from the live snapshot instead, so completeness is
+        guaranteed even when the prop is enabled on an existing table."""
+        idx = self._record_index(cfg)
+        if idx is None:
+            return
+        if not idx.usable():
+            idx.build(
+                self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META)
+            )
+            return
+        idx.append(stamped)
+
+    def rebuild_record_index(self, table: str | TableConfig) -> bool:
+        """Rebuild the record index from the current snapshot (also
+        drops stale pairs accumulated by deletes/moves). Returns False
+        when the table doesn't use the record index."""
+        cfg = self._resolve(table)
+        idx = self._record_index(cfg)
+        if idx is None:
+            return False
+        idx.build(self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META))
+        return True
+
     def _merge_key_cols(self, cfg: TableConfig) -> list[str]:
         """Key-identity columns for payload merges: (partition, key) for
         the default partition-scoped index, key alone under the global
@@ -858,7 +898,7 @@ class Engine:
             ranges, _ = self._batch_key_ranges(out)
             live = tl.live_files()
             if self._is_global(cfg):
-                candidates = self._affected_files_global(live, ranges)
+                candidates = self._global_candidates(cfg, live, ranges, out)
             else:
                 candidates = self._affected_files(live, ranges)
             if candidates:
@@ -882,6 +922,7 @@ class Engine:
             instant, action, operation, added, [], self._commit_stats(added, None),
             batch_id=batch_id,
         )
+        self._index_append(cfg, out)
         self._maybe_compact(cfg)
         return meta
 
@@ -892,7 +933,7 @@ class Engine:
         instant = new_instant()
         out = self._conform(self._stamp(df, cfg, instant), cfg)
         added = self._materialize(out, cfg, instant, "base")
-        return Timeline(cfg.path).commit(
+        meta = Timeline(cfg.path).commit(
             instant,
             tlmod.REPLACECOMMIT,
             "insert_overwrite_table",
@@ -900,6 +941,12 @@ class Engine:
             "*",
             self._commit_stats(added, None),
         )
+        idx = self._record_index(cfg)
+        if idx is not None:
+            # whole-table replace: prior index entries are all stale —
+            # rebuild from the new content instead of appending
+            idx.build(out.select(RECORD_KEY_META, PARTITION_PATH_META))
+        return meta
 
     def insert_overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
         """Partition-scoped INSERT OVERWRITE (Hudi
@@ -925,7 +972,7 @@ class Engine:
         removed = [
             rp for rp, m in live.items() if m.get("partition", "") in parts
         ]
-        return tl.commit(
+        meta = tl.commit(
             instant,
             tlmod.REPLACECOMMIT,
             "insert_overwrite",
@@ -933,6 +980,8 @@ class Engine:
             removed,
             self._commit_stats(added, None),
         )
+        self._index_append(cfg, out)
+        return meta
 
     def delete_partition(
         self, table: str | TableConfig, partitions: str | list[str]
@@ -1017,6 +1066,27 @@ class Engine:
             out[p] = m
         return out
 
+    def _global_candidates(
+        self,
+        cfg: TableConfig,
+        live: dict[str, dict],
+        ranges: dict[str, tuple[str, str]],
+        batch: DataFrame,
+    ) -> dict[str, dict]:
+        """Global-index candidate files: key-range prune across all
+        partitions, then — when the record-level index is available —
+        scope to the partitions that actually hold the batch's keys.
+        With uuid-like keys the range prune alone keeps everything; the
+        index keeps ~#batch partitions (Hudi 0.14 RLI behavior)."""
+        out = self._affected_files_global(live, ranges)
+        idx = self._record_index(cfg)
+        if idx is not None and idx.usable():
+            parts = idx.lookup_partitions(batch)
+            out = {
+                p: m for p, m in out.items() if m.get("partition", "") in parts
+            }
+        return out
+
     @staticmethod
     def _affected_files_global(
         live: dict[str, dict], ranges: dict[str, tuple[str, str]]
@@ -1059,6 +1129,7 @@ class Engine:
                 instant, tlmod.DELTACOMMIT, "upsert", added, [],
                 self._commit_stats(added, None), batch_id=batch_id,
             )
+            self._index_append(cfg, batch)
             self._maybe_compact(cfg)
             return meta
         batch = batch.persist()
@@ -1066,7 +1137,7 @@ class Engine:
             ranges, batch_rows = self._batch_key_ranges(batch)
             live = tl.live_files()
             if self._is_global(cfg):
-                affected = self._affected_files_global(live, ranges)
+                affected = self._global_candidates(cfg, live, ranges, batch)
             else:
                 affected = self._affected_files(live, ranges)
             # cost-based merge strategy: when the affected base is LARGE
@@ -1128,10 +1199,12 @@ class Engine:
             added = self._materialize(
                 winner, cfg, instant, "base", approx_bytes=affected_bytes
             )
-            return tl.commit(
+            meta = tl.commit(
                 instant, tlmod.COMMIT, "upsert", added, sorted(affected),
                 self._commit_stats(added, None), batch_id=batch_id,
             )
+            self._index_append(cfg, batch)
+            return meta
         finally:
             batch.unpersist()
 
@@ -1368,9 +1441,11 @@ class Engine:
                 out, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
             )
-            return tl.commit(
+            meta = tl.commit(
                 instant, tlmod.COMMIT, "merge", rewritten, sorted(affected)
             )
+            self._index_append(cfg, src)
+            return meta
         finally:
             src.unpersist()
 
@@ -1641,6 +1716,14 @@ class Engine:
                 missing_ok=True
             )
             rolled.append(m["instant"])
+        if rolled:
+            idx = self._record_index(cfg)
+            if idx is not None:
+                # the undone commits' index entries would only be false
+                # positives, but a wholesale state reset deserves a clean
+                # slate: truncate; the next write rebuilds from the
+                # restored snapshot
+                idx.truncate()
         return rolled
 
     def savepoint(self, table: str | TableConfig) -> str:

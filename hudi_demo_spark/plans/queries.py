@@ -4083,3 +4083,52 @@ def engine_insert_dedup(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@q(
+    "engine_upsert_global_rli",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def engine_upsert_global_rli(spark, sf_dir):
+    """Same semantics as engine_upsert_global, executed through the
+    record-level index (Hudi 0.14 RLI analog): the upsert's partition
+    lookup goes key→partition through the bucketed index instead of
+    footer key ranges. Identical oracle — the index must never change
+    results, only pruning."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_upsert_global_rli", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq",
+        partition_by="o_orderstatus",
+        props={"index.global": "true", "index.record_level": "true"},
+    )
+    eng.insert(o, "t")
+    moved = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(moved, "t")
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -291,6 +291,17 @@ class Engine:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
         self._attach_key_ranges(added, data)
+        stats_cols = [
+            c.strip()
+            for c in str(cfg.props.get("write.stats_cols", "")).split(",")
+            if c.strip()
+        ]
+        if stats_cols:
+            # persistent column-stats index (Hudi metadata-table col_stats
+            # analog): EVERY write records [min,max] for the configured
+            # columns, so `read(range_filter=...)` file skipping works on
+            # never-clustered tables and survives post-clustering rewrites
+            self._attach_col_stats(added, data, stats_cols)
         return added
 
     @staticmethod

@@ -147,6 +147,22 @@ class SqlRouter:
                 )
             self.engine.restore_to_savepoint(table, instant)
             return None
+        if proc == "delete_partition":
+            parts = [
+                p.strip()
+                for p in args.get("partitions", "").split(",")
+                if p.strip()
+            ]
+            if not parts:
+                raise ValueError(
+                    "call delete_partition(table => 't', "
+                    "partitions => 'dt=a,dt=b')"
+                )
+            self.engine.delete_partition(table, parts)
+            return None
+        if proc == "rebuild_record_index":
+            ok = self.engine.rebuild_record_index(table)
+            return self.spark.createDataFrame([(ok,)], "rebuilt boolean")
         raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:

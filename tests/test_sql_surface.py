@@ -100,3 +100,21 @@ def test_sql_insert_overwrite_partition_scoped(engine, spark):
     engine.sql("insert overwrite table iow values (7,'q',70,300,'2022-09-07')")
     rows = sorted(tuple(r) for r in engine.read("iow").select("id", "dt").collect())
     assert rows == [(7, "2022-09-07")]
+
+
+def test_call_delete_partition_and_rebuild_index(engine, spark):
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    engine.create_table(
+        "cp", record_key="id", precombine="ts", partition_by="dt",
+        props={"index.global": "true", "index.record_level": "true"},
+    )
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "id int, ts long, dt string"
+    )
+    engine.insert(df, "cp")
+    router = SqlRouter(engine)
+    router.sql("call delete_partition(table => 'cp', partitions => 'dt=a')")
+    assert [r[0] for r in engine.read("cp").select("id").collect()] == [2]
+    out = router.sql("call rebuild_record_index(table => 'cp')")
+    assert out.collect()[0][0] is True

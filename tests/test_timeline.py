@@ -331,3 +331,27 @@ def test_incremental_rollup_matches_batch(engine, spark):
     engine.update("src_t", set={"v": "v + 1"}, where="k = 1")
     with _pytest.raises(ValueError, match="retractions"):
         refresh_rollup(engine, "roll_t")
+
+
+def test_write_stats_cols_prop_records_and_prunes(engine, spark):
+    """`write.stats_cols` records per-file [min,max] on EVERY write, so
+    range_filter file skipping works without ever clustering."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table(
+        "sc", record_key="id", props={"write.stats_cols": "x"},
+    )
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, float(lo + i)) for i in range(10)], "id int, x double"
+        )
+        engine.insert(df, "sc")
+    cfg = engine._resolve("sc")
+    metas = Timeline(cfg.path).live_files().values()
+    assert all("col_stats" in m and "x" in m["col_stats"] for m in metas)
+    # metadata-level skip: only the middle commit's file can intersect
+    files = Timeline(cfg.path).live_files()
+    kept = engine._prune_by_stats(files, "x", 100.0, 105.0)
+    assert len(kept) < len(files)
+    got = engine.read("sc", range_filter=("x", 100.0, 105.0)).count()
+    assert got == 6  # rows 100..105 all live in the middle file

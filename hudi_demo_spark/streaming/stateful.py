@@ -129,3 +129,126 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can run: its
+    state-server protocol needs google.protobuf in the Python env."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def keyed_profile(
+    stream_df: DataFrame,
+    key_col: str,
+    type_col: str,
+    value_col: str,
+    implementation: str = "auto",
+) -> DataFrame:
+    """Per-key running profile over an unbounded stream: emits
+    (key, n_events, sum_value, n_types) after every micro-batch touching
+    the key.
+
+    Two implementations, same semantics:
+    - "v2": Spark 4 `transformWithStateInPandas` (arbitrary stateful
+      processing v2). A key's state is TWO differently-shaped variables
+      — a ValueState (count/sum) and a MapState (per-type counts) —
+      so MapState updates touch only the entries seen in the batch:
+      per-key state IO is O(batch), not O(state). Requires
+      google.protobuf in the executor Python env (`tws_available`).
+    - "v1": `applyInPandasWithState` with the per-type counts folded
+      into one serialized map column — rewritten whole per batch, the
+      exact limitation v2 removes; correct at any scale, heavier for
+      keys with huge type cardinality.
+    "auto" picks v2 when the environment supports it."""
+    from pyspark.sql import types as T
+
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("n_types", T.LongType()),
+        ]
+    )
+    if implementation == "auto":
+        implementation = "v2" if tws_available() else "v1"
+
+    if implementation == "v2":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class Profile(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.totals = handle.getValueState("totals", "n long, s double")
+                self.by_type = handle.getMapState("by_type", "t string", "c long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, s = self.totals.get() if self.totals.exists() else (0, 0.0)
+                for pdf in rows:
+                    n += len(pdf)
+                    s += float(pdf[value_col].sum())
+                    for t, c in pdf.groupby(type_col).size().items():
+                        prev = (
+                            self.by_type.getValue((t,))[0]
+                            if self.by_type.containsKey((t,))
+                            else 0
+                        )
+                        self.by_type.updateValue((t,), (prev + int(c),))
+                self.totals.update((n, s))
+                n_types = sum(1 for _ in self.by_type.keys())
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "n_events": [n],
+                        "sum_value": [s],
+                        "n_types": [n_types],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return stream_df.groupBy(key_col).transformWithStateInPandas(
+            Profile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    state_schema = "n long, s double, types map<string, long>"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, types = state.get if state.exists else (0, 0.0, {})
+        types = dict(types or {})
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            for t, c in pdf.groupby(type_col).size().items():
+                types[t] = types.get(t, 0) + int(c)
+        state.update((n, s, types))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "n_types": [len(types)],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

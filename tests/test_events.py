@@ -3,6 +3,8 @@ stateful streaming. Semantics pinned with tiny hand-computed fixtures."""
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hudi_demo_spark.operators.events import (
@@ -244,3 +246,63 @@ def test_stateful_running_totals_string_key(spark, sf_dir, tmp_path):
     sink = spark.table("t_stateful_str")
     total = sink.agg(F.sum("n_events")).collect()[0][0]
     assert total is not None and total >= e.count()
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_keyed_profile_stateful(spark, sf_dir, tmp_path, impl):
+    """keyed_profile (both state implementations) vs the batch
+    aggregate: final per-key (count, sum, distinct types) must match
+    exactly. v2 (transformWithStateInPandas) needs protobuf in the
+    Python env and skips where unavailable."""
+    from hudi_demo_spark.sources.readers import load_table
+    from hudi_demo_spark.streaming.stateful import keyed_profile, tws_available
+
+    if impl == "v2" and not tws_available():
+        pytest.skip("transformWithState needs google.protobuf")
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        keyed_profile(stream, "user_id", "event_type", "value", implementation=impl)
+        .writeStream.format("memory")
+        .queryName(f"t_profile_{impl}")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(f"t_profile_{impl}")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    latest = (
+        sink.withColumn(
+            "rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("s"),
+                "n_types")
+        .orderBy("user_id")
+    )
+    expected = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("s"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in latest.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]

@@ -155,10 +155,84 @@ def main():
     e_t, s_t = timed_pair(engine_incr, stock_incr)
     results["incremental"] = {"engine": e_t, "stock": s_t}
 
+    # --- global upsert: record index vs range pruning -------------------
+    # uuid-like keys (sha2 of the orderkey) make every file's key range
+    # span the whole key space — the degenerate case for range pruning.
+    # The record index should scope the rewrite to the partitions that
+    # hold the batch's keys; this pair quantifies that on disk.
+    u = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("k", F.sha2(F.col("o_orderkey").cast("string"), 256))
+        .withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .select("k", "month", "o_totalprice", "seq")
+    )
+    # a POINT-UPSERT batch: ~20 keys SPREAD uniformly across the key
+    # space (hash-sampled — a contiguous slice would be range pruning's
+    # best case, not its failure mode), landing in ~20 of ~80 month
+    # partitions. Without the index the global lookup keeps every
+    # range-intersecting file (all of them, spread keys); with it, only
+    # the owning partitions.
+    batch = (
+        u.filter(F.pmod(F.xxhash64("k"), F.lit(7500)) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+
+    def build_global(path, rli):
+        shutil.rmtree(path, ignore_errors=True)
+        g = Engine(spark, path)
+        props = {"index.global": "true"}
+        if rli:
+            props["index.record_level"] = "true"
+        g.create_table("t", record_key="k", precombine="seq",
+                       partition_by="month", props=props)
+        g.insert(u, "t")
+        return g
+
+    g_rli = build_global(f"{root}/g_rli", rli=True)
+    g_rng = build_global(f"{root}/g_rng", rli=False)
+    for p in ("g_rli", "g_rng"):
+        shutil.copytree(f"{root}/{p}", f"{root}/{p}_pristine")
+
+    def reset(p):
+        shutil.rmtree(f"{root}/{p}", ignore_errors=True)
+        shutil.copytree(f"{root}/{p}_pristine", f"{root}/{p}")
+
+    metas: dict[str, dict] = {}
+
+    def run_global(g, name):
+        metas[name] = g.upsert(batch, "t")
+
+    e_t, s_t = timed_pair(
+        lambda: run_global(g_rli, "rli"),
+        lambda: run_global(g_rng, "range"),
+        setup_a=lambda: reset("g_rli"),
+        setup_b=lambda: reset("g_rng"),
+    )
+    results["global_upsert_uuid_keys"] = {
+        "engine": e_t,
+        "stock": s_t,
+        # write amplification is the metric that scales: wall-clock at
+        # sf0.1 is fixed-overhead-bound (tiny files, extra index jobs),
+        # but bytes rewritten grows with table size on the range path
+        # and stays O(batch partitions) on the index path
+        "files_rewritten": {
+            "rli": len(metas["rli"]["files_removed"]),
+            "range": len(metas["range"]["files_removed"]),
+        },
+        "bytes_written": {
+            "rli": sum(f["bytes"] for f in metas["rli"]["files_added"]),
+            "range": sum(f["bytes"] for f in metas["range"]["files_added"]),
+        },
+    }
+
     worst = 0.0
     for k, v in results.items():
         v["ratio"] = round(v["engine"] / max(v["stock"], 1e-9), 2)
-        worst = max(worst, v["ratio"])
+        if k != "global_upsert_uuid_keys":
+            # rli-vs-range is a SPEEDUP pair (engine faster), not overhead
+            worst = max(worst, v["ratio"])
     print(json.dumps({
         "metric": "engine_overhead_vs_stock",
         "value": worst,

@@ -1021,6 +1021,29 @@ class Engine:
             {"partitions_deleted": sorted(parts), "files_removed": len(removed)},
         )
 
+    def expire_partitions(
+        self, table: str | TableConfig, condition: str | Column
+    ) -> dict:
+        """Partition lifecycle / TTL (Hudi RFC-65 partition TTL analog):
+        drop every partition whose PATH matches `condition` — a predicate
+        over `_hoodie_partition_path`, e.g.
+        ``"_hoodie_partition_path < 'dt=2020-01-01'"`` — as ONE
+        metadata-only replacecommit. The predicate is evaluated on the
+        distinct partition-path strings (driver-side tiny DataFrame), so
+        expiring a year of dailies from a 100 TB table is metadata work;
+        `clean` reclaims the bytes later."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        matched = self._prune_files(tl.live_files(), condition)
+        parts = sorted({m.get("partition", "") for m in matched.values()})
+        if not parts:
+            instant = new_instant()
+            return tl.commit(
+                instant, tlmod.REPLACECOMMIT, "delete_partition", [], [],
+                {"partitions_deleted": [], "files_removed": 0},
+            )
+        return self.delete_partition(cfg, parts)
+
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
         """preCombine dedup within the incoming batch (W6)."""
         keys = self._merge_key_cols(cfg)

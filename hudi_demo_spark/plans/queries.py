@@ -4132,3 +4132,50 @@ def engine_upsert_global_rli(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@q(
+    "datasource_snapshot_read",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           round(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def datasource_snapshot_read(spark, sf_dir):
+    """S1 in its literal reference form: after engine writes, read the
+    table back via `spark.read.format("hudi").load(path)` (the Python
+    data source) — results must match the upserted state exactly."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.sources.datasource import register
+
+    register(spark)
+    root = _scratch("datasource_snapshot_read", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq",
+        partition_by="o_orderstatus",
+    )
+    eng.insert(o, "t")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    return (
+        spark.read.format("hudi")
+        .load(f"{root}/t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

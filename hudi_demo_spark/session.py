@@ -20,6 +20,16 @@ def get_spark(
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # make this package importable in Spark's Python workers (data-source
+    # planning/read workers import registered classes by module). Must be
+    # in the env BEFORE the JVM starts — the local equivalent of shipping
+    # the wheel with --py-files on a cluster.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

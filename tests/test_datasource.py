@@ -1,0 +1,146 @@
+"""`spark.read.format("hudi")` Python data source: differential against
+the native Engine read paths — identical rows for snapshot, MOR merge,
+read-optimized, incremental, and time travel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.sources.datasource import register
+
+ROWS = [
+    (1, "a", 1.0, 100, "2022-09-05"),
+    (2, "b", 2.0, 100, "2022-09-05"),
+    (3, "c", 3.0, 100, "2022-09-25"),
+    (4, "d", 4.0, 100, "2022-09-25"),
+]
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, name string, price double, ts long, dt string"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _assert_same(spark, engine, table, **reader_opts):
+    cfg = engine._resolve(table)
+    r = spark.read.format("hudi")
+    for k, v in reader_opts.items():
+        r = r.option(k, v)
+    got = r.load(str(cfg.path))
+    return got
+
+
+def test_cow_snapshot_matches_engine(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "t")
+    engine.upsert(_mkdf(spark, [(2, "b2", 9.0, 200, "2022-09-05")]), "t")
+    ds = _assert_same(spark, engine, "t")
+    assert ds.schema == engine.read("t").schema
+    assert _rows(ds) == _rows(engine.read("t"))
+
+
+def test_mor_snapshot_merge_and_delete(engine, spark):
+    engine.create_table("m", record_key="id", precombine="ts",
+                        partition_by="dt", table_type="mor")
+    engine.insert(_mkdf(spark, ROWS), "m")
+    engine.upsert(_mkdf(spark, [(1, "a9", 5.0, 900, "2022-09-05")]), "m")
+    engine.delete("m", "id = 3")
+    ds = _assert_same(spark, engine, "m")
+    assert _rows(ds) == _rows(engine.read("m"))
+    assert {r[3] for r in ds.collect()} == {1, 2, 4}
+
+
+def test_mor_read_optimized(engine, spark):
+    engine.create_table("m", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.insert(_mkdf(spark, ROWS), "m")
+    # delta-only table: read-optimized sees nothing yet
+    ds = _assert_same(
+        spark, engine, "m",
+        **{"hoodie.datasource.query.type": "read_optimized"},
+    )
+    assert ds.count() == 0
+    engine.compact("m")
+    ds2 = _assert_same(
+        spark, engine, "m",
+        **{"hoodie.datasource.query.type": "read_optimized"},
+    )
+    assert _rows(ds2) == _rows(engine.read("m", query_type="read_optimized"))
+
+
+def test_incremental_matches_engine(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts")
+    engine.insert(_mkdf(spark, ROWS[:2]), "t")
+    first = engine.show_commits("t").collect()[-1]["commit_time"]
+    engine.insert(_mkdf(spark, ROWS[2:]), "t")
+    engine.upsert(_mkdf(spark, [(1, "a2", 7.0, 300, "2022-09-05")]), "t")
+    ds = _assert_same(
+        spark, engine, "t",
+        **{
+            "hoodie.datasource.query.type": "incremental",
+            "hoodie.datasource.read.begin.instanttime": first,
+        },
+    )
+    native = engine.read_incremental("t", begin=first)
+    assert _rows(ds) == _rows(native)
+    assert {r["id"] for r in ds.collect()} == {1, 3, 4}
+
+
+def test_time_travel_as_of(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts")
+    engine.insert(_mkdf(spark, ROWS[:2]), "t")
+    c1 = engine.show_commits("t").collect()[0]["commit_time"]
+    engine.insert(_mkdf(spark, ROWS[2:]), "t")
+    ds = _assert_same(spark, engine, "t", **{"as.of.instant": c1})
+    assert _rows(ds) == _rows(engine.read("t", as_of=c1))
+    assert ds.count() == 2
+
+
+def test_global_index_merge_via_datasource(engine, spark):
+    """Partition-moved key under the global index: the data source's
+    single merge group must collapse the old-partition copy exactly like
+    the engine's key-only window."""
+    engine.create_table(
+        "g", record_key="id", precombine="ts", partition_by="dt",
+        table_type="mor", props={"index.global": "true"},
+    )
+    engine.insert(_mkdf(spark, ROWS), "g")
+    engine.upsert(_mkdf(spark, [(1, "moved", 9.0, 900, "2022-10-01")]), "g")
+    ds = _assert_same(spark, engine, "g")
+    assert _rows(ds) == _rows(engine.read("g"))
+    assert ds.count() == 4
+
+
+def test_schema_evolution_old_files_null_filled(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts")
+    engine.insert(_mkdf(spark, ROWS[:2]), "t")
+    wider = _mkdf(spark, ROWS[2:]).withColumn("extra", F.lit(42))
+    engine.insert(wider, "t")
+    ds = _assert_same(spark, engine, "t")
+    assert _rows(ds) == _rows(engine.read("t"))
+    by_id = {r["id"]: r["extra"] for r in ds.collect()}
+    assert by_id[1] is None and by_id[3] == 42
+
+
+def test_unsupported_cases_error_loudly(engine, spark, tmp_path):
+    import pyspark
+
+    engine.create_table(
+        "p", record_key="id", precombine="ts", payload="partial_update",
+        table_type="mor",
+    )
+    engine.insert(_mkdf(spark, ROWS[:2]), "p")
+    engine.upsert(_mkdf(spark, [(1, None, 5.0, 900, None)]), "p")
+    cfg = engine._resolve("p")
+    with pytest.raises(Exception, match="partial_update|PYTHON_DATA_SOURCE"):
+        spark.read.format("hudi").load(str(cfg.path)).collect()

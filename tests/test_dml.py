@@ -531,3 +531,19 @@ def test_insert_drop_duplicates_mor_deleted_key_reinsertable(engine, spark):
     )
     by_id = {r[0]: r for r in _state(engine, "dm")}
     assert by_id[1][1] == "back"
+
+
+def test_expire_partitions_ttl(engine, spark):
+    """Partition TTL: path-predicate expiry drops old partitions as one
+    metadata commit."""
+    t = _setup(engine, spark)
+    meta = engine.expire_partitions(
+        t, "_hoodie_partition_path < 'dt=2022-09-10'"
+    )
+    assert meta["stats"]["partitions_deleted"] == ["dt=2022-09-05"]
+    assert [r[0] for r in _state(engine, t)] == [3, 4]
+    # idempotent: nothing left to expire
+    meta2 = engine.expire_partitions(
+        t, "_hoodie_partition_path < 'dt=2022-09-10'"
+    )
+    assert meta2["stats"]["files_removed"] == 0

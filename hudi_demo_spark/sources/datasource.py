@@ -45,7 +45,12 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from hudi_demo_spark.engine import timeline as tlmod
 from hudi_demo_spark.engine.config import (
@@ -133,6 +138,14 @@ class LakehouseDataSource(DataSource):
 
     def reader(self, schema) -> "LakehouseReader":
         return LakehouseReader(self._cfg(), self.options, schema)
+
+    def streamReader(self, schema) -> "LakehouseStreamReader":
+        """`spark.readStream.format("hudi")` — the reference's streaming
+        read (S21/T4: READ_AS_STREAMING + READ_START_COMMIT,
+        hudi0.13_flink1.15/.../HudiDemo.java:38-39). The engine's commit
+        timeline IS the offset log: an offset is an instant, a
+        micro-batch is the records of the commits in (start, end]."""
+        return LakehouseStreamReader(self._cfg(), self.options, schema)
 
 
 class LakehouseReader(DataSourceReader):
@@ -360,3 +373,88 @@ def _parse_arrow_type(s: str):
     if m:
         return pa.list_(_parse_arrow_type(m.group(1)))
     raise ValueError(f"unsupported arrow type repr: {s}")
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    """Streaming source over the commit timeline.
+
+    Offsets are `{"instant": <yyyyMMddHHmmssSSSSSS>}` — exactly the
+    engine's instant strings, so the checkpointed offset log and the
+    table timeline speak the same coordinates (Hudi's streaming read is
+    the same design: READ_START_COMMIT → incremental pulls). Each
+    micro-batch emits the RECORDS ADDED by the commits in
+    `(start, end]` — a change feed, not a merged snapshot (matching
+    Hudi's streaming read; deleted-marker rows are filtered). Planning
+    is metadata-only; executor tasks are the same per-file
+    LakehouseReadTask the batch reader uses. Exactly-once follows from
+    offset checkpointing: a replayed batch re-reads the same immutable
+    commit range. The write side intentionally stays `foreachBatch` +
+    `Engine.insert/upsert(batch_id=...)` (streaming/write.py) — a
+    DataSourceStreamWriter would re-buffer rows through Python for no
+    atomicity gain over the engine's idempotent batch-id commits."""
+
+    def __init__(self, cfg: TableConfig, options, schema):
+        self.cfg = cfg
+        self.options = options
+        self.out_schema = schema
+        self._reader = LakehouseReader(cfg, options, schema)
+
+    def _opt(self, *names, default=None):
+        for n in names:
+            v = self.options.get(n)
+            if v is not None:
+                return v
+        return default
+
+    def initialOffset(self) -> dict:
+        start = self._opt(
+            "hoodie.datasource.read.begin.instanttime",
+            "read.start.commit", "begin", default="",
+        )
+        if str(start).lower() == "earliest":
+            start = ""
+        return {"instant": str(start)}
+
+    def latestOffset(self) -> dict:
+        last = Timeline(self.cfg.path).last_instant()
+        return {"instant": last or ""}
+
+    def partitions(self, start: dict, end: dict):
+        cfg = self.cfg
+        lo, hi = start.get("instant", ""), end.get("instant", "")
+        tl = Timeline(cfg.path)
+        files = {}
+        for m in tl.instants(include_archived=True):
+            if m["action"] not in (
+                tlmod.COMMIT, tlmod.DELTACOMMIT, tlmod.REPLACECOMMIT
+            ):
+                continue
+            if m["instant"] <= lo or (hi and m["instant"] > hi):
+                continue
+            for f in m["files_added"]:
+                files[f["path"]] = {**f, "commit": m["instant"]}
+        data = Path(cfg.path) / DATA_DIR
+        files = {p: m for p, m in files.items() if (data / p).is_file()}
+        schema_json = __import__("json").dumps(self._reader._arrow_fields())
+        tasks = [
+            LakehouseReadTask(
+                [str(data / p)], schema_json, None,
+                [COMMIT_TIME_META], False, lo or None, hi or None,
+            )
+            for p in sorted(files)
+        ]
+        if not tasks:
+            # empty batch: one zero-file task (planner requires >=1)
+            tasks = [
+                LakehouseReadTask(
+                    [], schema_json, None, [COMMIT_TIME_META], False,
+                    None, None,
+                )
+            ]
+        return tasks
+
+    def read(self, partition):
+        return self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -144,3 +144,50 @@ def test_unsupported_cases_error_loudly(engine, spark, tmp_path):
     cfg = engine._resolve("p")
     with pytest.raises(Exception, match="partial_update|PYTHON_DATA_SOURCE"):
         spark.read.format("hudi").load(str(cfg.path)).collect()
+
+
+def test_streaming_read_change_feed(engine, spark, tmp_path):
+    """`spark.readStream.format("hudi")`: timeline instants as offsets —
+    first run drains existing commits, a restarted run with the same
+    checkpoint emits ONLY the commits made in between (exactly-once)."""
+    engine.create_table("t", record_key="id", precombine="ts")
+    cfg = engine._resolve("t")
+    engine.insert(_mkdf(spark, ROWS[:2]), "t")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("hudi").load(str(cfg.path))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    engine.insert(_mkdf(spark, ROWS[2:]), "t")
+    engine.upsert(_mkdf(spark, [(1, "a2", 7.0, 300, "2022-09-05")]), "t")
+    run_once()
+    got = sorted((r["id"], r["name"]) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (1, "a2"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_streaming_read_start_commit(engine, spark, tmp_path):
+    """READ_START_COMMIT analog: begin.instanttime skips older commits."""
+    engine.create_table("t", record_key="id", precombine="ts")
+    cfg = engine._resolve("t")
+    engine.insert(_mkdf(spark, ROWS[:2]), "t")
+    first = engine.show_commits("t").collect()[-1]["commit_time"]
+    engine.insert(_mkdf(spark, ROWS[2:]), "t")
+    q = (
+        spark.readStream.format("hudi")
+        .option("hoodie.datasource.read.begin.instanttime", first)
+        .load(str(cfg.path))
+        .writeStream.format("memory").queryName("t_stream_start")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["id"] for r in spark.table("t_stream_start").collect())
+    assert got == [3, 4]

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Catalyst push filters into Python data sources (the
+        # format("hudi") reader prunes partitions/files from them)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # partition-dir values stay strings (bootstrap dir parsing)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

@@ -153,6 +153,127 @@ class LakehouseReader(DataSourceReader):
         self.cfg = cfg
         self.options = options
         self.out_schema = schema
+        self._part_eq: dict[str, set] = {}
+        self._stat_ranges: list[tuple] = []
+
+    # ---------------- filter pushdown ----------------
+
+    def pushFilters(self, filters):
+        """Metadata-level pruning from Catalyst's pushed predicates:
+
+        - EqualTo/In on PARTITION columns (or the partition-path meta
+          column) prune the FILE LIST — fully handled, consumed, rows
+          never reach Spark. At 100 TB this is the difference between
+          scanning a table and scanning a partition, same as the native
+          path's `partition_filter`.
+        - comparisons on columns with recorded col_stats
+          (`write.stats_cols` / clustering) skip files by [min,max] —
+          PARTIALLY handled (kept files still contain non-matching
+          rows), so they are returned for Spark to re-evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        part_cols = set(self.cfg.partition_fields) | {PARTITION_PATH_META}
+        is_global = str(self.cfg.props.get("index.global", "")).lower() in (
+            "1", "true", "yes",
+        )
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col in part_cols and isinstance(f, (EqualTo, In)):
+                vals = (
+                    set(f.value) if isinstance(f, In) else {f.value}
+                )
+                if None not in vals:
+                    self._part_eq.setdefault(col, set()).update(vals)
+                    if not is_global:
+                        continue  # fully handled: consume
+                    # global index: a merged read must see ALL
+                    # partitions (a moved key's stale copy would win a
+                    # pruned merge) — keep the filter Spark-side and let
+                    # _plan apply pruning only for merge-free reads
+                    yield f
+                    continue
+            if col is not None and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and f.value is not None:
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self._stat_ranges.append((col, v, v))
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._stat_ranges.append((col, v, None))
+                else:
+                    self._stat_ranges.append((col, None, v))
+                # partial: file skipping only — Spark must still filter
+            yield f
+
+    def _partition_segment(self, partition: str, col: str) -> str | None:
+        """Value of `col` inside a partition-path string, for either
+        hive-style (`c=v/...`) or bare positional layout."""
+        if not partition:
+            return None
+        segs = partition.split("/")
+        if self.cfg.hive_style:
+            for s in segs:
+                if s.startswith(col + "="):
+                    return s[len(col) + 1 :]
+            return None
+        try:
+            i = self.cfg.partition_fields.index(col)
+        except ValueError:
+            return None
+        return segs[i] if i < len(segs) else None
+
+    def _apply_pushed(self, files: dict, partition_prune: bool) -> dict:
+        out = files
+        if not partition_prune:
+            # merged global-index read: partition filters stay row-level
+            # (Spark re-evaluates the yielded-back predicates)
+            return self._apply_stat_pruning(out)
+        for col, vals in self._part_eq.items():
+            svals = {str(v) for v in vals}
+            if col == PARTITION_PATH_META:
+                out = {
+                    p: m for p, m in out.items()
+                    if m.get("partition", "") in svals
+                }
+                continue
+            out = {
+                p: m
+                for p, m in out.items()
+                if self._partition_segment(m.get("partition", ""), col)
+                in svals
+            }
+        return self._apply_stat_pruning(out)
+
+    def _apply_stat_pruning(self, files: dict) -> dict:
+        """[min,max] file skipping from commit-metadata col_stats. Safe
+        under MOR merge: only base files carry stats, and any newer
+        version of a base row lives in a delta file (stats-free, never
+        skipped), so a skipped base file cannot hide a merge winner."""
+        out = files
+        for col, lo, hi in self._stat_ranges:
+            kept = {}
+            for p, m in out.items():
+                rng = (m.get("col_stats") or {}).get(col)
+                if rng is not None:
+                    try:
+                        if (hi is not None and rng[0] > hi) or (
+                            lo is not None and rng[1] < lo
+                        ):
+                            continue
+                    except TypeError:
+                        pass
+                kept[p] = m
+            out = kept
+        return out
 
     # ---------------- driver-side planning ----------------
 
@@ -230,6 +351,13 @@ class LakehouseReader(DataSourceReader):
                 "partial_update payload merge: use Engine.read"
             )
 
+        global_table = str(cfg.props.get("index.global", "")).lower() in (
+            "1", "true", "yes",
+        )
+        files = self._apply_pushed(
+            files, partition_prune=not (global_table and need_merge)
+        )
+
         # merge ordering = Engine._order_cols, expressed for pandas
         if cfg.precombine_field and cfg.precombine_field != COMMIT_TIME_META:
             if cfg.payload == PAYLOAD_DEFAULT:
@@ -238,9 +366,7 @@ class LakehouseReader(DataSourceReader):
                 sort_cols = [COMMIT_TIME_META, cfg.precombine_field]
         else:
             sort_cols = [COMMIT_TIME_META]
-        is_global = str(cfg.props.get("index.global", "")).lower() in (
-            "1", "true", "yes",
-        )
+        is_global = global_table
         merge_keys = (
             [RECORD_KEY_META]
             if is_global

@@ -191,3 +191,78 @@ def test_streaming_read_start_commit(engine, spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["id"] for r in spark.table("t_stream_start").collect())
     assert got == [3, 4]
+
+
+def test_filter_pushdown_prunes_partitions(engine, spark):
+    """Partition-column equality reaches the source: the file list
+    shrinks to the matching partition (verified at plan level), rows
+    match the engine read with the same filter."""
+    from pyspark.sql.datasource import EqualTo
+
+    from hudi_demo_spark.sources.datasource import LakehouseDataSource
+
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "t")
+    cfg = engine._resolve("t")
+    ds = spark.read.format("hudi").load(str(cfg.path)).filter(
+        F.col("dt") == "2022-09-05"
+    )
+    assert _rows(ds) == _rows(
+        engine.read("t").filter(F.col("dt") == "2022-09-05")
+    )
+    # plan-level: the reader consumes the filter and keeps one partition
+    raw = LakehouseDataSource({"path": str(cfg.path)})
+    rdr = raw.reader(raw.schema())
+    rdr_all = raw.reader(raw.schema())
+    n_all = len(rdr_all.partitions())
+    leftover = list(rdr.pushFilters([EqualTo(("dt",), "2022-09-05")]))
+    assert leftover == []  # fully consumed
+    parts = rdr.partitions()
+    assert all("dt=2022-09-05" in f for p in parts for f in p.files)
+    assert 0 < len(parts) < n_all
+
+
+def test_filter_pushdown_stats_skipping(engine, spark):
+    """Range predicates skip files via commit-metadata col_stats but are
+    NOT consumed (Spark still filters rows)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from hudi_demo_spark.sources.datasource import LakehouseDataSource
+
+    engine.create_table("s", record_key="id",
+                        props={"write.stats_cols": "price"})
+    engine.insert(_mkdf(spark, ROWS[:2]), "s")   # prices 1, 2
+    engine.insert(_mkdf(spark, ROWS[2:]), "s")   # prices 3, 4
+    cfg = engine._resolve("s")
+    ds = spark.read.format("hudi").load(str(cfg.path)).filter(
+        F.col("price") > 2.5
+    )
+    assert {r["id"] for r in ds.collect()} == {3, 4}
+    raw = LakehouseDataSource({"path": str(cfg.path)})
+    rdr = raw.reader(raw.schema())
+    rdr_all = raw.reader(raw.schema())
+    n_all = len(rdr_all.partitions())
+    leftover = list(rdr.pushFilters([GreaterThan(("price",), 2.5)]))
+    assert len(leftover) == 1  # partial: returned for row-level eval
+    assert 0 < len(rdr.partitions()) < n_all  # stats skipped file(s)
+
+
+def test_filter_pushdown_global_merge_not_pruned(engine, spark):
+    """Global-index MOR with a moved key: a partition filter must NOT
+    prune the merge input — the stale old-partition copy would win.
+    The filtered read must come back empty (the key left dt=2022-09-05
+    ... wait, key 1 moved OUT, so filtering its old partition must show
+    only key 2)."""
+    engine.create_table(
+        "g", record_key="id", precombine="ts", partition_by="dt",
+        table_type="mor", props={"index.global": "true"},
+    )
+    engine.insert(_mkdf(spark, ROWS[:2]), "g")  # both in 2022-09-05
+    engine.upsert(_mkdf(spark, [(1, "moved", 9.0, 900, "2022-10-01")]), "g")
+    cfg = engine._resolve("g")
+    ds = spark.read.format("hudi").load(str(cfg.path)).filter(
+        F.col("dt") == "2022-09-05"
+    )
+    got = sorted(r["id"] for r in ds.collect())
+    assert got == [2], f"stale copy of key 1 resurfaced: {got}"

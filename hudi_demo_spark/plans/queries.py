@@ -4179,3 +4179,40 @@ def datasource_snapshot_read(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@q(
+    "datasource_write_roundtrip",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def datasource_write_roundtrip(spark, sf_dir):
+    """S19 in its literal reference form: `df.write.format("hudi")` with
+    the reference's option spellings, read back via the engine — both
+    halves of the data source interop under the oracle gate."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.sources.datasource import register
+
+    register(spark)
+    root = _scratch("datasource_write_roundtrip", sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    (
+        c.write.format("hudi")
+        .option("hoodie.datasource.write.recordkey.field", "c_custkey")
+        .mode("append")
+        .save(f"{root}/t")
+    )
+    eng = Engine(spark, root)
+    return (
+        eng.read("t")
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -49,7 +49,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from hudi_demo_spark.engine import timeline as tlmod
@@ -64,7 +66,7 @@ from hudi_demo_spark.engine.config import (
     RECORD_KEY_META,
     TableConfig,
 )
-from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.engine.timeline import Timeline, new_instant
 
 _QT = "hoodie.datasource.query.type"
 _BEGIN = "hoodie.datasource.read.begin.instanttime"
@@ -138,6 +140,11 @@ class LakehouseDataSource(DataSource):
 
     def reader(self, schema) -> "LakehouseReader":
         return LakehouseReader(self._cfg(), self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "LakehouseWriter":
+        """`df.write.format("hudi").save(path)` (S19) — see
+        LakehouseWriter for semantics and the upsert caveat."""
+        return LakehouseWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema) -> "LakehouseStreamReader":
         """`spark.readStream.format("hudi")` — the reference's streaming
@@ -584,3 +591,237 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class LakehouseCommitMessage(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files  # [{"path", "partition", "bytes", "kind", ...}]
+
+
+class LakehouseWriter(DataSourceWriter):
+    """`df.write.format("hudi").save(path)` — the reference's S19 write
+    shape (BootstrapDemo.scala:264-273), as a Python data source writer.
+
+    Semantics: INSERT (Hudi's bulk-insert/INSERT operation — append, no
+    key dedup) and OVERWRITE (`mode("overwrite")` → replacecommit), with
+    implicit table creation from the reference's option spellings
+    (recordkey.field / precombine.field / partitionpath.field /
+    table.type). UPSERT is deliberately NOT implemented here: writer
+    tasks cannot run Spark jobs, and a correct upsert needs the engine's
+    pruned merge — requesting `hoodie.datasource.write.operation=upsert`
+    raises with a pointer to `Engine.upsert`. (Real Hudi defaults this
+    option to upsert; this writer defaults to insert and REFUSES rather
+    than silently reinterpreting.)
+
+    Mechanics: the writer (created once, driver-side worker) allocates
+    ONE instant for the job; every task stamps it, writes its rows as
+    per-partition parquet with task-unique names, records per-file key
+    ranges, and ships the file list in its commit message; commit()
+    publishes one atomic timeline entry. A crashed job leaves only
+    unpublished files the timeline never references (the engine's
+    crash-consistency model), and abort() unlinks them eagerly.
+    Key/partition stamping runs in pandas with the engine's exact
+    formats (W11/W12: `f:v` complex keys, `__null__`/`__empty__`
+    placeholders, hive-style paths, `default` for null)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import json
+
+        from pyspark.sql import types as T
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("format('hudi') writer requires a path")
+        op = options.get(
+            "hoodie.datasource.write.operation", "insert"
+        ).lower()
+        if op not in ("insert", "bulk_insert"):
+            raise RuntimeError(
+                f"write operation {op!r} is not supported by the "
+                "format('hudi') writer — use Engine.upsert/delete/merge "
+                "for keyed mutations"
+            )
+        if TableConfig.exists(path):
+            cfg = TableConfig.load(path)
+        else:
+            keys = options.get("hoodie.datasource.write.recordkey.field")
+            parts = options.get(
+                "hoodie.datasource.write.partitionpath.field"
+            )
+            ttype = options.get(
+                "hoodie.datasource.write.table.type", "COPY_ON_WRITE"
+            ).upper()
+            cfg = TableConfig(
+                name=Path(path).name,
+                path=str(path),
+                record_key_fields=(
+                    [k.strip() for k in keys.split(",")] if keys else None
+                ),
+                precombine_field=options.get(
+                    "hoodie.datasource.write.precombine.field"
+                ),
+                partition_fields=(
+                    [p.strip() for p in parts.split(",")] if parts else []
+                ),
+                table_type=(
+                    MOR if ttype.startswith("MERGE") else "cow"
+                ),
+                hive_style=str(
+                    options.get(
+                        "hoodie.datasource.write.hive_style_partitioning",
+                        "true",
+                    )
+                ).lower()
+                != "false",
+            )
+            cfg.save()
+        self.cfg_path = str(cfg.path)
+        self.overwrite = overwrite
+        self.instant = new_instant()
+        # full stored schema: meta cols + incoming data cols (+ marker)
+        fields = [
+            T.StructField(COMMIT_TIME_META, T.StringType()),
+            T.StructField(RECORD_KEY_META, T.StringType()),
+            T.StructField(PARTITION_PATH_META, T.StringType()),
+        ]
+        meta_names = {COMMIT_TIME_META, RECORD_KEY_META, PARTITION_PATH_META,
+                      DELETED_META}
+        fields += [f for f in schema.fields if f.name not in meta_names]
+        if cfg.table_type == MOR:
+            fields.append(T.StructField(DELETED_META, T.BooleanType()))
+        self.full_schema_json = json.dumps(
+            T.StructType(fields).jsonValue()
+        )
+        self.record_key_fields = cfg.record_key_fields
+        self.partition_fields = cfg.partition_fields
+        self.hive_style = cfg.hive_style
+        self.table_type = cfg.table_type
+
+    # ---------------- executor side ----------------
+
+    def write(self, iterator) -> LakehouseCommitMessage:
+        import json
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        rows = list(iterator)
+        if not rows:
+            return LakehouseCommitMessage([])
+        full = T.StructType.fromJson(json.loads(self.full_schema_json))
+        data_cols = [
+            f.name for f in full.fields
+            if f.name not in (COMMIT_TIME_META, RECORD_KEY_META,
+                              PARTITION_PATH_META, DELETED_META)
+        ]
+        df = pd.DataFrame(
+            {c: [r[c] if c in r.__fields__ else None for r in rows]
+             for c in data_cols}
+        )
+
+        def _s(col):
+            return df[col].map(
+                lambda v: None if v is None else str(v)
+            )
+
+        kf = self.record_key_fields
+        if not kf:
+            df[RECORD_KEY_META] = [uuid.uuid4().hex for _ in range(len(df))]
+        elif len(kf) == 1:
+            vals = _s(kf[0])
+            if vals.isna().any():
+                raise ValueError(f"record key field '{kf[0]}' is null")
+            df[RECORD_KEY_META] = vals
+        else:
+            parts = []
+            for f in kf:
+                v = _s(f).map(
+                    lambda x: "__null__" if x is None
+                    else ("__empty__" if x == "" else x)
+                )
+                parts.append(f + ":" + v)
+            key = parts[0]
+            for p in parts[1:]:
+                key = key + "," + p
+            df[RECORD_KEY_META] = key
+        if self.partition_fields:
+            segs = []
+            for f in self.partition_fields:
+                v = _s(f).map(
+                    lambda x: "default" if x is None or x == "" else x
+                )
+                segs.append((f + "=" + v) if self.hive_style else v)
+            pp = segs[0]
+            for s in segs[1:]:
+                pp = pp + "/" + s
+            df[PARTITION_PATH_META] = pp
+        else:
+            df[PARTITION_PATH_META] = ""
+        df[COMMIT_TIME_META] = self.instant
+        if self.table_type == MOR and DELETED_META not in df.columns:
+            df[DELETED_META] = False
+
+        target = pa.schema(
+            [(f.name, to_arrow_type(f.dataType)) for f in full.fields]
+        )
+        data = Path(self.cfg_path) / DATA_DIR
+        prefix = "b" if self.table_type != MOR else "d"
+        out = []
+        for pp, grp in df.groupby(PARTITION_PATH_META, sort=True):
+            tdir = data / pp if pp else data
+            tdir.mkdir(parents=True, exist_ok=True)
+            fname = f"{prefix}_{self.instant}_w{uuid.uuid4().hex[:8]}.parquet"
+            tab = pa.Table.from_pandas(
+                grp[[f.name for f in full.fields]], schema=target,
+                preserve_index=False,
+            )
+            pq.write_table(tab, str(tdir / fname))
+            keys = grp[RECORD_KEY_META]
+            out.append(
+                {
+                    "path": f"{pp}/{fname}" if pp else fname,
+                    "kind": "base" if self.table_type != MOR else "delta",
+                    "partition": pp,
+                    "bytes": (tdir / fname).stat().st_size,
+                    "key_min": keys.min(),
+                    "key_max": keys.max(),
+                }
+            )
+        return LakehouseCommitMessage(out)
+
+    # ---------------- driver side ----------------
+
+    def commit(self, messages, *args) -> None:
+        cfg = TableConfig.load(self.cfg_path)
+        added = [f for m in messages if m is not None for f in m.files]
+        tl = Timeline(cfg.path)
+        action = tlmod.COMMIT if cfg.table_type != MOR else tlmod.DELTACOMMIT
+        operation = "insert"
+        removed: list | str = []
+        if self.overwrite:
+            action = tlmod.REPLACECOMMIT
+            operation = "insert_overwrite_table"
+            removed = "*"
+        tl.commit(
+            self.instant, action, operation, added, removed,
+            {"rows_written": None},
+        )
+        if cfg.schema_json != self.full_schema_json:
+            if cfg.schema_json is None or self.overwrite:
+                cfg.schema_json = self.full_schema_json
+                cfg.save()
+
+    def abort(self, messages, *args) -> None:
+        data = Path(self.cfg_path) / DATA_DIR
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    (data / f["path"]).unlink()
+                except FileNotFoundError:
+                    pass

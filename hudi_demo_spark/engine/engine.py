@@ -46,6 +46,7 @@ from hudi_demo_spark.engine.config import (
     PAYLOAD_DEFAULT,
     PAYLOAD_PARTIAL,
     RECORD_KEY_META,
+    TIMELINE_DIR,
     TableConfig,
 )
 from hudi_demo_spark.engine.keys import partition_path_col, record_key_col
@@ -1537,33 +1538,77 @@ class Engine:
         if n >= max_delta or (max_bytes and delta_bytes >= max_bytes):
             self.compact(cfg)
 
-    def compact(self, table: str | TableConfig) -> dict | None:
-        """MOR compaction (T5): merge delta files into columnar base files
-        for every partition that has deltas; one shuffle per run."""
-        cfg = self._resolve(table)
-        tl = Timeline(cfg.path)
-        live = tl.live_files()
+    def _compaction_scope(
+        self, cfg: TableConfig, live: dict[str, dict]
+    ) -> dict[str, dict] | None:
+        """File set a compaction run must merge: every partition holding
+        deltas; under the global index also any base file whose key
+        range intersects the deltas' (a partition-moving delta may
+        supersede a base row elsewhere — the stale copy must not
+        resurface when the delta folds away)."""
         delta_parts = {
-            m.get("partition", "") for m in live.values() if m.get("kind") == "delta"
+            m.get("partition", "")
+            for m in live.values()
+            if m.get("kind") == "delta"
         }
         if not delta_parts:
             return None
         affected = {
-            p: m for p, m in live.items() if m.get("partition", "") in delta_parts
+            p: m
+            for p, m in live.items()
+            if m.get("partition", "") in delta_parts
         }
         if self._is_global(cfg):
-            # global index: a delta in partition B may supersede a base row
-            # in partition A (partition-path update). Widen compaction to
-            # base files in ANY partition whose key range intersects the
-            # deltas' — otherwise the stale old-partition copy would
-            # resurface once the delta folds away.
             dranges = {
                 p: (m.get("key_min"), m.get("key_max"))
                 for p, m in live.items()
                 if m.get("kind") == "delta"
             }
             affected.update(self._affected_files_global(live, dranges))
+        return affected
+
+    def _requested_path(self, cfg: TableConfig, instant: str) -> Path:
+        # leading underscore keeps plan files out of Timeline.instants()
+        return (
+            Path(cfg.path) / TIMELINE_DIR
+            / f"_requested-{instant}.compaction.json"
+        )
+
+    def schedule_compaction(self, table: str | TableConfig) -> str | None:
+        """Hudi's async-compaction SCHEDULE step
+        (`hoodie.compact.schedule.inline` / `call run_compaction(op =>
+        'schedule')`): capture the current delta file set as an
+        immutable plan, so a SEPARATE process can execute it later
+        without racing ongoing writers — new deltas landing after the
+        schedule stay live and untouched by that execution, and OCC
+        fails the execution loudly if a plan file was replaced
+        meanwhile. Returns the plan instant, or None with no deltas."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        scope = self._compaction_scope(cfg, tl.live_files())
+        if scope is None:
+            return None
         instant = new_instant()
+        p = self._requested_path(cfg, instant)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"instant": instant, "files": scope}))
+        tmp.replace(p)
+        return instant
+
+    def pending_compactions(self, table: str | TableConfig) -> list[str]:
+        cfg = self._resolve(table)
+        return sorted(
+            p.name[len("_requested-") : -len(".compaction.json")]
+            for p in (Path(cfg.path) / TIMELINE_DIR).glob(
+                "_requested-*.compaction.json"
+            )
+        )
+
+    def _execute_compaction_plan(
+        self, cfg: TableConfig, tl: Timeline, instant: str,
+        affected: dict[str, dict],
+    ) -> dict:
         df = self._read_files(cfg, affected)
         merged = self._merge_view(df, cfg)
         if DELETED_META in merged.columns:
@@ -1571,6 +1616,34 @@ class Engine:
         added = self._materialize(merged, cfg, instant, "base")
         return tl.commit(
             instant, tlmod.COMPACTION, "compact", added, sorted(affected)
+        )
+
+    def compact(self, table: str | TableConfig) -> dict | None:
+        """MOR compaction (T5): merge delta files into columnar base files
+        for every partition that has deltas; one shuffle per run.
+
+        If async plans exist (`schedule_compaction`), the OLDEST pending
+        plan is executed instead — its captured file set exactly, never
+        deltas that arrived after the schedule (Hudi execute semantics).
+        The plan file is consumed on success."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        pending = self.pending_compactions(cfg)
+        if pending:
+            instant = pending[0]
+            plan_file = self._requested_path(cfg, instant)
+            plan = json.loads(plan_file.read_text())
+            meta = self._execute_compaction_plan(
+                cfg, tl, instant, plan["files"]
+            )
+            plan_file.unlink(missing_ok=True)
+            return meta
+        live = tl.live_files()
+        affected = self._compaction_scope(cfg, live)
+        if affected is None:
+            return None
+        return self._execute_compaction_plan(
+            cfg, tl, new_instant(), affected
         )
 
     @staticmethod

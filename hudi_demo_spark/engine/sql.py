@@ -109,8 +109,19 @@ class SqlRouter:
             self.engine.rollback(table, instant)
             return None
         if proc == "run_compaction":
+            # Hudi procedure surface: op => 'schedule' | 'run' (default)
+            if args.get("op", "run").lower() == "schedule":
+                i = self.engine.schedule_compaction(table)
+                return self.spark.createDataFrame(
+                    [(i,)], "requested_instant string"
+                )
             self.engine.compact(table)
             return None
+        if proc == "show_compaction":
+            return self.spark.createDataFrame(
+                [(i,) for i in self.engine.pending_compactions(table)],
+                "requested_instant string",
+            )
         if proc == "run_clustering":
             order = [c.strip() for c in args.get("order", "").split(",")
                      if c.strip()]

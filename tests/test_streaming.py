@@ -185,3 +185,59 @@ def test_size_based_compaction_trigger(engine, spark):
     cfg = engine._resolve("szc")
     actions = [m["action"] for m in Timeline(cfg.path).instants(True)]
     assert tlmod.COMPACTION in actions  # size trigger fired on commit 1
+
+
+def test_async_compaction_schedule_then_execute(engine, spark):
+    """Schedule/execute split: the executed plan covers ONLY deltas
+    captured at schedule time — a delta landing in between stays live
+    and un-compacted (Hudi async-compaction semantics)."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table("a", record_key="id", precombine="ts",
+                        table_type="mor")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id int, v string, ts long")
+
+    engine.insert(df([(1, "a", 1), (2, "b", 1)]), "a")
+    inst = engine.schedule_compaction("a")
+    assert inst is not None
+    assert engine.pending_compactions("a") == [inst]
+    # a delta written AFTER the schedule must survive the execution
+    engine.upsert(df([(1, "a2", 2)]), "a")
+    meta = engine.compact("a")
+    assert meta["instant"] == inst
+    assert engine.pending_compactions("a") == []
+    live = Timeline(engine._resolve("a").path).live_files()
+    kinds = sorted(m["kind"] for m in live.values())
+    assert "delta" in kinds  # the post-schedule delta is untouched
+    by_id = {r["id"]: r["v"] for r in engine.read("a").collect()}
+    assert by_id == {1: "a2", 2: "b"}  # snapshot still merges it
+    # second compact folds the straggler inline
+    engine.compact("a")
+    live2 = Timeline(engine._resolve("a").path).live_files()
+    assert all(m["kind"] == "base" for m in live2.values())
+
+
+def test_schedule_compaction_none_without_deltas(engine, spark):
+    engine.create_table("c", record_key="id", table_type="mor")
+    assert engine.schedule_compaction("c") is None
+
+
+def test_call_run_compaction_schedule_op(engine, spark):
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    engine.create_table("s", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.insert(
+        spark.createDataFrame([(1, "a", 1)], "id int, v string, ts long"),
+        "s",
+    )
+    router = SqlRouter(engine)
+    out = router.sql("call run_compaction(table => 's', op => 'schedule')")
+    inst = out.collect()[0][0]
+    assert inst is not None
+    shown = router.sql("call show_compaction(table => 's')").collect()
+    assert [r[0] for r in shown] == [inst]
+    router.sql("call run_compaction(table => 's')")
+    assert engine.pending_compactions("s") == []

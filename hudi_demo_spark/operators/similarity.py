@@ -174,6 +174,31 @@ def ivf_assign(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: md5-derived portable-hash order (so
+    a DuckDB oracle re-derives the exact same seed set; id = tiebreak),
+    numbered 1..n in id order. Driver-side by design — n_centroids x dim
+    floats. At scale, replace with k-means iterations on the same
+    plumbing."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .orderBy(portable_hash60(F.col("__cid").cast("string")), F.col("__cid"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [
+        (i + 1, list(r["__cv"]))
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["__cid"]))
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,20 +224,7 @@ def ivf_topk(
 
     Recall is tunable with n_probe (n_probe = n_centroids degenerates to
     exact search)."""
-    from hudi_demo_spark.functions.hashfn import portable_hash60
-
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-        # md5-derived hash order (not xxhash64) so a DuckDB oracle can
-        # re-derive the exact same seed set; id tiebreak = total order
-        .orderBy(portable_hash60(F.col("__cid").cast("string")), F.col("__cid"))
-        .limit(n_centroids)
-        .collect()  # n_centroids × dim floats — driver-side by design
-    )
-    cents = [
-        (i + 1, list(r["__cv"]))
-        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["__cid"]))
-    ]
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
     c = ivf_assign(_spread(corpus), cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__v").alias("__nv"),
@@ -330,4 +342,46 @@ def quantize_embeddings(
         F.col(id_col),
         qvec.alias("qvec"),
         (mabs / F.lit(127.0)).alias("scale"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster embeddings, compare pairs ONLY within a cluster, and drop
+    every vector that has a higher-priority (lower-id) neighbor above
+    the cosine threshold. Returns the survivors' rows.
+
+    Scale: the IVF cell assignment is map-side against literal
+    centroids (no corpus shuffle); the pairwise stage is a self-join
+    keyed by centroid_id, so cost is sum(cell²), never O(n²) — the
+    cluster count is the knob that bounds the quadratic, exactly the
+    SemDeDup argument for clustering before comparing. Deterministic
+    end-to-end (portable-hash seeds, lower-id-wins rule): a DuckDB
+    oracle replays the whole pipeline."""
+    cents = seed_centroids(df, id_col, vec_col, n_centroids)
+    a = ivf_assign(_spread(df), cents, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("__id"), F.col("__v"), "centroid_id"
+    )
+    l = a.select(
+        F.col("__id").alias("__lid"), F.col("__v").alias("__lv"), "centroid_id"
+    )
+    r = a.select(
+        F.col("__id").alias("__rid"), F.col("__v").alias("__rv"), "centroid_id"
+    )
+    dropped = (
+        l.join(r, "centroid_id")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .withColumn("__sim", cosine_similarity("__lv", "__rv"))
+        .filter(F.col("__sim") >= F.lit(threshold))
+        .select(F.col("__rid").alias("__dropped"))
+        .distinct()
+    )
+    return df.join(
+        dropped, df[id_col] == dropped["__dropped"], "left_anti"
     )

@@ -4216,3 +4216,59 @@ def datasource_write_roundtrip(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+def _semantic_dedup_oracle(threshold=0.35, n_centroids=16) -> str:
+    """SemDeDup replay in SQL: same portable-hash seeds + cell
+    assignment as the IVF oracle, pairwise cosine within cells only,
+    lower-id-wins survivor rule."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             embedding::DOUBLE[] AS cv,
+             coalesce(nullif(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])), 0), 1) AS cnorm
+      FROM seeds
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / c.cnorm DESC,
+                        c.cid) AS crank
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, cid FROM assign WHERE crank = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY e.vec_id
+    """
+
+
+@q("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster (deterministic IVF cells),
+    pairwise cosine within cells, drop the higher id of any pair above
+    the threshold. Oracle replays the full pipeline in SQL."""
+    from hudi_demo_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(e, "vec_id", "embedding", threshold=0.35,
+                       n_centroids=16)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

@@ -308,3 +308,22 @@ def test_profile_approx_within_tolerance(spark, sf_dir):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(2, 0.05 * e["n_distinct"])
         span = (e["max_val"] - e["min_val"]) or 1.0
         assert abs(a["median"] - e["median"]) <= 0.05 * span
+
+
+def test_semantic_dedup_drops_near_neighbors(spark, sf_dir):
+    from hudi_demo_spark.operators.similarity import semantic_dedup
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    total = e.count()
+    kept = semantic_dedup(e, "vec_id", "embedding", threshold=0.35)
+    n_kept = kept.count()
+    assert 0 < n_kept < total  # something dropped, not everything
+    # determinism: same inputs -> identical survivor set
+    again = semantic_dedup(e, "vec_id", "embedding", threshold=0.35)
+    assert sorted(r[0] for r in kept.select("vec_id").collect()) == \
+        sorted(r[0] for r in again.select("vec_id").collect())
+    # threshold=1.01 keeps everything (no pair can reach it)
+    assert semantic_dedup(
+        e, "vec_id", "embedding", threshold=1.01
+    ).count() == total

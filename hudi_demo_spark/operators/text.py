@@ -194,3 +194,67 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "rank")
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition-free quality rules (Rae et
+    al. 2021 §A1.1, the de-facto standard pretraining filter set): word
+    count bounds, mean word length bounds, symbol-to-character ratio
+    (#/… marks), fraction of words containing an alphabetic character.
+    Emits per-rule booleans plus the conjunctive `passes` flag — keep
+    the rule columns, not just the verdict, so a pipeline can audit
+    WHICH rule rejected a document.
+
+    Pure map-side expression work (split/regex once in a struct
+    projection, rules read struct fields) — zero shuffle at any scale."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    feats = F.struct(
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0), lambda a, x: a + x,
+        ).alias("word_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+        ).alias("alpha_words"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"[#…]", ""))
+        ).alias("symbol_chars"),
+    )
+    n_words = F.col("__g.n_words")
+    mean_wl = F.col("__g.word_chars") / F.greatest(n_words, F.lit(1))
+    alpha_ratio = F.col("__g.alpha_words") / F.greatest(n_words, F.lit(1))
+    symbol_ratio = F.col("__g.symbol_chars") / F.greatest(
+        F.col("__g.n_chars"), F.lit(1)
+    )
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.withColumn("__g", feats).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        *[c.alias(n) for n, c in rules.items()],
+        passes.alias("passes"),
+    )

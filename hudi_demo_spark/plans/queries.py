@@ -4272,3 +4272,50 @@ def dedup_semantic(spark, sf_dir):
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@q(
+    "text_gopher_quality",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')
+               AS words,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+               AS symbol_chars
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             list_sum(list_transform(words, w -> length(w))) AS word_chars,
+             len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS alpha_words,
+             n_chars, symbol_chars
+      FROM g
+    )
+    SELECT doc_id,
+           n_words,
+           round(word_chars / greatest(n_words, 1), 4) AS mean_word_len,
+           n_words >= 5 AND n_words <= 100000 AS ok_word_count,
+           word_chars / greatest(n_words, 1) >= 3.0
+             AND word_chars / greatest(n_words, 1) <= 10.0
+             AS ok_mean_word_len,
+           symbol_chars / greatest(n_chars, 1) <= 0.1 AS ok_symbol_ratio,
+           alpha_words / greatest(n_words, 1) >= 0.8 AS ok_alpha_words,
+           (n_words >= 5 AND n_words <= 100000)
+             AND (word_chars / greatest(n_words, 1) >= 3.0
+                  AND word_chars / greatest(n_words, 1) <= 10.0)
+             AND (symbol_chars / greatest(n_chars, 1) <= 0.1)
+             AND (alpha_words / greatest(n_words, 1) >= 0.8) AS passes
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-rule document filter: per-rule booleans + conjunctive
+    verdict, map-side only."""
+    from hudi_demo_spark.operators.text import gopher_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text").orderBy("doc_id")

@@ -673,7 +673,14 @@ class Engine:
         column, the newest non-null value in merge order. Same single
         window shuffle: `first(col, ignorenulls)` over an unbounded frame
         shares the partitioning/ordering of the row_number, so Catalyst
-        plans ONE Window operator."""
+        plans ONE Window operator.
+
+        Caveat (same as Hudi's): partial-update results are well-defined
+        when ordering values are NON-DECREASING per key (the CDC shape,
+        property-tested for COW and MOR). With out-of-order orderings
+        the merged value is inherently fold-order dependent — COW folds
+        per commit (an absorbed column rides the winner's rank), while
+        an uncompacted MOR merge sees the flat history."""
         keys = self._merge_key_cols(cfg)
         order = self._order_cols(cfg)
         w = Window.partitionBy(*keys).orderBy(*order)

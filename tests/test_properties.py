@@ -123,3 +123,54 @@ def test_pack_offsets_contiguous_any_input(spark, id_lens, seq_len):
         assert (gi, gn, gs) == (i, n, off)
         assert gf == off // seq_len and gl == (off + n) // seq_len
         off += n + 1  # EOS
+
+
+# ---------------------------------------------------------------------
+# partial-update payload: engine merge == pure-Python fold of
+# PartialUpdateAvroPayload semantics (newest non-null per column in
+# preCombine-then-commit order) for ARBITRARY version histories
+# ---------------------------------------------------------------------
+
+_pv = st.one_of(st.none(), st.integers(min_value=-99, max_value=99))
+# versions of one key with NON-DECREASING ordering values (the realistic
+# CDC shape, and the case where partial-update merging is well-defined:
+# with out-of-order orderings the result is inherently fold-order
+# dependent — in Hudi too — see _merge_view's caveat)
+_versions = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), _pv, _pv),
+    min_size=1, max_size=6,
+).map(lambda vs: sorted(vs, key=lambda v: v[0]))
+
+
+def _model_partial_merge(versions):
+    """Sequential fold of PartialUpdateAvroPayload semantics: each
+    commit's row wins (ordering is non-decreasing), null columns fall
+    back to the previously merged value."""
+    ts = a = b = None
+    for vts, va, vb in versions:
+        ts = vts
+        a = va if va is not None else a
+        b = vb if vb is not None else b
+    return (ts, a, b)
+
+
+@given(_versions, st.sampled_from(["cow", "mor"]))
+@settings(**_SETTINGS)
+def test_partial_update_matches_reference_fold(
+    spark, tmp_path_factory, versions, table_type
+):
+    from hudi_demo_spark.engine import Engine
+
+    root = tmp_path_factory.mktemp("pp")
+    eng = Engine(spark, root)
+    eng.create_table("t", record_key="id", precombine="ts",
+                     payload="partial_update", table_type=table_type)
+    for ts, a, b in versions:
+        df = spark.createDataFrame(
+            [(1, ts, a, b)], "id int, ts long, a int, b int"
+        )
+        eng.upsert(df, "t")
+    got = eng.read("t").select("ts", "a", "b").collect()
+    assert len(got) == 1
+    want = _model_partial_merge(versions)
+    assert (got[0]["ts"], got[0]["a"], got[0]["b"]) == want

@@ -1302,28 +1302,38 @@ class Engine:
     def delete_keys(self, table: str | TableConfig, keys_df: DataFrame) -> dict:
         """DELETE by key list (W8) — client.delete(List<HoodieKey>)
         (HoodieJavaWriteClientExample.java:109-116): keys_df carries the
-        record-key fields (+ partition fields when partitioned)."""
+        record-key fields, plus the partition fields when partitioned —
+        except under the GLOBAL index, where bare record keys suffice
+        (the index locates the owning partition, Hudi GLOBAL_* delete
+        semantics) and the lookup is range/RLI-pruned."""
         cfg = self._resolve(table)
         instant = new_instant()
-        keyed = (
-            keys_df.withColumn(RECORD_KEY_META, record_key_col(cfg.record_key_fields))
-            .withColumn(
+        on = self._merge_key_cols(cfg)
+        keyed = keys_df.withColumn(
+            RECORD_KEY_META, record_key_col(cfg.record_key_fields)
+        )
+        if self._is_global(cfg):
+            # partition unknown for a bare-key delete: range/index
+            # pruning keys off the record key alone
+            keyed = keyed.withColumn(PARTITION_PATH_META, F.lit(""))
+        else:
+            keyed = keyed.withColumn(
                 PARTITION_PATH_META,
                 partition_path_col(cfg.partition_fields, cfg.hive_style),
             )
-            .select(PARTITION_PATH_META, RECORD_KEY_META)
-            .distinct()
-            .persist()
-        )
+        keyed = keyed.select(PARTITION_PATH_META, RECORD_KEY_META).distinct().persist()
         tl = Timeline(cfg.path)
         try:
             ranges, _ = self._batch_key_ranges(keyed)
             live = tl.live_files()
-            affected = self._affected_files(live, ranges)
+            if self._is_global(cfg):
+                affected = self._global_candidates(cfg, live, ranges, keyed)
+            else:
+                affected = self._affected_files(live, ranges)
             if cfg.table_type == MOR:
                 snap = self.read(cfg)
                 markers = (
-                    snap.join(keyed, [PARTITION_PATH_META, RECORD_KEY_META], "left_semi")
+                    snap.join(keyed.select(*on), on, "left_semi")
                     .withColumn(DELETED_META, F.lit(True))
                     .withColumn(COMMIT_TIME_META, F.lit(instant))
                 )
@@ -1333,9 +1343,7 @@ class Engine:
                 self._maybe_compact(cfg)
                 return meta
             base = self._read_files(cfg, affected)
-            keep = base.join(
-                keyed, [PARTITION_PATH_META, RECORD_KEY_META], "left_anti"
-            )
+            keep = base.join(keyed.select(*on), on, "left_anti")
             added = self._materialize(
                 keep, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),

@@ -193,7 +193,9 @@ class SqlRouter:
         opts_sql = m.group(9) or ""
         opts = {}
         for kv in _split_top_level(opts_sql):
-            km = re.match(r"(\w+)\s*=\s*'([^']*)'", kv.strip())
+            # keys may be bare words or backtick-quoted dotted props
+            # (`index.global`, `write.stats_cols`)
+            km = re.match(r"`?([\w.]+)`?\s*=\s*'([^']*)'", kv.strip())
             if km:
                 opts[km.group(1).lower()] = km.group(2)
         from pyspark.sql import types as T
@@ -209,13 +211,19 @@ class SqlRouter:
         # DDL lists partition columns inside the column list (Spark SQL
         # convention keeps them there for `using hudi` tables)
         schema = T.StructType(fields)
+        known = {"primarykey", "precombinefield", "type", "payload"}
+        props = {k: v for k, v in opts.items() if k not in known}
         self.engine.create_table(
             name,
             record_key=opts.get("primarykey"),
             precombine=opts.get("precombinefield"),
             partition_by=part_cols or None,
             table_type=opts.get("type", "cow"),
+            payload=opts.get("payload"),
             schema=schema,
+            # unknown options flow through as table properties, the
+            # tblproperties convention (index.global, compact.inline, …)
+            props=props or None,
             if_not_exists=bool(m.group(1)),
         )
         return None

@@ -122,3 +122,12 @@ def test_rli_requires_global_index(engine, spark):
     )
     assert engine._record_index(engine._resolve("ng")) is None
     assert engine.rebuild_record_index("ng") is False
+
+
+def test_global_delete_by_bare_keys(engine, spark):
+    """GLOBAL_* delete semantics: keys_df carries only the key field —
+    the index locates owning partitions; no partition columns needed."""
+    t = _setup(engine, spark)
+    keys = spark.createDataFrame([(3,), (4,)], "id int")
+    engine.delete_keys(t, keys)
+    assert sorted(r[0] for r in _state(engine, t)) == [1, 2, 5, 6]

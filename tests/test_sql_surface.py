@@ -118,3 +118,20 @@ def test_call_delete_partition_and_rebuild_index(engine, spark):
     assert [r[0] for r in engine.read("cp").select("id").collect()] == [2]
     out = router.sql("call rebuild_record_index(table => 'cp')")
     assert out.collect()[0][0] is True
+
+
+def test_create_table_options_flow_to_props(engine, spark):
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    router = SqlRouter(engine)
+    router.sql("""
+        create table gp (id int, name string, ts long, dt string)
+        using hudi partitioned by (dt)
+        options (primaryKey = 'id', preCombineField = 'ts',
+                 payload = 'partial_update',
+                 `index.global` = 'true', `write.stats_cols` = 'ts')
+    """)
+    cfg = engine._resolve("gp")
+    assert cfg.payload == "partial_update"
+    assert cfg.props.get("index.global") == "true"
+    assert cfg.props.get("write.stats_cols") == "ts"

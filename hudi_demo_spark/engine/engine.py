@@ -290,7 +290,13 @@ class Engine:
                 }
             )
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(Path(cfg.path) / "_tmp", ignore_errors=True)
+        try:
+            # staging parent is SHARED across concurrent writers (one
+            # subdir per instant): remove it only when empty — an rmtree
+            # here would clobber another writer's in-flight job
+            (Path(cfg.path) / "_tmp").rmdir()
+        except OSError:
+            pass
         self._attach_key_ranges(added, data)
         stats_cols = [
             c.strip()

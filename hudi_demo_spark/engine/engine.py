@@ -1773,11 +1773,36 @@ class Engine:
             self._commit_stats(added, None),
         )
 
-    def clean(self, table: str | TableConfig, retain_commits: int = 10) -> dict:
+    def clean(
+        self,
+        table: str | TableConfig,
+        retain_commits: int = 10,
+        stale_staging_s: float = 3600.0,
+    ) -> dict:
         """Cleaning (M4) — retainCommits (JavaClientHive2Hudi.java:185):
-        physically delete data files unreferenced by the last N commits."""
+        physically delete data files unreferenced by the last N commits.
+
+        Also sweeps `_tmp/` staging directories older than
+        `stale_staging_s` (a crashed writer's leftovers — Hudi's marker
+        cleanup analog). Age-gated because staging is SHARED by live
+        concurrent writers; the next write must never sweep it."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
+        staging = Path(cfg.path) / "_tmp"
+        if staging.is_dir():
+            import time as _time
+
+            now = _time.time()
+            for sub in staging.iterdir():
+                try:
+                    if now - sub.stat().st_mtime >= stale_staging_s:
+                        shutil.rmtree(sub, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
+            try:
+                staging.rmdir()
+            except OSError:
+                pass
         instants = [m["instant"] for m in tl.instants(include_archived=True)]
         keep_instants = instants[-retain_commits:] if instants else []
         referenced: set[str] = set()

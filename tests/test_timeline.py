@@ -286,7 +286,10 @@ def test_crash_before_commit_leaves_table_consistent(engine, spark):
     assert engine.read("cc_t").count() == 100  # orphan not served
     engine.insert(df.withColumn("v", F.lit("b")), "cc_t")
     assert engine.read("cc_t").count() == 200
-    # tmp staging from the dead writer was swept by the next write
+    # the next WRITE must NOT sweep foreign staging (a live concurrent
+    # writer may own it); age-gated sweep happens in clean()
+    assert (Path(cfg.path) / "_tmp" / "dead_instant").exists()
+    engine.clean("cc_t", stale_staging_s=0)
     assert not (Path(cfg.path) / "_tmp").exists()
 
 

@@ -1639,6 +1639,53 @@ class Engine:
             instant, tlmod.COMPACTION, "compact", added, sorted(affected)
         )
 
+    def log_compact(self, table: str | TableConfig) -> dict | None:
+        """Log compaction (Hudi 0.13 `log.compaction.inline`, the option
+        TestBatchMOR.java's comments point at): fold a partition's MANY
+        small delta files into ONE deduped delta file WITHOUT reading or
+        rewriting base files. The cheap write-amplification lever for
+        hot MOR tables — full compaction cost scales with base size,
+        log compaction with delta size only.
+
+        Correctness: per-key winner selection is associative for the
+        overwrite/default payloads (max over a subset then max with base
+        = max over all), so pre-merging deltas cannot change snapshot
+        results. The PARTIAL payload is NOT associative under
+        out-of-order orderings (see _merge_view) — refused."""
+        cfg = self._resolve(table)
+        if cfg.payload == PAYLOAD_PARTIAL:
+            raise ValueError(
+                "log compaction is unsafe for partial_update payloads "
+                "(non-associative merge); run full compact() instead"
+            )
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        deltas = {
+            p: m for p, m in live.items() if m.get("kind") == "delta"
+        }
+        # only partitions where folding helps (≥2 delta files)
+        by_part: dict[str, list[str]] = {}
+        for p, m in deltas.items():
+            by_part.setdefault(m.get("partition", ""), []).append(p)
+        target = {
+            p: deltas[p]
+            for pp, ps in by_part.items()
+            if len(ps) >= 2
+            for p in ps
+        }
+        if not target:
+            return None
+        instant = new_instant()
+        df = self._read_files(cfg, target)
+        folded = self._merge_view(df, cfg)
+        # delete markers MUST survive folding (they still shadow base
+        # rows); only read() filters them
+        added = self._materialize(folded, cfg, instant, "delta")
+        return tl.commit(
+            instant, "logcompaction", "log_compact", added, sorted(target),
+            self._commit_stats(added, None),
+        )
+
     def compact(self, table: str | TableConfig) -> dict | None:
         """MOR compaction (T5): merge delta files into columnar base files
         for every partition that has deltas; one shuffle per run.

@@ -117,6 +117,9 @@ class SqlRouter:
                 )
             self.engine.compact(table)
             return None
+        if proc == "run_log_compaction":
+            self.engine.log_compact(table)
+            return None
         if proc == "show_compaction":
             return self.spark.createDataFrame(
                 [(i,) for i in self.engine.pending_compactions(table)],

@@ -241,3 +241,59 @@ def test_call_run_compaction_schedule_op(engine, spark):
     assert [r[0] for r in shown] == [inst]
     router.sql("call run_compaction(table => 's')")
     assert engine.pending_compactions("s") == []
+
+
+def test_log_compaction_folds_deltas_only(engine, spark):
+    """log_compact: N delta files fold to one per partition, base files
+    untouched, snapshot identical, delete markers survive the fold."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table("lc", record_key="id", precombine="ts",
+                        table_type="mor")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id int, v string, ts long")
+
+    engine.insert(df([(1, "a", 1), (2, "b", 1), (3, "c", 1)]), "lc")
+    engine.compact("lc")  # establish base files
+    engine.upsert(df([(1, "a2", 2)]), "lc")
+    engine.upsert(df([(2, "b2", 2)]), "lc")
+    engine.delete("lc", "id = 3")
+    cfg = engine._resolve("lc")
+    before = sorted(tuple(r) for r in
+                    engine.read("lc").select("id", "v").collect())
+    live0 = Timeline(cfg.path).live_files()
+    n_delta0 = sum(1 for m in live0.values() if m["kind"] == "delta")
+    base0 = {p for p, m in live0.items() if m["kind"] == "base"}
+    assert n_delta0 == 3
+    meta = engine.log_compact("lc")
+    assert meta["action"] == "logcompaction"
+    live1 = Timeline(cfg.path).live_files()
+    n_delta1 = sum(1 for m in live1.values() if m["kind"] == "delta")
+    assert n_delta1 == 1
+    # base files untouched — log compaction never reads or writes base
+    assert {p for p, m in live1.items() if m["kind"] == "base"} == base0
+    after = sorted(tuple(r) for r in
+                   engine.read("lc").select("id", "v").collect())
+    assert after == before == [(1, "a2"), (2, "b2")]
+    # full compaction still folds the rest down to base
+    engine.compact("lc")
+    assert engine.read("lc", query_type="read_optimized").count() == 2
+
+
+def test_log_compaction_refuses_partial_payload(engine, spark):
+    import pytest as _pytest
+
+    engine.create_table("lp", record_key="id", precombine="ts",
+                        table_type="mor", payload="partial_update")
+    with _pytest.raises(ValueError, match="partial_update"):
+        engine.log_compact("lp")
+
+
+def test_log_compaction_noop_single_delta(engine, spark):
+    engine.create_table("ls", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.insert(
+        spark.createDataFrame([(1, 1)], "id int, ts long").coalesce(1), "ls"
+    )
+    assert engine.log_compact("ls") is None

@@ -42,6 +42,8 @@ HEADLINE = [
     "engine_upsert_global",
     "engine_partial_update",
     "dedup_exact_keep_first",
+    "dedup_semantic",
+    "text_gopher_quality",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -174,3 +174,87 @@ def test_partial_update_matches_reference_fold(
     assert len(got) == 1
     want = _model_partial_merge(versions)
     assert (got[0]["ts"], got[0]["a"], got[0]["b"]) == want
+
+
+# ---------------------------------------------------------------------
+# DML state machine: random op sequences vs a pure-Python key->row
+# model, with table services (compact / log-compact / clean / archive)
+# sprinkled in — services must NEVER change visible state
+# ---------------------------------------------------------------------
+
+_ids = st.integers(min_value=0, max_value=5)
+_ts = st.integers(min_value=0, max_value=5)
+_upsert_rows = st.lists(st.tuples(_ids, _ts), min_size=1, max_size=4)
+_op = st.one_of(
+    st.tuples(st.just("upsert"), _upsert_rows),
+    st.tuples(st.just("delete"), st.lists(_ids, min_size=1, max_size=3)),
+    st.tuples(st.just("insert_dedup"), _upsert_rows),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("log_compact"), st.just(None)),
+    st.tuples(st.just("clean"), st.just(None)),
+    st.tuples(st.just("archive"), st.just(None)),
+)
+_program = st.lists(_op, min_size=1, max_size=8)
+
+
+def _model_apply(model, op, arg, commit_no):
+    """DEFAULT payload: ordering field wins across commits, commit
+    breaks ties toward the newer write."""
+    if op == "upsert":
+        batch = {}
+        for i, ts in arg:  # intra-batch: max ts, later row breaks ties
+            if i not in batch or ts >= batch[i]:
+                batch[i] = ts
+        for i, ts in batch.items():
+            if i not in model or ts >= model[i][0]:
+                model[i] = (ts, commit_no)
+    elif op == "delete":
+        for i in arg:
+            model.pop(i, None)
+    elif op == "insert_dedup":
+        batch = {}
+        for i, ts in arg:
+            if i not in batch or ts >= batch[i]:
+                batch[i] = ts
+        for i, ts in batch.items():
+            if i not in model:
+                model[i] = (ts, commit_no)
+    return model
+
+
+@given(_program, st.sampled_from(["cow", "mor"]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_dml_state_machine_matches_model(
+    spark, tmp_path_factory, program, table_type
+):
+    from hudi_demo_spark.engine import Engine
+
+    root = tmp_path_factory.mktemp("sm")
+    eng = Engine(spark, root)
+    eng.create_table("t", record_key="id", precombine="ts",
+                     table_type=table_type, payload="default")
+    model: dict[int, tuple[int, int]] = {}
+    for n, (op, arg) in enumerate(program):
+        if op == "upsert":
+            eng.upsert(spark.createDataFrame(
+                [(i, ts) for i, ts in arg], "id int, ts long"), "t")
+        elif op == "delete":
+            eng.delete_keys("t", spark.createDataFrame(
+                [(i,) for i in set(arg)], "id int"))
+        elif op == "insert_dedup":
+            eng.insert(spark.createDataFrame(
+                [(i, ts) for i, ts in arg], "id int, ts long"),
+                "t", drop_duplicates=True)
+        elif op == "compact":
+            eng.compact("t")
+        elif op == "log_compact":
+            eng.log_compact("t")
+        elif op == "clean":
+            eng.clean("t", retain_commits=50)
+        elif op == "archive":
+            eng.archive("t", keep=2)
+        model = _model_apply(model, op, arg, n)
+        got = {r["id"]: r["ts"] for r in eng.read("t").collect()}
+        want = {i: ts for i, (ts, _) in model.items()}
+        assert got == want, f"after op {n} {op}{arg}: {got} != {want}"

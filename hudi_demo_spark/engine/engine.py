@@ -712,6 +712,36 @@ class Engine:
             .drop("__rn")
         )
 
+    def show_fsview(self, table: str | TableConfig) -> DataFrame:
+        """Hudi `show_fsview_all` procedure analog: the LIVE file set as
+        a DataFrame — (partition, file, kind, commit, bytes, key_min,
+        key_max). Metadata-only (timeline replay, no fs listing)."""
+        cfg = self._resolve(table)
+        rows = [
+            (
+                m.get("partition", ""),
+                p,
+                m.get("kind", "base"),
+                m.get("commit", ""),
+                int(m.get("bytes") or 0),
+                m.get("key_min"),
+                m.get("key_max"),
+            )
+            for p, m in sorted(Timeline(cfg.path).live_files().items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("commit_time", T.StringType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("key_min", T.StringType()),
+                T.StructField("key_max", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def show_commits(self, table: str | TableConfig) -> DataFrame:
         """`call show_commits(table => ...)` (R23) —
         IncrementalQuery.scala:36-37; newest-first like the reference."""

@@ -100,6 +100,8 @@ class SqlRouter:
             raise ValueError(f"call {proc}(table => '<name>', ...)")
         if proc == "show_commits":
             return self.engine.show_commits(table)
+        if proc in ("show_fsview_all", "show_fsview"):
+            return self.engine.show_fsview(table)
         if proc == "rollback_to_instant":
             instant = args.get("instant_time")
             if not instant:

@@ -358,3 +358,17 @@ def test_write_stats_cols_prop_records_and_prunes(engine, spark):
     assert len(kept) < len(files)
     got = engine.read("sc", range_filter=("x", 100.0, 105.0)).count()
     assert got == 6  # rows 100..105 all live in the middle file
+
+
+def test_show_fsview(engine, spark):
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    engine.create_table("fv", record_key="id", partition_by="dt")
+    engine.insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, dt string"), "fv"
+    )
+    view = SqlRouter(engine).sql("call show_fsview_all(table => 'fv')")
+    rows = view.collect()
+    assert {r["partition"] for r in rows} == {"dt=a", "dt=b"}
+    assert all(r["kind"] == "base" and r["bytes"] > 0 for r in rows)
+    assert all(r["key_min"] is not None for r in rows)

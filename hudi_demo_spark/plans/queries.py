@@ -4319,3 +4319,130 @@ def text_gopher_quality(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_quality(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "engine_embeddings_table_topk",
+    """
+    WITH tbl AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 50 = 0
+                  THEN list_transform(embedding, x -> x * 2.0)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM tbl
+      WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             list_dot_product(q.qv, t.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(t.embedding::DOUBLE[],
+                                        t.embedding::DOUBLE[]))) AS score
+      FROM q CROSS JOIN tbl t
+      WHERE q.query_id != t.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def engine_embeddings_table_topk(spark, sf_dir):
+    """Integration: the TABLE FORMAT carries array<float> embedding
+    columns through upsert (every 50th vector re-scaled — cosine-
+    invariant scaling would hide bugs, so rank-affecting doubling is
+    applied and the oracle mirrors it), then similarity search runs
+    over the ENGINE's snapshot read — the lakehouse as the substrate
+    for the vector workload, nested types surviving the full
+    write/merge/read cycle."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.operators.similarity import brute_force_topk
+
+    root = _scratch("engine_embeddings_table_topk", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table("vectors", record_key="vec_id", precombine="seq",
+                     table_type="mor")
+    eng.insert(e, "vectors")
+    upd = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)),
+        )
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "vectors")  # MOR delta with array payloads
+    snap = eng.read("vectors")
+    corpus = snap.select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return (
+        brute_force_topk(corpus, queries, "vec_id", "embedding", k=3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@q(
+    "engine_corpus_pipeline",
+    """
+    WITH survivors AS (
+      SELECT min(doc_id) AS keep_id, md5(text) AS h
+      FROM documents GROUP BY md5(text)
+    ), deduped AS (
+      SELECT d.doc_id, d.text, d.lang, d.source
+      FROM documents d JOIN survivors s ON d.doc_id = s.keep_id
+    ), toks AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w != '')) AS n_words
+      FROM deduped
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words
+    FROM toks
+    WHERE n_words >= 5
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def engine_corpus_pipeline(spark, sf_dir):
+    """Integration: documents land in a partitioned ENGINE table
+    (partition = source), exact dedup runs as an engine DELETE-by-keys
+    (losers removed transactionally, not just filtered), and the corpus
+    stats read comes from the table snapshot — the lakehouse as the
+    substrate for corpus curation, with the audit trail on the
+    timeline."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.operators.dedup import dedup_exact
+    from hudi_demo_spark.operators.text import tokens
+
+    root = _scratch("engine_corpus_pipeline", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    eng.create_table("docs", record_key="doc_id", partition_by="source")
+    eng.insert(d, "docs")
+    snap = eng.read("docs")
+    keep = dedup_exact(snap, ["text"], keep_by="doc_id").select("doc_id")
+    losers = snap.select("doc_id", "source").join(keep, "doc_id", "left_anti")
+    eng.delete_keys("docs", losers)
+    return (
+        eng.read("docs")
+        .withColumn("n_words", F.size(tokens("text")))
+        .filter(F.col("n_words") >= 5)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        .orderBy("source", "lang")
+    )

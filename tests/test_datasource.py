@@ -349,3 +349,40 @@ def test_writer_null_key_rejected(engine, spark, tmp_path):
     from hudi_demo_spark.engine.timeline import Timeline
 
     assert Timeline(path).instants() == []
+
+
+def test_table_to_table_streaming_etl(engine, spark, tmp_path):
+    """Capstone: engine table → readStream.format("hudi") → transform →
+    stream_write(upsert) into a second engine table. Offsets live on the
+    source timeline, commits with batch ids on the destination — both
+    directions exactly-once across restarts."""
+    from hudi_demo_spark.streaming.write import stream_write
+
+    engine.create_table("src", record_key="id", precombine="ts")
+    engine.create_table("dst", record_key="id", precombine="ts")
+    cfg = engine._resolve("src")
+    ck = str(tmp_path / "ck")
+    engine.insert(_mkdf(spark, ROWS[:2]), "src")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("hudi").load(str(cfg.path))
+            .withColumn("price", F.col("price") * 10)
+        )
+        q = stream_write(engine, "dst", stream, ck, mode="upsert",
+                         bounded=True)
+        q.awaitTermination()
+
+    run_once()
+    got = {r["id"]: r["price"] for r in engine.read("dst").collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # more source commits, including an update of key 1
+    engine.upsert(_mkdf(spark, [(1, "a2", 9.0, 300, "2022-09-05")]), "src")
+    engine.insert(_mkdf(spark, ROWS[2:]), "src")
+    run_once()
+    got = {r["id"]: r["price"] for r in engine.read("dst").collect()}
+    assert got == {1: 90.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    # a THIRD run with no new source commits must be a no-op
+    n_commits = engine.show_commits("dst").count()
+    run_once()
+    assert engine.show_commits("dst").count() == n_commits

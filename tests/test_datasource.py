@@ -386,3 +386,26 @@ def test_table_to_table_streaming_etl(engine, spark, tmp_path):
     n_commits = engine.show_commits("dst").count()
     run_once()
     assert engine.show_commits("dst").count() == n_commits
+
+
+def test_stats_pushdown_safe_under_mor_merge(engine, spark):
+    """Range pushdown on a MOR table with deltas: stats-skipped base
+    files cannot hide a merge winner (deltas carry no stats, are never
+    skipped) — results must equal the engine read with the same
+    filter."""
+    engine.create_table(
+        "ms", record_key="id", precombine="ts", table_type="mor",
+        props={"write.stats_cols": "price"},
+    )
+    engine.insert(_mkdf(spark, ROWS), "ms")
+    engine.compact("ms")  # base files now carry price stats
+    # delta moves key 1's price ABOVE the filter bound — the base file
+    # holding its old low price may be skipped; the delta must still win
+    engine.upsert(_mkdf(spark, [(1, "hi", 99.0, 900, "2022-09-05")]), "ms")
+    cfg = engine._resolve("ms")
+    ds = spark.read.format("hudi").load(str(cfg.path)).filter(
+        F.col("price") > 50.0
+    )
+    native = engine.read("ms").filter(F.col("price") > 50.0)
+    assert _rows(ds) == _rows(native)
+    assert {r["id"] for r in ds.collect()} == {1}

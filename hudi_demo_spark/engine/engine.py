@@ -1467,7 +1467,14 @@ class Engine:
         try:
             ranges, _ = self._batch_key_ranges(src)
             live = tl.live_files()
-            affected = self._affected_files(live, ranges)
+            on = self._merge_key_cols(cfg)
+            if self._is_global(cfg):
+                # global index: a source row may match a target row in a
+                # DIFFERENT partition (and a matched update moves it) —
+                # key-only join over the globally pruned candidate set
+                affected = self._global_candidates(cfg, live, ranges, src)
+            else:
+                affected = self._affected_files(live, ranges)
             base = self._read_files(cfg, affected)
             if cfg.table_type == MOR:
                 base = self._merge_view(base, cfg)
@@ -1476,7 +1483,7 @@ class Engine:
                         ~F.coalesce(F.col(DELETED_META), F.lit(False))
                     )
             t, s = base.alias("t"), src.alias("s")
-            j = t.join(s, [PARTITION_PATH_META, RECORD_KEY_META], "full_outer")
+            j = t.join(s, on, "full_outer")
             t_here = F.col(f"t.{COMMIT_TIME_META}").isNotNull()
             s_here = F.col(f"s.{COMMIT_TIME_META}").isNotNull()
             if matched_update_set is None:
@@ -1507,8 +1514,17 @@ class Engine:
                 if f.name not in (PARTITION_PATH_META, RECORD_KEY_META)
             ]
             use_src = do_update | do_insert
+            if self._is_global(cfg):
+                # key-only join leaves partition path per-side: the
+                # source side wins for updates/inserts (a matched update
+                # MOVES the record, global partition-path-update rules)
+                part_col = F.when(
+                    use_src, F.col(f"s.{PARTITION_PATH_META}")
+                ).otherwise(F.col(f"t.{PARTITION_PATH_META}"))
+            else:
+                part_col = F.col(PARTITION_PATH_META)
             sel: list[Column] = [
-                F.col(PARTITION_PATH_META),
+                part_col.alias(PARTITION_PATH_META),
                 F.col(RECORD_KEY_META),
             ]
             set_map = (

@@ -547,3 +547,24 @@ def test_expire_partitions_ttl(engine, spark):
         t, "_hoodie_partition_path < 'dt=2022-09-10'"
     )
     assert meta2["stats"]["files_removed"] == 0
+
+
+def test_merge_global_index_moves_partition(engine, spark):
+    """MERGE on a global-index table: a matched source row with a new
+    partition value MOVES the record (one copy, new partition) instead
+    of inserting a duplicate — the W5 x W16 interaction."""
+    engine.create_table(
+        "mg", record_key="id", precombine="ts", partition_by="dt",
+        props={"index.global": "true"},
+    )
+    engine.insert(_mkdf(spark, SEED_ROWS), "mg")
+    src = _mkdf(spark, [
+        (1, "moved", 77.0, 200, "2022-12-01"),   # matched: moves partition
+        (9, "new", 5.0, 100, "2022-12-01"),      # not matched: insert
+    ])
+    engine.merge("mg", src)
+    st = _state(engine, "mg")
+    assert len(st) == 5
+    by_id = {r[0]: r for r in st}
+    assert by_id[1][4] == "2022-12-01" and by_id[1][1] == "moved"
+    assert by_id[9][1] == "new"

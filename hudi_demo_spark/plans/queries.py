@@ -4446,3 +4446,52 @@ def engine_corpus_pipeline(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@q(
+    "engine_merge_global",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             o_totalprice + 500000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT o.o_orderkey,
+           coalesce(s.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           round(coalesce(s.o_totalprice, o.o_totalprice), 2)
+             AS o_totalprice
+    FROM orders o LEFT JOIN src s USING (o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def engine_merge_global(spark, sf_dir):
+    """MERGE x global index: matched source rows carry a NEW partition
+    value — each must move (row count stays constant; no duplicated
+    keys across partitions)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_merge_global", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("seq", F.lit(1).cast("long"))
+    eng.create_table(
+        "t", record_key="o_orderkey", precombine="seq",
+        partition_by="o_orderstatus", props={"index.global": "true"},
+    )
+    eng.insert(o, "t")
+    src = (
+        o.filter(F.col("o_orderkey") % 25 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.merge("t", src)
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

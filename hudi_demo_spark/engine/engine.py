@@ -1909,11 +1909,25 @@ class Engine:
         data = Path(cfg.path) / DATA_DIR
         removed = []
         if data.is_dir():
+            import time as _time
+
+            now = _time.time()
             for p in data.rglob("*.parquet"):
                 rel = str(p.relative_to(data))
-                if rel not in referenced:
-                    p.unlink()
-                    removed.append(rel)
+                if rel in referenced:
+                    continue
+                # age gate: an unreferenced file may belong to an
+                # IN-FLIGHT writer that materialized but has not yet
+                # published its commit — deleting it would corrupt that
+                # writer's commit the moment it lands. Orphans from
+                # crashed jobs age past the window and get reclaimed.
+                try:
+                    if now - p.stat().st_mtime < stale_staging_s:
+                        continue
+                except FileNotFoundError:
+                    continue
+                p.unlink()
+                removed.append(rel)
         instant = new_instant()
         return Timeline(cfg.path).commit(
             instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}

@@ -94,7 +94,10 @@ def test_clean_removes_old_files(engine, spark, tmp_path):
     cfg = engine._resolve("c")
     data = pathlib.Path(cfg.path) / "data"
     n_before = len(list(data.rglob("*.parquet")))
-    engine.clean("c", retain_commits=1)
+    # stale_staging_s=0: the age gate protecting in-flight writers'
+    # unpublished files would otherwise defer removal of these
+    # seconds-old versions
+    engine.clean("c", retain_commits=1, stale_staging_s=0)
     n_after = len(list(data.rglob("*.parquet")))
     assert n_after < n_before
     assert [r["name"] for r in engine.read("c").collect()] == ["v2"]

@@ -102,6 +102,11 @@ class SqlRouter:
             return self.engine.show_commits(table)
         if proc in ("show_fsview_all", "show_fsview"):
             return self.engine.show_fsview(table)
+        if proc == "show_partitions":
+            return (
+                self.engine.show_fsview(table)
+                .select("partition").distinct().orderBy("partition")
+            )
         if proc == "rollback_to_instant":
             instant = args.get("instant_time")
             if not instant:

@@ -135,3 +135,15 @@ def test_create_table_options_flow_to_props(engine, spark):
     assert cfg.payload == "partial_update"
     assert cfg.props.get("index.global") == "true"
     assert cfg.props.get("write.stats_cols") == "ts"
+
+
+def test_call_show_partitions(engine, spark):
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    engine.create_table("sp2", record_key="id", partition_by="dt")
+    engine.insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, dt string"),
+        "sp2",
+    )
+    out = SqlRouter(engine).sql("call show_partitions(table => 'sp2')")
+    assert [r[0] for r in out.collect()] == ["dt=a", "dt=b"]

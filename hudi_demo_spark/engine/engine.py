@@ -298,6 +298,8 @@ class Engine:
         except OSError:
             pass
         self._attach_key_ranges(added, data)
+        if kind == "base" and self._truthy(cfg.props.get("index.bloom.enabled")):
+            self._build_blooms(cfg, added)
         stats_cols = [
             c.strip()
             for c in str(cfg.props.get("write.stats_cols", "")).split(",")
@@ -445,6 +447,130 @@ class Engine:
                     f["col_stats"] = stats
             except Exception:
                 continue
+
+    @staticmethod
+    def _truthy(v) -> bool:
+        return str(v or "").lower() in ("1", "true", "yes")
+
+    def _build_blooms(self, cfg: TableConfig, added: list[dict]) -> None:
+        """Bloom index build (M1 — JavaClientHive2Hudi.java:167-180): one
+        distributed pass over the just-written base files' key column
+        (column-pruned scan, Arrow-batched per-file groups) producing a
+        bloom sidecar per file under _index/bloom/. Executor work is
+        O(batch rows) regardless of table size; the driver only writes
+        the finished bitmaps. Files flagged `bloom: true` in commit
+        metadata so probes need no filesystem discovery."""
+        from hudi_demo_spark.engine import bloom as B
+
+        files = [f for f in added if f.get("kind") == "base"]
+        if not files:
+            return
+        data = Path(cfg.path) / DATA_DIR
+        fpp = float(cfg.props.get("index.bloom.fpp", B.DEFAULT_FPP))
+        cap = int(
+            cfg.props.get("index.bloom.max_entries", B.DEFAULT_MAX_ENTRIES)
+        )
+        key_df = self.spark.read.parquet(
+            *[str(data / f["path"]) for f in files]
+        ).select(
+            F.input_file_name().alias("__f"),
+            F.col(RECORD_KEY_META).cast("string").alias("__k"),
+        )
+
+        def _one(pdf):
+            import pandas as pd
+
+            from hudi_demo_spark.engine import bloom as BB
+
+            return pd.DataFrame(
+                {
+                    "f": [pdf["__f"].iloc[0]],
+                    "blob": [bytearray(BB.build(pdf["__k"], fpp, cap))],
+                }
+            )
+
+        rows = (
+            key_df.groupBy("__f")
+            .applyInPandas(_one, "f string, blob binary")
+            .collect()
+        )
+        by_name = {Path(f["path"]).name: f for f in files}
+        for r in rows:
+            f = by_name.get(Path(r["f"]).name)
+            if f is None:  # pragma: no cover
+                continue
+            side = B.sidecar_path(cfg.path, f["path"])
+            side.parent.mkdir(parents=True, exist_ok=True)
+            side.write_bytes(bytes(r["blob"]))
+            f["bloom"] = True
+
+    def _bloom_prune(
+        self,
+        cfg: TableConfig,
+        candidates: dict[str, dict],
+        batch: DataFrame,
+        batch_rows: int,
+    ) -> dict[str, dict]:
+        """Bloom probe (after range pruning): drop candidate base files
+        whose filter PROVES none of the batch's keys are present. Only
+        engages for small batches (`index.bloom.lookup.max_keys`, default
+        100k — JavaClientHive2Hudi.java:194's batch guidance): that is
+        the point-lookup regime where overlapping key ranges keep
+        everything and the bloom is the only thing standing between a
+        20-key upsert and a whole-partition rewrite. Files without a
+        sidecar (pre-bloom commits, external bootstrap, deltas) are kept
+        — never a false skip."""
+        from hudi_demo_spark.engine import bloom as B
+
+        if not self._truthy(cfg.props.get("index.bloom.enabled")):
+            return candidates
+        max_keys = int(
+            cfg.props.get("index.bloom.lookup.max_keys",
+                          B.DEFAULT_LOOKUP_MAX_KEYS)
+        )
+        if batch_rows > max_keys:
+            return candidates
+        probed = {
+            p: m
+            for p, m in candidates.items()
+            if m.get("bloom") and m.get("kind") == "base"
+        }
+        if not probed:
+            return candidates
+        import numpy as np
+
+        pairs = (
+            batch.select(PARTITION_PATH_META, RECORD_KEY_META)
+            .distinct()
+            .collect()
+        )
+        by_part: dict[str, list[str]] = {}
+        for pp, k in pairs:
+            by_part.setdefault(pp or "", []).append(k)
+        hcache = {
+            pp: np.array([B.key_hashes(k) for k in ks], dtype=np.uint64)
+            for pp, ks in by_part.items()
+        }
+        glob = (
+            np.concatenate(list(hcache.values()))
+            if self._is_global(cfg) and hcache
+            else None
+        )
+        out: dict[str, dict] = {}
+        for p, m in candidates.items():
+            if p not in probed:
+                out[p] = m
+                continue
+            h = glob if glob is not None else hcache.get(
+                m.get("partition", "")
+            )
+            if h is None or not len(h):
+                out[p] = m
+                continue
+            bl = B.load(B.sidecar_path(cfg.path, m["path"]))
+            if bl is None or B.might_contain_any(bl, h[:, 0], h[:, 1]):
+                out[p] = m
+        return out
 
     def _empty(self, cfg: TableConfig) -> DataFrame:
         schema = self._stored_schema(cfg) or T.StructType(
@@ -1218,6 +1344,7 @@ class Engine:
                 affected = self._global_candidates(cfg, live, ranges, batch)
             else:
                 affected = self._affected_files(live, ranges)
+            affected = self._bloom_prune(cfg, affected, batch, batch_rows)
             # cost-based merge strategy: when the affected base is LARGE
             # and the batch small, shuffling every affected file through
             # the payload window dominates — switch to the broadcast
@@ -1360,12 +1487,13 @@ class Engine:
         keyed = keyed.select(PARTITION_PATH_META, RECORD_KEY_META).distinct().persist()
         tl = Timeline(cfg.path)
         try:
-            ranges, _ = self._batch_key_ranges(keyed)
+            ranges, n_keys = self._batch_key_ranges(keyed)
             live = tl.live_files()
             if self._is_global(cfg):
                 affected = self._global_candidates(cfg, live, ranges, keyed)
             else:
                 affected = self._affected_files(live, ranges)
+            affected = self._bloom_prune(cfg, affected, keyed, n_keys)
             if cfg.table_type == MOR:
                 snap = self.read(cfg)
                 markers = (
@@ -1465,7 +1593,7 @@ class Engine:
         src = self._conform(self._stamp(source, cfg, instant), cfg)
         src = self._dedup_batch(src, cfg).persist()
         try:
-            ranges, _ = self._batch_key_ranges(src)
+            ranges, n_src = self._batch_key_ranges(src)
             live = tl.live_files()
             on = self._merge_key_cols(cfg)
             if self._is_global(cfg):
@@ -1475,6 +1603,10 @@ class Engine:
                 affected = self._global_candidates(cfg, live, ranges, src)
             else:
                 affected = self._affected_files(live, ranges)
+            # bloom-pruned files provably hold none of the source's keys:
+            # their rows would all take the keep-unmatched-target branch,
+            # so leaving them live unscanned is semantics-preserving
+            affected = self._bloom_prune(cfg, affected, src, n_src)
             base = self._read_files(cfg, affected)
             if cfg.table_type == MOR:
                 base = self._merge_view(base, cfg)
@@ -1928,6 +2060,11 @@ class Engine:
                     continue
                 p.unlink()
                 removed.append(rel)
+        if removed:
+            from hudi_demo_spark.engine import bloom as B
+
+            for rel in removed:
+                B.sidecar_path(cfg.path, rel).unlink(missing_ok=True)
         instant = new_instant()
         return Timeline(cfg.path).commit(
             instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}
@@ -1972,6 +2109,12 @@ class Engine:
                 p = data / f["path"]
                 if p.exists():
                     p.unlink()
+                if f.get("bloom"):
+                    from hudi_demo_spark.engine import bloom as B
+
+                    B.sidecar_path(cfg.path, f["path"]).unlink(
+                        missing_ok=True
+                    )
             (tl.dir / f"{m['instant']}.{m['action']}.json").unlink(
                 missing_ok=True
             )

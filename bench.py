@@ -40,6 +40,7 @@ HEADLINE = [
     "engine_insert_overwrite",
     "engine_cdc_read",
     "engine_upsert_global",
+    "engine_upsert_bloom",
     "engine_partial_update",
     "dedup_exact_keep_first",
     "dedup_semantic",

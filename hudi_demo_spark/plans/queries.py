@@ -4135,6 +4135,57 @@ def engine_upsert_global_rli(spark, sf_dir):
 
 
 @q(
+    "engine_upsert_bloom",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           round(CASE WHEN o_orderkey % 97 = 0
+                      THEN o_totalprice + 100000 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def engine_upsert_bloom(spark, sf_dir):
+    """M1 bloom index end-to-end (JavaClientHive2Hudi.java:167-180):
+    uuid-like keys (sha2) hashed across several files per partition make
+    every file's key range span the space — range pruning keeps all of
+    them, the per-file bloom filter pins the point-upsert to the files
+    that actually hold the keys. Identical oracle to a no-index table:
+    the filter must never change results, only pruning."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_upsert_bloom", sf_dir)
+    eng = Engine(spark, root)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("k", F.sha2(F.col("o_orderkey").cast("string"), 256))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    eng.create_table(
+        "t", record_key="k", precombine="seq",
+        partition_by="o_orderstatus",
+        props={"index.bloom.enabled": "true", "write.parallelism": "8"},
+    )
+    eng.insert(o, "t")
+    upd = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(upd, "t")
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
     "datasource_snapshot_read",
     """
     SELECT o_orderkey,

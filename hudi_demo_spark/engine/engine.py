@@ -57,6 +57,47 @@ def _as_cond(cond: str | Column) -> Column:
     return F.expr(cond) if isinstance(cond, str) else cond
 
 
+def _footer_minmax(path: str, cols: list[str]) -> dict[str, list]:
+    """{col: [min, max]} from one parquet footer (module-level so the
+    distributed footer pass can pickle it to executors). A column whose
+    row-group stats are missing, or whose min/max is not a JSON-safe
+    scalar, is simply absent — callers treat that as un-prunable."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # pragma: no cover
+        return {}
+    name_to_idx = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }
+    out: dict[str, list] = {}
+    for c in cols:
+        idx = name_to_idx.get(c)
+        if idx is None:
+            continue
+        try:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                continue
+            lo, hi = min(mins), max(maxs)
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+            if not isinstance(lo, (int, float, str)):
+                continue
+            out[c] = [lo, hi]
+        except Exception:
+            continue
+    return out
+
+
 class Engine:
     """Facade over a directory of tables (the Flink 'hudi catalog' analog,
     hudi0.13_flink1.15/.../Configurations.java:84-91)."""
@@ -297,20 +338,19 @@ class Engine:
             (Path(cfg.path) / "_tmp").rmdir()
         except OSError:
             pass
-        self._attach_key_ranges(added, data)
-        if kind == "base" and self._truthy(cfg.props.get("index.bloom.enabled")):
-            self._build_blooms(cfg, added)
+        # persistent column-stats index (Hudi metadata-table col_stats
+        # analog): with `write.stats_cols`, EVERY write records [min,max]
+        # for the configured columns alongside the key range, so
+        # `read(range_filter=...)` file skipping works on never-clustered
+        # tables and survives post-clustering rewrites
         stats_cols = [
             c.strip()
             for c in str(cfg.props.get("write.stats_cols", "")).split(",")
             if c.strip()
         ]
-        if stats_cols:
-            # persistent column-stats index (Hudi metadata-table col_stats
-            # analog): EVERY write records [min,max] for the configured
-            # columns, so `read(range_filter=...)` file skipping works on
-            # never-clustered tables and survives post-clustering rewrites
-            self._attach_col_stats(added, data, stats_cols)
+        self._attach_key_ranges(added, data, stats_cols)
+        if kind == "base" and self._truthy(cfg.props.get("index.bloom.enabled")):
+            self._build_blooms(cfg, added)
         return added
 
     @staticmethod
@@ -365,88 +405,74 @@ class Engine:
                 else:
                     conf.set(k, v)
 
-    @staticmethod
-    def _attach_key_ranges(added: list[dict], data: Path) -> None:
-        """Record per-file min/max record key in the commit metadata (from
-        the parquet footer — a driver-side O(#files) metadata read). This
-        is the engine's bloom/range index analog (M1 —
-        JavaClientHive2Hudi.java:167-180): upserts prune base files whose
-        key range cannot intersect the incoming batch."""
-        try:
-            import pyarrow.parquet as pq
-        except ImportError:  # pragma: no cover
-            return
-        for f in added:
-            try:
-                md = pq.ParquetFile(str(data / f["path"])).metadata
-                idx = None
-                for i in range(md.num_columns):
-                    if md.schema.column(i).name == RECORD_KEY_META:
-                        idx = i
-                        break
-                if idx is None:
-                    continue
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        mins, maxs = [], []
-                        break
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                if mins:
-                    lo, hi = min(mins), max(maxs)
-                    if isinstance(lo, bytes):
-                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    f["key_min"], f["key_max"] = lo, hi
-            except Exception:
-                continue
+    # files-per-commit above which footer stats are read executor-side:
+    # one pyarrow footer read is ~1 ms, so a driver loop is fine for
+    # ordinary commits but serializes a bulk ingest (a 1 TB commit at
+    # 128 MB targets lands ~8k files → ~8 s driver stall, growing with
+    # commit size, not cluster size)
+    _FOOTER_DISTRIBUTE_MIN = 64
 
-    @staticmethod
-    def _attach_col_stats(
-        added: list[dict], data: Path, cols: list[str]
+    def _footer_stats(
+        self, paths: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """{path: {col: [min, max]}} from parquet footers. Small commits
+        read on the driver (no job-launch overhead); large commits fan
+        the footer reads out over executors so commit-time metadata work
+        is O(#files / cluster) instead of O(#files) on the driver."""
+        if len(paths) >= self._FOOTER_DISTRIBUTE_MIN:
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(paths) // 16, 256))
+            pairs = (
+                sc.parallelize(paths, slices)
+                .map(lambda p: (p, _footer_minmax(p, cols)))
+                .collect()
+            )
+            return {p: st for p, st in pairs if st}
+        out = {}
+        for p in paths:
+            st = _footer_minmax(p, cols)
+            if st:
+                out[p] = st
+        return out
+
+    def _attach_key_ranges(
+        self, added: list[dict], data: Path, stats_cols: list[str] | None = None
     ) -> None:
-        """Record per-file [min, max] for `cols` in the commit metadata
-        (parquet-footer read, driver-side O(#files)) — the column-stats
-        index behind clustering's file skipping. Only JSON-safe scalar
-        types (int/float/str) are recorded; anything else is skipped and
-        the file simply stays un-prunable (conservative)."""
-        try:
-            import pyarrow.parquet as pq
-        except ImportError:  # pragma: no cover
-            return
+        """Record per-file min/max record key — and [min, max] for
+        `stats_cols` (the column-stats index behind clustering's file
+        skipping) — in the commit metadata, in ONE footer pass. The key
+        range is the engine's bloom/range index analog (M1 —
+        JavaClientHive2Hudi.java:167-180): upserts prune base files whose
+        key range cannot intersect the incoming batch. Only JSON-safe
+        scalar types (int/float/str) are recorded; anything else leaves
+        the file un-prunable (conservative)."""
+        cols = [RECORD_KEY_META, *(stats_cols or [])]
+        stats = self._footer_stats(
+            [str(data / f["path"]) for f in added], cols
+        )
         for f in added:
-            try:
-                md = pq.ParquetFile(str(data / f["path"])).metadata
-                name_to_idx = {
-                    md.schema.column(i).name: i
-                    for i in range(md.num_columns)
-                }
-                stats: dict[str, list] = {}
-                for c in cols:
-                    idx = name_to_idx.get(c)
-                    if idx is None:
-                        continue
-                    mins, maxs = [], []
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mins, maxs = [], []
-                            break
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    if not mins:
-                        continue
-                    lo, hi = min(mins), max(maxs)
-                    if isinstance(lo, bytes):
-                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    if not isinstance(lo, (int, float, str)):
-                        continue
-                    stats[c] = [lo, hi]
-                if stats:
-                    f["col_stats"] = stats
-            except Exception:
+            st = stats.get(str(data / f["path"]))
+            if not st:
                 continue
+            kr = st.get(RECORD_KEY_META)
+            if kr is not None:
+                f["key_min"], f["key_max"] = kr
+            cs = {c: v for c, v in st.items() if c != RECORD_KEY_META}
+            if cs:
+                f["col_stats"] = cs
+
+    def _attach_col_stats(
+        self, added: list[dict], data: Path, cols: list[str]
+    ) -> None:
+        """Column-stats-only variant (clustering records stats for its
+        sort columns on the rewritten files)."""
+        stats = self._footer_stats(
+            [str(data / f["path"]) for f in added], list(cols)
+        )
+        for f in added:
+            st = stats.get(str(data / f["path"]))
+            if st:
+                f["col_stats"] = {**f.get("col_stats", {}), **st}
 
     @staticmethod
     def _truthy(v) -> bool:

@@ -286,6 +286,29 @@ def test_key_ranges_recorded_in_commit_meta(engine, spark):
         assert f.get("key_max") is not None, f
 
 
+def test_footer_stats_distributed_path(engine, spark, monkeypatch):
+    # large commits read footers executor-side; force that path and
+    # require identical commit metadata to the driver loop
+    from hudi_demo_spark.engine.engine import Engine as E
+
+    monkeypatch.setattr(E, "_FOOTER_DISTRIBUTE_MIN", 2)
+    df = spark.createDataFrame(
+        [(i, float(i), f"p{i % 3}") for i in range(300)],
+        "id int, v double, dt string",
+    )
+    engine.create_table(
+        "fd", record_key="id", partition_by="dt",
+        props={"write.stats_cols": "v"},
+    )
+    meta = engine.insert(df, "fd")
+    assert len(meta["files_added"]) >= 2
+    for f in meta["files_added"]:
+        assert f.get("key_min") is not None, f
+        assert "v" in f.get("col_stats", {}), f
+        lo, hi = f["col_stats"]["v"]
+        assert 0.0 <= lo <= hi <= 299.0
+
+
 def test_upsert_broadcast_path_matches_window_path(spark, tmp_path, sf_dir):
     """The cost-gated broadcast merge plan and the single-window plan
     must produce identical tables (forced via the min_base_bytes prop)."""

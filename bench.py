@@ -58,6 +58,8 @@ HEADLINE = [
     "text_language_id",
     "text_fingerprint",
     "sample_split_hash",
+    "corpus_seeded_shuffle",
+    "sample_stratified",
     "profile_numeric_columns",
     "multimodal_features",
     "corpus_chunk_documents",

@@ -14,7 +14,7 @@ checks the split row-by-row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,75 @@ def weighted_mix(
     for g, r in rates_256ths.items():
         rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
     return df.filter(b < rate)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: str | int,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global permutation for training-order shuffling:
+    every row gets a contiguous position 0..n-1 in the order of
+    ``md5(seed:key)`` (ties broken by key). Changing the seed reshuffles;
+    the same seed gives the same order on any engine, any parallelism,
+    any run — which is what makes a training run reproducible.
+
+    Scale: a global ``row_number() OVER (ORDER BY hash)`` collapses to
+    one partition. The first two hex nibbles of the hash are a 256-way
+    range bucket that is a PREFIX of the sort key, so global order ==
+    (bucket, hash, key) order: positions are computed with per-bucket
+    windows (parallel) plus a broadcast 256-row base-offset table —
+    the pack_offsets two-phase shape, one keyed shuffle total."""
+    k = F.col(key)
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+    b = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tagged = df.withColumn("__ss_h", h).withColumn("__ss_b", b)
+    counts = {
+        r[0]: r[1]
+        for r in tagged.groupBy("__ss_b").count().collect()
+    }
+    base, acc = {}, 0
+    for bucket in sorted(counts):
+        base[bucket] = acc
+        acc += counts[bucket]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(int(bk), int(off)) for bk, off in base.items()],
+        "__ss_b int, __ss_base long",
+    )
+    w = Window.partitionBy("__ss_b").orderBy(F.col("__ss_h").asc(), k.asc())
+    return (
+        tagged.join(F.broadcast(offsets), "__ss_b")
+        .withColumn(
+            pos_col,
+            (F.row_number().over(w) - 1 + F.col("__ss_base")).cast("long"),
+        )
+        .drop("__ss_h", "__ss_b", "__ss_base")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per stratum (fewer when the stratum
+    is smaller), chosen as the n smallest stable key hashes — a
+    deterministic uniform sample per group (eval-set carving, per-domain
+    inspection samples). One keyed shuffle; the hash makes membership
+    independent of row order and reproducible cross-engine."""
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    k = F.col(key)
+    h = F.md5(k.cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), k.asc())
+    return (
+        df.withColumn("__st_rn", F.row_number().over(w))
+        .filter(F.col("__st_rn") <= n_per_group)
+        .drop("__st_rn")
+    )
 
 
 def train_val_test_split(

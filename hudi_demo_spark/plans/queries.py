@@ -2748,6 +2748,57 @@ def sample_split_hash(spark, sf_dir):
 
 
 @q(
+    "corpus_seeded_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))),
+                           doc_id
+                ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def corpus_seeded_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: contiguous positions
+    0..n-1 in md5(seed:key) order, computed with per-bucket windows + a
+    broadcast base-offset table (never a one-partition global sort); the
+    oracle recomputes the permutation with a plain ORDER BY."""
+    from hudi_demo_spark.operators.sampling import seeded_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return seeded_shuffle(d, "doc_id", seed=42).select(
+        "doc_id", "shuffle_pos"
+    ).orderBy("doc_id")
+
+
+@q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling: exactly n rows per stratum chosen as the n
+    smallest stable key hashes — per-language eval carving with
+    cross-engine-reproducible membership."""
+    from hudi_demo_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "doc_id", "lang", 20).orderBy(
+        "lang", "doc_id"
+    )
+
+
+@q(
     "profile_numeric_columns",
     """
     SELECT 'l_discount' AS col, CAST(count(*) AS BIGINT) AS n,

@@ -327,3 +327,36 @@ def test_semantic_dedup_drops_near_neighbors(spark, sf_dir):
     assert semantic_dedup(
         e, "vec_id", "embedding", threshold=1.01
     ).count() == total
+
+
+def test_seeded_shuffle_is_permutation(spark):
+    from hudi_demo_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id int")
+    a = seeded_shuffle(df, "id", seed=1)
+    pos = sorted(r["shuffle_pos"] for r in a.collect())
+    assert pos == list(range(500))
+    # same seed → identical order; different seed → different order
+    a2 = {r["id"]: r["shuffle_pos"] for r in seeded_shuffle(df, "id", 1).collect()}
+    b = {r["id"]: r["shuffle_pos"] for r in seeded_shuffle(df, "id", 2).collect()}
+    amap = {r["id"]: r["shuffle_pos"] for r in a.collect()}
+    assert amap == a2
+    assert amap != b
+    assert sorted(b.values()) == list(range(500))
+
+
+def test_stratified_sample_exact_counts(spark):
+    from hudi_demo_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "id int, g string")
+    out = stratified_sample(df, "id", "g", 5)
+    by_g = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_g == {"g0": 5, "g1": 5, "g2": 5, "rare": 1}
+    # deterministic membership
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in stratified_sample(df, "id", "g", 5).collect())
+    assert ids1 == ids2

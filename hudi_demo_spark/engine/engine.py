@@ -894,6 +894,48 @@ class Engine:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def show_blooms(self, table: str | TableConfig) -> DataFrame:
+        """Hudi `show_bloom_filters` analog: one row per live base file
+        that carries a bloom sidecar — (partition, file, m_bits,
+        k_hashes, n_keys, sidecar_bytes). Driver-side header reads only
+        (the bitmap itself is not loaded)."""
+        import json as _json
+
+        from hudi_demo_spark.engine import bloom as B
+
+        cfg = self._resolve(table)
+        rows = []
+        for p, m in sorted(Timeline(cfg.path).live_files().items()):
+            if not m.get("bloom"):
+                continue
+            side = B.sidecar_path(cfg.path, p)
+            try:
+                with open(side, "rb") as fh:
+                    hdr = _json.loads(fh.readline())
+                rows.append(
+                    (
+                        m.get("partition", ""),
+                        p,
+                        int(hdr["m"]),
+                        int(hdr["k"]),
+                        int(hdr["n"]),
+                        side.stat().st_size,
+                    )
+                )
+            except Exception:
+                continue
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("m_bits", T.LongType()),
+                T.StructField("k_hashes", T.IntegerType()),
+                T.StructField("n_keys", T.LongType()),
+                T.StructField("sidecar_bytes", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def show_commits(self, table: str | TableConfig) -> DataFrame:
         """`call show_commits(table => ...)` (R23) —
         IncrementalQuery.scala:36-37; newest-first like the reference."""

@@ -151,6 +151,15 @@ def test_bloom_delete_keys_prunes(engine, spark):
     assert engine.read(t).count() == 3999
 
 
+def test_show_bloom_filters_procedure(engine, spark):
+    t = _seed(engine, spark, {"index.bloom.enabled": "true"})
+    live = _live_by_path(engine, t)
+    rows = engine.sql(f"call show_bloom_filters(table => '{t}')").collect()
+    assert {r["file"] for r in rows} == set(live)
+    assert all(r["m_bits"] > 0 and r["k_hashes"] >= 1 for r in rows)
+    assert sum(r["n_keys"] for r in rows) == 4000
+
+
 def test_bloom_clean_sweeps_sidecars(engine, spark):
     t = _seed(engine, spark, {"index.bloom.enabled": "true"})
     cfg = engine._resolve(t)

@@ -57,6 +57,13 @@ def _as_cond(cond: str | Column) -> Column:
     return F.expr(cond) if isinstance(cond, str) else cond
 
 
+def _file_instant(name: str) -> str:
+    """Owning instant of a data file from its name
+    (``b_<instant>_<idx>.parquet`` / ``d_...``); "" if not engine-named."""
+    parts = name.split("_")
+    return parts[1] if len(parts) >= 3 and parts[0] in ("b", "d") else ""
+
+
 def _footer_minmax(path: str, cols: list[str]) -> dict[str, list]:
     """{col: [min, max]} from one parquet footer (module-level so the
     distributed footer pass can pickle it to executors). A column whose
@@ -296,6 +303,12 @@ class Engine:
             df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         tmp = Path(cfg.path) / "_tmp" / instant
         prefix = {"base": "b", "delta": "d"}[kind]
+        # announce the write before any data lands (Hudi marker analog):
+        # clean() protects this instant's staged/unreferenced files while
+        # the marker is fresh, and reclaims them promptly — by instant,
+        # not by blanket age — if this writer dies before committing
+        tl_marker = Timeline(cfg.path)
+        tl_marker.start_inflight(instant, kind)
         with self._file_sizing(cfg, approx_bytes):
             if cfg.partition_fields:
                 (
@@ -306,6 +319,10 @@ class Engine:
                 )
             else:
                 df.write.mode("overwrite").parquet(str(tmp))
+        # the distributed write finished: refresh the marker so the
+        # metadata tail (renames, footer stats, bloom build) runs under a
+        # fresh liveness window even after a long Spark job
+        tl_marker.heartbeat_inflight(instant)
         data = Path(cfg.path) / DATA_DIR
         added: list[dict] = []
         for src in sorted(tmp.rglob("*.parquet")):
@@ -932,6 +949,24 @@ class Engine:
                 T.StructField("k_hashes", T.IntegerType()),
                 T.StructField("n_keys", T.LongType()),
                 T.StructField("sidecar_bytes", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def show_inflight(self, table: str | TableConfig) -> DataFrame:
+        """Writes announced (marker present) but not yet committed —
+        (instant, operation, age_s). An old entry here is either a slow
+        bulk writer or a dead one clean() will reclaim."""
+        cfg = self._resolve(table)
+        rows = [
+            (m["instant"], m.get("operation", ""), float(m["age_s"]))
+            for m in Timeline(cfg.path).inflight()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("instant", T.StringType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("age_s", T.DoubleType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
@@ -2081,14 +2116,30 @@ class Engine:
         concurrent writers; the next write must never sweep it."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
+        # inflight markers partition uncommitted instants into live
+        # writers (fresh marker — protect their files REGARDLESS of age;
+        # a slow bulk write must never be reclaimed under itself) and
+        # dead ones (stale marker — reclaim promptly, by instant)
+        inflight = tl.inflight()
+        live_writers = {
+            m["instant"] for m in inflight if m["age_s"] < stale_staging_s
+        }
+        dead_writers = {
+            m["instant"] for m in inflight if m["age_s"] >= stale_staging_s
+        }
         staging = Path(cfg.path) / "_tmp"
         if staging.is_dir():
             import time as _time
 
             now = _time.time()
             for sub in staging.iterdir():
+                if sub.name in live_writers:
+                    continue
                 try:
-                    if now - sub.stat().st_mtime >= stale_staging_s:
+                    if (
+                        sub.name in dead_writers
+                        or now - sub.stat().st_mtime >= stale_staging_s
+                    ):
                         shutil.rmtree(sub, ignore_errors=True)
                 except FileNotFoundError:
                     continue
@@ -2116,18 +2167,25 @@ class Engine:
                 rel = str(p.relative_to(data))
                 if rel in referenced:
                     continue
-                # age gate: an unreferenced file may belong to an
-                # IN-FLIGHT writer that materialized but has not yet
-                # published its commit — deleting it would corrupt that
-                # writer's commit the moment it lands. Orphans from
-                # crashed jobs age past the window and get reclaimed.
-                try:
-                    if now - p.stat().st_mtime < stale_staging_s:
-                        continue
-                except FileNotFoundError:
+                ins = _file_instant(p.name)
+                if ins in live_writers:
+                    # announced write still alive: its files are about to
+                    # be referenced by a commit — never reclaim
                     continue
+                if ins not in dead_writers:
+                    # no marker (pre-marker files, foreign writers): the
+                    # age gate is the conservative fallback — a writer
+                    # that materialized but has not yet published may own
+                    # this file
+                    try:
+                        if now - p.stat().st_mtime < stale_staging_s:
+                            continue
+                    except FileNotFoundError:
+                        continue
                 p.unlink()
                 removed.append(rel)
+        for ins in dead_writers:
+            tl.finish_inflight(ins)
         if removed:
             from hudi_demo_spark.engine import bloom as B
 

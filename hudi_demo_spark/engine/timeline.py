@@ -138,10 +138,62 @@ class Timeline:
         if batch_id is not None:
             meta["batch_id"] = batch_id
         p = self.dir / f"{instant}.{action}.json"
+        if p.exists():
+            # cross-PROCESS instant collision (new_instant() is only
+            # monotonic within a process): clobbering would silently drop
+            # the other writer's commit
+            raise ConcurrentWriteError(f"instant collision: {p.name}")
         tmp = p.with_suffix(".tmp")
         tmp.write_text(json.dumps(meta))
         tmp.replace(p)  # atomic publish
+        self.finish_inflight(instant)
         return meta
+
+    # ---------------- inflight markers ----------------
+
+    INFLIGHT_PREFIX = "_inflight"
+
+    def start_inflight(self, instant: str, operation: str = "") -> None:
+        """Hudi marker-file analog: announce a write BEFORE its data
+        files land. A live marker protects the instant's staged files
+        from clean()'s orphan sweep regardless of age (a legitimately
+        slow bulk writer must never be reclaimed under it); a marker
+        whose writer died (stale mtime, no commit) lets clean() reclaim
+        that instant's files PROMPTLY and by name, instead of waiting
+        out a blanket age gate."""
+        self.dir.mkdir(parents=True, exist_ok=True)
+        p = self.dir / f"{self.INFLIGHT_PREFIX}-{instant}.json"
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"instant": instant, "operation": operation}))
+        tmp.replace(p)
+
+    def heartbeat_inflight(self, instant: str) -> None:
+        """Refresh the marker mtime mid-write (long jobs outlive any
+        fixed staleness window)."""
+        p = self.dir / f"{self.INFLIGHT_PREFIX}-{instant}.json"
+        if p.exists():
+            p.touch()
+
+    def finish_inflight(self, instant: str) -> None:
+        (self.dir / f"{self.INFLIGHT_PREFIX}-{instant}.json").unlink(
+            missing_ok=True
+        )
+
+    def inflight(self) -> list[dict]:
+        """[{instant, operation, age_s}] for writes announced but not
+        committed, oldest first."""
+        if not self.dir.is_dir():
+            return []
+        out = []
+        now = time.time()
+        for p in sorted(self.dir.glob(self.INFLIGHT_PREFIX + "-*.json")):
+            try:
+                m = json.loads(p.read_text())
+                m["age_s"] = now - p.stat().st_mtime
+                out.append(m)
+            except (OSError, ValueError):
+                continue
+        return out
 
     # ---------------- read side ----------------
 

@@ -375,3 +375,51 @@ def test_show_fsview(engine, spark):
     assert {r["partition"] for r in rows} == {"dt=a", "dt=b"}
     assert all(r["kind"] == "base" and r["bytes"] > 0 for r in rows)
     assert all(r["key_min"] is not None for r in rows)
+
+
+def test_inflight_markers_protect_and_reclaim(engine, spark):
+    """Hudi marker-file analog: a fresh marker protects a slow writer's
+    staged files from the orphan sweep REGARDLESS of age; a stale marker
+    lets clean() reclaim a dead writer's files promptly, by instant,
+    even when their mtime is fresh."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("a").alias("v")
+    )
+    engine.create_table("mk", record_key="k")
+    engine.insert(df, "mk")
+    cfg = engine._resolve("mk")
+    tl = Timeline(cfg.path)
+    assert tl.inflight() == []  # committed writes leave no markers
+    data = Path(cfg.path) / "data"
+    src = next(data.glob("*.parquet"))
+    old = time.time() - 7200
+
+    # slow LIVE writer: ancient orphan file, fresh marker
+    slow = data / "b_11111111111111111111_00000.parquet"
+    shutil.copy(src, slow)
+    os.utime(slow, (old, old))
+    tl.start_inflight("11111111111111111111", "base")
+    # DEAD writer: fresh orphan file, stale marker
+    dead = data / "b_22222222222222222222_00000.parquet"
+    shutil.copy(src, dead)
+    tl.start_inflight("22222222222222222222", "base")
+    os.utime(tl.dir / "_inflight-22222222222222222222.json", (old, old))
+
+    rows = {r["instant"] for r in engine.show_inflight("mk").collect()}
+    assert rows == {"11111111111111111111", "22222222222222222222"}
+    got = engine.sql("call show_inflight(table => 'mk')").collect()
+    assert len(got) == 2
+
+    engine.clean("mk", retain_commits=10, stale_staging_s=3600)
+    assert slow.exists()  # live marker beats the age gate
+    assert not dead.exists()  # dead marker beats the fresh-mtime gate
+    assert [m["instant"] for m in tl.inflight()] == ["11111111111111111111"]

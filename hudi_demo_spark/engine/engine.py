@@ -1841,13 +1841,25 @@ class Engine:
             self.compact(cfg)
 
     def _compaction_scope(
-        self, cfg: TableConfig, live: dict[str, dict]
+        self,
+        cfg: TableConfig,
+        live: dict[str, dict],
+        max_io_bytes: int | None = None,
     ) -> dict[str, dict] | None:
         """File set a compaction run must merge: every partition holding
         deltas; under the global index also any base file whose key
         range intersects the deltas' (a partition-moving delta may
         supersede a base row elsewhere — the stale copy must not
-        resurface when the delta folds away)."""
+        resurface when the delta folds away).
+
+        `max_io_bytes` is the bounded-IO strategy (Hudi
+        BoundedIOCompactionStrategy + LogFileSizeBased ordering analog):
+        pick partitions fattest-delta-first, greedily packing whole
+        partitions (base + delta bytes) under the budget, at least one.
+        On a 100 TB table one compaction run then does a predictable
+        amount of IO per invocation and repeated runs drain the backlog
+        in delta-size priority order, instead of one unbounded rewrite
+        of every partition that ever saw a delta."""
         delta_parts = {
             m.get("partition", "")
             for m in live.values()
@@ -1855,6 +1867,27 @@ class Engine:
         }
         if not delta_parts:
             return None
+        if max_io_bytes:
+            delta_b: dict[str, int] = {}
+            total_b: dict[str, int] = {}
+            for m in live.values():
+                pp = m.get("partition", "")
+                if pp not in delta_parts:
+                    continue
+                b = int(m.get("bytes") or 0)
+                total_b[pp] = total_b.get(pp, 0) + b
+                if m.get("kind") == "delta":
+                    delta_b[pp] = delta_b.get(pp, 0) + b
+            chosen: set[str] = set()
+            acc = 0
+            for pp in sorted(
+                delta_parts, key=lambda p: (-delta_b.get(p, 0), p)
+            ):
+                if chosen and acc + total_b.get(pp, 0) > max_io_bytes:
+                    continue
+                chosen.add(pp)
+                acc += total_b.get(pp, 0)
+            delta_parts = chosen
         affected = {
             p: m
             for p, m in live.items()
@@ -1865,6 +1898,7 @@ class Engine:
                 p: (m.get("key_min"), m.get("key_max"))
                 for p, m in live.items()
                 if m.get("kind") == "delta"
+                and m.get("partition", "") in delta_parts
             }
             affected.update(self._affected_files_global(live, dranges))
         return affected
@@ -1887,7 +1921,9 @@ class Engine:
         meanwhile. Returns the plan instant, or None with no deltas."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
-        scope = self._compaction_scope(cfg, tl.live_files())
+        scope = self._compaction_scope(
+            cfg, tl.live_files(), self._compact_budget(cfg, None)
+        )
         if scope is None:
             return None
         instant = new_instant()
@@ -1967,9 +2003,15 @@ class Engine:
             self._commit_stats(added, None),
         )
 
-    def compact(self, table: str | TableConfig) -> dict | None:
+    def compact(
+        self, table: str | TableConfig, max_io_mb: int | None = None
+    ) -> dict | None:
         """MOR compaction (T5): merge delta files into columnar base files
         for every partition that has deltas; one shuffle per run.
+
+        `max_io_mb` (or the `compact.max_io_mb` prop) bounds one run's
+        IO: partitions are chosen fattest-delta-first under the budget
+        (see _compaction_scope) — call repeatedly to drain the backlog.
 
         If async plans exist (`schedule_compaction`), the OLDEST pending
         plan is executed instead — its captured file set exactly, never
@@ -1988,12 +2030,25 @@ class Engine:
             plan_file.unlink(missing_ok=True)
             return meta
         live = tl.live_files()
-        affected = self._compaction_scope(cfg, live)
+        affected = self._compaction_scope(
+            cfg, live, self._compact_budget(cfg, max_io_mb)
+        )
         if affected is None:
             return None
         return self._execute_compaction_plan(
             cfg, tl, new_instant(), affected
         )
+
+    @staticmethod
+    def _compact_budget(
+        cfg: TableConfig, max_io_mb: int | None
+    ) -> int | None:
+        mb = (
+            max_io_mb
+            if max_io_mb is not None
+            else cfg.props.get("compact.max_io_mb")
+        )
+        return int(float(mb) * 1024 * 1024) if mb else None
 
     @staticmethod
     def _zorder_col(df: DataFrame, cols: list[str]) -> Column:

@@ -126,7 +126,12 @@ class SqlRouter:
                 return self.spark.createDataFrame(
                     [(i,)], "requested_instant string"
                 )
-            self.engine.compact(table)
+            self.engine.compact(
+                table,
+                max_io_mb=(
+                    int(args["max_io_mb"]) if "max_io_mb" in args else None
+                ),
+            )
             return None
         if proc == "run_log_compaction":
             self.engine.log_compact(table)

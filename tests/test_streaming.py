@@ -297,3 +297,60 @@ def test_log_compaction_noop_single_delta(engine, spark):
         spark.createDataFrame([(1, 1)], "id int, ts long").coalesce(1), "ls"
     )
     assert engine.log_compact("ls") is None
+
+
+def test_bounded_io_compaction_drains_fattest_first(engine, spark):
+    """max_io_mb bounds one compaction run's IO: partitions fold
+    fattest-delta-first, repeated runs drain the backlog, and results
+    are identical to one unbounded compaction."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table(
+        "bio", record_key="k", precombine="ts", partition_by="g",
+        table_type="mor",
+    )
+
+    def batch(n, g, ts):
+        return spark.range(0, n).select(
+            F.col("id").alias("k"), F.lit(g).alias("g"),
+            F.lit(float(ts)).alias("v"), F.lit(ts).cast("long").alias("ts"),
+        )
+
+    # base rows in three partitions, then delta backlogs of very
+    # different sizes: g2 (multi-MB) >> g1 >> g0, so a 1 MB budget can
+    # only afford the small partitions together, never g2 plus anything
+    for g, n in [("g0", 500), ("g1", 15_000), ("g2", 150_000)]:
+        engine.insert(batch(n, g, 1), "bio")
+    for g, n in [("g0", 100), ("g1", 8_000), ("g2", 100_000)]:
+        engine.upsert(batch(n, g, 2), "bio")
+
+    cfg = engine._resolve("bio")
+
+    def delta_parts():
+        return {
+            m.get("partition", "")
+            for m in Timeline(cfg.path).live_files().values()
+            if m.get("kind") == "delta"
+        }
+
+    assert delta_parts() == {"g=g0", "g=g1", "g=g2"}
+    meta1 = engine.compact("bio", max_io_mb=1)
+    # the fattest-delta partition went first; at least one remains
+    folded = {f["partition"] for f in meta1["files_added"]}
+    assert "g=g2" in folded
+    remaining = delta_parts()
+    assert remaining and "g=g2" not in remaining
+    while delta_parts():
+        assert engine.compact("bio", max_io_mb=1) is not None
+    agg = {
+        (r["g"], r["v"]): r["n"]
+        for r in engine.read("bio").groupBy("g", "v").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for g, n_up, n_base in [
+        ("g0", 100, 500), ("g1", 8_000, 15_000), ("g2", 100_000, 150_000)
+    ]:
+        assert agg[(g, 2.0)] == n_up
+        assert agg[(g, 1.0)] == n_base - n_up

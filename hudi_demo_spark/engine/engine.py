@@ -360,11 +360,24 @@ class Engine:
         # for the configured columns alongside the key range, so
         # `read(range_filter=...)` file skipping works on never-clustered
         # tables and survives post-clustering rewrites
-        stats_cols = [
-            c.strip()
-            for c in str(cfg.props.get("write.stats_cols", "")).split(",")
-            if c.strip()
-        ]
+        raw_stats = str(cfg.props.get("write.stats_cols", "")).strip()
+        if raw_stats == "*":
+            # Hudi metadata-table default: col_stats for every column;
+            # non-scalar columns are skipped footer-side
+            schema = self._stored_schema(cfg)
+            stats_cols = (
+                [
+                    f.name
+                    for f in schema.fields
+                    if f.name not in META_COLS and f.name != DELETED_META
+                ]
+                if schema is not None
+                else []
+            )
+        else:
+            stats_cols = [
+                c.strip() for c in raw_stats.split(",") if c.strip()
+            ]
         self._attach_key_ranges(added, data, stats_cols)
         if kind == "base" and self._truthy(cfg.props.get("index.bloom.enabled")):
             self._build_blooms(cfg, added)

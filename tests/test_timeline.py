@@ -363,6 +363,31 @@ def test_write_stats_cols_prop_records_and_prunes(engine, spark):
     assert got == 6  # rows 100..105 all live in the middle file
 
 
+def test_write_stats_cols_star_covers_all_columns(engine, spark):
+    """write.stats_cols='*' (Hudi metadata-table default): every scalar
+    data column gets per-file [min,max]; meta columns excluded."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table(
+        "scs", record_key="id", props={"write.stats_cols": "*"},
+    )
+    engine.insert(
+        spark.createDataFrame(
+            [(1, 2.0, "a"), (5, 9.0, "z")], "id int, x double, s string"
+        ),
+        "scs",
+    )
+    cfg = engine._resolve("scs")
+    metas = list(Timeline(cfg.path).live_files().values())
+    assert metas
+    for m in metas:
+        cs = m["col_stats"]
+        assert set(cs) == {"id", "x", "s"}  # all data cols, no meta cols
+    all_ids = [m["col_stats"]["id"] for m in metas]
+    assert min(lo for lo, _ in all_ids) == 1
+    assert max(hi for _, hi in all_ids) == 5
+
+
 def test_show_fsview(engine, spark):
     from hudi_demo_spark.engine.sql import SqlRouter
 

@@ -50,6 +50,13 @@ class TableConfig:
     payload: str = PAYLOAD_OVERWRITE_LATEST
     hive_style: bool = True  # BootstrapDemo.scala:60-62 HIVE_STYLE_PARTITIONING
     schema_json: str | None = None  # pinned on first write (incl. meta cols)
+    # full schema evolution (rename/drop/type-widening — Hudi 0.13
+    # schema-on-read): one entry per ALTER, oldest first. Files committed
+    # before an entry's `until` instant carry that entry's schema and are
+    # projected to the current schema at read time by composing the
+    # `rename_to_next` maps along the chain (dropped columns fall away,
+    # added columns surface as null, widened columns cast).
+    schema_history: list = field(default_factory=list)
     props: dict = field(default_factory=dict)
 
     def save(self) -> None:

@@ -648,11 +648,36 @@ class Engine:
         data = Path(cfg.path) / DATA_DIR
         dfs = []
         if native:
-            schema = self._stored_schema(cfg)
-            reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            dfs.append(reader.parquet(*[str(data / p) for p in native]))
+            hist = cfg.schema_history or []
+            if not hist:
+                schema = self._stored_schema(cfg)
+                reader = self.spark.read
+                if schema is not None:
+                    reader = reader.schema(schema)
+                dfs.append(reader.parquet(*[str(data / p) for p in native]))
+            else:
+                # schema evolution: group files by schema epoch (the
+                # catalog keeps one entry per ALTER), read each group
+                # with ITS pinned schema, and project to the current
+                # schema (rename chains composed, widened types cast,
+                # added columns null). One spark.read per epoch — the
+                # epoch count is the number of alters ever made, not a
+                # function of file count.
+                groups: dict[int, list[str]] = {}
+                for p in native:
+                    c = files[p].get("commit") or "~"  # unknown → current
+                    idx = len(hist)
+                    for i, h in enumerate(hist):
+                        if c < h["until"]:
+                            idx = i
+                            break
+                    groups.setdefault(idx, []).append(p)
+                for idx, paths in sorted(groups.items()):
+                    dfs.append(
+                        self._read_epoch(cfg, hist, idx, [
+                            str(data / p) for p in paths
+                        ])
+                    )
         if ext:
             dfs.append(self._read_external(cfg, ext))
         if not dfs:
@@ -660,6 +685,37 @@ class Engine:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
         )
+
+    def _read_epoch(
+        self,
+        cfg: TableConfig,
+        hist: list[dict],
+        idx: int,
+        paths: list[str],
+    ) -> DataFrame:
+        """Read one schema epoch's files and project them to the CURRENT
+        schema: epoch column names are mapped forward through the
+        rename_to_next chain, types cast where widened, columns added
+        later come back null, dropped columns are simply not selected."""
+        current = self._stored_schema(cfg)
+        if idx >= len(hist):
+            return self.spark.read.schema(current).parquet(*paths)
+        epoch_schema = T.StructType.fromJson(json.loads(hist[idx]["schema"]))
+        df = self.spark.read.schema(epoch_schema).parquet(*paths)
+        # forward-compose renames from this epoch to now
+        fwd = {f.name: f.name for f in epoch_schema.fields}
+        for h in hist[idx:]:
+            ren = h.get("rename_to_next") or {}
+            fwd = {old: ren.get(cur, cur) for old, cur in fwd.items()}
+        rev = {cur: old for old, cur in fwd.items()}
+        cols = []
+        for f in current.fields:
+            src = rev.get(f.name)
+            if src is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def _read_external(self, cfg: TableConfig, files: dict[str, dict]) -> DataFrame:
         """Metadata-bootstrap scan (W9 — BootstrapDemo.scala:207-232): the
@@ -1816,6 +1872,109 @@ class Engine:
         comments = cfg.props.setdefault("column_comments", {})
         comments[column] = comment
         cfg.save()
+
+    # safe type widenings (Hudi 0.13 type-promotion matrix)
+    _WIDEN_OK = {
+        "smallint": {"int", "bigint", "float", "double"},
+        "int": {"bigint", "float", "double"},
+        "bigint": {"float", "double"},
+        "float": {"double"},
+    }
+
+    def alter_table(
+        self,
+        table: str | TableConfig,
+        rename: dict[str, str] | None = None,
+        drop: list[str] | None = None,
+        add: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+    ) -> TableConfig:
+        """Full schema evolution (Hudi 0.13 ALTER TABLE, schema-on-read):
+        rename / drop / type-widen / add columns WITHOUT rewriting any
+        data file. The pre-alter schema is appended to the catalog's
+        schema history with the epoch boundary instant; reads project old
+        epochs to the current schema (see _read_epoch). Key, partition,
+        ordering and meta columns are immutable (they define row
+        identity); type changes are restricted to the safe promotion
+        matrix plus any-atomic→string. Widen and rename the same column
+        in separate alters."""
+        cfg = self._resolve(table)
+        stored = self._stored_schema(cfg)
+        if stored is None:
+            raise ValueError(
+                "alter_table requires a pinned schema (write first, or "
+                "create the table with an explicit schema)"
+            )
+        rename = dict(rename or {})
+        drop = list(drop or [])
+        add = dict(add or {})
+        widen = dict(widen or {})
+        if not (rename or drop or add or widen):
+            return cfg
+        protected = (
+            set(META_COLS)
+            | {DELETED_META}
+            | set(cfg.record_key_fields or [])
+            | set(cfg.partition_fields)
+            | ({cfg.precombine_field} if cfg.precombine_field else set())
+        )
+        names = [f.name for f in stored.fields]
+        for col in [*rename, *drop, *widen]:
+            if col not in names:
+                raise ValueError(f"no such column: {col}")
+            if col in protected:
+                raise ValueError(
+                    f"cannot alter {col}: key/partition/ordering/meta "
+                    "columns are immutable"
+                )
+        if set(rename) & set(widen):
+            raise ValueError(
+                "widen and rename the same column in separate alters"
+            )
+        post = [rename.get(n, n) for n in names if n not in drop]
+        if len(set(post)) != len(post):
+            raise ValueError("rename collides with an existing column")
+        for a in add:
+            if a in post:
+                raise ValueError(f"column exists: {a}")
+
+        def _dt(s: str) -> T.DataType:
+            return T.StructType.fromDDL(f"__c {s}")[0].dataType
+
+        for col, t in widen.items():
+            old_s = stored[col].dataType.simpleString()
+            new_s = _dt(t).simpleString()
+            if new_s != "string" and new_s not in self._WIDEN_OK.get(
+                old_s, set()
+            ):
+                raise ValueError(
+                    f"unsafe type change {col}: {old_s} -> {new_s}"
+                )
+        new_fields = []
+        for f in stored.fields:
+            if f.name in drop:
+                continue
+            new_fields.append(
+                T.StructField(
+                    rename.get(f.name, f.name),
+                    _dt(widen[f.name]) if f.name in widen else f.dataType,
+                    True,
+                )
+            )
+        for a, t in add.items():
+            new_fields.append(T.StructField(a, _dt(t), True))
+        boundary = new_instant()
+        cfg.schema_history = [
+            *(cfg.schema_history or []),
+            {
+                "until": boundary,
+                "schema": cfg.schema_json,
+                "rename_to_next": rename,
+            },
+        ]
+        cfg.schema_json = json.dumps(T.StructType(new_fields).jsonValue())
+        cfg.save()
+        return cfg
 
     def bootstrap(self, source_path, name, record_key, **kwargs) -> TableConfig:
         """Adopt an existing parquet dir as a table (W9/W10) — see

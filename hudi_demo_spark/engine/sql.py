@@ -74,12 +74,57 @@ class SqlRouter:
             return self._merge(s)
         if low.startswith("call"):
             return self._call(s)
+        if low.startswith("alter table"):
+            return self._alter(s)
         # read-side SQL: refresh temp views, let Catalyst do the rest
         # (IncrementalQuery.scala:57-59 pattern)
         self.engine.sync_catalog()
         return self.spark.sql(s)
 
     # ------------------------------------------------------------------
+
+    def _alter(self, s: str) -> None:
+        """ALTER TABLE schema evolution (Hudi 0.13 Spark-SQL surface):
+        RENAME COLUMN a TO b | DROP COLUMN c | ADD COLUMNS (a type, ...)
+        | ALTER COLUMN c TYPE t | CHANGE c c t COMMENT '...' (D6)."""
+        m = re.match(r"alter\s+table\s+(\S+)\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"unsupported ALTER shape: {s[:120]}")
+        table, rest = m.group(1), m.group(2).strip()
+        low = rest.lower()
+        mm = re.match(r"rename\s+column\s+(\w+)\s+to\s+(\w+)$", rest, re.I)
+        if mm:
+            self.engine.alter_table(table, rename={mm.group(1): mm.group(2)})
+            return None
+        mm = re.match(r"drop\s+columns?\s*\(?\s*([\w\s,]+?)\s*\)?$", rest, re.I)
+        if mm and low.startswith("drop"):
+            cols = [c.strip() for c in mm.group(1).split(",") if c.strip()]
+            self.engine.alter_table(table, drop=cols)
+            return None
+        mm = re.match(r"add\s+columns?\s*\((.*)\)$", rest, re.I | re.S)
+        if mm:
+            add = {}
+            for part in _split_top_level(mm.group(1)):
+                nm = re.match(r"(\w+)\s+(.+)$", part.strip(), re.S)
+                if not nm:
+                    raise ValueError(f"bad column spec: {part!r}")
+                add[nm.group(1)] = nm.group(2).strip()
+            self.engine.alter_table(table, add=add)
+            return None
+        mm = re.match(r"alter\s+column\s+(\w+)\s+type\s+(.+)$", rest, re.I)
+        if mm:
+            self.engine.alter_table(
+                table, widen={mm.group(1): mm.group(2).strip()}
+            )
+            return None
+        # D6 — SyncCommentsAcrossClusters.scala:100-103
+        mm = re.match(
+            r"change\s+(\w+)\s+\w+\s+\S+\s+comment\s+'(.*)'$", rest, re.I | re.S
+        )
+        if mm:
+            self.engine.alter_column_comment(table, mm.group(1), mm.group(2))
+            return None
+        raise ValueError(f"unsupported ALTER shape: {s[:120]}")
 
     def _call(self, s: str) -> DataFrame | None:
         """Hudi Spark-SQL procedure surface (CALL <proc>(k => 'v', ...)) —

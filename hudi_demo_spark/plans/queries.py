@@ -2525,6 +2525,62 @@ def engine_schema_evolution(spark, sf_dir):
 
 
 @q(
+    "engine_full_schema_evolution",
+    """
+    SELECT p_partkey, p_name,
+           p_brand AS brand,
+           CAST(p_size AS BIGINT) AS p_size,
+           CASE WHEN p_partkey % 2 = 0 THEN round(p_retailprice, 2) END
+             AS p_retailprice
+    FROM part ORDER BY p_partkey
+    """,
+)
+def engine_full_schema_evolution(spark, sf_dir):
+    """Hudi 0.13 full schema evolution, schema-on-read: after the first
+    batch, ALTER renames p_brand→brand, widens p_size int→bigint, drops
+    p_type and adds p_retailprice — no data file is rewritten; the
+    second batch lands in the new schema and old files project (rename/
+    cast/null) at read."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_full_schema_evolution", sf_dir)
+    eng = Engine(spark, root)
+    p = load_table(spark, sf_dir, "part")
+    eng.create_table("t", record_key="p_partkey")
+    eng.insert(
+        p.filter(F.col("p_partkey") % 2 == 1).select(
+            "p_partkey", "p_name", "p_brand", "p_size", "p_type"
+        ),
+        "t",
+    )
+    eng.alter_table(
+        "t",
+        rename={"p_brand": "brand"},
+        widen={"p_size": "bigint"},
+        drop=["p_type"],
+        add={"p_retailprice": "double"},
+    )
+    eng.insert(
+        p.filter(F.col("p_partkey") % 2 == 0).select(
+            "p_partkey",
+            "p_name",
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "p_retailprice",
+        ),
+        "t",
+    )
+    return (
+        eng.read("t")
+        .select(
+            "p_partkey", "p_name", "brand", "p_size",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@q(
     "engine_keyless_insert",
     """
     SELECT doc_id, lang FROM documents ORDER BY doc_id

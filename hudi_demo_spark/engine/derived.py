@@ -8,10 +8,13 @@ additive upsert. At 100 TB this is the difference between re-aggregating
 the world per refresh and touching just the new slice: refresh cost
 scales with data ARRIVED, not data STORED.
 
-Scope: additive aggregates (count/sum — avg derivable as sum/count)
-over INSERT-ONLY sources. Updates/deletes in the source would need
-retractions (old-version negatives); refresh detects non-insert commits
-in the window and raises rather than silently drifting.
+Scope: additive aggregates (count/sum — avg derivable as sum/count).
+INSERT-only windows fold additively (no source re-read at all); windows
+containing updates/deletes/merges switch to partial-recompute
+maintenance — the CDC read names the changed row identities, their
+groups (before- and after-image sides) are re-aggregated exactly from
+the snapshot, emptied groups are deleted. Refresh cost scales with
+changed groups, never with table size.
 """
 
 from __future__ import annotations
@@ -73,11 +76,17 @@ def refresh_rollup(engine, name: str) -> dict | None:
     ]
     bad = [m["operation"] for m in window if m["operation"] not in _ALLOWED]
     if bad:
-        raise ValueError(
-            f"rollup {name}: source window contains non-insert operations "
-            f"{sorted(set(bad))} — additive maintenance needs retractions; "
-            "rebuild the rollup instead"
+        # updates/deletes in the window: additive folding would need
+        # retractions — switch to PARTIAL RECOMPUTE maintenance instead
+        # (exact re-aggregation of only the groups whose rows changed,
+        # located via the CDC read; cost scales with changed groups,
+        # not table size)
+        out = _refresh_recompute(
+            engine, name, source, group_cols, sum_cols, begin, end
         )
+        cfg.props[_OFFSET_PROP] = end
+        cfg.save()
+        return out
     delta = engine.read_incremental(source, begin=begin, end=end)
     partial = delta.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"),
@@ -109,3 +118,39 @@ def refresh_rollup(engine, name: str) -> dict | None:
     cfg.props[_OFFSET_PROP] = end
     cfg.save()
     return out
+
+
+def _refresh_recompute(
+    engine, name, source, group_cols, sum_cols, begin, end
+):
+    """View maintenance under arbitrary source DML: the CDC read names
+    every changed row identity in (begin, end]; the affected GROUPS are
+    those identities' groups in the before- and after-snapshots (both
+    sides, so a group-moving update repairs its old group too). Those
+    groups — and only those — are re-aggregated exactly from the current
+    snapshot and upserted; groups that lost their last row are deleted
+    from the rollup. Group columns are assumed non-null (they are the
+    rollup's record key)."""
+    cdc = engine.read_cdc(source, begin=begin, end=end)
+    keys = cdc.select(RECORD_KEY_META).distinct()
+    snap = engine.read(source)
+    affected = snap.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
+    if begin is not None:
+        prev = engine.read(source, as_of=begin)
+        affected = affected.union(
+            prev.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
+        )
+    groups = affected.distinct()
+    fresh = (
+        snap.join(groups, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+    )
+    meta = engine.upsert(fresh, name)
+    gone = groups.join(fresh.select(*group_cols), group_cols, "left_anti")
+    if gone.take(1):
+        engine.delete_keys(name, gone)
+    return meta

@@ -448,3 +448,51 @@ def test_inflight_markers_protect_and_reclaim(engine, spark):
     assert slow.exists()  # live marker beats the age gate
     assert not dead.exists()  # dead marker beats the fresh-mtime gate
     assert [m["instant"] for m in tl.inflight()] == ["11111111111111111111"]
+
+
+def test_incremental_rollup_handles_mutations(engine, spark):
+    """Rollup refresh over a window containing upserts and deletes:
+    partial-recompute maintenance keeps the rollup equal to the batch
+    aggregate — including a group-moving update repairing its OLD group
+    and a fully-deleted group disappearing from the rollup."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("ms_t", record_key="k")
+    create_rollup(engine, "ms_t", "ms_roll", ["g"], ["v"])
+
+    def batch(lo, hi, g=None):
+        d = spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        return d if g is None else d.withColumn("g", F.lit(g))
+
+    engine.insert(batch(0, 400), "ms_t")
+    assert refresh_rollup(engine, "ms_roll") is not None  # additive path
+    # mutations: move every id%4==1 row into group 'moved', delete the
+    # whole of group '2', update values in group '3'
+    engine.upsert(
+        batch(0, 400).filter("g = '1'").withColumn("g", F.lit("moved")),
+        "ms_t",
+    )
+    engine.delete("ms_t", "g = '2'")
+    engine.update("ms_t", set={"v": "v + 100"}, where="g = '3'")
+    assert refresh_rollup(engine, "ms_roll") is not None  # recompute path
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in engine.read("ms_roll").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in engine.read("ms_t")
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert "2" not in got and "moved" in got
+    # idempotent: nothing new -> no-op
+    assert refresh_rollup(engine, "ms_roll") is None

@@ -3952,6 +3952,51 @@ def engine_incremental_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "engine_rollup_mutations",
+    """
+    WITH cur AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN value + 10 ELSE value END AS v
+      FROM events WHERE NOT event_id % 7 = 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(v), 2) AS sum_value
+    FROM cur
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def engine_rollup_mutations(spark, sf_dir):
+    """Derived-table maintenance under source UPDATEs and DELETEs: the
+    refresh window contains mutations, so the rollup is repaired by
+    CDC-scoped partial recompute (changed groups re-aggregated exactly,
+    emptied groups deleted) — final state must equal the batch aggregate
+    of the mutated source."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_rollup_mutations", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    create_rollup(eng, "src", "roll", ["event_type"], ["value"])
+    eng.insert(e, "src")
+    refresh_rollup(eng, "roll")
+    eng.update("src", set={"value": "value + 10"}, where="event_id % 5 = 0")
+    eng.delete("src", "event_id % 7 = 0")
+    refresh_rollup(eng, "roll")
+    return (
+        eng.read("roll")
+        .select(
+            "event_type", "n_rows", F.round("sum_value", 2).alias("sum_value")
+        )
+        .orderBy("event_type")
+    )
+
+
 _BF_TOPK_SQL = """
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -130,3 +130,31 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     # range partitioning
     assert "Generate" in plan and "explode(" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_seeded_shuffle_windows_are_bucket_partitioned(spark, sf_dir):
+    # the permutation must come from per-bucket windows + a broadcast
+    # base-offset join — never a single-partition global window
+    from hudi_demo_spark.operators.sampling import seeded_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    df = seeded_shuffle(d, "doc_id", seed=7)
+    plan = plan_of(df, "extended")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows
+    for ln in windows:
+        assert "__ss_b" in ln, ln  # partitioned by the hash-prefix bucket
+    assert "BroadcastHashJoin" in plan_of(df) or "broadcast" in plan_of(df)
+
+
+def test_stratified_sample_single_keyed_shuffle(spark, sf_dir):
+    from hudi_demo_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = plan_of(stratified_sample(d, "doc_id", "lang", 5))
+    # exactly one exchange: the window's hashpartitioning on the stratum
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning(lang" in plan
+    # bonus property: Spark's WindowGroupLimit prunes to top-n map-side
+    # BEFORE the shuffle — the shuffle moves ≤ n rows per stratum
+    assert "WindowGroupLimit" in plan

@@ -1277,7 +1277,63 @@ class Engine:
         )
         self._index_append(cfg, out)
         self._maybe_compact(cfg)
+        self._maybe_cluster(cfg)
         return meta
+
+    def _maybe_cluster(self, cfg: TableConfig) -> None:
+        """Inline clustering (Hudi `hoodie.clustering.inline` +
+        `...inline.max.commits`): after N write commits since the last
+        clustering, rewrite into `cluster.sort_cols` order — the
+        continuous-ingest small-file + locality service. Opt-in via
+        `cluster.inline`; strategy from `cluster.strategy`
+        (linear|zorder)."""
+        if not self._truthy(cfg.props.get("cluster.inline")):
+            return
+        cols = [
+            c.strip()
+            for c in str(cfg.props.get("cluster.sort_cols", "")).split(",")
+            if c.strip()
+        ]
+        if not cols:
+            return
+        n_max = int(cfg.props.get("cluster.inline.max_commits", 4))
+        tl = Timeline(cfg.path)
+        n = 0
+        for m in reversed(tl.instants(include_archived=True)):
+            if m["operation"] == "cluster":
+                break
+            if m["action"] in (tlmod.COMMIT, tlmod.DELTACOMMIT):
+                n += 1
+        if n >= n_max:
+            self.cluster(
+                cfg, cols,
+                strategy=str(cfg.props.get("cluster.strategy", "linear")),
+            )
+
+    def show_partition_stats(self, table: str | TableConfig) -> DataFrame:
+        """Operational per-partition summary from commit metadata alone
+        (no fs listing, no scan): (partition, n_files, n_delta_files,
+        bytes, latest_commit)."""
+        cfg = self._resolve(table)
+        agg: dict[str, list] = {}
+        for m in Timeline(cfg.path).live_files().values():
+            pp = m.get("partition", "")
+            a = agg.setdefault(pp, [0, 0, 0, ""])
+            a[0] += 1
+            a[1] += 1 if m.get("kind") == "delta" else 0
+            a[2] += int(m.get("bytes") or 0)
+            a[3] = max(a[3], m.get("commit", ""))
+        rows = [(pp, *vals) for pp, vals in sorted(agg.items())]
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType()),
+                T.StructField("n_files", T.IntegerType()),
+                T.StructField("n_delta_files", T.IntegerType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("latest_commit", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
         """INSERT OVERWRITE TABLE / mode(Overwrite) (W14) —

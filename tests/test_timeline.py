@@ -496,3 +496,62 @@ def test_incremental_rollup_handles_mutations(engine, spark):
     assert "2" not in got and "moved" in got
     # idempotent: nothing new -> no-op
     assert refresh_rollup(engine, "ms_roll") is None
+
+
+def test_inline_clustering_trigger(engine, spark):
+    """cluster.inline: after N write commits since the last clustering,
+    an insert triggers a sort-order rewrite automatically."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table(
+        "icl", record_key="k",
+        props={"cluster.inline": "true", "cluster.sort_cols": "v",
+               "cluster.inline.max_commits": "3"},
+    )
+
+    def b(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.rand(seed=int(lo)).alias("v")
+        )
+
+    engine.insert(b(0, 100), "icl")
+    engine.insert(b(100, 200), "icl")
+    cfg = engine._resolve("icl")
+    ops = [m["operation"] for m in Timeline(cfg.path).instants(True)]
+    assert "cluster" not in ops  # below threshold
+    engine.insert(b(200, 300), "icl")  # 3rd commit -> trigger
+    ops = [m["operation"] for m in Timeline(cfg.path).instants(True)]
+    assert ops.count("cluster") == 1
+    assert engine.read("icl").count() == 300
+    # counter reset: two more inserts stay below threshold again
+    engine.insert(b(300, 400), "icl")
+    engine.insert(b(400, 500), "icl")
+    ops = [m["operation"] for m in Timeline(cfg.path).instants(True)]
+    assert ops.count("cluster") == 1
+
+
+def test_show_partition_stats(engine, spark):
+    from pyspark.sql import functions as F
+
+    engine.create_table(
+        "pst", record_key="k", precombine="ts", partition_by="g",
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    engine.insert(df, "pst")
+    engine.upsert(df.filter("g = '1'").withColumn("ts", F.lit(2).cast("long")), "pst")
+    rows = {
+        r["partition"]: r
+        for r in engine.sql("call show_partition_stats(table => 'pst')").collect()
+    }
+    assert set(rows) == {"g=0", "g=1"}
+    # COW: no deltas; the upsert advanced only g=1's latest commit
+    assert all(r["n_delta_files"] == 0 for r in rows.values())
+    assert rows["g=1"]["latest_commit"] > rows["g=0"]["latest_commit"]
+    assert all(
+        r["bytes"] > 0 and r["n_files"] >= 1 for r in rows.values()
+    )

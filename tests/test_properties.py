@@ -258,3 +258,92 @@ def test_dml_state_machine_matches_model(
         got = {r["id"]: r["ts"] for r in eng.read("t").collect()}
         want = {i: ts for i, (ts, _) in model.items()}
         assert got == want, f"after op {n} {op}{arg}: {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# full schema evolution vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_ev_op = st.tuples(
+    st.sampled_from(["insert", "rename", "widen", "drop", "add"]),
+    st.integers(0, 7),
+)
+_ev_program = st.lists(_ev_op, min_size=2, max_size=8)
+
+
+@given(_ev_program)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_schema_evolution_matches_model(spark, tmp_path_factory, program):
+    """Arbitrary interleavings of insert/rename/widen/drop/add keep the
+    snapshot equal to a pure-Python model: renames carry values, widened
+    ints read back numerically equal, added columns are NULL for older
+    rows, dropped columns disappear."""
+    from hudi_demo_spark.engine import Engine
+
+    root = tmp_path_factory.mktemp("ev")
+    eng = Engine(spark, root)
+    eng.create_table("t", record_key="id")
+    cols: dict[str, str] = {"c0": "int"}
+    rows: dict[int, dict] = {}
+    counter = [0, 0]  # next fresh column suffix, next row id
+
+    def do_insert():
+        schema = "id int" + "".join(f", {c} {t}" for c, t in cols.items())
+        batch = []
+        for _ in range(3):
+            i = counter[1]
+            counter[1] += 1
+            vals = {}
+            for n, (c, t) in enumerate(cols.items()):
+                v = i * 10 + n
+                vals[c] = float(v) if t == "double" else v
+            rows[i] = dict(vals)
+            batch.append((i, *vals.values()))
+        eng.insert(spark.createDataFrame(batch, schema), "t")
+
+    do_insert()  # pin the schema before any alter
+    for op, sel in program:
+        if op == "insert":
+            do_insert()
+        elif op == "rename":
+            cands = sorted(cols)
+            old = cands[sel % len(cands)]
+            new = f"r{counter[0]}"
+            counter[0] += 1
+            eng.alter_table("t", rename={old: new})
+            cols[new] = cols.pop(old)
+            for r in rows.values():
+                r[new] = r.pop(old, None)
+        elif op == "widen":
+            cands = sorted(c for c, t in cols.items() if t != "double")
+            if not cands:
+                continue
+            c = cands[sel % len(cands)]
+            to = "bigint" if cols[c] == "int" else "double"
+            eng.alter_table("t", widen={c: to})
+            cols[c] = to
+            if to == "double":
+                for r in rows.values():
+                    if r.get(c) is not None:
+                        r[c] = float(r[c])
+        elif op == "drop":
+            if len(cols) <= 1:
+                continue
+            cands = sorted(cols)
+            c = cands[sel % len(cands)]
+            eng.alter_table("t", drop=[c])
+            del cols[c]
+            for r in rows.values():
+                r.pop(c, None)
+        elif op == "add":
+            new = f"a{counter[0]}"
+            counter[0] += 1
+            eng.alter_table("t", add={new: "int"})
+            cols[new] = "int"
+        got = {
+            r["id"]: {c: r[c] for c in cols}
+            for r in eng.read("t").select("id", *cols).collect()
+        }
+        want = {i: {c: r.get(c) for c in cols} for i, r in rows.items()}
+        assert got == want, f"after {op}: {got} != {want}"

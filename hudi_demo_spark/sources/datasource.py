@@ -78,7 +78,7 @@ class LakehouseReadTask(InputPartition):
     """Self-contained executor task: files + optional merge spec."""
 
     def __init__(self, files, schema_json, merge_keys, sort_cols,
-                 sort_ascending, begin, end):
+                 sort_ascending, begin, end, renames=None):
         self.files = files
         self.schema_json = schema_json
         self.merge_keys = merge_keys  # None => plain concat
@@ -86,6 +86,10 @@ class LakehouseReadTask(InputPartition):
         self.sort_ascending = sort_ascending
         self.begin = begin
         self.end = end
+        # schema evolution: {file path: {current col name: name IN FILE}}
+        # for files written under an older schema epoch (renames composed
+        # driver-side); absent/empty => names match the current schema
+        self.renames = renames or {}
 
 
 def register(spark) -> None:
@@ -381,24 +385,32 @@ class LakehouseReader(DataSourceReader):
         )
         schema_json = json.dumps(self._arrow_fields())
         data = Path(cfg.path) / DATA_DIR
+        renames = self._epoch_renames(files)
+
+        def _ren(paths):
+            sub = {p: renames[p] for p in paths if p in renames}
+            return sub or None
 
         tasks = []
         if not need_merge:
             # max scan parallelism: one task per file
             for p in sorted(files):
+                fp = str(data / p)
                 tasks.append(
                     LakehouseReadTask(
-                        [str(data / p)], schema_json, None, sort_cols,
-                        False, row_begin, row_end,
+                        [fp], schema_json, None, sort_cols,
+                        False, row_begin, row_end, renames=_ren([fp]),
                     )
                 )
         elif is_global:
             # global keys may collide across hive partitions: one merge
             # group (the engine's key-only shuffle analog)
+            fps = [str(data / p) for p in sorted(files)]
             tasks.append(
                 LakehouseReadTask(
-                    [str(data / p) for p in sorted(files)], schema_json,
+                    fps, schema_json,
                     merge_keys, sort_cols, False, row_begin, row_end,
+                    renames=_ren(fps),
                 )
             )
         else:
@@ -406,14 +418,47 @@ class LakehouseReader(DataSourceReader):
             for p, m in files.items():
                 by_part.setdefault(m.get("partition", ""), []).append(p)
             for pp in sorted(by_part):
+                fps = [str(data / p) for p in sorted(by_part[pp])]
                 tasks.append(
                     LakehouseReadTask(
-                        [str(data / p) for p in sorted(by_part[pp])],
+                        fps,
                         schema_json, merge_keys, sort_cols, False,
-                        row_begin, row_end,
+                        row_begin, row_end, renames=_ren(fps),
                     )
                 )
         return tasks
+
+    def _epoch_renames(self, files) -> dict:
+        """{absolute file path: {current name: name in file}} for files
+        written under an older schema epoch — the datasource analog of
+        Engine._read_epoch's projection (renames composed forward along
+        the catalog's schema history; widened types are handled by the
+        existing per-column cast, added columns by the null fill)."""
+        import json as _json
+
+        hist = getattr(self.cfg, "schema_history", None) or []
+        if not hist:
+            return {}
+        data = Path(self.cfg.path) / DATA_DIR
+        out: dict = {}
+        for p, m in files.items():
+            c = m.get("commit") or "~"
+            idx = len(hist)
+            for i, h in enumerate(hist):
+                if c < h["until"]:
+                    idx = i
+                    break
+            if idx >= len(hist):
+                continue
+            epoch_fields = _json.loads(hist[idx]["schema"])["fields"]
+            fwd = {f["name"]: f["name"] for f in epoch_fields}
+            for h in hist[idx:]:
+                ren = h.get("rename_to_next") or {}
+                fwd = {old: ren.get(cur, cur) for old, cur in fwd.items()}
+            rev = {cur: old for old, cur in fwd.items() if cur != old}
+            if rev:
+                out[str(data / p)] = rev
+        return out
 
     def _arrow_fields(self):
         """(name, arrow-type-repr) list for the FULL stored schema (incl
@@ -446,13 +491,16 @@ class LakehouseReader(DataSourceReader):
         target = pa.schema(
             [(n, _parse_arrow_type(t)) for n, t in fields]
         )
+        renames = getattr(part, "renames", None) or {}
         tabs = []
         for f in part.files:
             t = pq.read_table(f)
+            rev = renames.get(f, {})
             cols = []
             for fld in target:
-                if fld.name in t.column_names:
-                    cols.append(t.column(fld.name).cast(fld.type))
+                src = rev.get(fld.name, fld.name)
+                if src in t.column_names:
+                    cols.append(t.column(src).cast(fld.type))
                 else:
                     cols.append(pa.nulls(len(t), fld.type))
             tabs.append(pa.Table.from_arrays(cols, schema=target))
@@ -569,10 +617,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
         data = Path(cfg.path) / DATA_DIR
         files = {p: m for p, m in files.items() if (data / p).is_file()}
         schema_json = __import__("json").dumps(self._reader._arrow_fields())
+        renames = self._reader._epoch_renames(files)
         tasks = [
             LakehouseReadTask(
                 [str(data / p)], schema_json, None,
                 [COMMIT_TIME_META], False, lo or None, hi or None,
+                renames={
+                    str(data / p): renames[str(data / p)]
+                } if str(data / p) in renames else None,
             )
             for p in sorted(files)
         ]

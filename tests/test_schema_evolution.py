@@ -157,3 +157,37 @@ def test_alter_time_travel_projects_to_current_schema(engine, spark):
     old = engine.read(t, as_of=pre)
     assert sorted(r["id"] for r in old.collect()) == [1, 2]
     assert "label" in old.columns and "junk" not in old.columns
+
+
+def test_datasource_reads_evolved_table(engine, spark):
+    """spark.read.format("hudi") over a schema-evolved table: old-epoch
+    files come back with renamed columns carried, widened types cast and
+    added columns null — identical to Engine.read."""
+    from hudi_demo_spark.sources.datasource import register
+
+    register(spark)
+    t = _setup(engine, spark)
+    engine.alter_table(
+        t, rename={"label0": "label"}, widen={"v": "bigint"},
+        drop=["junk"], add={"w": "double"},
+    )
+    engine.insert(
+        _mk(
+            spark,
+            [(3, 30, "c", 2.5, 2, "p1")],
+            "id int, v bigint, label string, w double, ts long, dt string",
+        ),
+        t,
+    )
+    cfg = engine._resolve(t)
+    via_ds = {
+        r["id"]: (r["v"], r["label"], r["w"])
+        for r in spark.read.format("hudi").load(str(cfg.path)).collect()
+    }
+    via_engine = {
+        r["id"]: (r["v"], r["label"], r["w"])
+        for r in engine.read(t).collect()
+    }
+    assert via_ds == via_engine == {
+        1: (10, "a", None), 2: (20, "b", None), 3: (30, "c", 2.5)
+    }

@@ -333,10 +333,25 @@ def test_incremental_rollup_matches_batch(engine, spark):
         .collect()
     }
     assert got == want
-    # updates in the window are refused, not silently folded
+    # an update in the window switches the refresh to partial-recompute
+    # maintenance (not silent additive folding): only k=1's group is
+    # re-aggregated, and the rollup still equals the batch aggregate
     engine.update("src_t", set={"v": "v + 1"}, where="k = 1")
-    with _pytest.raises(ValueError, match="retractions"):
-        refresh_rollup(engine, "roll_t")
+    meta = refresh_rollup(engine, "roll_t")
+    assert meta is not None
+    assert len(meta["files_removed"]) <= 1  # one group's row rewritten
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in engine.read("roll_t").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in engine.read("src_t")
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_write_stats_cols_prop_records_and_prunes(engine, spark):

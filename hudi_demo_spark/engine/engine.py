@@ -1040,6 +1040,73 @@ class Engine:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def validate(self, table: str | TableConfig) -> DataFrame:
+        """Consistency checker (the `hudi-cli` table-validation analog):
+        metadata-level invariants as a (check, status, detail) report —
+        every live file present on disk with its committed size, bloom
+        sidecars present where flagged, timeline instants unique and
+        monotonic, catalog schema (and every schema-history epoch)
+        parseable. Driver-side metadata only; no data scan."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        data = Path(cfg.path) / DATA_DIR
+        checks: list[tuple[str, str, str]] = []
+
+        def add(name: str, problems: list[str]) -> None:
+            checks.append(
+                (name, "FAIL" if problems else "OK",
+                 "; ".join(problems[:5]))
+            )
+
+        live = tl.live_files()
+        missing, sized = [], []
+        for p, m in live.items():
+            if m.get("kind") == "external":
+                continue
+            f = data / p
+            if not f.is_file():
+                missing.append(p)
+            elif m.get("bytes") and f.stat().st_size != m["bytes"]:
+                sized.append(p)
+        add("live_files_exist", missing)
+        add("live_file_sizes_match_commit", sized)
+
+        from hudi_demo_spark.engine import bloom as B
+
+        add(
+            "bloom_sidecars_present",
+            [
+                p
+                for p, m in live.items()
+                if m.get("bloom")
+                and not B.sidecar_path(cfg.path, p).is_file()
+            ],
+        )
+        ins = tl.instants(include_archived=True)
+        seen: set[str] = set()
+        dup = [m["instant"] for m in ins if m["instant"] in seen
+               or seen.add(m["instant"])]
+        add("instants_unique", dup)
+        bad_schema = []
+        try:
+            if cfg.schema_json:
+                T.StructType.fromJson(json.loads(cfg.schema_json))
+            for i, h in enumerate(cfg.schema_history or []):
+                T.StructType.fromJson(json.loads(h["schema"]))
+                if "until" not in h:
+                    bad_schema.append(f"epoch {i}: no boundary instant")
+        except Exception as ex:
+            bad_schema.append(str(ex))
+        add("schemas_parse", bad_schema)
+        schema = T.StructType(
+            [
+                T.StructField("check", T.StringType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("detail", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(checks, schema)
+
     def show_commits(self, table: str | TableConfig) -> DataFrame:
         """`call show_commits(table => ...)` (R23) —
         IncrementalQuery.scala:36-37; newest-first like the reference."""
@@ -1137,14 +1204,17 @@ class Engine:
         table: str | TableConfig,
         begin: str | None = None,
         end: str | None = None,
+        images: str = "after",
     ) -> DataFrame:
         """Change-data-capture read: per-key row changes in `(begin, end]`
         (end defaults to the latest instant) — the engine analog of Hudi's
         incremental CDC query (`hoodie.datasource.query.incremental
         .format=cdc`), re-expressed as a snapshot diff. Output: the data
         columns (after-image; before-image for deletes) plus
-        `_change_type` ∈ {insert, update, delete}. Requires a record key
-        (CDC needs row identity).
+        `_change_type` ∈ {insert, update, delete} — or, with
+        `images="both"`, Hudi's cdc-file shape: (record key,
+        _change_type, before struct, after struct) with a null struct on
+        the absent side. Requires a record key (CDC needs row identity).
 
         Scale: for COW tables every live key lives in exactly one base
         file, so files present in BOTH snapshots cannot hold changed rows
@@ -1206,10 +1276,20 @@ class Engine:
                 ~F.col("__before").eqNullSafe(F.col("__after")), F.lit("update")
             )
         )
+        out = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        if images == "both":
+            # Hudi cdc-format parity (op + before + after): full images
+            # as struct columns, null struct on the absent side
+            return out.select(
+                RECORD_KEY_META,
+                "_change_type",
+                F.col("__before").alias("before"),
+                F.col("__after").alias("after"),
+            )
         return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .withColumn("__img", F.coalesce("__after", "__before"))
+            out.withColumn("__img", F.coalesce("__after", "__before"))
             .select(RECORD_KEY_META, "_change_type", "__img.*")
         )
 

@@ -147,6 +147,8 @@ class SqlRouter:
             return self.engine.show_commits(table)
         if proc in ("show_fsview_all", "show_fsview"):
             return self.engine.show_fsview(table)
+        if proc == "validate_table":
+            return self.engine.validate(table)
         if proc == "show_partition_stats":
             return self.engine.show_partition_stats(table)
         if proc == "show_inflight":

@@ -161,3 +161,33 @@ def test_cdc_requires_record_key(engine, spark):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_cdc_before_and_after_images(engine, spark):
+    """images='both' (Hudi cdc-file shape): update rows carry BOTH
+    images, inserts a null before, deletes a null after."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("cdcimg", record_key="k", precombine="ts")
+    df = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "k int, v double, ts long"
+    )
+    engine.insert(df, "cdcimg")
+    base = engine.show_commits("cdcimg").collect()[0]["commit_time"]
+    engine.upsert(
+        spark.createDataFrame([(1, 11.0, 2), (3, 30.0, 2)],
+                              "k int, v double, ts long"),
+        "cdcimg",
+    )
+    engine.delete("cdcimg", "k = 2")
+    rows = {
+        r["_change_type"]: r
+        for r in engine.read_cdc("cdcimg", begin=base, images="both").collect()
+    }
+    assert set(rows) == {"insert", "update", "delete"}
+    upd = rows["update"]
+    assert upd["before"]["v"] == 10.0 and upd["after"]["v"] == 11.0
+    assert rows["insert"]["before"] is None
+    assert rows["insert"]["after"]["v"] == 30.0
+    assert rows["delete"]["after"] is None
+    assert rows["delete"]["before"]["v"] == 20.0

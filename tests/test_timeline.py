@@ -570,3 +570,36 @@ def test_show_partition_stats(engine, spark):
     assert all(
         r["bytes"] > 0 and r["n_files"] >= 1 for r in rows.values()
     )
+
+
+def test_validate_table_reports(engine, spark):
+    """CALL validate_table: clean table passes every check; a manually
+    deleted live file and a stripped bloom sidecar are flagged."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    engine.create_table(
+        "vt", record_key="k", props={"index.bloom.enabled": "true"},
+    )
+    engine.insert(
+        spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1.0).alias("v")),
+        "vt",
+    )
+    ok = {r["check"]: r["status"] for r in engine.validate("vt").collect()}
+    assert set(ok.values()) == {"OK"}
+    cfg = engine._resolve("vt")
+    data = Path(cfg.path) / "data"
+    victim = sorted(data.rglob("*.parquet"))[0]
+    victim.unlink()
+    from hudi_demo_spark.engine import bloom as B
+
+    for bf in (Path(cfg.path) / B.BLOOM_DIR).rglob("*.bf"):
+        bf.unlink()
+    rep = {
+        r["check"]: r["status"]
+        for r in engine.sql("call validate_table(table => 'vt')").collect()
+    }
+    assert rep["live_files_exist"] == "FAIL"
+    assert rep["bloom_sidecars_present"] == "FAIL"
+    assert rep["instants_unique"] == "OK"

@@ -1328,12 +1328,13 @@ class Engine:
         if drop_duplicates:
             out = self._dedup_batch(out, cfg)
             tl = Timeline(cfg.path)
-            ranges, _ = self._batch_key_ranges(out)
+            ranges, n_rows = self._batch_key_ranges(out)
             live = tl.live_files()
             if self._is_global(cfg):
                 candidates = self._global_candidates(cfg, live, ranges, out)
             else:
                 candidates = self._affected_files(live, ranges)
+            candidates = self._bloom_prune(cfg, candidates, out, n_rows)
             if candidates:
                 on = self._merge_key_cols(cfg)
                 existing = self._read_files(cfg, candidates)
@@ -2035,18 +2036,30 @@ class Engine:
         matrix plus any-atomic→string. Widen and rename the same column
         in separate alters."""
         cfg = self._resolve(table)
-        stored = self._stored_schema(cfg)
-        if stored is None:
-            raise ValueError(
-                "alter_table requires a pinned schema (write first, or "
-                "create the table with an explicit schema)"
-            )
         rename = dict(rename or {})
         drop = list(drop or [])
         add = dict(add or {})
         widen = dict(widen or {})
         if not (rename or drop or add or widen):
             return cfg
+        if any(
+            m.get("kind") == "external"
+            for m in Timeline(cfg.path).live_files().values()
+        ):
+            # metadata-bootstrapped files are read with lazily computed
+            # meta columns outside the epoch machinery; renames would
+            # silently null them out. Materialize first.
+            raise ValueError(
+                "cannot alter a table with metadata-bootstrapped "
+                "(external) files — run a full-record bootstrap or "
+                "rewrite (overwrite) first"
+            )
+        stored = self._stored_schema(cfg)
+        if stored is None:
+            raise ValueError(
+                "alter_table requires a pinned schema (write first, or "
+                "create the table with an explicit schema)"
+            )
         protected = (
             set(META_COLS)
             | {DELETED_META}

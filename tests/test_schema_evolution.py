@@ -191,3 +191,13 @@ def test_datasource_reads_evolved_table(engine, spark):
     assert via_ds == via_engine == {
         1: (10, "a", None), 2: (20, "b", None), 3: (30, "c", 2.5)
     }
+
+
+def test_alter_refuses_external_bootstrap_files(engine, spark, tmp_path):
+    src = tmp_path / "src"
+    _mk(spark, [(1, "a", 5)], "id int, name string, v int").write.parquet(
+        str(src)
+    )
+    engine.bootstrap(str(src), "bt", record_key="id", mode="metadata")
+    with pytest.raises(ValueError, match="external"):
+        engine.alter_table("bt", rename={"name": "label"})

@@ -1013,6 +1013,140 @@ def engine_compaction(spark, sf_dir):
 
 
 @q(
+    "engine_async_compaction",
+    """
+    SELECT event_id, event_type,
+           round(CASE WHEN event_id % 4 = 0 THEN value + 1 ELSE value END, 4)
+             AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def engine_async_compaction(spark, sf_dir):
+    """T5b schedule/execute split via the CALL surface: the plan is
+    captured first, a delta lands AFTER the schedule, execution folds
+    only the captured set — the snapshot must still merge the late
+    delta correctly at read."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_async_compaction", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq",
+        partition_by="event_type", table_type="mor",
+    )
+    eng.insert(e, "t")
+    half = (
+        e.filter((F.col("event_id") % 4 == 0) & (F.col("event_id") % 8 == 0))
+        .withColumn("value", F.col("value") + 1)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(half, "t")
+    eng.sql("call run_compaction(table => 't', op => 'schedule')")
+    late = (
+        e.filter((F.col("event_id") % 4 == 0) & (F.col("event_id") % 8 != 0))
+        .withColumn("value", F.col("value") + 1)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    eng.upsert(late, "t")
+    eng.sql("call run_compaction(table => 't')")  # executes the plan
+    return (
+        eng.read("t")
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_log_compaction",
+    """
+    SELECT event_id, event_type,
+           round(CASE WHEN event_id % 3 = 0 THEN value * 2
+                      WHEN event_id % 3 = 1 THEN value + 5
+                      ELSE value END, 4) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def engine_log_compaction(spark, sf_dir):
+    """T5c log compaction: many small deltas folded into one per
+    partition WITHOUT touching base files; the snapshot after folding
+    must equal the snapshot before."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_log_compaction", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    eng.create_table(
+        "t", record_key="event_id", precombine="seq",
+        partition_by="event_type", table_type="mor",
+    )
+    eng.insert(e, "t")
+    eng.upsert(
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("seq", F.lit(2).cast("long")),
+        "t",
+    )
+    eng.upsert(
+        e.filter(F.col("event_id") % 3 == 1)
+        .withColumn("value", F.col("value") + 5)
+        .withColumn("seq", F.lit(3).cast("long")),
+        "t",
+    )
+    eng.sql("call run_log_compaction(table => 't')")
+    return (
+        eng.read("t")
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "engine_zorder_clustering",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def engine_zorder_clustering(spark, sf_dir):
+    """M5b z-order clustering via CALL: a multi-dimensional layout
+    rewrite must be content-neutral — the snapshot after clustering is
+    bit-identical to the source (locality changes, data never does)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_zorder_clustering", sf_dir)
+    eng = Engine(spark, root)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    ).withColumn("k", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    eng.create_table("t", record_key="k")
+    eng.insert(li, "t")
+    eng.sql(
+        "call run_clustering(table => 't', order => 'l_partkey,l_suppkey', "
+        "strategy => 'zorder')"
+    )
+    return (
+        eng.read("t")
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
     "engine_incremental_glob",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value

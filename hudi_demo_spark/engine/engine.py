@@ -2482,9 +2482,25 @@ class Engine:
         table: str | TableConfig,
         retain_commits: int = 10,
         stale_staging_s: float = 3600.0,
+        policy: str = "KEEP_LATEST_COMMITS",
+        retain_file_versions: int = 3,
+        retain_hours: float | None = None,
     ) -> dict:
         """Cleaning (M4) — retainCommits (JavaClientHive2Hudi.java:185):
-        physically delete data files unreferenced by the last N commits.
+        physically delete data files unreferenced by the retained
+        commits. All three Hudi cleaning policies:
+
+        - ``KEEP_LATEST_COMMITS`` (default): the last `retain_commits`
+          commits stay restorable.
+        - ``KEEP_LATEST_FILE_VERSIONS``: per partition, the file sets of
+          its last `retain_file_versions` touching commits stay
+          restorable (Hudi's file-slice version retention at our
+          partition-rewrite granularity).
+        - ``KEEP_LATEST_BY_HOURS``: commits within `retain_hours` of the
+          newest instant stay restorable (instant-time based, so the
+          decision is deterministic and replayable).
+
+        Passing `retain_hours` selects KEEP_LATEST_BY_HOURS implicitly.
 
         Also sweeps `_tmp/` staging directories older than
         `stale_staging_s` (a crashed writer's leftovers — Hudi's marker
@@ -2523,9 +2539,59 @@ class Engine:
                 staging.rmdir()
             except OSError:
                 pass
-        instants = [m["instant"] for m in tl.instants(include_archived=True)]
-        keep_instants = instants[-retain_commits:] if instants else []
+        metas = tl.instants(include_archived=True)
+        instants = [m["instant"] for m in metas]
+        if retain_hours is not None:
+            policy = "KEEP_LATEST_BY_HOURS"
         referenced: set[str] = set()
+        if policy == "KEEP_LATEST_COMMITS":
+            keep_instants = instants[-retain_commits:] if instants else []
+        elif policy == "KEEP_LATEST_BY_HOURS":
+            from datetime import datetime, timedelta
+
+            def _ts(i: str) -> "datetime":
+                return datetime.strptime(i[:14], "%Y%m%d%H%M%S")
+
+            if instants:
+                cutoff = _ts(instants[-1]) - timedelta(
+                    hours=retain_hours if retain_hours is not None else 24.0
+                )
+                keep_instants = [i for i in instants if _ts(i) >= cutoff]
+            else:
+                keep_instants = []
+        elif policy == "KEEP_LATEST_FILE_VERSIONS":
+            # per-partition version retention: replay the timeline once
+            # to find which instants touched each partition, then keep
+            # that partition's files at its last N touching instants.
+            # Metadata-only (no data scan), like the other policies.
+            keep_instants = instants[-1:] if instants else []
+            touched: dict[str, list[str]] = {}
+            state: dict[str, str] = {}  # relpath -> partition
+            for m in metas:
+                parts = {
+                    f.get("partition", "") for f in m["files_added"]
+                }
+                if m["files_removed"] == "*":
+                    parts |= set(state.values())
+                    state = {}
+                else:
+                    for rp in m["files_removed"]:
+                        pp = state.pop(rp, None)
+                        if pp is not None:
+                            parts.add(pp)
+                for f in m["files_added"]:
+                    state[f["path"]] = f.get("partition", "")
+                for pp in parts:
+                    touched.setdefault(pp, []).append(m["instant"])
+            for pp, ins_list in touched.items():
+                for i in ins_list[-retain_file_versions:]:
+                    referenced |= {
+                        p
+                        for p, fm in tl.live_files(as_of=i).items()
+                        if fm.get("partition", "") == pp
+                    }
+        else:
+            raise ValueError(f"unknown cleaning policy: {policy}")
         for i in keep_instants:
             referenced |= set(tl.live_files(as_of=i))
         referenced |= set(tl.live_files())

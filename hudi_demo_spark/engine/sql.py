@@ -79,7 +79,36 @@ class SqlRouter:
         # read-side SQL: refresh temp views, let Catalyst do the rest
         # (IncrementalQuery.scala:57-59 pattern)
         self.engine.sync_catalog()
-        return self.spark.sql(s)
+        return self.spark.sql(self._rewrite_time_travel(s))
+
+    # ------------------------------------------------------------------
+
+    _TT = re.compile(r"\b(\w+)\s+timestamp\s+as\s+of\s+'([^']+)'", re.I)
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """Hudi's Spark 3.3+ time-travel SQL (`SELECT ... FROM t
+        TIMESTAMP AS OF '20220101...'`): each engine-table reference
+        with a TIMESTAMP AS OF clause is replaced by a temp view over
+        `Engine.read(table, as_of=instant)`. Accepts raw instants and
+        'yyyy-MM-dd HH:mm:ss[.SSS]' forms (separators stripped; prefix
+        comparison against yyyyMMddHHmmssSSSSSS instants gives
+        start-of-interval semantics, matching Hudi). Non-engine tables
+        are left untouched for Catalyst to reject or resolve."""
+
+        def repl(m: re.Match) -> str:
+            table, raw = m.group(1), m.group(2)
+            try:
+                self.engine._resolve(table)
+            except (KeyError, ValueError, FileNotFoundError):
+                return m.group(0)
+            instant = re.sub(r"[^0-9]", "", raw)
+            view = f"{table}_asof_{instant}"
+            self.engine.read(table, as_of=instant).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return self._TT.sub(repl, s)
 
     # ------------------------------------------------------------------
 
@@ -202,8 +231,15 @@ class SqlRouter:
             )
             return None
         if proc == "clean":
+            kw = {}
+            if "policy" in args:
+                kw["policy"] = args["policy"]
+            if "retain_file_versions" in args:
+                kw["retain_file_versions"] = int(args["retain_file_versions"])
+            if "retain_hours" in args:
+                kw["retain_hours"] = float(args["retain_hours"])
             self.engine.clean(
-                table, retain_commits=int(args.get("retain_commits", 10))
+                table, retain_commits=int(args.get("retain_commits", 10)), **kw
             )
             return None
         if proc == "create_savepoint":

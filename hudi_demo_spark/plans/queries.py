@@ -926,10 +926,15 @@ def engine_time_travel(spark, sf_dir):
     eng.insert(p.filter(F.col("p_size") <= 25), "t")
     first = eng.show_commits("t").collect()[0]["commit_time"]
     eng.insert(p.filter(F.col("p_size") > 25), "t")
-    return (
-        eng.read("t", as_of=first)
-        .select("p_partkey", "p_name", "p_type", "p_size")
-        .orderBy("p_partkey")
+    # the SQL time-travel surface (Hudi Spark 3.3+ TIMESTAMP AS OF) and
+    # the Python as_of read are the same snapshot; return via SQL so the
+    # router's rewrite path is oracle-gated too
+    assert eng.read("t", as_of=first).count() == eng.sql(
+        f"select * from t timestamp as of '{first}'"
+    ).count()
+    return eng.sql(
+        "select p_partkey, p_name, p_type, p_size from t "
+        f"timestamp as of '{first}' order by p_partkey"
     )
 
 
@@ -2592,6 +2597,9 @@ def engine_table_services(spark, sf_dir):
     )
     eng.upsert(upd, "t")
     eng.clean("t", retain_commits=1)
+    # the other two Hudi cleaning policies are snapshot-preserving too
+    eng.clean("t", policy="KEEP_LATEST_FILE_VERSIONS", retain_file_versions=1)
+    eng.clean("t", retain_hours=24.0)
     eng.archive("t", keep=1)
     return (
         eng.read("t")

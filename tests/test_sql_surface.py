@@ -147,3 +147,33 @@ def test_call_show_partitions(engine, spark):
     )
     out = SqlRouter(engine).sql("call show_partitions(table => 'sp2')")
     assert [r[0] for r in out.collect()] == ["dt=a", "dt=b"]
+
+
+def test_sql_time_travel_timestamp_as_of(engine, spark):
+    """Hudi Spark 3.3+ time-travel SQL: SELECT ... FROM t TIMESTAMP AS
+    OF '<instant>' reads the snapshot as of that instant; both raw
+    instants and 'yyyy-MM-dd HH:mm:ss' forms are accepted."""
+    engine.sql(
+        "create table tt_sql (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql("insert into tt_sql values (1, 'a1', 10.0, 1000, '2022-10-08')")
+    c1 = engine.show_commits("tt_sql").collect()[0]["commit_time"]
+    engine.sql("insert into tt_sql values (2, 'a2', 20.0, 2000, '2022-10-09')")
+    old = engine.sql(
+        f"select id, name from tt_sql timestamp as of '{c1}' order by id"
+    ).collect()
+    assert [(r["id"], r["name"]) for r in old] == [(1, "a1")]
+    # current snapshot unaffected
+    assert engine.sql("select count(*) n from tt_sql").collect()[0]["n"] == 2
+    # dashed-timestamp form: instant is yyyyMMddHHmmssffffff (UTC);
+    # format it back with separators and expect the same snapshot
+    human = (
+        f"{c1[0:4]}-{c1[4:6]}-{c1[6:8]} {c1[8:10]}:{c1[10:12]}:{c1[12:14]}."
+        f"{c1[14:]}"
+    )
+    old2 = engine.sql(
+        f"select id from tt_sql timestamp as of '{human}'"
+    ).collect()
+    assert [r["id"] for r in old2] == [1]

@@ -603,3 +603,89 @@ def test_validate_table_reports(engine, spark):
     assert rep["live_files_exist"] == "FAIL"
     assert rep["bloom_sidecars_present"] == "FAIL"
     assert rep["instants_unique"] == "OK"
+
+
+def test_clean_keep_latest_file_versions(engine, spark):
+    """KEEP_LATEST_FILE_VERSIONS: retention is per partition, so a
+    partition last touched long ago keeps its versions even when
+    newer commits elsewhere would have aged it out commit-count-wise."""
+    import pathlib
+
+    engine.create_table(
+        "cfv", record_key="id", precombine="ts", partition_by="dt"
+    )
+    # partition B written once, early
+    engine.upsert(
+        spark.createDataFrame([(9, "b0", 9.0, 0, "2022-12-01")], SCHEMA), "cfv"
+    )
+    # partition A rewritten 4 times
+    for i in range(4):
+        engine.upsert(
+            spark.createDataFrame(
+                [(1, f"v{i}", 1.0 * i, i, "2022-11-25")], SCHEMA
+            ),
+            "cfv",
+        )
+    cfg = engine._resolve("cfv")
+    data = pathlib.Path(cfg.path) / "data"
+    a_before = len(list((data / "dt=2022-11-25").rglob("*.parquet")))
+    assert a_before == 4
+    engine.clean(
+        "cfv",
+        policy="KEEP_LATEST_FILE_VERSIONS",
+        retain_file_versions=2,
+        stale_staging_s=0,
+    )
+    a_after = len(list((data / "dt=2022-11-25").rglob("*.parquet")))
+    b_after = len(list((data / "dt=2022-12-01").rglob("*.parquet")))
+    assert a_after == 2  # last 2 versions of A retained
+    assert b_after == 1  # B's only version survives (per-partition policy)
+    rows = {r["id"]: r["name"] for r in engine.read("cfv").collect()}
+    assert rows == {1: "v3", 9: "b0"}
+    # the second-newest version of A is restorable (rollback across the
+    # clean is refused, but its file physically exists)
+    a_files = {p.name for p in (data / "dt=2022-11-25").rglob("*.parquet")}
+    assert len(a_files) == 2
+
+
+def test_clean_keep_latest_by_hours(engine, spark):
+    """KEEP_LATEST_BY_HOURS: commits older than the window (relative to
+    the newest instant) lose their unreferenced file versions."""
+    import json
+    import pathlib
+    from datetime import datetime, timedelta
+
+    engine.create_table(
+        "cbh", record_key="id", precombine="ts", partition_by="dt"
+    )
+    for i in range(3):
+        engine.upsert(
+            spark.createDataFrame(
+                [(1, f"v{i}", 1.0 * i, i, "2022-11-25")], SCHEMA
+            ),
+            "cbh",
+        )
+    cfg = engine._resolve("cbh")
+    tl_dir = pathlib.Path(cfg.path) / "_timeline"
+    # age the first two commits by 2 hours (rewrite instant in name+body)
+    commits = sorted(
+        p for p in tl_dir.glob("*.json") if not p.name.startswith("_")
+    )
+    for p in commits[:2]:
+        meta = json.loads(p.read_text())
+        old = meta["instant"]
+        ts = datetime.strptime(old[:14], "%Y%m%d%H%M%S") - timedelta(hours=2)
+        newi = ts.strftime("%Y%m%d%H%M%S") + old[14:]
+        meta["instant"] = newi
+        for f in meta["files_added"]:
+            f["commit"] = newi
+        p.unlink()
+        (tl_dir / p.name.replace(old, newi)).write_text(json.dumps(meta))
+    # a 3-hour window keeps everything
+    engine.clean("cbh", retain_hours=3.0, stale_staging_s=0)
+    data = pathlib.Path(cfg.path) / "data"
+    assert len(list(data.rglob("*.parquet"))) == 3
+    # a 1-hour window drops the two aged versions (latest stays live)
+    engine.clean("cbh", retain_hours=1.0, stale_staging_s=0)
+    assert len(list(data.rglob("*.parquet"))) == 1
+    assert [r["name"] for r in engine.read("cbh").collect()] == ["v2"]

@@ -1500,6 +1500,27 @@ class Engine:
             {"partitions_deleted": sorted(parts), "files_removed": len(removed)},
         )
 
+    def truncate(
+        self, table: str | TableConfig, partitions: list[str] | None = None
+    ) -> dict:
+        """Hudi Spark-SQL ``TRUNCATE TABLE t [PARTITION (k=v, ...)]``:
+        empty the table (or the named partitions) as a metadata-only
+        replacecommit — schema, key config, and timeline history are
+        kept; files stay on disk for time travel until `clean`."""
+        cfg = self._resolve(table)
+        if partitions:
+            return self.delete_partition(cfg, partitions)
+        instant = new_instant()
+        meta = Timeline(cfg.path).commit(
+            instant, tlmod.REPLACECOMMIT, "truncate", [], "*", {}
+        )
+        idx = self._record_index(cfg)
+        if idx is not None:
+            idx.build(
+                self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META)
+            )
+        return meta
+
     def expire_partitions(
         self, table: str | TableConfig, condition: str | Column
     ) -> dict:

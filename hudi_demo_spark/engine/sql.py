@@ -76,6 +76,19 @@ class SqlRouter:
             return self._call(s)
         if low.startswith("alter table"):
             return self._alter(s)
+        if low.startswith("truncate table"):
+            return self._truncate(s)
+        m = re.match(r"show\s+partitions\s+(\S+)$", s, re.I)
+        if m:
+            try:
+                self.engine._resolve(m.group(1))
+            except (KeyError, ValueError, FileNotFoundError):
+                pass  # not an engine table: fall through to Catalyst
+            else:
+                return (
+                    self.engine.show_fsview(m.group(1))
+                    .select("partition").distinct().orderBy("partition")
+                )
         # read-side SQL: refresh temp views, let Catalyst do the rest
         # (IncrementalQuery.scala:57-59 pattern)
         self.engine.sync_catalog()
@@ -154,6 +167,31 @@ class SqlRouter:
             self.engine.alter_column_comment(table, mm.group(1), mm.group(2))
             return None
         raise ValueError(f"unsupported ALTER shape: {s[:120]}")
+
+    def _truncate(self, s: str) -> None:
+        """TRUNCATE TABLE t [PARTITION (dt='2022-10-08', ...)] — the
+        Hudi Spark-SQL truncate surface. The PARTITION spec's k=v pairs
+        are joined hive-style into the engine's partition path."""
+        m = re.match(
+            r"truncate\s+table\s+(\S+)"
+            r"(?:\s+partition\s*\((.*)\))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unsupported TRUNCATE shape: {s[:120]}")
+        table, spec = m.group(1), m.group(2)
+        parts = None
+        if spec:
+            kvs = []
+            for part in _split_top_level(spec):
+                km = re.match(r"(\w+)\s*=\s*'?([^']*)'?\s*$", part.strip())
+                if not km:
+                    raise ValueError(f"bad PARTITION spec: {part!r}")
+                kvs.append(f"{km.group(1)}={km.group(2)}")
+            parts = ["/".join(kvs)]
+        self.engine.truncate(table, partitions=parts)
+        return None
 
     def _call(self, s: str) -> DataFrame | None:
         """Hudi Spark-SQL procedure surface (CALL <proc>(k => 'v', ...)) —

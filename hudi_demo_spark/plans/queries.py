@@ -4341,6 +4341,48 @@ def engine_delete_partition(spark, sf_dir):
 
 
 @q(
+    "engine_truncate_partition",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus != 'O'
+    UNION ALL
+    SELECT -1 AS o_orderkey, 'Z' AS o_orderstatus, 0.0 AS o_totalprice
+    ORDER BY o_orderkey
+    """,
+)
+def engine_truncate_partition(spark, sf_dir):
+    """Hudi Spark-SQL TRUNCATE TABLE ... PARTITION (...): drop one
+    partition's rows as a metadata replacecommit via the SQL surface;
+    table remains writable afterwards (one sentinel row re-inserted)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_truncate_partition", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table("t", record_key="o_orderkey", partition_by="o_orderstatus")
+    eng.insert(o, "t")
+    eng.sql("truncate table t partition (o_orderstatus='O')")
+    eng.insert(
+        spark.createDataFrame(
+            [(-1, "Z", 0.0)],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        ),
+        "t",
+    )
+    return (
+        eng.read("t")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_insert_dedup",
     """
     SELECT c_custkey, c_name,

@@ -177,3 +177,33 @@ def test_sql_time_travel_timestamp_as_of(engine, spark):
         f"select id from tt_sql timestamp as of '{human}'"
     ).collect()
     assert [r["id"] for r in old2] == [1]
+
+
+def test_sql_truncate_and_show_partitions(engine, spark):
+    """Hudi Spark-SQL TRUNCATE TABLE (whole + PARTITION-scoped) and
+    SHOW PARTITIONS. Truncate is a metadata replacecommit: history and
+    schema survive, and the pre-truncate snapshot stays time-travelable."""
+    engine.sql(
+        "create table trc (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql(
+        "insert into trc values (1, 'a', 1.0, 1, '2022-10-08'), "
+        "(2, 'b', 2.0, 2, '2022-10-09'), (3, 'c', 3.0, 3, '2022-10-09')"
+    )
+    parts = [r["partition"] for r in engine.sql("show partitions trc").collect()]
+    assert parts == ["dt=2022-10-08", "dt=2022-10-09"]
+    before = engine.show_commits("trc").collect()[0]["commit_time"]
+    engine.sql("truncate table trc partition (dt='2022-10-09')")
+    assert sorted(
+        r["id"] for r in engine.sql("select id from trc").collect()
+    ) == [1]
+    engine.sql("truncate table trc")
+    assert engine.sql("select count(*) n from trc").collect()[0]["n"] == 0
+    # schema + config survive; table accepts new writes
+    engine.sql("insert into trc values (9, 'z', 9.0, 9, '2022-10-10')")
+    assert [r["id"] for r in engine.sql("select id from trc").collect()] == [9]
+    # pre-truncate snapshot is still time-travelable
+    old = engine.sql(f"select id from trc timestamp as of '{before}'")
+    assert sorted(r["id"] for r in old.collect()) == [1, 2, 3]

@@ -762,6 +762,7 @@ class Engine:
         query_type: str = "snapshot",
         partition_filter: str | Column | None = None,
         range_filter: tuple | None = None,
+        point_filter: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
@@ -770,7 +771,12 @@ class Engine:
         multi-dimensional predicates (the z-order read path) — applies
         `lo <= col <= hi` AND skips files whose clustered col-stats
         range cannot overlap — exact results whether or not the table
-        was ever clustered (files without stats are always scanned)."""
+        was ever clustered (files without stats are always scanned).
+        `point_filter=(col, values)` applies `col IN values`; when a
+        secondary index exists on `col` (Hudi 1.0 CREATE INDEX —
+        `create_index`), the scan is pruned to the partitions the index
+        maps those values to, falling back to col-stats skipping
+        otherwise."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
         files = tl.live_files(as_of)
@@ -790,6 +796,23 @@ class Engine:
             )
             for rf in ranges:
                 files = self._prune_by_stats(files, *rf)
+        if point_filter is not None:
+            pcol, pvals = point_filter
+            pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
+            idx = self._secondary_index(cfg, pcol)
+            if idx is not None and idx.usable():
+                hit = idx.lookup_partitions(pvals)
+                files = {
+                    p: m
+                    for p, m in files.items()
+                    if m.get("partition", "") in hit
+                }
+            else:
+                # no index: col-stats skipping still bounds the scan
+                kept: dict[str, dict] = {}
+                for v in pvals:
+                    kept |= self._prune_by_stats(files, pcol, v, v)
+                files = kept
         has_delta = any(m.get("kind") == "delta" for m in files.values())
         df = self._read_files(cfg, files)
         if cfg.table_type == MOR and query_type == "snapshot" and has_delta:
@@ -801,6 +824,10 @@ class Engine:
         if ranges is not None:
             for col, lo, hi in ranges:
                 df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        if point_filter is not None:
+            pcol, pvals = point_filter
+            pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
+            df = df.filter(F.col(pcol).isin(pvals))
         return df
 
     @staticmethod
@@ -865,19 +892,95 @@ class Engine:
         return RecordIndex(self.spark, cfg)
 
     def _index_append(self, cfg: TableConfig, stamped: DataFrame) -> None:
-        """Maintain the record index after a committed write: append the
-        batch's (key, partition) pairs. First write on an index-less
-        table builds from the live snapshot instead, so completeness is
-        guaranteed even when the prop is enabled on an existing table."""
+        """Maintain the record index and any secondary indexes after a
+        committed write: append the batch's pairs. First write on an
+        index-less table builds from the live snapshot instead, so
+        completeness is guaranteed even when the prop is enabled on an
+        existing table."""
         idx = self._record_index(cfg)
-        if idx is None:
-            return
-        if not idx.usable():
-            idx.build(
-                self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META)
+        if idx is not None:
+            if not idx.usable():
+                idx.build(
+                    self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META)
+                )
+            else:
+                idx.append(stamped)
+        self._secondary_append(cfg, stamped)
+
+    def _secondary_index(self, cfg: TableConfig, col: str):
+        """SecondaryIndex for `col` when declared (`index.secondary`
+        prop, set by `create_index`); None otherwise."""
+        from hudi_demo_spark.engine import secondary_index as si
+
+        if col not in si.indexed_columns(cfg):
+            return None
+        return si.SecondaryIndex(self.spark, cfg, col)
+
+    def _secondary_append(self, cfg: TableConfig, stamped: DataFrame) -> None:
+        from hudi_demo_spark.engine import secondary_index as si
+
+        for col in si.indexed_columns(cfg):
+            if col not in stamped.columns:
+                continue  # e.g. key-only delete batches: nothing to add
+            idx = si.SecondaryIndex(self.spark, cfg, col)
+            if not idx.usable():
+                idx.build(self.read(cfg).select(col, PARTITION_PATH_META))
+            else:
+                idx.append(stamped)
+
+    def _secondary_truncate(self, cfg: TableConfig) -> None:
+        from hudi_demo_spark.engine import secondary_index as si
+
+        for col in si.indexed_columns(cfg):
+            si.SecondaryIndex(self.spark, cfg, col).truncate()
+
+    def create_index(self, table: str | TableConfig, col: str) -> None:
+        """Hudi 1.0 ``CREATE INDEX ... USING secondary_index(col)``:
+        declare + build a value→partition index on a non-key data
+        column, maintained on every subsequent write and used by
+        `read(point_filter=...)` to prune the scan."""
+        from hudi_demo_spark.engine import secondary_index as si
+
+        cfg = self._resolve(table)
+        if col in (cfg.record_key_fields or []):
+            raise ValueError(
+                f"{col} is a record-key field; use the record-level "
+                "index (index.record_level) for key lookups"
             )
-            return
-        idx.append(stamped)
+        cols = si.indexed_columns(cfg)
+        if col not in cols:
+            cfg.props[si.PROP] = ",".join(cols + [col])
+            cfg.save()
+        idx = si.SecondaryIndex(self.spark, cfg, col)
+        snap = self.read(cfg)
+        if col not in snap.columns:
+            raise ValueError(f"no such column: {col}")
+        idx.build(snap.select(col, PARTITION_PATH_META))
+
+    def drop_index(self, table: str | TableConfig, col: str) -> bool:
+        from hudi_demo_spark.engine import secondary_index as si
+
+        cfg = self._resolve(table)
+        cols = si.indexed_columns(cfg)
+        if col not in cols:
+            return False
+        si.SecondaryIndex(self.spark, cfg, col).truncate()
+        cfg.props[si.PROP] = ",".join(c for c in cols if c != col)
+        cfg.save()
+        return True
+
+    def show_indexes(self, table: str | TableConfig) -> DataFrame:
+        from hudi_demo_spark.engine import secondary_index as si
+
+        cfg = self._resolve(table)
+        rows = [
+            (col, "secondary_index",
+             si.SecondaryIndex(self.spark, cfg, col).usable())
+            for col in si.indexed_columns(cfg)
+        ]
+        return self.spark.createDataFrame(
+            rows, "column string, index_type string, usable boolean"
+        )
 
     def rebuild_record_index(self, table: str | TableConfig) -> bool:
         """Rebuild the record index from the current snapshot (also
@@ -1436,6 +1539,8 @@ class Engine:
             # whole-table replace: prior index entries are all stale —
             # rebuild from the new content instead of appending
             idx.build(out.select(RECORD_KEY_META, PARTITION_PATH_META))
+        self._secondary_truncate(cfg)
+        self._secondary_append(cfg, out)  # unusable → rebuilds from snapshot
         return meta
 
     def insert_overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
@@ -1518,6 +1623,12 @@ class Engine:
         if idx is not None:
             idx.build(
                 self.read(cfg).select(RECORD_KEY_META, PARTITION_PATH_META)
+            )
+        from hudi_demo_spark.engine import secondary_index as si
+
+        for col in si.indexed_columns(cfg):
+            si.SecondaryIndex(self.spark, cfg, col).build(
+                self.read(cfg).select(col, PARTITION_PATH_META)
             )
         return meta
 
@@ -2716,6 +2827,7 @@ class Engine:
                 # slate: truncate; the next write rebuilds from the
                 # restored snapshot
                 idx.truncate()
+            self._secondary_truncate(cfg)
         return rolled
 
     def savepoint(self, table: str | TableConfig) -> str:

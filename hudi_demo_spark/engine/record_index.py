@@ -110,7 +110,7 @@ class RecordIndex:
 
     def compact(self) -> None:
         """Fold the append log to distinct pairs (size bound)."""
-        if not self.usable():
+        if not self.usable() or not any(self.path.rglob("*.parquet")):
             return
         distinct = self.spark.read.parquet(str(self.path)).distinct()
         tmp = self.path.parent / "keys_compacting"
@@ -136,6 +136,8 @@ class RecordIndex:
         the index dataset), then a semi-join against the batch keys.
         Returns a driver-side set — bounded by the table's partition
         count, the same cardinality `_affected_partitions` collects."""
+        if not any(self.path.rglob("*.parquet")):
+            return set()  # complete-but-empty index (empty table)
         kdf = keys.select(F.col(RECORD_KEY_META).alias("key")).distinct()
         bs = [r[0] for r in kdf.select(self._bucket(F.col("key"))).distinct().collect()]
         idx = self.spark.read.parquet(str(self.path)).filter(

@@ -1,0 +1,152 @@
+"""Secondary index — the Hudi 1.0 ``CREATE INDEX ... USING
+secondary_index(col)`` analog: point-lookup pruning on NON-key columns.
+
+Why it exists: per-file column stats (``write.stats_cols`` /
+clustering) prune range predicates, but on a high-cardinality column
+that is uniformly spread across files every file's [min, max] spans the
+whole value space and stats pruning degenerates to a full scan — the
+same failure mode the record-level index solves for record keys
+(``record_index.py``). The secondary index stores an explicit
+value → partition mapping for one data column, hash-bucketed so a point
+lookup reads only the buckets the probed values hash into. At 100 TB a
+``WHERE city = 'x'`` scan touches a few index buckets plus the
+partitions that actually contain the value, instead of the whole table.
+
+Reference parity: the reference tunes Hudi's bloom index lookup for the
+same read-cost problem (java-client/.../JavaClientHive2Hudi.java:167-180);
+Hudi 1.0 generalizes that machinery to secondary keys — this module is
+that surface re-expressed over the engine's layout.
+
+Design (append-only, hint-with-completeness — same contract as RLI):
+- Layout: ``<table>/_index/secondary/<col>/__bucket=N/*.parquet`` with
+  columns (value string, partition). Bucket =
+  ``pmod(xxhash64(value), num_buckets)``.
+- Entries are APPEND-ONLY; completeness (no false negatives) is the
+  correctness invariant. Stale pairs (value deleted/moved) are harmless
+  false positives — the actual predicate still runs after pruning.
+- A ``_complete`` marker gates trust; it is written by a full-snapshot
+  build. Writes on a marked index append the batch's pairs; writes on
+  an unmarked one rebuild from the snapshot.
+- Rollback/restore truncate (next write rebuilds); ``compact`` folds
+  the append log to distinct pairs.
+- Values are indexed as strings (cast once at append); probe values are
+  cast the same way, so numeric columns index correctly as long as the
+  probe uses the same literal type.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.engine.config import PARTITION_PATH_META, TableConfig
+
+BUCKET_COL = "__bucket"
+MARKER = "_complete"
+PROP = "index.secondary"  # comma-separated list of indexed columns
+
+
+def indexed_columns(cfg: TableConfig) -> list[str]:
+    return [
+        c.strip()
+        for c in str(cfg.props.get(PROP, "")).split(",")
+        if c.strip()
+    ]
+
+
+class SecondaryIndex:
+    def __init__(self, spark: SparkSession, cfg: TableConfig, col: str):
+        self.spark = spark
+        self.col = col
+        self.path = Path(cfg.path) / "_index" / "secondary" / col
+        self.buckets = int(cfg.props.get("index.secondary.buckets", 64))
+
+    # ---------------- state ----------------
+
+    def usable(self) -> bool:
+        return (self.path / MARKER).is_file()
+
+    def truncate(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def _mark_complete(self) -> None:
+        self.path.mkdir(parents=True, exist_ok=True)
+        (self.path / MARKER).touch()
+
+    # ---------------- write side ----------------
+
+    def _bucket(self, col) -> Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.buckets))
+
+    def _entries(self, df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(self.col).cast("string").alias("value"),
+                F.col(PARTITION_PATH_META).alias("partition"),
+            )
+            .distinct()
+            .withColumn(BUCKET_COL, self._bucket(F.col("value")))
+        )
+
+    def append(self, df: DataFrame) -> None:
+        """Append the (value, partition) pairs of a stamped batch — one
+        bucket-keyed shuffle, same write shape as RecordIndex.append."""
+        (
+            self._entries(df)
+            .repartition(F.col(BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(str(self.path))
+        )
+
+    def build(self, snapshot: DataFrame) -> None:
+        self.truncate()
+        self.append(snapshot)
+        self._mark_complete()
+
+    def compact(self) -> None:
+        """Fold the append log to distinct pairs (size bound)."""
+        if not self.usable() or not any(self.path.rglob("*.parquet")):
+            return
+        distinct = self.spark.read.parquet(str(self.path)).distinct()
+        tmp = self.path.parent / f"{self.col}_compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            distinct.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(str(tmp))
+        )
+        old = self.path.parent / f"{self.col}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        self.path.rename(old)
+        tmp.rename(self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._mark_complete()
+
+    # ---------------- read side ----------------
+
+    def lookup_partitions(self, values: list) -> set[str]:
+        """Partitions that may contain any of `values` for the indexed
+        column. Bucket-pruned index scan + IN filter; returns a
+        driver-side set bounded by the table's partition count."""
+        if not any(self.path.rglob("*.parquet")):
+            return set()  # complete-but-empty index (empty table)
+        vals = [str(v) for v in values]
+        bs = sorted(
+            {
+                r[0]
+                for r in self.spark.createDataFrame(
+                    [(v,) for v in vals], "value string"
+                )
+                .select(self._bucket(F.col("value")))
+                .collect()
+            }
+        )
+        idx = self.spark.read.parquet(str(self.path)).filter(
+            F.col(BUCKET_COL).isin(bs) & F.col("value").isin(vals)
+        )
+        return {r[0] for r in idx.select("partition").distinct().collect()}

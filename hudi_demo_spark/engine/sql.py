@@ -78,6 +78,13 @@ class SqlRouter:
             return self._alter(s)
         if low.startswith("truncate table"):
             return self._truncate(s)
+        if low.startswith("create index"):
+            return self._create_index(s)
+        if low.startswith("drop index"):
+            return self._drop_index(s)
+        m = re.match(r"show\s+indexes\s+(?:from|in)\s+(\S+)$", s, re.I)
+        if m:
+            return self.engine.show_indexes(m.group(1))
         m = re.match(r"show\s+partitions\s+(\S+)$", s, re.I)
         if m:
             try:
@@ -167,6 +174,45 @@ class SqlRouter:
             self.engine.alter_column_comment(table, mm.group(1), mm.group(2))
             return None
         raise ValueError(f"unsupported ALTER shape: {s[:120]}")
+
+    def _create_index(self, s: str) -> None:
+        """Hudi 1.0 index DDL: CREATE INDEX <name> ON <table>
+        [USING secondary_index] (<col>). The name→column mapping is
+        recorded so DROP INDEX <name> resolves it."""
+        m = re.match(
+            r"create\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+(\S+)"
+            r"(?:\s+using\s+(\w+))?\s*\(\s*(\w+)\s*\)\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported CREATE INDEX shape: {s[:120]}")
+        name, table, using, col = m.groups()
+        if using and using.lower() not in ("secondary_index",):
+            raise ValueError(f"unsupported index type: {using}")
+        self.engine.create_index(table, col)
+        cfg = self.engine._resolve(table)
+        cfg.props[f"index.secondary.name.{name.lower()}"] = col
+        cfg.save()
+        return None
+
+    def _drop_index(self, s: str) -> None:
+        m = re.match(
+            r"drop\s+index\s+(?:if\s+exists\s+)?(\w+)\s+on\s+(\S+)\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported DROP INDEX shape: {s[:120]}")
+        name, table = m.groups()
+        key = f"index.secondary.name.{name.lower()}"
+        col = self.engine._resolve(table).props.get(key, name)
+        self.engine.drop_index(table, col)
+        # re-resolve: drop_index persisted its own config update
+        cfg = self.engine._resolve(table)
+        cfg.props.pop(key, None)
+        cfg.save()
+        return None
 
     def _truncate(self, s: str) -> None:
         """TRUNCATE TABLE t [PARTITION (dt='2022-10-08', ...)] — the

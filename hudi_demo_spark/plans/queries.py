@@ -4341,6 +4341,41 @@ def engine_delete_partition(spark, sf_dir):
 
 
 @q(
+    "engine_secondary_index",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer
+    WHERE c_nationkey IN (3, 7)
+    ORDER BY c_custkey
+    """,
+)
+def engine_secondary_index(spark, sf_dir):
+    """Hudi 1.0 secondary index (CREATE INDEX ... USING
+    secondary_index): point lookup on a non-key column served through
+    the value→partition index; results must equal the plain predicate.
+    The index is also exercised across a maintenance write (upsert after
+    build)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_secondary_index", sf_dir)
+    eng = Engine(spark, root)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    eng.create_table(
+        "t", record_key="c_custkey", partition_by="c_mktsegment"
+    )
+    eng.insert(c.filter(F.col("c_custkey") % 2 == 0), "t")
+    eng.sql("create index idx_nation on t using secondary_index (c_nationkey)")
+    eng.upsert(c.filter(F.col("c_custkey") % 2 == 1), "t")
+    return (
+        eng.read("t", point_filter=("c_nationkey", [3, 7]))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
     "engine_truncate_partition",
     """
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice

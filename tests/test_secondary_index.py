@@ -1,0 +1,126 @@
+"""Secondary index (Hudi 1.0 CREATE INDEX ... USING secondary_index):
+value→partition point-lookup pruning on non-key columns, maintained on
+writes, truncated on rollback, SQL DDL surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "id int, city string, price double, ts long, dt string"
+ROWS = [
+    (1, "paris", 10.0, 1, "2022-01-01"),
+    (2, "tokyo", 20.0, 1, "2022-01-01"),
+    (3, "paris", 30.0, 1, "2022-01-02"),
+    (4, "lima", 40.0, 1, "2022-01-03"),
+]
+
+
+def _setup(engine, spark, name="sx"):
+    engine.create_table(
+        name, record_key="id", precombine="ts", partition_by="dt"
+    )
+    engine.insert(spark.createDataFrame(ROWS, SCHEMA), name)
+    return name
+
+
+def test_create_index_prunes_partitions(engine, spark):
+    t = _setup(engine, spark)
+    engine.sql(f"create index idx_city on {t} using secondary_index (city)")
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    assert idx is not None and idx.usable()
+    # index maps 'paris' to exactly its two partitions
+    assert idx.lookup_partitions(["paris"]) == {
+        "dt=2022-01-01", "dt=2022-01-02"
+    }
+    got = engine.read(t, point_filter=("city", ["paris"]))
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+    # multi-value probe
+    got2 = engine.read(t, point_filter=("city", ["lima", "tokyo"]))
+    assert sorted(r["id"] for r in got2.collect()) == [2, 4]
+
+
+def test_index_maintained_on_writes(engine, spark):
+    t = _setup(engine, spark)
+    engine.create_index(t, "city")
+    # new value in a brand-new partition: upsert must extend the index
+    engine.upsert(
+        spark.createDataFrame([(5, "oslo", 50.0, 1, "2022-02-01")], SCHEMA), t
+    )
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    assert idx.lookup_partitions(["oslo"]) == {"dt=2022-02-01"}
+    assert [
+        r["id"]
+        for r in engine.read(t, point_filter=("city", "oslo")).collect()
+    ] == [5]
+    # delete leaves a stale entry (false positive) but the read is exact
+    engine.delete(t, "city = 'lima'")
+    assert engine.read(t, point_filter=("city", ["lima"])).count() == 0
+
+
+def test_point_filter_without_index_falls_back(engine, spark):
+    t = _setup(engine, spark)
+    got = engine.read(t, point_filter=("city", ["paris"]))
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+
+def test_rollback_truncates_then_write_rebuilds(engine, spark):
+    t = _setup(engine, spark)
+    engine.create_index(t, "city")
+    target = engine.show_commits(t).collect()[0]["commit_time"]
+    engine.upsert(
+        spark.createDataFrame([(6, "rome", 60.0, 1, "2022-03-01")], SCHEMA), t
+    )
+    engine.rollback(t, target)
+    cfg = engine._resolve(t)
+    assert not engine._secondary_index(cfg, "city").usable()
+    # reads stay exact while the index is down (fallback path)
+    assert engine.read(t, point_filter=("city", "paris")).count() == 2
+    # next write rebuilds from the restored snapshot
+    engine.upsert(
+        spark.createDataFrame([(7, "kyiv", 70.0, 1, "2022-04-01")], SCHEMA), t
+    )
+    idx = engine._secondary_index(cfg, "city")
+    assert idx.usable()
+    assert idx.lookup_partitions(["rome"]) == set()  # rolled back
+    assert idx.lookup_partitions(["kyiv"]) == {"dt=2022-04-01"}
+
+
+def test_sql_ddl_surface(engine, spark):
+    t = _setup(engine, spark)
+    engine.sql(f"create index idx_city on {t} using secondary_index (city)")
+    rows = engine.sql(f"show indexes from {t}").collect()
+    assert [(r["column"], r["index_type"], r["usable"]) for r in rows] == [
+        ("city", "secondary_index", True)
+    ]
+    engine.sql(f"drop index idx_city on {t}")
+    assert engine.sql(f"show indexes from {t}").count() == 0
+    cfg = engine._resolve(t)
+    assert engine._secondary_index(cfg, "city") is None
+
+
+def test_refuses_record_key_column(engine, spark):
+    t = _setup(engine, spark)
+    with pytest.raises(ValueError, match="record-key"):
+        engine.create_index(t, "id")
+
+
+def test_index_compact_bounds_size(engine, spark):
+    t = _setup(engine, spark)
+    engine.create_index(t, "city")
+    for i in range(3):
+        engine.upsert(
+            spark.createDataFrame(
+                [(1, "paris", 10.0 + i, 2 + i, "2022-01-01")], SCHEMA
+            ),
+            t,
+        )
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    before = len(list(idx.path.rglob("*.parquet")))
+    idx.compact()
+    after = len(list(idx.path.rglob("*.parquet")))
+    assert after < before
+    assert idx.lookup_partitions(["paris"]) == {
+        "dt=2022-01-01", "dt=2022-01-02"
+    }

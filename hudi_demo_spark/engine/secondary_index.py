@@ -20,7 +20,11 @@ that surface re-expressed over the engine's layout.
 Design (append-only, hint-with-completeness — same contract as RLI):
 - Layout: ``<table>/_index/secondary/<col>/__bucket=N/*.parquet`` with
   columns (value string, partition). Bucket =
-  ``pmod(xxhash64(value), num_buckets)``.
+  ``pmod(crc32(value), num_buckets)`` — CRC32 deliberately, because the
+  probe side runs in the Python data source's PLANNING worker (no
+  SparkSession, no JVM): ``zlib.crc32`` reproduces Spark's ``crc32``
+  bit-for-bit, so both sides agree on bucket placement and the lookup
+  is a pure pyarrow read of only the probed buckets' files.
 - Entries are APPEND-ONLY; completeness (no false negatives) is the
   correctness invariant. Stale pairs (value deleted/moved) are harmless
   false positives — the actual predicate still runs after pruning.
@@ -79,7 +83,12 @@ class SecondaryIndex:
     # ---------------- write side ----------------
 
     def _bucket(self, col) -> Column:
-        return F.pmod(F.xxhash64(col), F.lit(self.buckets))
+        return F.pmod(F.crc32(col.cast("binary")), F.lit(self.buckets))
+
+    def _bucket_py(self, value: str) -> int:
+        import zlib
+
+        return zlib.crc32(value.encode("utf-8")) % self.buckets
 
     def _entries(self, df: DataFrame) -> DataFrame:
         return (
@@ -131,22 +140,24 @@ class SecondaryIndex:
 
     def lookup_partitions(self, values: list) -> set[str]:
         """Partitions that may contain any of `values` for the indexed
-        column. Bucket-pruned index scan + IN filter; returns a
-        driver-side set bounded by the table's partition count."""
-        if not any(self.path.rglob("*.parquet")):
-            return set()  # complete-but-empty index (empty table)
+        column. Pure pyarrow (no SparkSession needed — callable from
+        the data source's planning worker): reads ONLY the buckets the
+        probed values hash into, IN-filters on value. Returns a set
+        bounded by the table's partition count."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         vals = [str(v) for v in values]
-        bs = sorted(
-            {
-                r[0]
-                for r in self.spark.createDataFrame(
-                    [(v,) for v in vals], "value string"
-                )
-                .select(self._bucket(F.col("value")))
-                .collect()
-            }
-        )
-        idx = self.spark.read.parquet(str(self.path)).filter(
-            F.col(BUCKET_COL).isin(bs) & F.col("value").isin(vals)
-        )
-        return {r[0] for r in idx.select("partition").distinct().collect()}
+        files = [
+            f
+            for b in sorted({self._bucket_py(v) for v in vals})
+            for f in (self.path / f"{BUCKET_COL}={b}").glob("*.parquet")
+        ]
+        val_arr = pa.array(vals, type=pa.string())
+        parts: set[str] = set()
+        for f in files:
+            t = pq.read_table(f, columns=["value", "partition"])
+            hit = t.filter(pc.is_in(t.column("value"), value_set=val_arr))
+            parts.update(hit.column("partition").to_pylist())
+        return parts

@@ -166,6 +166,7 @@ class LakehouseReader(DataSourceReader):
         self.out_schema = schema
         self._part_eq: dict[str, set] = {}
         self._stat_ranges: list[tuple] = []
+        self._sec_eq: dict[str, set] = {}
 
     # ---------------- filter pushdown ----------------
 
@@ -194,6 +195,9 @@ class LakehouseReader(DataSourceReader):
         is_global = str(self.cfg.props.get("index.global", "")).lower() in (
             "1", "true", "yes",
         )
+        from hudi_demo_spark.engine import secondary_index as si
+
+        sec_cols = set(si.indexed_columns(self.cfg))
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
@@ -211,6 +215,18 @@ class LakehouseReader(DataSourceReader):
                     # _plan apply pruning only for merge-free reads
                     yield f
                     continue
+            if (
+                col is not None
+                and isinstance(f, (EqualTo, In))
+                and col in sec_cols
+            ):
+                vals = set(f.value) if isinstance(f, In) else {f.value}
+                if None not in vals:
+                    # secondary index (CREATE INDEX): prune the file
+                    # list to the partitions holding these values —
+                    # PARTIAL (kept partitions contain other rows), so
+                    # the filter is still yielded for Spark to apply
+                    self._sec_eq.setdefault(col, set()).update(vals)
             if col is not None and isinstance(
                 f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                     LessThan, LessThanOrEqual)
@@ -262,7 +278,37 @@ class LakehouseReader(DataSourceReader):
                 if self._partition_segment(m.get("partition", ""), col)
                 in svals
             }
+        out = self._apply_secondary_index(out)
         return self._apply_stat_pruning(out)
+
+    def _apply_secondary_index(self, files: dict) -> dict:
+        """Secondary-index pruning for pushed equality predicates:
+        scan only the partitions the value→partition index maps the
+        probed values to. Gated to partition-prunable plans (same gate
+        as `_part_eq`): under a global-index merged read, a moved key's
+        superseding delta may live in another partition, so partition-
+        level pruning there could resurrect a stale copy. For non-global
+        tables completeness holds for latest-version rows — any live row
+        whose current value matches was indexed by the write that
+        produced it. The probe is pure pyarrow — this method runs in
+        the data source's planning worker, which has no SparkSession.
+        Skipped silently when the index is unusable (pruning is an
+        optimization, never a filter)."""
+        if not self._sec_eq:
+            return files
+        from hudi_demo_spark.engine import secondary_index as si
+
+        out = files
+        for col, vals in self._sec_eq.items():
+            idx = si.SecondaryIndex(None, self.cfg, col)
+            if not idx.usable():
+                continue
+            hit = idx.lookup_partitions(sorted(vals, key=str))
+            out = {
+                p: m for p, m in out.items()
+                if m.get("partition", "") in hit
+            }
+        return out
 
     def _apply_stat_pruning(self, files: dict) -> dict:
         """[min,max] file skipping from commit-metadata col_stats. Safe

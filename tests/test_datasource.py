@@ -409,3 +409,48 @@ def test_stats_pushdown_safe_under_mor_merge(engine, spark):
     native = engine.read("ms").filter(F.col("price") > 50.0)
     assert _rows(ds) == _rows(native)
     assert {r["id"] for r in ds.collect()} == {1}
+
+
+def test_pushed_eq_filter_uses_secondary_index(engine, spark):
+    """A pushed `col = v` predicate on a secondary-indexed column prunes
+    the FILE LIST to the partitions holding v. Proven by deleting a
+    non-matching partition's data file from disk: the pruned plan never
+    touches it, an unpruned plan would fail."""
+    import pathlib
+
+    engine.create_table(
+        "sxds", record_key="id", precombine="ts", partition_by="dt"
+    )
+    engine.insert(
+        _mkdf(
+            spark,
+            [
+                (1, "paris", 1.0, 100, "2022-09-05"),
+                (2, "tokyo", 2.0, 100, "2022-09-06"),
+                (3, "paris", 3.0, 100, "2022-09-07"),
+            ],
+        ),
+        "sxds",
+    )
+    engine.create_index("sxds", "name")
+    cfg = engine._resolve("sxds")
+    # destroy the tokyo partition's bytes out-of-band
+    for p in (pathlib.Path(cfg.path) / "data" / "dt=2022-09-06").rglob(
+        "*.parquet"
+    ):
+        p.write_bytes(b"not parquet")
+    got = (
+        spark.read.format("hudi")
+        .load(str(cfg.path))
+        .filter(F.col("name") == "paris")
+        .select("id", "name")
+    )
+    assert _rows(got) == [(1, "paris"), (3, "paris")]
+    # IN-list probe takes the same path
+    got_in = (
+        spark.read.format("hudi")
+        .load(str(cfg.path))
+        .filter(F.col("name").isin("paris"))
+        .select("id")
+    )
+    assert _rows(got_in) == [(1,), (3,)]

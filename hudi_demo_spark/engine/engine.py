@@ -381,6 +381,13 @@ class Engine:
         self._attach_key_ranges(added, data, stats_cols)
         if kind == "base" and self._truthy(cfg.props.get("index.bloom.enabled")):
             self._build_blooms(cfg, added)
+        if kind == "base":
+            from hudi_demo_spark.engine import functional_index as fi
+
+            for name, expr in fi.indexed_exprs(cfg).items():
+                fi.FunctionalIndex(self.spark, cfg, name, expr).append(
+                    [f["path"] for f in added], instant
+                )
         return added
 
     @staticmethod
@@ -763,6 +770,7 @@ class Engine:
         partition_filter: str | Column | None = None,
         range_filter: tuple | None = None,
         point_filter: tuple | None = None,
+        func_filter: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
@@ -776,7 +784,11 @@ class Engine:
         secondary index exists on `col` (Hudi 1.0 CREATE INDEX —
         `create_index`), the scan is pruned to the partitions the index
         maps those values to, falling back to col-stats skipping
-        otherwise."""
+        otherwise. `func_filter=(index_name, lo, hi)` applies
+        `lo <= expr <= hi` for a functional index's expression
+        (`create_functional_index`), skipping base files whose recorded
+        expression range cannot overlap (deltas/unindexed files always
+        scanned)."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
         files = tl.live_files(as_of)
@@ -813,6 +825,15 @@ class Engine:
                 for v in pvals:
                     kept |= self._prune_by_stats(files, pcol, v, v)
                 files = kept
+        func_expr = None
+        if func_filter is not None:
+            fname, flo, fhi = func_filter
+            fidx = self._functional_index(cfg, fname)
+            if fidx is None:
+                raise ValueError(f"no functional index named {fname!r}")
+            func_expr = fidx.expr
+            if fidx.usable():
+                files = fidx.prune(files, flo, fhi)
         has_delta = any(m.get("kind") == "delta" for m in files.values())
         df = self._read_files(cfg, files)
         if cfg.table_type == MOR and query_type == "snapshot" and has_delta:
@@ -828,6 +849,13 @@ class Engine:
             pcol, pvals = point_filter
             pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
             df = df.filter(F.col(pcol).isin(pvals))
+        if func_expr is not None:
+            _, flo, fhi = func_filter
+            e = F.expr(func_expr)
+            if flo is not None:
+                df = df.filter(e >= F.lit(flo))
+            if fhi is not None:
+                df = df.filter(e <= F.lit(fhi))
         return df
 
     @staticmethod
@@ -957,10 +985,51 @@ class Engine:
             raise ValueError(f"no such column: {col}")
         idx.build(snap.select(col, PARTITION_PATH_META))
 
+    def create_functional_index(
+        self, table: str | TableConfig, name: str, expr: str
+    ) -> None:
+        """Hudi 1.0 ``CREATE INDEX ... USING functional_index(expr)``:
+        per-base-file [min, max] of an arbitrary expression, maintained
+        on every base write and used by `read(func_filter=...)` to skip
+        files whose range cannot match."""
+        from hudi_demo_spark.engine import functional_index as fi
+
+        cfg = self._resolve(table)
+        F.expr(expr)  # fail fast on unparseable expressions
+        cfg.props[fi.PROP_PREFIX + name] = expr
+        cfg.save()
+        idx = fi.FunctionalIndex(self.spark, cfg, name, expr)
+        tl = Timeline(cfg.path)
+        base = [
+            p
+            for p, m in tl.live_files().items()
+            # deltas carry no entries by design (MOR-merge safety);
+            # external bootstrap files live outside data/ — left
+            # un-indexed, so they are never skipped
+            if m.get("kind") not in ("delta", "external")
+        ]
+        idx.build(base, new_instant())
+
+    def _functional_index(self, cfg: TableConfig, name: str):
+        from hudi_demo_spark.engine import functional_index as fi
+
+        expr = fi.indexed_exprs(cfg).get(name)
+        if expr is None:
+            return None
+        return fi.FunctionalIndex(self.spark, cfg, name, expr)
+
     def drop_index(self, table: str | TableConfig, col: str) -> bool:
+        from hudi_demo_spark.engine import functional_index as fi
         from hudi_demo_spark.engine import secondary_index as si
 
         cfg = self._resolve(table)
+        if fi.PROP_PREFIX + col in cfg.props:
+            fi.FunctionalIndex(
+                self.spark, cfg, col, cfg.props[fi.PROP_PREFIX + col]
+            ).truncate()
+            del cfg.props[fi.PROP_PREFIX + col]
+            cfg.save()
+            return True
         cols = si.indexed_columns(cfg)
         if col not in cols:
             return False
@@ -970,6 +1039,7 @@ class Engine:
         return True
 
     def show_indexes(self, table: str | TableConfig) -> DataFrame:
+        from hudi_demo_spark.engine import functional_index as fi
         from hudi_demo_spark.engine import secondary_index as si
 
         cfg = self._resolve(table)
@@ -977,6 +1047,10 @@ class Engine:
             (col, "secondary_index",
              si.SecondaryIndex(self.spark, cfg, col).usable())
             for col in si.indexed_columns(cfg)
+        ] + [
+            (f"{name} ({expr})", "functional_index",
+             fi.FunctionalIndex(self.spark, cfg, name, expr).usable())
+            for name, expr in sorted(fi.indexed_exprs(cfg).items())
         ]
         return self.spark.createDataFrame(
             rows, "column string, index_type string, usable boolean"

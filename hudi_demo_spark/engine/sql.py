@@ -176,23 +176,34 @@ class SqlRouter:
         raise ValueError(f"unsupported ALTER shape: {s[:120]}")
 
     def _create_index(self, s: str) -> None:
-        """Hudi 1.0 index DDL: CREATE INDEX <name> ON <table>
-        [USING secondary_index] (<col>). The name→column mapping is
-        recorded so DROP INDEX <name> resolves it."""
+        """Hudi 1.0 index DDL:
+        CREATE INDEX <name> ON <table> [USING secondary_index] (<col>)
+        CREATE INDEX <name> ON <table> USING functional_index (<expr>)
+        The name→column mapping is recorded so DROP INDEX resolves it."""
         m = re.match(
             r"create\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+(\S+)"
-            r"(?:\s+using\s+(\w+))?\s*\(\s*(\w+)\s*\)\s*$",
+            r"(?:\s+using\s+(\w+))?\s*\((.*)\)\s*$",
             s,
-            re.I,
+            re.I | re.S,
         )
         if not m:
             raise ValueError(f"unsupported CREATE INDEX shape: {s[:120]}")
-        name, table, using, col = m.groups()
-        if using and using.lower() not in ("secondary_index",):
+        name, table, using, arg = m.groups()
+        arg = arg.strip()
+        using = (using or "secondary_index").lower()
+        if using == "functional_index":
+            self.engine.create_functional_index(table, name, arg)
+            return None
+        if using != "secondary_index":
             raise ValueError(f"unsupported index type: {using}")
-        self.engine.create_index(table, col)
+        if not re.fullmatch(r"\w+", arg):
+            raise ValueError(
+                "secondary_index takes a single column; use "
+                f"functional_index for expressions: {arg!r}"
+            )
+        self.engine.create_index(table, arg)
         cfg = self.engine._resolve(table)
-        cfg.props[f"index.secondary.name.{name.lower()}"] = col
+        cfg.props[f"index.secondary.name.{name.lower()}"] = arg
         cfg.save()
         return None
 

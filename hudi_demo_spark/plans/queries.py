@@ -4376,6 +4376,45 @@ def engine_secondary_index(spark, sf_dir):
 
 
 @q(
+    "engine_functional_index",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice * 1.07, 2) AS taxed
+    FROM orders
+    WHERE o_totalprice * 1.07 BETWEEN 100000 AND 200000
+    ORDER BY o_orderkey
+    """,
+)
+def engine_functional_index(spark, sf_dir):
+    """Hudi 1.0 functional index (CREATE INDEX ... USING
+    functional_index(expr)): a derived-value range probe served through
+    per-file expression stats must equal the plain predicate; the index
+    is exercised across a maintenance write (insert after build)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_functional_index", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table("t", record_key="o_orderkey", partition_by="o_orderstatus")
+    eng.insert(o.filter(F.col("o_orderkey") % 2 == 0), "t")
+    eng.sql(
+        "create index taxed on t using functional_index "
+        "(o_totalprice * 1.07)"
+    )
+    eng.insert(o.filter(F.col("o_orderkey") % 2 == 1), "t")
+    return (
+        eng.read("t", func_filter=("taxed", 100000, 200000))
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.07, 2).alias("taxed"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_truncate_partition",
     """
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice

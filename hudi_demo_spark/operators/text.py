@@ -258,3 +258,53 @@ def gopher_quality(
         *[c.alias(n) for n, c in rules.items()],
         passes.alias("passes"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    round_to: int = 4,
+) -> DataFrame:
+    """fastText-style hashed linear classifier (the standard learned
+    quality filter shape: hash tokens into `dim` buckets, average the
+    bucket weights, threshold): (id, n_tokens, margin, keep).
+
+    The weight table is a deterministic arithmetic function of the
+    bucket id — w(j) = ((j*1103515245 + 12345) % 2048)/2048 - 0.5, an
+    LCG over exact dyadic rationals — standing in for trained weights
+    (swap `_bucket_weight` for an `F.element_at` lookup into a
+    broadcast weight array to serve a real model; the plan shape is
+    identical). Everything is built-in higher-order functions over the
+    token array: zero UDFs, zero shuffles, one codegen'd projection —
+    at 100 TB this scores at scan speed. Hashing is the engine-portable
+    60-bit md5 (functions.hashfn), so the DuckDB oracle reproduces
+    every margin bit-for-bit; weights are exact binary fractions
+    (k/2048), so the per-doc sum is exact in IEEE double on any engine.
+    """
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    def _bucket_weight(tok: Column) -> Column:
+        j = F.pmod(portable_hash60(tok), F.lit(dim))
+        return (
+            (j * F.lit(1103515245) + F.lit(12345)) % F.lit(2048)
+        ) / F.lit(2048.0) - F.lit(0.5)
+
+    stats = bind(
+        tokens(text_col),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + _bucket_weight(t)
+            ).alias("s"),
+        ),
+    )
+    n, s = F.col("__c.n"), F.col("__c.s")
+    margin = s / F.greatest(n, F.lit(1))
+    return df.withColumn("__c", stats).select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(margin, round_to).alias("margin"),
+        (margin > 0).alias("keep"),
+    )

@@ -4057,6 +4057,38 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @q(
+    "text_classifier_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(tk) AS n,
+             coalesce(list_sum(list_transform(tk, t ->
+               ((((CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 1024)
+                  * 1103515245 + 12345) % 2048) / 2048.0 - 0.5))), 0.0) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(s / greatest(n, 1), 4) AS margin,
+           s / greatest(n, 1) > 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_classifier_score(spark, sf_dir):
+    """fastText-style hashed linear quality classifier: portable-hash
+    token buckets, deterministic LCG weights, per-doc mean margin +
+    keep/drop decision — all built-in higher-order functions, margins
+    bit-reproduced by the SQL oracle."""
+    from hudi_demo_spark.operators.text import classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return classifier_score(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
     "engine_incremental_rollup",
     """
     SELECT event_type,

@@ -360,3 +360,22 @@ def test_stratified_sample_exact_counts(spark):
     ids1 = sorted(r["id"] for r in out.collect())
     ids2 = sorted(r["id"] for r in stratified_sample(df, "id", "g", 5).collect())
     assert ids1 == ids2
+
+
+def test_classifier_score_bounds_and_empty(spark):
+    from hudi_demo_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in classifier_score(df, "doc_id", "text").collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["margin"] == 0.0
+    assert rows[3]["n_tokens"] == 0
+    assert not rows[2]["keep"]
+    for r in rows.values():
+        assert -0.5 <= r["margin"] <= 0.5
+        assert r["keep"] == (r["margin"] > 0) or abs(r["margin"]) < 1e-4
+    # deterministic: same input, same margins
+    again = {r["doc_id"]: r["margin"] for r in classifier_score(df, "doc_id", "text").collect()}
+    assert again == {k: v["margin"] for k, v in rows.items()}

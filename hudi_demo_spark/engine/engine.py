@@ -1264,6 +1264,36 @@ class Engine:
         dup = [m["instant"] for m in ins if m["instant"] in seen
                or seen.add(m["instant"])]
         add("instants_unique", dup)
+        from hudi_demo_spark.engine import functional_index as fi
+        from hudi_demo_spark.engine import secondary_index as si
+
+        add(
+            "secondary_indexes_complete",
+            [
+                col
+                for col in si.indexed_columns(cfg)
+                if not si.SecondaryIndex(self.spark, cfg, col).usable()
+            ],
+        )
+        fidx_problems = []
+        live_base = [
+            p for p, m in live.items()
+            if m.get("kind") not in ("delta", "external")
+        ]
+        for name, expr in fi.indexed_exprs(cfg).items():
+            idx = fi.FunctionalIndex(self.spark, cfg, name, expr)
+            if not idx.usable():
+                fidx_problems.append(f"{name}: not built")
+                continue
+            rng = idx.ranges()
+            uncovered = [p for p in live_base if p not in rng]
+            if uncovered:
+                # un-indexed files are never skipped (correct, but the
+                # index is doing less than it could) — surface it
+                fidx_problems.append(
+                    f"{name}: {len(uncovered)} live base files unindexed"
+                )
+        add("functional_indexes_cover_base_files", fidx_problems)
         bad_schema = []
         try:
             if cfg.schema_json:

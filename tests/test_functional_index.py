@@ -87,3 +87,12 @@ def test_sql_ddl_and_show(engine, spark):
     assert engine.sql(f"show indexes from {t}").count() == 0
     cfg = engine._resolve(t)
     assert engine._functional_index(cfg, "half") is None
+
+
+def test_validate_reports_index_health(engine, spark):
+    t = _setup(engine, spark, name="fxval")
+    engine.create_functional_index(t, "v1", "price + 1")
+    engine.create_index(t, "name")
+    rows = {r["check"]: r["status"] for r in engine.validate(t).collect()}
+    assert rows["secondary_indexes_complete"] == "OK"
+    assert rows["functional_indexes_cover_base_files"] == "OK"

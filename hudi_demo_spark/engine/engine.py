@@ -2713,6 +2713,54 @@ class Engine:
             self._commit_stats(added, None),
         )
 
+    def resize_buckets(
+        self,
+        table: str | TableConfig,
+        num_buckets: int,
+        partition_filter: str | Column | None = None,
+    ) -> dict | None:
+        """Bucket-index rescale (the Hudi 0.14 consistent-hashing bucket
+        resize analog, as an explicit table service): rewrite the live
+        file slices hash-placed into `num_buckets` files per partition
+        and update `bucket.num` so subsequent writes place by the new
+        fan-out. `partition_filter` scopes the rewrite, so a 100 TB
+        table rescales partition-by-partition under operator control
+        (each run one replacecommit) instead of one monolithic rewrite —
+        reads never depend on the bucket count, so mixed old/new layouts
+        are always correct; only NEW writes use the updated count. MOR
+        deltas in scope are folded in (resize emits base files, like
+        clustering)."""
+        cfg = self._resolve(table)
+        if not cfg.props.get("bucket.num"):
+            raise ValueError("table has no bucket index (`bucket.num` prop)")
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        if partition_filter is not None:
+            live = self._prune_files(live, partition_filter)
+        # persist the new fan-out first: a write racing this resize
+        # already places by the new count
+        cfg.props["bucket.num"] = str(int(num_buckets))
+        cfg.save()
+        if not live:
+            return None
+        instant = new_instant()
+        df = self._read_files(cfg, live)
+        if cfg.table_type == MOR and any(
+            m.get("kind") == "delta" for m in live.values()
+        ):
+            df = self._merge_view(df, cfg)
+        if DELETED_META in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
+        added = self._materialize(df, cfg, instant, "base")
+        return tl.commit(
+            instant,
+            tlmod.REPLACECOMMIT,
+            "bucket_resize",
+            added,
+            sorted(live),
+            self._commit_stats(added, None),
+        )
+
     def clean(
         self,
         table: str | TableConfig,

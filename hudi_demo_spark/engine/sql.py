@@ -370,6 +370,29 @@ class SqlRouter:
                 )
             self.engine.delete_partition(table, parts)
             return None
+        if proc == "resize_bucket_index":
+            n = args.get("buckets")
+            if not n:
+                raise ValueError(
+                    "call resize_bucket_index(table => 't', buckets => N"
+                    "[, partitions => 'dt=a,dt=b'])"
+                )
+            pf = None
+            parts = [
+                p.strip()
+                for p in args.get("partitions", "").split(",")
+                if p.strip()
+            ]
+            if parts:
+                from pyspark.sql import functions as SF
+
+                from hudi_demo_spark.engine.config import PARTITION_PATH_META
+
+                pf = SF.col(PARTITION_PATH_META).isin(parts)
+            self.engine.resize_buckets(
+                table, int(n), partition_filter=pf
+            )
+            return None
         if proc == "rebuild_record_index":
             ok = self.engine.rebuild_record_index(table)
             return self.spark.createDataFrame([(ok,)], "rebuilt boolean")

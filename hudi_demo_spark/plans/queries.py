@@ -2629,6 +2629,8 @@ def engine_bucket_index(spark, sf_dir):
         props={"bucket.num": 4},
     )
     eng.insert(e, "t")
+    # bucket rescale is layout-only: snapshot identical after resize
+    eng.sql("call resize_bucket_index(table => 't', buckets => 8)")
     return (
         eng.read("t")
         .select("event_id", "event_type", F.round("value", 4).alias("value"))

@@ -689,3 +689,48 @@ def test_clean_keep_latest_by_hours(engine, spark):
     engine.clean("cbh", retain_hours=1.0, stale_staging_s=0)
     assert len(list(data.rglob("*.parquet"))) == 1
     assert [r["name"] for r in engine.read("cbh").collect()] == ["v2"]
+
+
+def test_resize_bucket_index(engine, spark):
+    """Bucket rescale (consistent-hashing resize analog): one
+    replacecommit rewrites placement to the new fan-out; data identical;
+    subsequent writes place by the new count; partition-scoped rolling
+    resize supported via CALL."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.rand(2).alias("v"),
+    )
+    engine.create_table("rbk", record_key="id", partition_by="p",
+                        props={"bucket.num": 2})
+    engine.insert(df, "rbk")
+    before = sorted(r["id"] for r in engine.read("rbk").collect())
+    cfg = engine._resolve("rbk")
+    data = Path(cfg.path) / "data"
+    assert all(
+        len(list(d.glob("*.parquet"))) <= 2 for d in data.iterdir() if d.is_dir()
+    )
+    engine.sql("call resize_bucket_index(table => 'rbk', buckets => 6)")
+    assert engine._resolve("rbk").props["bucket.num"] == "6"
+    after = sorted(r["id"] for r in engine.read("rbk").collect())
+    assert after == before  # rescale is layout-only
+    # count LIVE files (replaced files stay on disk until clean)
+    from collections import Counter
+
+    counts = Counter(
+        r["partition"] for r in engine.show_fsview("rbk").collect()
+    )
+    assert all(1 <= n <= 6 for n in counts.values()), counts
+    assert any(n > 2 for n in counts.values()), counts  # fan-out grew
+    # new writes place by the new count too
+    engine.upsert(
+        spark.range(400, 410).select(
+            F.col("id"), F.lit("0").alias("p"), F.rand(3).alias("v")
+        ),
+        "rbk",
+    )
+    assert engine.read("rbk").count() == 410

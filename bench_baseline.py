@@ -272,12 +272,54 @@ def main():
         },
     }
 
+    # --- secondary index: point lookup on a non-key column --------------
+    # receipt = per-row hash (each value lives in exactly one month
+    # partition — the session-id-in-a-time-partitioned-log shape). The
+    # indexed read prunes the scan to the owning partitions; the
+    # unindexed read is the same engine path falling back to a full
+    # scan + filter (per-file [min,max] can't prune uniform hashes).
+    r = u.withColumn(
+        "receipt", F.sha2(F.concat(F.col("k"), F.lit("r")), 256)
+    )
+
+    def build_sx(path, with_index):
+        shutil.rmtree(path, ignore_errors=True)
+        g = Engine(spark, path)
+        g.create_table("t", record_key="k", partition_by="month")
+        g.insert(r, "t")
+        if with_index:
+            g.create_index("t", "receipt")
+        return g
+
+    sx_on = build_sx(f"{root}/sx_on", True)
+    sx_off = build_sx(f"{root}/sx_off", False)
+    probe = [
+        row["receipt"]
+        for row in r.filter(F.pmod(F.xxhash64("k"), F.lit(7500)) == 0)
+        .select("receipt").limit(20).collect()
+    ]
+
+    def lookup(g):
+        (
+            g.read("t", point_filter=("receipt", probe))
+            .agg(F.sum("o_totalprice"))
+            .collect()
+        )
+
+    e_t, s_t = timed_pair(lambda: lookup(sx_on), lambda: lookup(sx_off))
+    results["secondary_index_point_lookup"] = {"engine": e_t, "stock": s_t}
+
     worst = 0.0
+    speedup_pairs = (
+        "global_upsert_uuid_keys",
+        "bloom_point_upsert",
+        "secondary_index_point_lookup",
+    )
     for k, v in results.items():
         v["ratio"] = round(v["engine"] / max(v["stock"], 1e-9), 2)
-        if k not in ("global_upsert_uuid_keys", "bloom_point_upsert"):
-            # rli-vs-range and bloom-vs-nobloom are SPEEDUP pairs
-            # (engine faster), not overhead ratios
+        if k not in speedup_pairs:
+            # index-on vs index-off are SPEEDUP pairs (engine faster),
+            # not overhead ratios
             worst = max(worst, v["ratio"])
     print(json.dumps({
         "metric": "engine_overhead_vs_stock",

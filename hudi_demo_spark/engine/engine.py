@@ -24,6 +24,7 @@ Write-path scale notes (100 TB design intent):
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import urllib.parse
 from contextlib import contextmanager
@@ -984,6 +985,64 @@ class Engine:
         if col not in snap.columns:
             raise ValueError(f"no such column: {col}")
         idx.build(snap.select(col, PARTITION_PATH_META))
+
+    _EQ_COND = re.compile(r"^\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|(-?\d+))\s*$")
+    _IN_COND = re.compile(r"^\s*`?(\w+)`?\s+in\s*\(([^()]*)\)\s*$", re.I)
+    _LIT = re.compile(r"^(?:'([^']*)'|(-?\d+))$")
+
+    def _auto_point_filter(self, cfg: TableConfig, condition) -> tuple | None:
+        """(col, values) when `condition` is a simple ``col = lit`` /
+        ``col IN (lits)`` on a secondary-indexed column — lets DML
+        (delete/update) prune its match scan through the index without
+        the caller saying so. Conservative about literal typing: the
+        index stores values via Spark's cast-to-string, so only quoted
+        strings (exact) and bare integers against integer-typed columns
+        (exact decimal form) are auto-routed; anything else (floats,
+        expressions) returns None and the DML scans normally — a probe
+        that stringifies differently than the stored cast would MISS
+        partitions, which for DML means lost rows, so the gate errs
+        hard toward None."""
+        if not isinstance(condition, str):
+            return None
+        from hudi_demo_spark.engine import secondary_index as si
+
+        cols = set(si.indexed_columns(cfg))
+        if not cols:
+            return None
+
+        def lit_value(col: str, quoted, num):
+            if quoted is not None:
+                return quoted
+            schema = self._stored_schema(cfg)
+            if schema is None:
+                return None
+            try:
+                dt = schema[col].dataType
+            except KeyError:
+                return None
+            if isinstance(
+                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+            ):
+                return num
+            return None
+
+        m = self._EQ_COND.match(condition)
+        if m and m.group(1) in cols:
+            v = lit_value(m.group(1), m.group(2), m.group(3))
+            return (m.group(1), [v]) if v is not None else None
+        m = self._IN_COND.match(condition)
+        if m and m.group(1) in cols:
+            vals = []
+            for part in m.group(2).split(","):
+                mm = self._LIT.match(part.strip())
+                if not mm:
+                    return None
+                v = lit_value(m.group(1), mm.group(1), mm.group(2))
+                if v is None:
+                    return None
+                vals.append(v)
+            return (m.group(1), vals) if vals else None
+        return None
 
     def create_functional_index(
         self, table: str | TableConfig, name: str, expr: str
@@ -1973,7 +2032,11 @@ class Engine:
         cond = _as_cond(condition)
         instant = new_instant()
         tl = Timeline(cfg.path)
-        snap = self.read(cfg, partition_filter=partition_filter)
+        snap = self.read(
+            cfg,
+            partition_filter=partition_filter,
+            point_filter=self._auto_point_filter(cfg, condition),
+        )
         matched = snap.filter(cond).persist()
         try:
             parts = set(self._affected_partitions(matched))
@@ -2082,8 +2145,11 @@ class Engine:
         instant = new_instant()
         tl = Timeline(cfg.path)
         assigns = {k: _as_cond(v) for k, v in set.items()}
+        auto_pf = self._auto_point_filter(cfg, where)
         if cfg.table_type == MOR:
-            snap = self.read(cfg, partition_filter=partition_filter)
+            snap = self.read(
+                cfg, partition_filter=partition_filter, point_filter=auto_pf
+            )
             updated = snap.filter(cond)
             for k, v in assigns.items():
                 updated = updated.withColumn(k, v)
@@ -2093,7 +2159,9 @@ class Engine:
             meta = tl.commit(instant, tlmod.DELTACOMMIT, "update", added, [])
             self._maybe_compact(cfg)
             return meta
-        snap = self.read(cfg, partition_filter=partition_filter)
+        snap = self.read(
+            cfg, partition_filter=partition_filter, point_filter=auto_pf
+        )
         matched = snap.filter(cond)
         affected_parts = {r[0] for r in matched.select(PARTITION_PATH_META).distinct().collect()}
         if not affected_parts:

@@ -124,3 +124,44 @@ def test_index_compact_bounds_size(engine, spark):
     assert idx.lookup_partitions(["paris"]) == {
         "dt=2022-01-01", "dt=2022-01-02"
     }
+
+
+def test_dml_auto_routes_through_index(engine, spark):
+    """`delete("city = 'x'")` on an indexed column prunes its match scan
+    via the index automatically. Proven by corrupting a non-matching
+    partition's file: the pruned scan never opens it."""
+    import pathlib
+
+    t = _setup(engine, spark, name="sxdml")
+    engine.create_index(t, "city")
+    cfg = engine._resolve(t)
+    for p in (pathlib.Path(cfg.path) / "data" / "dt=2022-01-03").rglob(
+        "*.parquet"
+    ):
+        p.write_bytes(b"junk")  # lima's partition
+    engine.delete(t, "city = 'tokyo'")
+    # scan was pruned (no error), delete exact
+    got = engine.read(t, point_filter=("city", ["paris"]))
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+    assert engine.read(t, point_filter=("city", "tokyo")).count() == 0
+    # update routes the same way (IN-list shape)
+    engine.update(t, set={"price": "price + 1"}, where="city in ('paris')")
+    got2 = engine.read(t, point_filter=("city", ["paris"]))
+    assert sorted(r["price"] for r in got2.collect()) == [11.0, 31.0]
+
+
+def test_auto_point_filter_gate(engine, spark):
+    """The auto-routing gate: floats and non-indexed columns fall back
+    to None (full scan), integer literals only for integer columns."""
+    t = _setup(engine, spark, name="sxgate")
+    engine.create_index(t, "city")
+    engine.create_index(t, "price")  # double column
+    cfg = engine._resolve(t)
+    assert engine._auto_point_filter(cfg, "city = 'paris'") == ("city", ["paris"])
+    assert engine._auto_point_filter(cfg, "city in ('a', 'b')") == (
+        "city", ["a", "b"]
+    )
+    assert engine._auto_point_filter(cfg, "price = 10") is None  # double col
+    assert engine._auto_point_filter(cfg, "price = 10.0") is None
+    assert engine._auto_point_filter(cfg, "name = 'x'") is None  # unindexed
+    assert engine._auto_point_filter(cfg, "city = 'a' or id = 1") is None

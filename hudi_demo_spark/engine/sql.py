@@ -85,6 +85,24 @@ class SqlRouter:
         m = re.match(r"show\s+indexes\s+(?:from|in)\s+(\S+)$", s, re.I)
         if m:
             return self.engine.show_indexes(m.group(1))
+        m = re.match(r"describe\s+(?:table\s+)?(?:extended\s+)?(\S+)$", s, re.I)
+        if m and low.startswith("describe"):
+            try:
+                self.engine._resolve(m.group(1))
+            except (KeyError, ValueError, FileNotFoundError):
+                pass  # not an engine table: fall through to Catalyst
+            else:
+                return self._describe(m.group(1))
+        m = re.match(r"show\s+create\s+table\s+(\S+)$", s, re.I)
+        if m:
+            return self._show_create(m.group(1))
+        m = re.match(r"show\s+tblproperties\s+(\S+)$", s, re.I)
+        if m:
+            cfg = self.engine._resolve(m.group(1))
+            return self.spark.createDataFrame(
+                sorted((k, str(v)) for k, v in cfg.props.items()),
+                "key string, value string",
+            )
         m = re.match(r"show\s+partitions\s+(\S+)$", s, re.I)
         if m:
             try:
@@ -160,6 +178,25 @@ class SqlRouter:
                 add[nm.group(1)] = nm.group(2).strip()
             self.engine.alter_table(table, add=add)
             return None
+        mm = re.match(r"set\s+tblproperties\s*\((.*)\)$", rest, re.I | re.S)
+        if mm:
+            cfg = self.engine._resolve(table)
+            for part in _split_top_level(mm.group(1)):
+                km = re.match(
+                    r"'?([\w.-]+)'?\s*=\s*'([^']*)'\s*$", part.strip()
+                )
+                if not km:
+                    raise ValueError(f"bad property spec: {part!r}")
+                cfg.props[km.group(1)] = km.group(2)
+            cfg.save()
+            return None
+        mm = re.match(r"unset\s+tblproperties\s*\((.*)\)$", rest, re.I | re.S)
+        if mm:
+            cfg = self.engine._resolve(table)
+            for part in _split_top_level(mm.group(1)):
+                cfg.props.pop(part.strip().strip("'"), None)
+            cfg.save()
+            return None
         mm = re.match(r"alter\s+column\s+(\w+)\s+type\s+(.+)$", rest, re.I)
         if mm:
             self.engine.alter_table(
@@ -174,6 +211,65 @@ class SqlRouter:
             self.engine.alter_column_comment(table, mm.group(1), mm.group(2))
             return None
         raise ValueError(f"unsupported ALTER shape: {s[:120]}")
+
+    def _describe(self, table: str) -> DataFrame:
+        """DESCRIBE [EXTENDED] t: (col_name, data_type, comment) rows for
+        data columns, then partition info and the key/type config — the
+        Spark DESCRIBE shape over the engine catalog."""
+        cfg = self.engine._resolve(table)
+        schema = self.engine._stored_schema(cfg)
+        comments = cfg.props.get("column_comments", {}) or {}
+        rows: list[tuple[str, str, str]] = []
+        if schema is not None:
+            for f in schema.fields:
+                if f.name.startswith("_hoodie_"):
+                    continue
+                rows.append(
+                    (f.name, f.dataType.simpleString(),
+                     comments.get(f.name, ""))
+                )
+        if cfg.partition_fields:
+            rows.append(("# Partition Information", "", ""))
+            for c in cfg.partition_fields:
+                rows.append((c, "", ""))
+        rows.append(("# Detailed Table Information", "", ""))
+        rows.append(("Name", cfg.name, ""))
+        rows.append(("Type", cfg.table_type, ""))
+        rows.append(("Primary Key", ",".join(cfg.record_key_fields or []), ""))
+        rows.append(("PreCombine Field", cfg.precombine_field or "", ""))
+        rows.append(("Location", cfg.path, ""))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    def _show_create(self, table: str) -> DataFrame:
+        """SHOW CREATE TABLE t: reconstruct the reference-dialect DDL
+        (SparkSQLDemo.scala:37-52 shape) from the catalog entry."""
+        cfg = self.engine._resolve(table)
+        schema = self.engine._stored_schema(cfg)
+        cols = (
+            ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in schema.fields
+                if not f.name.startswith("_hoodie_")
+                and f.name != "_hoodie_is_deleted"
+            )
+            if schema is not None
+            else ""
+        )
+        opts = [f"type = '{cfg.table_type}'"]
+        if cfg.record_key_fields:
+            opts.insert(0, f"primaryKey = '{','.join(cfg.record_key_fields)}'")
+        if cfg.precombine_field:
+            opts.insert(
+                1 if cfg.record_key_fields else 0,
+                f"preCombineField = '{cfg.precombine_field}'",
+            )
+        ddl = f"create table {cfg.name} (\n  {cols}\n) using hudi\n"
+        if cfg.partition_fields:
+            ddl += f"partitioned by ({', '.join(cfg.partition_fields)})\n"
+        ddl += f"options ({', '.join(opts)})"
+        return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
     def _create_index(self, s: str) -> None:
         """Hudi 1.0 index DDL:

@@ -207,3 +207,47 @@ def test_sql_truncate_and_show_partitions(engine, spark):
     # pre-truncate snapshot is still time-travelable
     old = engine.sql(f"select id from trc timestamp as of '{before}'")
     assert sorted(r["id"] for r in old.collect()) == [1, 2, 3]
+
+
+def test_describe_show_create_tblproperties(engine, spark):
+    """DESCRIBE / SHOW CREATE TABLE / SHOW+SET+UNSET TBLPROPERTIES —
+    the Spark-SQL catalog-introspection surface over engine tables."""
+    engine.sql(
+        "create table meta_t (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts', type = 'cow')"
+    )
+    engine.sql("insert into meta_t values (1, 'a', 1.0, 1, '2022-10-08')")
+    engine.sql(
+        "alter table meta_t change name name string comment 'display name'"
+    )
+    desc = {r["col_name"]: r for r in engine.sql("describe meta_t").collect()}
+    assert desc["id"]["data_type"] == "int"
+    assert desc["name"]["comment"] == "display name"
+    assert desc["Primary Key"]["data_type"] == "id"
+    assert "# Partition Information" in desc
+    ddl = engine.sql("show create table meta_t").collect()[0]["createtab_stmt"]
+    assert "using hudi" in ddl and "partitioned by (dt)" in ddl
+    assert "primaryKey = 'id'" in ddl and "preCombineField = 'ts'" in ddl
+    # round-trip: the emitted DDL recreates an equivalent table
+    engine.sql(ddl.replace("create table meta_t", "create table meta_t2"))
+    cfg2 = engine._resolve("meta_t2")
+    assert cfg2.record_key_fields == ["id"]
+    assert cfg2.partition_fields == ["dt"]
+    # properties lifecycle
+    engine.sql(
+        "alter table meta_t set tblproperties ('compact.inline' = 'true', "
+        "'compact.max_delta_commits' = '4')"
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in engine.sql("show tblproperties meta_t").collect()
+    }
+    assert props["compact.inline"] == "true"
+    assert props["compact.max_delta_commits"] == "4"
+    engine.sql("alter table meta_t unset tblproperties ('compact.inline')")
+    props2 = {
+        r["key"]: r["value"]
+        for r in engine.sql("show tblproperties meta_t").collect()
+    }
+    assert "compact.inline" not in props2

@@ -633,22 +633,58 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 return v
         return default
 
-    def initialOffset(self) -> dict:
+    _COMMITISH = (tlmod.COMMIT, tlmod.DELTACOMMIT, tlmod.REPLACECOMMIT)
+
+    def _start_option(self) -> str:
         start = self._opt(
             "hoodie.datasource.read.begin.instanttime",
             "read.start.commit", "begin", default="",
         )
         if str(start).lower() == "earliest":
             start = ""
-        return {"instant": str(start)}
+        return str(start)
+
+    def initialOffset(self) -> dict:
+        return {"instant": self._start_option()}
+
+    _frontier: str | None = None
 
     def latestOffset(self) -> dict:
-        last = Timeline(self.cfg.path).last_instant()
-        return {"instant": last or ""}
+        """Timeline tip — capped to `read.streaming.max.commits.per.
+        trigger` pending commits when configured (the maxFilesPerTrigger
+        analog at commit granularity): a backlog burst becomes several
+        bounded micro-batches instead of one giant one.
+
+        The cap base (`_frontier`) is the end of the last planned batch,
+        learned in `partitions()`; before any batch it falls back to the
+        configured start offset (the planner asks for latestOffset
+        before initialOffset). After a checkpoint restart that fallback
+        may LAG the committed offset — the first batch then plans empty
+        and `partitions()` re-bases the frontier; capping only lowers
+        the batch END offset, so data is never skipped."""
+        tl = Timeline(self.cfg.path)
+        cap = self._opt(
+            "read.streaming.max.commits.per.trigger", "maxCommitsPerTrigger"
+        )
+        if cap:
+            if self._frontier is None:
+                self._frontier = self._start_option()
+            n = int(cap)
+            pend = [
+                m["instant"]
+                for m in tl.instants(include_archived=True)
+                if m["action"] in self._COMMITISH
+                and m["instant"] > self._frontier
+            ]
+            if len(pend) > n:
+                return {"instant": pend[n - 1]}
+        return {"instant": tl.last_instant() or ""}
 
     def partitions(self, start: dict, end: dict):
         cfg = self.cfg
         lo, hi = start.get("instant", ""), end.get("instant", "")
+        if hi and (self._frontier is None or hi > self._frontier):
+            self._frontier = hi
         tl = Timeline(cfg.path)
         files = {}
         for m in tl.instants(include_archived=True):

@@ -2781,6 +2781,28 @@ class Engine:
             self._commit_stats(added, None),
         )
 
+    def export_snapshot(
+        self,
+        table: str | TableConfig,
+        dest: str,
+        as_of: str | None = None,
+        partitioned: bool = True,
+    ) -> int:
+        """Snapshot export (the HoodieSnapshotExporter / `CALL
+        export_snapshot` analog): materialize a consistent snapshot —
+        optionally time-traveled — as PLAIN parquet at `dest`, meta
+        columns dropped, hive-partitioned by the table's partition
+        fields when `partitioned`. One distributed write; downstream
+        consumers need no engine. Returns the exported row count."""
+        cfg = self._resolve(table)
+        df = self.read(cfg, as_of=as_of)
+        out = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+        w = out.write.mode("overwrite")
+        if partitioned and cfg.partition_fields:
+            w = w.partitionBy(*cfg.partition_fields)
+        w.parquet(dest)
+        return self.spark.read.parquet(dest).count()
+
     def resize_buckets(
         self,
         table: str | TableConfig,

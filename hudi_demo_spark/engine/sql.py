@@ -466,6 +466,19 @@ class SqlRouter:
                 )
             self.engine.delete_partition(table, parts)
             return None
+        if proc == "export_snapshot":
+            dest = args.get("path")
+            if not dest:
+                raise ValueError(
+                    "call export_snapshot(table => 't', path => '/dir'"
+                    "[, instant_time => 'i'])"
+                )
+            n = self.engine.export_snapshot(
+                table, dest, as_of=args.get("instant_time")
+            )
+            return self.spark.createDataFrame(
+                [(n,)], "exported_rows bigint"
+            )
         if proc == "resize_bucket_index":
             n = args.get("buckets")
             if not n:

@@ -158,3 +158,15 @@ def test_stratified_sample_single_keyed_shuffle(spark, sf_dir):
     # bonus property: Spark's WindowGroupLimit prunes to top-n map-side
     # BEFORE the shuffle — the shuffle moves ≤ n rows per stratum
     assert "WindowGroupLimit" in plan
+
+
+def test_classifier_score_is_udf_free_single_projection(spark, sf_dir):
+    """The hashed linear classifier must stay JVM-side: no Python eval
+    nodes, no shuffle — one codegen'd projection over the scan."""
+    df = QUERIES["text_classifier_score"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange is the final orderBy's range partitioning; the
+    # scoring itself must not introduce a keyed (hash) shuffle
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("rangepartitioning") <= 1, plan

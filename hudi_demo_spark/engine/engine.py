@@ -2746,7 +2746,19 @@ class Engine:
             live = self._prune_files(live, partition_filter)
         if not live:
             return None
-        instant = new_instant()
+        return self._execute_cluster(
+            cfg, tl, new_instant(), live, sort_cols, strategy
+        )
+
+    def _execute_cluster(
+        self,
+        cfg: TableConfig,
+        tl: Timeline,
+        instant: str,
+        live: dict[str, dict],
+        sort_cols: list[str],
+        strategy: str,
+    ) -> dict:
         df = self._read_files(cfg, live)
         if cfg.table_type == MOR and any(
             m.get("kind") == "delta" for m in live.values()
@@ -2780,6 +2792,75 @@ class Engine:
             sorted(live),
             self._commit_stats(added, None),
         )
+
+    def schedule_clustering(
+        self,
+        table: str | TableConfig,
+        sort_cols: list[str],
+        partition_filter: str | Column | None = None,
+        strategy: str = "linear",
+    ) -> str | None:
+        """Async-clustering SCHEDULE step (Hudi `call run_clustering(op
+        => 'schedule')`): capture the current live file set + sort spec
+        as an immutable plan for a separate process to execute.
+        Files written after the schedule stay live and untouched by the
+        execution; if a planned file group is replaced meanwhile, the
+        execution fails loudly via OCC (commit() refuses to replace
+        non-live files). Returns the plan instant, or None when
+        empty."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        if partition_filter is not None:
+            live = self._prune_files(live, partition_filter)
+        if not live:
+            return None
+        instant = new_instant()
+        p = Path(cfg.path) / TIMELINE_DIR / (
+            f"_requested-{instant}.clustering.json"
+        )
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps({
+            "instant": instant,
+            "files": live,
+            "sort_cols": list(sort_cols),
+            "strategy": strategy,
+        }))
+        tmp.replace(p)
+        return instant
+
+    def pending_clusterings(self, table: str | TableConfig) -> list[str]:
+        cfg = self._resolve(table)
+        return sorted(
+            p.name[len("_requested-"): -len(".clustering.json")]
+            for p in (Path(cfg.path) / TIMELINE_DIR).glob(
+                "_requested-*.clustering.json"
+            )
+        )
+
+    def run_clustering_plan(
+        self, table: str | TableConfig, instant: str | None = None
+    ) -> dict | None:
+        """Async-clustering EXECUTE step: run the named (or earliest)
+        scheduled plan and drop the plan file. Returns the replacecommit
+        metadata, or None when no plan is pending."""
+        cfg = self._resolve(table)
+        pending = self.pending_clusterings(cfg)
+        if not pending:
+            return None
+        target = instant or pending[0]
+        p = Path(cfg.path) / TIMELINE_DIR / (
+            f"_requested-{target}.clustering.json"
+        )
+        plan = json.loads(p.read_text())
+        tl = Timeline(cfg.path)
+        meta = self._execute_cluster(
+            cfg, tl, target, plan["files"], plan["sort_cols"],
+            plan.get("strategy", "linear"),
+        )
+        p.unlink(missing_ok=True)
+        return meta
 
     def export_snapshot(
         self,

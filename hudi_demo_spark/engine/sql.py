@@ -411,8 +411,26 @@ class SqlRouter:
                 "requested_instant string",
             )
         if proc == "run_clustering":
+            op = args.get("op", "run").lower()
             order = [c.strip() for c in args.get("order", "").split(",")
                      if c.strip()]
+            if op == "schedule":
+                if not order:
+                    raise ValueError(
+                        "call run_clustering(table => 't', op => "
+                        "'schedule', order => 'c1,c2')"
+                    )
+                i = self.engine.schedule_clustering(
+                    table, order, strategy=args.get("strategy", "linear")
+                )
+                return self.spark.createDataFrame(
+                    [(i,)], "requested_instant string"
+                )
+            if op == "execute":
+                self.engine.run_clustering_plan(
+                    table, instant=args.get("instant_time")
+                )
+                return None
             if not order:
                 raise ValueError(
                     "call run_clustering(table => 't', order => 'c1,c2')"
@@ -421,6 +439,11 @@ class SqlRouter:
                 table, order, strategy=args.get("strategy", "linear")
             )
             return None
+        if proc == "show_clustering":
+            return self.spark.createDataFrame(
+                [(i,) for i in self.engine.pending_clusterings(table)],
+                "requested_instant string",
+            )
         if proc == "clean":
             kw = {}
             if "policy" in args:

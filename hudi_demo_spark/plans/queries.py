@@ -3366,7 +3366,13 @@ def engine_clustering(spark, sf_dir):
     )
     eng.create_table("t", record_key="o_orderkey")
     eng.insert(o, "t")
-    eng.cluster("t", ["o_totalprice"])
+    # async schedule/execute split (Hudi run_clustering op => schedule/
+    # execute) — same layout-only semantics as inline cluster()
+    eng.sql(
+        "call run_clustering(table => 't', op => 'schedule', "
+        "order => 'o_totalprice')"
+    )
+    eng.sql("call run_clustering(table => 't', op => 'execute')")
     return (
         eng.read("t", range_filter=("o_totalprice", 100000.0, 200000.0))
         .select(

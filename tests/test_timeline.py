@@ -760,3 +760,37 @@ def test_export_snapshot(engine, spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(dest2).collect()
     ) == [1, 2, 3]
+
+
+def test_async_clustering_schedule_execute(engine, spark):
+    """Async clustering: schedule captures an immutable plan; writes
+    after the schedule stay live through the execution; execute runs the
+    plan and range-clusters exactly the planned file set."""
+    engine.create_table("ac", record_key="id", precombine="ts",
+                        partition_by="dt")
+    for row in ROWS:
+        engine.insert(spark.createDataFrame([row], SCHEMA), "ac")
+    plan = engine.sql(
+        "call run_clustering(table => 'ac', op => 'schedule', "
+        "order => 'price')"
+    ).collect()[0]["requested_instant"]
+    assert plan
+    assert [r["requested_instant"] for r in engine.sql(
+        "call show_clustering(table => 'ac')"
+    ).collect()] == [plan]
+    # a write AFTER the schedule is not part of the plan
+    engine.insert(
+        spark.createDataFrame([(9, "a9", 90.0, 9000, "2022-12-28")], SCHEMA),
+        "ac",
+    )
+    engine.sql("call run_clustering(table => 'ac', op => 'execute')")
+    assert engine.sql("call show_clustering(table => 'ac')").count() == 0
+    # all rows present, incl. the post-schedule one
+    assert sorted(r["id"] for r in engine.read("ac").collect()) == [
+        1, 2, 3, 4, 5, 9,
+    ]
+    commits = engine.show_commits("ac").collect()
+    assert any(r["operation"] == "cluster" for r in commits)
+    # clustered stats enable range pruning on the sort column
+    got = engine.read("ac", range_filter=("price", 0.0, 25.0))
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]

@@ -2862,6 +2862,35 @@ class Engine:
         p.unlink(missing_ok=True)
         return meta
 
+    def copy_to_table(
+        self,
+        table: str | TableConfig,
+        new_table: str,
+        as_of: str | None = None,
+    ) -> TableConfig:
+        """Hudi `CALL copy_to_table`: clone a (possibly time-traveled)
+        snapshot into a NEW managed table with the same key/partition/
+        type configuration and a fresh single-commit timeline. One
+        distributed read→write; the clone is independent (no shared
+        files)."""
+        cfg = self._resolve(table)
+        clone = self.create_table(
+            new_table,
+            record_key=list(cfg.record_key_fields or []) or None,
+            precombine=cfg.precombine_field,
+            partition_by=list(cfg.partition_fields),
+            table_type=cfg.table_type,
+            payload=cfg.payload,
+            hive_style=cfg.hive_style,
+            props=dict(cfg.props),
+        )
+        df = self.read(cfg, as_of=as_of)
+        self.insert(
+            df.drop(*[c for c in df.columns if c.startswith("_hoodie_")]),
+            clone,
+        )
+        return clone
+
     def export_snapshot(
         self,
         table: str | TableConfig,

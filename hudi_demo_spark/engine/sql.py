@@ -489,6 +489,17 @@ class SqlRouter:
                 )
             self.engine.delete_partition(table, parts)
             return None
+        if proc == "copy_to_table":
+            new = args.get("new_table")
+            if not new:
+                raise ValueError(
+                    "call copy_to_table(table => 't', new_table => 't2'"
+                    "[, instant_time => 'i'])"
+                )
+            self.engine.copy_to_table(
+                table, new, as_of=args.get("instant_time")
+            )
+            return None
         if proc == "export_snapshot":
             dest = args.get("path")
             if not dest:

@@ -794,3 +794,25 @@ def test_async_clustering_schedule_execute(engine, spark):
     # clustered stats enable range pruning on the sort column
     got = engine.read("ac", range_filter=("price", 0.0, 25.0))
     assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_copy_to_table(engine, spark):
+    """CALL copy_to_table: independent clone with identical config and a
+    time-travel variant; writes to the clone don't touch the source."""
+    t = _setup(engine, spark)
+    commits = sorted(c["commit_time"] for c in engine.show_commits(t).collect())
+    engine.sql("call copy_to_table(table => 't', new_table => 't_clone')")
+    clone = engine._resolve("t_clone")
+    src = engine._resolve(t)
+    assert clone.record_key_fields == src.record_key_fields
+    assert clone.partition_fields == src.partition_fields
+    assert sorted(r["id"] for r in engine.read("t_clone").collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    # clone is independent
+    engine.delete("t_clone", "id = 1")
+    assert engine.read("t_clone").count() == 4
+    assert engine.read(t).count() == 5
+    # time-traveled clone
+    engine.copy_to_table(t, "t_clone3", as_of=commits[2])
+    assert engine.read("t_clone3").count() == 3

@@ -45,6 +45,35 @@ class IncrementalPuller:
         return df
 
 
+class CdcPuller:
+    """CDC micro-batch pull loop: each `pull()` returns the per-key
+    CHANGES (insert/update/delete with `_change_type`, after-images —
+    before-image for deletes) committed since the last pulled instant,
+    and advances the offset. The streaming form of `Engine.read_cdc`
+    (Hudi incremental `format=cdc`), for downstream sync jobs that need
+    deletes — which an append-only row feed cannot express."""
+
+    def __init__(self, engine, table: str, start_commit: str | None = None,
+                 images: str = "after"):
+        self.engine = engine
+        self.cfg = engine._resolve(table)
+        self.offset = start_commit or ""
+        self.images = images
+
+    def pull(self) -> DataFrame | None:
+        """Changes in (offset, latest]; None when caught up."""
+        tl = Timeline(self.cfg.path)
+        last = tl.last_instant()
+        if last is None or last <= self.offset:
+            return None
+        df = self.engine.read_cdc(
+            self.cfg, begin=self.offset or None, end=last,
+            images=self.images,
+        )
+        self.offset = last
+        return df
+
+
 def stream_read(
     spark: SparkSession,
     engine,

@@ -354,3 +354,36 @@ def test_bounded_io_compaction_drains_fattest_first(engine, spark):
     ]:
         assert agg[(g, 2.0)] == n_up
         assert agg[(g, 1.0)] == n_base - n_up
+
+
+def test_cdc_puller_change_feed(engine, spark):
+    """CdcPuller: each pull yields the per-key changes (incl. deletes)
+    since the last pulled instant — the streaming form of read_cdc."""
+    from hudi_demo_spark.streaming import CdcPuller
+
+    engine.create_table("cdcp", record_key="id", precombine="ts")
+    engine.insert(
+        spark.createDataFrame(
+            [(1, "a", 1.0, 1, "d"), (2, "b", 2.0, 1, "d")],
+            "id int, name string, price double, ts long, dt string",
+        ),
+        "cdcp",
+    )
+    puller = CdcPuller(engine, "cdcp")
+    first = puller.pull()
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in first.collect()
+    ) == [(1, "insert"), (2, "insert")]
+    assert puller.pull() is None  # caught up
+    engine.upsert(
+        spark.createDataFrame(
+            [(1, "a2", 9.0, 2, "d")],
+            "id int, name string, price double, ts long, dt string",
+        ),
+        "cdcp",
+    )
+    engine.delete("cdcp", "id = 2")
+    second = puller.pull()
+    got = sorted((r["id"], r["_change_type"]) for r in second.collect())
+    assert got == [(1, "update"), (2, "delete")]
+    assert puller.pull() is None

@@ -310,16 +310,28 @@ class Engine:
         # not by blanket age — if this writer dies before committing
         tl_marker = Timeline(cfg.path)
         tl_marker.start_inflight(instant, kind)
+        # parquet codec / row-group sizing (hoodie.parquet.compression.
+        # codec / hoodie.parquet.block.size analogs): codec trades CPU
+        # for bytes scanned — at 100 TB, zstd over the default snappy is
+        # routinely ~30% less IO on text-heavy columns
+        wopts = {}
+        if cfg.props.get("write.parquet.codec"):
+            wopts["compression"] = str(cfg.props["write.parquet.codec"])
+        if cfg.props.get("write.parquet.block_size"):
+            wopts["parquet.block.size"] = str(
+                int(cfg.props["write.parquet.block_size"])
+            )
         with self._file_sizing(cfg, approx_bytes):
             if cfg.partition_fields:
                 (
                     df.withColumn("__pp", F.col(PARTITION_PATH_META))
                     .write.mode("overwrite")
+                    .options(**wopts)
                     .partitionBy("__pp")
                     .parquet(str(tmp))
                 )
             else:
-                df.write.mode("overwrite").parquet(str(tmp))
+                df.write.mode("overwrite").options(**wopts).parquet(str(tmp))
         # the distributed write finished: refresh the marker so the
         # metadata tail (renames, footer stats, bloom build) runs under a
         # fresh liveness window even after a long Spark job

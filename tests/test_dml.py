@@ -591,3 +591,32 @@ def test_merge_global_index_moves_partition(engine, spark):
     by_id = {r[0]: r for r in st}
     assert by_id[1][4] == "2022-12-01" and by_id[1][1] == "moved"
     assert by_id[9][1] == "new"
+
+
+def test_write_parquet_codec_prop(engine, spark):
+    """write.parquet.codec (hoodie.parquet.compression.codec analog):
+    data files are written with the configured codec; reads unchanged."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    engine.create_table(
+        "codec_t", record_key="id",
+        props={"write.parquet.codec": "zstd"},
+    )
+    engine.insert(
+        spark.createDataFrame([(i, f"v{i}" * 50) for i in range(100)],
+                              "id int, payload string"),
+        "codec_t",
+    )
+    cfg = engine._resolve("codec_t")
+    files = list((pathlib.Path(cfg.path) / "data").rglob("*.parquet"))
+    assert files
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        codecs = {
+            md.row_group(i).column(0).compression.lower()
+            for i in range(md.num_row_groups)
+        }
+        assert codecs == {"zstd"}, (f, codecs)
+    assert engine.read("codec_t").count() == 100

@@ -117,7 +117,9 @@ class SqlRouter:
         # read-side SQL: refresh temp views, let Catalyst do the rest
         # (IncrementalQuery.scala:57-59 pattern)
         self.engine.sync_catalog()
-        return self.spark.sql(self._rewrite_time_travel(s))
+        return self.spark.sql(
+            self._rewrite_tvfs(self._rewrite_time_travel(s))
+        )
 
     # ------------------------------------------------------------------
 
@@ -211,6 +213,64 @@ class SqlRouter:
             self.engine.alter_column_comment(table, mm.group(1), mm.group(2))
             return None
         raise ValueError(f"unsupported ALTER shape: {s[:120]}")
+
+    # Hudi 1.0 table-valued functions in read SQL:
+    #   hudi_table_changes(table, 'latest_state'|'cdc', startTs [, endTs])
+    #   hudi_query(table, 'snapshot'|'read_optimized')
+    #   hudi_timeline(table)   hudi_filesystem_view(table)
+    _TVF = re.compile(
+        r"\b(hudi_table_changes|hudi_query|hudi_timeline|"
+        r"hudi_filesystem_view)\s*\(([^()]*)\)",
+        re.I,
+    )
+
+    def _rewrite_tvfs(self, s: str) -> str:
+        """Replace each Hudi TVF call with a temp view over the matching
+        engine read; the surrounding SELECT then runs through Catalyst
+        unchanged."""
+
+        def repl(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            args = [
+                a.strip().strip("'\"")
+                for a in _split_top_level(m.group(2))
+                if a.strip()
+            ]
+            if not args:
+                raise ValueError(f"{fn} needs a table argument")
+            table = args[0]
+            if fn == "hudi_timeline":
+                df, view = self.engine.show_commits(table), f"{table}_tl"
+            elif fn == "hudi_filesystem_view":
+                df, view = self.engine.show_fsview(table), f"{table}_fsv"
+            elif fn == "hudi_query":
+                qt = args[1] if len(args) > 1 else "snapshot"
+                df = self.engine.read(table, query_type=qt)
+                view = f"{table}_q_{qt}"
+            else:  # hudi_table_changes
+                if len(args) < 3:
+                    raise ValueError(
+                        "hudi_table_changes(table, 'latest_state'|'cdc', "
+                        "startTs [, endTs])"
+                    )
+                mode, start = args[1].lower(), args[2]
+                begin = None if start.lower() == "earliest" else start
+                end = args[3] if len(args) > 3 else None
+                if mode == "cdc":
+                    df = self.engine.read_cdc(table, begin=begin, end=end)
+                elif mode == "latest_state":
+                    df = self.engine.read_incremental(
+                        table, begin=begin, end=end
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown hudi_table_changes mode: {mode!r}"
+                    )
+                view = f"{table}_changes_{mode}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TVF.sub(repl, s)
 
     def _describe(self, table: str) -> DataFrame:
         """DESCRIBE [EXTENDED] t: (col_name, data_type, comment) rows for

@@ -4097,6 +4097,36 @@ def text_classifier_score(spark, sf_dir):
 
 
 @q(
+    "sql_table_changes_tvf",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey >= 2
+    ORDER BY n_nationkey
+    """,
+)
+def sql_table_changes_tvf(spark, sf_dir):
+    """Hudi 1.0 `hudi_table_changes` TVF through the SQL surface: the
+    incremental (latest_state) changes since the first commit equal the
+    second batch."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_table_changes_tvf", sf_dir)
+    eng = Engine(spark, root)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    eng.create_table("t", record_key="n_nationkey")
+    eng.insert(n.filter(F.col("n_regionkey") < 2), "t")
+    first = eng.show_commits("t").collect()[0]["commit_time"]
+    eng.insert(n.filter(F.col("n_regionkey") >= 2), "t")
+    return eng.sql(
+        "select n_nationkey, n_name, n_regionkey from "
+        f"hudi_table_changes('t', 'latest_state', '{first}') "
+        "order by n_nationkey"
+    )
+
+
+@q(
     "engine_incremental_rollup",
     """
     SELECT event_type,

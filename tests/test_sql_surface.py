@@ -251,3 +251,46 @@ def test_describe_show_create_tblproperties(engine, spark):
         for r in engine.sql("show tblproperties meta_t").collect()
     }
     assert "compact.inline" not in props2
+
+
+def test_hudi_table_valued_functions(engine, spark):
+    """Hudi 1.0 SQL TVFs: hudi_table_changes (latest_state + cdc),
+    hudi_query, hudi_timeline, hudi_filesystem_view — rewritten to
+    engine reads inside ordinary SELECTs."""
+    engine.sql(
+        "create table tvf_t (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql("insert into tvf_t values (1, 'a', 1.0, 1, '2022-10-08')")
+    c1 = engine.show_commits("tvf_t").collect()[0]["commit_time"]
+    engine.sql("insert into tvf_t values (2, 'b', 2.0, 2, '2022-10-09')")
+    engine.sql("update tvf_t set price = 9.0 where id = 1")
+    # latest_state: rows changed after c1 (id=2 insert, id=1 update)
+    got = engine.sql(
+        f"select id, price from hudi_table_changes('tvf_t', "
+        f"'latest_state', '{c1}') order by id"
+    ).collect()
+    assert [(r["id"], r["price"]) for r in got] == [(1, 9.0), (2, 2.0)]
+    # cdc from earliest: net per-key changes
+    cdc = engine.sql(
+        "select id, _change_type from hudi_table_changes('tvf_t', 'cdc', "
+        "'earliest') order by id"
+    ).collect()
+    assert [(r["id"], r["_change_type"]) for r in cdc] == [
+        (1, "insert"), (2, "insert"),
+    ]
+    # hudi_query / hudi_timeline / hudi_filesystem_view
+    assert engine.sql(
+        "select count(*) n from hudi_query('tvf_t', 'snapshot')"
+    ).collect()[0]["n"] == 2
+    assert engine.sql(
+        "select count(*) n from hudi_timeline('tvf_t')"
+    ).collect()[0]["n"] == 3
+    fsv = engine.sql(
+        "select distinct partition from hudi_filesystem_view('tvf_t') "
+        "order by partition"
+    ).collect()
+    assert [r["partition"] for r in fsv] == [
+        "dt=2022-10-08", "dt=2022-10-09",
+    ]

@@ -385,3 +385,51 @@ def semantic_dedup(
     return df.join(
         dropped, df[id_col] == dropped["__dropped"], "left_anti"
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+):
+    """Distributed Lloyd's k-means on the IVF plumbing (the "k-means
+    iterations on the same plumbing" seed_centroids points at): returns
+    (centroids, assignments) where centroids is [(cid, vec)] and
+    assignments is (id, centroid_id).
+
+    Scale shape per iteration: the assignment is map-side expression
+    work against LITERAL centroids (k × dim floats in the plan — no
+    crossJoin, no shuffle of the corpus), and the re-centering is ONE
+    keyed shuffle on (cluster, dimension) with map-side partial
+    averages. Driver traffic is k × dim floats per iteration. Empty
+    clusters keep their previous centroid (deterministic, no
+    re-seeding). Seeding is the portable-hash pick, so runs are
+    reproducible across engines and cluster sizes."""
+    cents = seed_centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col, n_probe=1)
+        rows = (
+            assigned.select(
+                "centroid_id", F.posexplode("__v").alias("__d", "__x")
+            )
+            .groupBy("centroid_id", "__d")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__d", "__m"))
+                ).alias("__ms")
+            )
+            .collect()
+        )
+        new = {
+            r["centroid_id"]: [float(m["__m"]) for m in r["__ms"]]
+            for r in rows
+        }
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    assigned = ivf_assign(df, cents, id_col, vec_col, n_probe=1).select(
+        id_col, "centroid_id"
+    )
+    return cents, assigned

@@ -379,3 +379,51 @@ def test_classifier_score_bounds_and_empty(spark):
     # deterministic: same input, same margins
     again = {r["doc_id"]: r["margin"] for r in classifier_score(df, "doc_id", "text").collect()}
     assert again == {k: v["margin"] for k, v in rows.items()}
+
+
+def test_kmeans_fit_matches_numpy_lloyds(spark, sf_dir):
+    """kmeans_fit vs a literal numpy re-implementation (same portable
+    seeding, cosine assignment with lower-id tie-break, arithmetic-mean
+    re-centering): centroids and assignments must agree."""
+    import hashlib
+
+    import numpy as np
+
+    from hudi_demo_spark.operators.similarity import kmeans_fit
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k, iters = 4, 3
+    cents, assigned = kmeans_fit(e, "vec_id", "embedding", k=k, iters=iters)
+
+    rows = e.collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    seed_ids = sorted(sorted(ids, key=lambda i: (h60(str(i)), i))[:k])
+    C = np.array(
+        [X[ids.index(i)] for i in seed_ids], dtype=np.float64
+    )
+
+    def assign(C):
+        scores = X @ C.T / np.linalg.norm(C, axis=1)  # cosine sans |x|
+        # ties break to the LOWER centroid id: argmax picks first max
+        return np.argmax(np.round(scores, 12), axis=1)
+
+    for _ in range(iters):
+        a = assign(C)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    a = assign(C)
+
+    got_c = {cid: np.array(v) for cid, v in cents}
+    for j in range(k):
+        np.testing.assert_allclose(got_c[j + 1], C[j], rtol=1e-8, atol=1e-8)
+    got_a = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    exp_a = {ids[i]: int(a[i]) + 1 for i in range(len(ids))}
+    mismatch = [i for i in got_a if got_a[i] != exp_a[i]]
+    assert not mismatch, mismatch[:5]

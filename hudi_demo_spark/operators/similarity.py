@@ -351,6 +351,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_centroids: int = 16,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     cluster embeddings, compare pairs ONLY within a cluster, and drop
@@ -363,8 +364,16 @@ def semantic_dedup(
     cluster count is the knob that bounds the quadratic, exactly the
     SemDeDup argument for clustering before comparing. Deterministic
     end-to-end (portable-hash seeds, lower-id-wins rule): a DuckDB
-    oracle replays the whole pipeline."""
-    cents = seed_centroids(df, id_col, vec_col, n_centroids)
+    oracle replays the whole pipeline. `kmeans_iters` > 0 refines the
+    seed cells with Lloyd's iterations (`kmeans_fit`) first — tighter,
+    more balanced cells, same downstream pipeline; the default stays 0
+    so the SQL oracle can replay the seed path."""
+    if kmeans_iters > 0:
+        cents, _ = kmeans_fit(
+            df, id_col, vec_col, k=n_centroids, iters=kmeans_iters
+        )
+    else:
+        cents = seed_centroids(df, id_col, vec_col, n_centroids)
     a = ivf_assign(_spread(df), cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("__id"), F.col("__v"), "centroid_id"
     )

@@ -427,3 +427,29 @@ def test_kmeans_fit_matches_numpy_lloyds(spark, sf_dir):
     exp_a = {ids[i]: int(a[i]) + 1 for i in range(len(ids))}
     mismatch = [i for i in got_a if got_a[i] != exp_a[i]]
     assert not mismatch, mismatch[:5]
+
+
+def test_semantic_dedup_with_kmeans_refined_cells(spark, sf_dir):
+    """kmeans_iters refines cells before the within-cell pass; the
+    survivor set stays deterministic and near-dups still collapse."""
+    from hudi_demo_spark.operators.similarity import semantic_dedup
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # add an exact duplicate of the smallest id under a higher id
+    dup = e.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dup)
+    kept = semantic_dedup(
+        corpus, "vec_id", "embedding",
+        threshold=0.999, n_centroids=4, kmeans_iters=2,
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert not any(i >= 1_000_000 for i in ids)  # dup dropped
+    # deterministic across reruns
+    kept2 = semantic_dedup(
+        corpus, "vec_id", "embedding",
+        threshold=0.999, n_centroids=4, kmeans_iters=2,
+    )
+    assert ids == {r["vec_id"] for r in kept2.collect()}

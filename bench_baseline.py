@@ -309,11 +309,50 @@ def main():
     e_t, s_t = timed_pair(lambda: lookup(sx_on), lambda: lookup(sx_off))
     results["secondary_index_point_lookup"] = {"engine": e_t, "stock": s_t}
 
+    # --- functional index: derived-value range probe ---------------------
+    # taxed = price * 1.07 over the month-partitioned table; clustering
+    # never happened and footer stats don't exist for expressions, so
+    # the unindexed probe must scan everything. The indexed probe skips
+    # files whose recorded expression range cannot overlap. The table is
+    # price-SORTED into files (the realistic case where expression
+    # ranges are narrow per file).
+    def build_fx(path, with_index):
+        shutil.rmtree(path, ignore_errors=True)
+        g = Engine(spark, path)
+        g.create_table("t", record_key="k", partition_by="month")
+        g.insert(
+            r.repartitionByRange(8, "o_totalprice")
+            .sortWithinPartitions("o_totalprice"),
+            "t",
+        )
+        if with_index:
+            g.create_functional_index("t", "taxed", "o_totalprice * 1.07")
+        return g
+
+    fx_on = build_fx(f"{root}/fx_on", True)
+    fx_off = build_fx(f"{root}/fx_off", False)
+
+    def fx_lookup(g, use_index):
+        df = (
+            g.read("t", func_filter=("taxed", 1000.0, 5000.0))
+            if use_index
+            else g.read("t").filter(
+                F.col("o_totalprice") * 1.07 <= 5000.0
+            ).filter(F.col("o_totalprice") * 1.07 >= 1000.0)
+        )
+        df.agg(F.sum("o_totalprice")).collect()
+
+    e_t, s_t = timed_pair(
+        lambda: fx_lookup(fx_on, True), lambda: fx_lookup(fx_off, False)
+    )
+    results["functional_index_range_probe"] = {"engine": e_t, "stock": s_t}
+
     worst = 0.0
     speedup_pairs = (
         "global_upsert_uuid_keys",
         "bloom_point_upsert",
         "secondary_index_point_lookup",
+        "functional_index_range_probe",
     )
     for k, v in results.items():
         v["ratio"] = round(v["engine"] / max(v["stock"], 1e-9), 2)

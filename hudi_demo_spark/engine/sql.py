@@ -602,6 +602,47 @@ class SqlRouter:
         raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:
+        # CTAS: CREATE TABLE t [USING hudi] [PARTITIONED BY (...)]
+        # [OPTIONS(...)] AS SELECT ... (Hudi Spark-SQL CTAS surface) —
+        # schema inferred from the query, data written as commit 1
+        mc = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?(\w+)\s*"
+            r"(using\s+\w+\s*)?"
+            r"(partitioned\s+by\s*\(([^)]*)\)\s*)?"
+            r"((?:options|tblproperties)\s*\((.*?)\)\s*)?"
+            r"as\s+(select\b.*)$",
+            s,
+            re.I | re.S,
+        )
+        if mc:
+            name = mc.group(2)
+            part_cols = [
+                c.strip() for c in (mc.group(5) or "").split(",") if c.strip()
+            ]
+            opts = {}
+            for kv in _split_top_level(mc.group(7) or ""):
+                km = re.match(r"`?([\w.]+)`?\s*=\s*'([^']*)'", kv.strip())
+                if km:
+                    opts[km.group(1).lower()] = km.group(2)
+            self.engine.sync_catalog()
+            df = self.spark.sql(
+                self._rewrite_tvfs(self._rewrite_time_travel(mc.group(8)))
+            )
+            known = {"primarykey", "precombinefield", "type", "payload"}
+            self.engine.create_table(
+                name,
+                record_key=opts.get("primarykey"),
+                precombine=opts.get("precombinefield"),
+                partition_by=part_cols or None,
+                table_type=opts.get("type", "cow"),
+                payload=opts.get("payload"),
+                schema=df.schema,
+                props={k: v for k, v in opts.items() if k not in known}
+                or None,
+                if_not_exists=bool(mc.group(1)),
+            )
+            self.engine.insert(df, name)
+            return None
         m = re.match(
             r"create\s+table\s+(if\s+not\s+exists\s+)?(\w+)\s*\((.*?)\)\s*"
             r"(using\s+\w+\s*)?"

@@ -4097,6 +4097,30 @@ def text_classifier_score(spark, sf_dir):
 
 
 @q(
+    "sql_ctas",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_regionkey = 1 ORDER BY n_nationkey
+    """,
+)
+def sql_ctas(spark, sf_dir):
+    """CREATE TABLE AS SELECT through the SQL surface: inferred schema,
+    keyed table, data landed as commit 1."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_ctas", sf_dir)
+    eng = Engine(spark, root)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    eng.sql(
+        "create table t_ctas using hudi options (primaryKey = 'n_nationkey') "
+        "as select n_nationkey, n_name from nation_src where n_regionkey = 1"
+    )
+    return eng.sql(
+        "select n_nationkey, n_name from t_ctas order by n_nationkey"
+    )
+
+
+@q(
     "sql_table_changes_tvf",
     """
     SELECT n_nationkey, n_name, n_regionkey

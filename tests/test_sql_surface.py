@@ -294,3 +294,32 @@ def test_hudi_table_valued_functions(engine, spark):
     assert [r["partition"] for r in fsv] == [
         "dt=2022-10-08", "dt=2022-10-09",
     ]
+
+
+def test_create_table_as_select(engine, spark):
+    """CTAS: schema inferred from the query, options honored, data
+    landed as the first commit; works over engine-table sources too."""
+    engine.sql(
+        "create table ctas_src (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql(
+        "insert into ctas_src values (1, 'a', 10.0, 1, '2022-10-08'), "
+        "(2, 'b', 20.0, 2, '2022-10-09'), (3, 'c', 30.0, 3, '2022-10-09')"
+    )
+    engine.sql(
+        "create table ctas_t using hudi partitioned by (dt) "
+        "options (primaryKey = 'id') as "
+        "select id, price * 2 as price2, dt from ctas_src where id >= 2"
+    )
+    cfg = engine._resolve("ctas_t")
+    assert cfg.record_key_fields == ["id"]
+    assert cfg.partition_fields == ["dt"]
+    rows = engine.sql(
+        "select id, price2 from ctas_t order by id"
+    ).collect()
+    assert [(r["id"], r["price2"]) for r in rows] == [(2, 40.0), (3, 60.0)]
+    # CTAS table is a full table: DML works on it
+    engine.sql("delete from ctas_t where id = 2")
+    assert [r["id"] for r in engine.sql("select id from ctas_t").collect()] == [3]

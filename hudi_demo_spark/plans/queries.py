@@ -4097,6 +4097,43 @@ def text_classifier_score(spark, sf_dir):
 
 
 @q(
+    "jdbc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey <= 2 ORDER BY n_nationkey
+    """,
+)
+def jdbc_roundtrip(spark, sf_dir):
+    """S9/S10 against a REAL RDBMS (embedded Derby, ships with Spark):
+    write nation over JDBC, read back via subquery-as-dbtable pushdown —
+    the reference's metastore-query shape
+    (SyncCommentsAcrossClusters.scala:52,126-139)."""
+    from hudi_demo_spark.sources.readers import jdbc_subquery_source
+
+    root = _scratch("jdbc_roundtrip", sf_dir)
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{root}/db;create=true"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        # mode("overwrite"): Derby keeps a booted database cached in the
+        # JVM, so a re-run in the same session must DROP+recreate rather
+        # than rely on the scratch dir being fresh on disk
+        n.write.format("jdbc").mode("overwrite")
+        .option("url", url).option("dbtable", "nation_t")
+        .option("driver", driver).save()
+    )
+    return jdbc_subquery_source(
+        spark,
+        url,
+        'select "n_nationkey", "n_name", "n_regionkey" from nation_t '
+        'where "n_regionkey" <= 2',
+        driver=driver,
+    ).orderBy("n_nationkey")
+
+
+@q(
     "sql_ctas",
     """
     SELECT n_nationkey, n_name FROM nation

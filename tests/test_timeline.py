@@ -816,3 +816,46 @@ def test_copy_to_table(engine, spark):
     # time-traveled clone
     engine.copy_to_table(t, "t_clone3", as_of=commits[2])
     assert engine.read("t_clone3").count() == 3
+
+
+def test_timeline_replay_bounded_by_archive_checkpoint(tmp_path):
+    """Scale proof (pure metadata, no Spark): 500 synthetic commits →
+    archive bounds the ACTIVE timeline; live-file resolution replays
+    checkpoint + tail only, and equals the full-history replay exactly —
+    including time travel on both sides of the archive boundary."""
+    import json
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    tl = Timeline(tmp_path / "t")
+    instants = []
+    for i in range(500):
+        ins = f"2026010100{i:04d}000000"
+        instants.append(ins)
+        # every commit adds one file and replaces the file from 10
+        # commits ago (a rolling-rewrite workload)
+        removed = [f"f{i-10:04d}.parquet"] if i >= 10 else []
+        tl_files = [{"path": f"f{i:04d}.parquet", "kind": "base",
+                     "partition": f"p{i % 7}"}]
+        meta = {
+            "instant": ins, "action": "commit", "operation": "insert",
+            "files_added": tl_files, "files_removed": removed, "stats": {},
+        }
+        # bypass commit()'s OCC live check (files synthesized, not real)
+        tl.dir.mkdir(parents=True, exist_ok=True)
+        (tl.dir / f"{ins}.commit.json").write_text(json.dumps(meta))
+    full = tl.live_files()
+    assert len(full) == 10  # rolling window of live files
+    mid = instants[250]
+    full_mid = tl.live_files(as_of=mid)
+    n = tl.archive(keep=30)
+    assert n == 470
+    assert len(tl.instants()) == 30  # active timeline bounded
+    # post-archive replay (checkpoint + tail) identical
+    assert tl.live_files() == full
+    # time travel BEFORE the boundary falls back to archived replay
+    assert tl.live_files(as_of=mid) == full_mid
+    # and AFTER the boundary uses the checkpoint: instant 495 sees the
+    # rolling window f0486..f0495
+    late = tl.live_files(as_of=instants[-5])
+    assert sorted(late) == [f"f{i:04d}.parquet" for i in range(486, 496)]

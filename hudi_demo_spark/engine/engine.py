@@ -3129,6 +3129,22 @@ class Engine:
 
             for rel in removed:
                 B.sidecar_path(cfg.path, rel).unlink(missing_ok=True)
+        # functional-index sidecars: fold per-commit entry files into one
+        # and drop dead-file entries — sidecar metadata stays O(live
+        # files) no matter how many commits the table has seen
+        from hudi_demo_spark.engine import functional_index as fi
+
+        fexprs = fi.indexed_exprs(cfg)
+        if fexprs:
+            live_base = {
+                p
+                for p, m in tl.live_files().items()
+                if m.get("kind") not in ("delta", "external")
+            }
+            for name, expr in fexprs.items():
+                fi.FunctionalIndex(self.spark, cfg, name, expr).compact(
+                    live_base
+                )
         instant = new_instant()
         return Timeline(cfg.path).commit(
             instant, tlmod.CLEAN, "clean", [], [], {"files_cleaned": len(removed)}

@@ -133,6 +133,24 @@ class FunctionalIndex:
     def append(self, base_relpaths: list[str], instant: str) -> None:
         self._write(instant, self._eval_ranges(base_relpaths))
 
+    # a compacted fold must sort BEFORE every real instant file —
+    # ranges() merges in filename order with newest-wins per path
+    _COMPACTED_TAG = "00000000000000000000_compacted"
+
+    def compact(self, live: set[str] | None = None) -> None:
+        """Fold all entry files into one, dropping entries for paths not
+        in `live` — bounds sidecar metadata at O(live base files)
+        regardless of commit count. Driver-side JSON work only."""
+        if not self.usable():
+            return
+        rng = self.ranges()
+        if live is not None:
+            rng = {p: v for p, v in rng.items() if p in live}
+        for p in self.dir.glob("*.json"):
+            p.unlink()
+        self._write(self._COMPACTED_TAG, rng)
+        self._mark_complete()
+
     # ---------------- read side ----------------
 
     def ranges(self) -> dict[str, list]:

@@ -96,3 +96,37 @@ def test_validate_reports_index_health(engine, spark):
     rows = {r["check"]: r["status"] for r in engine.validate(t).collect()}
     assert rows["secondary_indexes_complete"] == "OK"
     assert rows["functional_indexes_cover_base_files"] == "OK"
+
+
+def test_clean_compacts_sidecar_entries(engine, spark):
+    """clean() folds per-commit index entry files into one and drops
+    dead-file entries; probes stay exact afterwards."""
+    t = _setup(engine, spark, name="fxclean")
+    engine.create_functional_index(t, "fxv", "price * 2")
+    for i in range(3):
+        engine.upsert(
+            spark.createDataFrame(
+                [(1, "a", 10.0 + i, 2 + i, "2022-01-01")], SCHEMA
+            ),
+            t,
+        )
+    cfg = engine._resolve(t)
+    idx = engine._functional_index(cfg, "fxv")
+    n_files_before = len(list(idx.dir.glob("*.json")))
+    assert n_files_before >= 4  # build + one per upsert
+    engine.clean(t, retain_commits=1, stale_staging_s=0)
+    idx = engine._functional_index(engine._resolve(t), "fxv")
+    assert len(list(idx.dir.glob("*.json"))) == 1  # folded
+    rng = idx.ranges()
+    # dead-file entries dropped: every entry points at a live file
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    live = set(Timeline(cfg.path).live_files())
+    assert set(rng) <= live and rng
+    got = engine.read(t, func_filter=("fxv", 24.0, 25.0))
+    assert [r["price"] for r in got.collect()] == [12.0]
+    # maintenance after the fold still appends (newer entries win)
+    engine.upsert(
+        spark.createDataFrame([(9, "z", 500.0, 9, "2022-02-01")], SCHEMA), t
+    )
+    assert engine.read(t, func_filter=("fxv", 999.0, 1001.0)).count() == 1

@@ -159,3 +159,39 @@ def train_val_test_split(
         .when(b < 16 - test_16ths, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Multinomial temperature mixing rates (the XLM / mT5 resampling
+    shape, q_g ∝ p_g^alpha) realized as DOWN-sampling keep-rates for
+    `weighted_mix`: rate_g = 256 * (n_min / n_g)^(1 - alpha), so the
+    rarest group keeps everything and bigger groups are thinned toward
+    the temperature-flattened distribution — no row duplication, fully
+    deterministic. alpha=1 keeps natural proportions; alpha=0 equalizes
+    group sizes. One group-count aggregate (driver gets #groups rows);
+    floor(x + 0.5) rounding so any engine reproduces the rates."""
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {
+        g: max(
+            1,
+            min(
+                256,
+                math.floor(256 * (n_min / n) ** (1.0 - alpha) + 0.5),
+            ),
+        )
+        for g, n in counts.items()
+    }

@@ -4097,6 +4097,57 @@ def text_classifier_score(spark, sf_dir):
 
 
 @q(
+    "corpus_temperature_mix",
+    """
+    WITH skewed AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % 3 != 0 OR source IN ('src0', 'src1')
+    ), counts AS (
+      SELECT source, count(*) AS n FROM skewed GROUP BY source
+    ), mn AS (SELECT min(n) AS n_min FROM counts),
+    rates AS (
+      SELECT source,
+             GREATEST(1, LEAST(256, CAST(floor(
+               256 * pow(CAST((SELECT n_min FROM mn) AS DOUBLE) / n, 0.5)
+               + 0.5) AS INTEGER))) AS r
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM skewed d JOIN rates USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
+               AS INTEGER) % 256 < r
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-resampled domain mixture (alpha=0.5): rates derived
+    from group counts by `temperature_rates`, applied by the
+    deterministic `weighted_mix` — the full pipeline replayed in SQL.
+    The fixture corpus is uniform across sources, so the input is
+    skewed first (two sources kept whole, the rest thinned) to make the
+    temperature re-weighting observable."""
+    from hudi_demo_spark.operators.sampling import (
+        temperature_rates,
+        weighted_mix,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(
+            (F.col("doc_id") % 3 != 0)
+            | F.col("source").isin("src0", "src1")
+        )
+    )
+    rates = temperature_rates(d, "source", alpha=0.5)
+    return (
+        weighted_mix(d, "doc_id", "source", rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "jdbc_roundtrip",
     """
     SELECT n_nationkey, n_name, n_regionkey FROM nation

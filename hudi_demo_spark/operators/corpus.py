@@ -216,3 +216,30 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> Data
     c = F.regexp_replace(c, PII_PATTERNS["ip"], "[IP]")
     c = F.regexp_replace(c, PII_PATTERNS["phone"], "[PHONE]")
     return df.withColumn(out_col or text_col, c)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+) -> DataFrame:
+    """Per-group document cap (the C4/RefinedWeb "max pages per domain"
+    rule, generalized to any group: domain, source, author): keep at
+    most `max_per_group` rows per group, chosen DETERMINISTICALLY by
+    portable-hash order (id as tiebreak) so the kept set is stable
+    across runs, engines, and data growth-reshuffles.
+
+    One keyed window (group-partitioned — parallel across groups, never
+    a global sort); a hot group bounds a single partition's work at
+    O(group size), the same skew profile as any per-key aggregate."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash60(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_group)
+        .drop("__rn")
+    )

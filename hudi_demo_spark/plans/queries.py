@@ -4148,6 +4148,30 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_cap_per_group",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15) AS BIGINT), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 7
+    ORDER BY doc_id
+    """,
+)
+def corpus_cap_per_group(spark, sf_dir):
+    """Per-group cap (C4/RefinedWeb max-pages-per-domain rule): keep at
+    most 7 docs per source, deterministic portable-hash order."""
+    from hudi_demo_spark.operators.corpus import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", "doc_id", 7).orderBy("doc_id")
+
+
+@q(
     "jdbc_roundtrip",
     """
     SELECT n_nationkey, n_name, n_regionkey FROM nation

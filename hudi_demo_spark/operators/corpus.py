@@ -164,6 +164,43 @@ def decontaminate(
     return train.join(dirty, id_col, "left_anti")
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """(id, n_shingles, n_contaminated, contamination_frac) per training
+    document — the AUDIT form of `decontaminate`: instead of silently
+    dropping any-hit docs, report how much of each document's n-gram
+    mass overlaps the eval set, so thresholds can be chosen on evidence
+    (the common operational step before committing to a filter).
+
+    Same scale shape as decontaminate: eval shingles distinct'd and
+    broadcast, train side streams map-side; the only shuffle is the
+    per-doc count aggregate."""
+    tr = _spread(train).select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, ngram)).alias("__g"),
+    )
+    te = (
+        test.select(F.explode(word_ngrams(text_col, ngram)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = tr.join(F.broadcast(te), "__g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count("*"), 4
+        ).alias("contamination_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition / boilerplate
 # ---------------------------------------------------------------------------

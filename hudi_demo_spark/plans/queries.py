@@ -4148,6 +4148,49 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_contamination_report",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i : i + 7], ' '))
+             ELSE [] END) AS g8
+      FROM toks
+    ), tg AS (
+      SELECT DISTINCT g8 FROM g WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN g8 IN (SELECT g8 FROM tg) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN g8 IN (SELECT g8 FROM tg) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS contamination_frac
+    FROM g WHERE doc_id % 7 <> 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_contamination_report(spark, sf_dir):
+    """Contamination AUDIT (the evidence-gathering step before
+    committing to a decontamination threshold): per-train-doc count and
+    fraction of word 8-grams shared with the held-out set. Docs shorter
+    than the n-gram window produce no shingles and no report row (both
+    engines agree)."""
+    from hudi_demo_spark.operators.corpus import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return contamination_report(
+        train, test, "doc_id", "text", ngram=8
+    ).orderBy("doc_id")
+
+
+@q(
     "corpus_cap_per_group",
     """
     SELECT doc_id, source FROM (

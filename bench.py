@@ -72,6 +72,11 @@ HEADLINE = [
     "events_sliding_window",
     "text_unigram_logprob",
     "engine_incremental_rollup",
+    "engine_secondary_index",
+    "engine_functional_index",
+    "text_classifier_score",
+    "corpus_temperature_mix",
+    "corpus_cap_per_group",
 ]
 
 

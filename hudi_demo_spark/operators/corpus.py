@@ -136,6 +136,59 @@ def pack_offsets(
     )
 
 
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundaries: tuple = (64, 256, 1024),
+    batch_size: int = 32,
+    n_sub: int = 256,
+) -> DataFrame:
+    """Sequence-bucketed batch plan (the padding-efficiency batching
+    step): assign each document a length bucket (token count vs
+    `boundaries`) and a deterministic batch index within its bucket —
+    (id, n_tokens, bucket, batch_idx). Batch order is portable-hash of
+    the id (stable shuffle within a bucket), so the plan is reproducible
+    on any engine and any parallelism.
+
+    Scale: positions within a bucket need a bucket-global row number; a
+    window partitioned by the handful of length buckets would collapse
+    each bucket to ONE task. Instead the pack_offsets two-phase shape:
+    hash-subbucket windows (parallel) + a (buckets × n_sub)-row base-
+    offset table broadcast back — every stage stays parallel at any
+    corpus size."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    n = F.size(tokens(text_col)).cast("long")
+    bucket = F.lit(len(boundaries))
+    for i in reversed(range(len(boundaries))):
+        bucket = F.when(n <= F.lit(boundaries[i]), F.lit(i)).otherwise(bucket)
+    h = portable_hash60(F.col(id_col).cast("string"))
+    # sub-bucket = TOP bits of the hash: a PREFIX of the sort key, so
+    # (sub asc, h asc) ordering equals global h ordering — positions
+    # composed from per-sub windows match a bucket-global row number
+    base = df.select(
+        F.col(id_col), n.alias("__n"), bucket.alias("bucket"),
+        h.alias("__h"),
+        F.floor(h / F.lit(2 ** 60 // n_sub)).cast("int").alias("__s"),
+    )
+    w = Window.partitionBy("bucket", "__s").orderBy("__h", id_col)
+    local = base.withColumn("__rn", F.row_number().over(w))
+    counts = base.groupBy("bucket", "__s").agg(F.count("*").alias("__c"))
+    # (buckets × n_sub) rows only — single-partition window is fine
+    wb = Window.partitionBy("bucket").orderBy("__s")
+    offs = counts.withColumn(
+        "__base", F.sum("__c").over(wb) - F.col("__c")
+    ).select("bucket", "__s", "__base")
+    pos = F.col("__base") + F.col("__rn") - 1
+    return local.join(F.broadcast(offs), ["bucket", "__s"]).select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        "bucket",
+        F.floor(pos / batch_size).cast("long").alias("batch_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------

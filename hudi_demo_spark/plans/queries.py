@@ -4148,6 +4148,41 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_length_batches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 64 THEN 0 WHEN n <= 256 THEN 1
+                  WHEN n <= 1024 THEN 2 ELSE 3 END AS bucket, h
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens, CAST(bucket AS INTEGER) AS bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+                 - 1) // 32 AS BIGINT) AS batch_idx
+    FROM b ORDER BY doc_id
+    """,
+)
+def corpus_length_batches(spark, sf_dir):
+    """Sequence-bucketed batch plan: length bucket + deterministic batch
+    index, computed with the two-phase (no single-partition window)
+    shape; the oracle states the same plan with a plain bucket-global
+    row_number."""
+    from hudi_demo_spark.operators.corpus import length_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_batches(
+        d, "doc_id", "text", boundaries=(64, 256, 1024), batch_size=32
+    ).orderBy("doc_id")
+
+
+@q(
     "corpus_contamination_report",
     """
     WITH toks AS (

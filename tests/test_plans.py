@@ -170,3 +170,20 @@ def test_classifier_score_is_udf_free_single_projection(spark, sf_dir):
     # scoring itself must not introduce a keyed (hash) shuffle
     assert "hashpartitioning" not in plan, plan
     assert plan.count("rangepartitioning") <= 1, plan
+
+
+def test_length_batches_windows_are_subbucket_partitioned(spark, sf_dir):
+    """The per-doc row_number window must be partitioned by (bucket,
+    sub-bucket); the only coarser window runs on the (buckets × n_sub)
+    base-offset aggregate."""
+    from hudi_demo_spark.operators.corpus import length_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    df = length_batches(d, "doc_id", "text")
+    plan = plan_of(df, "extended")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert windows
+    for ln in windows:
+        # every window is partitioned: either (bucket, __s) for doc rows
+        # or (bucket) for the tiny offsets aggregate — never global
+        assert "windowspecdefinition(bucket" in ln, ln

@@ -217,6 +217,48 @@ def decontaminate(
     return train.join(dirty, id_col, "left_anti")
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+    pass: cookie banners, nav menus, copyright footers appear in
+    thousands of documents — drop every line whose corpus-wide
+    occurrence count exceeds `max_occurrences`, keep document line order
+    otherwise). Returns (id, text) with offending lines removed; a
+    document whose every line is boilerplate survives with empty text.
+
+    Scale: explode to (doc, line-index, line), ONE corpus-wide line
+    count (map-side combinable; hot boilerplate lines are exactly the
+    skew AQE's skew-join handles), semi-join back, and per-doc
+    reassembly via sort_array(collect_list) — keyed shuffles only,
+    nothing corpus-global."""
+    lines = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__i", "__l"),
+    )
+    freq = lines.groupBy("__l").agg(F.count("*").alias("__c"))
+    kept = lines.join(
+        freq.filter(F.col("__c") <= max_occurrences), "__l", "left_semi"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__l"))),
+                lambda s: s["__l"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs whose every line was boilerplate still exist (empty text)
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    )
+
+
 def contamination_report(
     train: DataFrame,
     test: DataFrame,

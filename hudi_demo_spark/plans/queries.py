@@ -4148,6 +4148,57 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_dedup_lines",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             'ACCEPT COOKIES' || chr(10) || text || chr(10) ||
+             'ALL RIGHTS RESERVED site' ||
+             CAST(doc_id % 3 AS VARCHAR) AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, u.i - 1 AS idx, u.l AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected),
+           LATERAL (
+             SELECT unnest(range(1, len(ls) + 1)) AS i,
+                    unnest(ls) AS l
+           ) u
+    ), freq AS (
+      SELECT line, count(*) AS c FROM lines GROUP BY line
+    ), kept AS (
+      SELECT doc_id, idx, line FROM lines
+      WHERE line IN (SELECT line FROM freq WHERE c <= 2)
+    )
+    SELECT i.doc_id,
+           coalesce(
+             (SELECT array_to_string(list(k.line ORDER BY k.idx), chr(10))
+              FROM kept k WHERE k.doc_id = i.doc_id), '') AS text
+    FROM injected i
+    ORDER BY i.doc_id
+    """,
+)
+def corpus_dedup_lines(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup: boilerplate lines (injected
+    cookie banner + per-site footers, since the fixture is single-line)
+    are dropped by occurrence count; unique body lines survive in
+    order."""
+    from hudi_demo_spark.operators.corpus import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("ACCEPT COOKIES\n"),
+            F.col("text"),
+            F.lit("\nALL RIGHTS RESERVED site"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(d, "doc_id", "text", max_occurrences=2).orderBy(
+        "doc_id"
+    )
+
+
+@q(
     "corpus_length_batches",
     """
     WITH t AS (

@@ -3210,17 +3210,26 @@ class Engine:
             self._secondary_truncate(cfg)
         return rolled
 
-    def savepoint(self, table: str | TableConfig) -> str:
-        """Savepoint (Hudi `call create_savepoint`): mark the latest
-        commit's snapshot as restorable — clean will never physically
-        delete the files that snapshot references."""
+    def savepoint(
+        self, table: str | TableConfig, instant: str | None = None
+    ) -> str:
+        """Savepoint (Hudi `call create_savepoint(commit_time => ...)`):
+        mark a commit's snapshot — the latest by default — as
+        restorable; clean will never physically delete the files that
+        snapshot references."""
         cfg = self._resolve(table)
         tl = Timeline(cfg.path)
-        last = tl.last_instant()
-        if last is None:
-            raise ValueError("cannot savepoint an empty table")
-        tl.create_savepoint(last)
-        return last
+        if instant is None:
+            instant = tl.last_instant()
+            if instant is None:
+                raise ValueError("cannot savepoint an empty table")
+        elif not any(
+            m["instant"] == instant
+            for m in tl.instants(include_archived=True)
+        ):
+            raise ValueError(f"unknown instant: {instant}")
+        tl.create_savepoint(instant)
+        return instant
 
     def delete_savepoint(self, table: str | TableConfig, instant: str) -> bool:
         return Timeline(self._resolve(table).path).delete_savepoint(instant)

@@ -517,7 +517,11 @@ class SqlRouter:
             )
             return None
         if proc == "create_savepoint":
-            self.engine.savepoint(table)
+            self.engine.savepoint(
+                table, instant=args.get("commit_time") or args.get(
+                    "instant_time"
+                )
+            )
             return None
         if proc == "delete_savepoint":
             self.engine.delete_savepoint(table, args.get("instant_time", ""))

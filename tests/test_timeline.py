@@ -859,3 +859,21 @@ def test_timeline_replay_bounded_by_archive_checkpoint(tmp_path):
     # rolling window f0486..f0495
     late = tl.live_files(as_of=instants[-5])
     assert sorted(late) == [f"f{i:04d}.parquet" for i in range(486, 496)]
+
+
+def test_savepoint_explicit_instant(engine, spark):
+    """create_savepoint(commit_time => …): a NON-latest commit can be
+    savepointed; its snapshot survives an aggressive clean and restores."""
+    import pytest as _pytest
+
+    t = _setup(engine, spark)
+    commits = sorted(c["commit_time"] for c in engine.show_commits(t).collect())
+    engine.sql(
+        f"call create_savepoint(table => '{t}', commit_time => '{commits[2]}')"
+    )
+    assert engine.savepoints(t) == [commits[2]]
+    engine.clean(t, retain_commits=1, stale_staging_s=0)
+    engine.restore_to_savepoint(t, commits[2])
+    assert sorted(r["id"] for r in engine.read(t).collect()) == [1, 2, 3]
+    with _pytest.raises(ValueError, match="unknown instant"):
+        engine.savepoint(t, instant="19990101000000000000")

@@ -2206,12 +2206,17 @@ class Engine:
         matched_update_set: dict[str, str | Column] | str = "*",
         matched_delete_cond: str | Column | None = None,
         not_matched_insert_cond: str | Column | None = None,
+        not_matched_insert_values: dict[str, str | Column] | None = None,
     ) -> dict:
         """MERGE INTO (W5) — SparkSQLDemo.scala:77-91: full-outer join on
         the record key within the source's partitions + row-level CASE.
         Clause precedence: matched-update, then matched-delete, then
         not-matched-insert (the demo's clause order). Conditions are
-        expressions over aliases `t` (target) and `s` (source)."""
+        expressions over aliases `t` (target) and `s` (source).
+        `matched_update_set` may be "*" (take the source row) or an
+        explicit {col: expr} map; `not_matched_insert_values` likewise
+        narrows INSERT to an explicit column map (unmentioned data
+        columns insert as NULL, the Spark SQL MERGE semantics)."""
         cfg = self._resolve(table)
         instant = new_instant()
         tl = Timeline(cfg.path)
@@ -2289,10 +2294,37 @@ class Engine:
                 if isinstance(matched_update_set, dict)
                 else None
             )
+            ins_map = (
+                {k: _as_cond(v) for k, v in not_matched_insert_values.items()}
+                if not_matched_insert_values is not None
+                else None
+            )
+            dtypes = {
+                f.name: f.dataType for f in self._stored_schema(cfg).fields
+            }
             for c in data_cols:
-                src_val = F.col(f"s.{c}")
-                if set_map is not None and c in set_map:
-                    src_val = F.when(do_insert, F.col(f"s.{c}")).otherwise(set_map[c])
+                if c.startswith("_hoodie_"):
+                    # meta columns always come from the stamped source
+                    ins_val = upd_val = F.col(f"s.{c}")
+                else:
+                    ins_val = (
+                        ins_map[c]
+                        if ins_map is not None and c in ins_map
+                        else (
+                            F.lit(None).cast(dtypes[c])
+                            if ins_map is not None
+                            else F.col(f"s.{c}")
+                        )
+                    )
+                    if set_map is None:
+                        upd_val = F.col(f"s.{c}")  # UPDATE SET *
+                    elif c in set_map:
+                        upd_val = set_map[c]
+                    else:
+                        # explicit SET list: unmentioned columns KEEP
+                        # their target values (Spark SQL MERGE semantics)
+                        upd_val = F.col(f"t.{c}")
+                src_val = F.when(do_insert, ins_val).otherwise(upd_val)
                 val = F.when(use_src, src_val).otherwise(F.col(f"t.{c}"))
                 sel.append(val.alias(c))
             out = j.filter(keep).select(*sel)

@@ -763,11 +763,14 @@ class SqlRouter:
 
     def _update(self, s: str) -> None:
         m = re.match(
-            r"update\s+(\w+)\s+set\s+(.*?)\s+where\s+(.*)$", s, re.I | re.S
+            r"update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            s,
+            re.I | re.S,
         )
         if not m:
             raise ValueError(f"unsupported UPDATE shape: {s[:120]}")
         name, set_sql, where = m.groups()
+        where = where or "true"  # WHERE-less UPDATE touches every row
         assigns = {}
         for a in _split_top_level(set_sql):
             am = re.match(r"([\w.]+)\s*=\s*(.+)$", a.strip(), re.S)
@@ -817,28 +820,63 @@ class SqlRouter:
             )
 
         upd_cond = del_cond = ins_cond = None
+        upd_set: dict | str = "*"
+        ins_vals: dict | None = None
         has_update = has_delete = has_insert = False
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(?:\s+and\s+(.*?))?\s+then\s+"
-            r"(update\s+set\s+\*|delete|insert\s+\*)",
+            r"(update\s+set\s+.*?|delete|insert\s+.*?)"
+            r"(?=\s+when\s+(?:not\s+)?matched|\s*$)",
             clauses_sql,
             re.I | re.S,
         ):
             notm, cond, action = cm.groups()
-            action = action.lower()
-            if notm and action.startswith("insert"):
+            low_action = action.lower().strip()
+            if notm and low_action.startswith("insert"):
                 has_insert, ins_cond = True, cond
-            elif action.startswith("update"):
+                body = action.strip()[len("insert"):].strip()
+                if body != "*":
+                    # INSERT (cols) VALUES (exprs)
+                    im = re.match(
+                        r"\(([^)]*)\)\s*values\s*\((.*)\)\s*$", body,
+                        re.I | re.S,
+                    )
+                    if not im:
+                        raise ValueError(f"bad INSERT clause: {action[:80]}")
+                    cols = [c.strip() for c in im.group(1).split(",")]
+                    exprs = _split_top_level(im.group(2))
+                    if len(cols) != len(exprs):
+                        raise ValueError(
+                            "INSERT column/value count mismatch"
+                        )
+                    ins_vals = {
+                        c.split(".")[-1]: fix(e.strip())
+                        for c, e in zip(cols, exprs)
+                    }
+            elif low_action.startswith("update"):
                 has_update, upd_cond = True, cond
-            elif action == "delete":
+                body = action.strip()[len("update"):].strip()
+                body = re.sub(r"^set\s+", "", body, flags=re.I)
+                if body.strip() != "*":
+                    # UPDATE SET col = expr, ... (explicit assignments)
+                    upd_set = {}
+                    for a in _split_top_level(body):
+                        am = re.match(r"([\w.]+)\s*=\s*(.+)$", a.strip(), re.S)
+                        if not am:
+                            raise ValueError(f"bad assignment: {a!r}")
+                        upd_set[am.group(1).split(".")[-1]] = fix(
+                            am.group(2).strip()
+                        )
+            elif low_action == "delete":
                 has_delete, del_cond = True, cond
         self.engine.merge(
             name,
             source,
             matched_update_cond=fix(upd_cond) if has_update else None,
-            matched_update_set="*" if has_update else None,
+            matched_update_set=upd_set if has_update else None,
             matched_delete_cond=(fix(del_cond) or "true") if has_delete else None,
             not_matched_insert_cond=fix(ins_cond) if ins_cond else None,
+            not_matched_insert_values=ins_vals,
         )
         return None
 

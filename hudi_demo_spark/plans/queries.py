@@ -4338,6 +4338,61 @@ def jdbc_roundtrip(spark, sf_dir):
 
 
 @q(
+    "sql_merge_assignments",
+    """
+    WITH base(id, name, price, ts) AS (
+      VALUES (1, 'a', 10.0, CAST(1 AS BIGINT)),
+             (2, 'b', 20.0, CAST(1 AS BIGINT))
+    ), src(id, name, price, ts) AS (
+      VALUES (1, 'a_new', 99.0, CAST(5 AS BIGINT)),
+             (3, 'c', 30.0, CAST(5 AS BIGINT))
+    )
+    SELECT coalesce(t.id, s.id) AS id,
+           CASE WHEN t.id IS NULL THEN upper(s.name) ELSE t.name END AS name,
+           round(CAST(CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL
+                           THEN s.price + 1
+                           WHEN t.id IS NULL THEN NULL ELSE t.price END
+                      AS DOUBLE), 2) AS price,
+           CAST(CASE WHEN s.id IS NOT NULL THEN s.ts ELSE t.ts END
+                AS BIGINT) AS ts
+    FROM base t FULL OUTER JOIN src s ON t.id = s.id
+    ORDER BY id
+    """,
+)
+def sql_merge_assignments(spark, sf_dir):
+    """MERGE with explicit UPDATE SET assignments (unmentioned columns
+    keep target values) and INSERT (cols) VALUES (exprs) (unmentioned
+    data columns NULL) — replayed by a full-outer CASE oracle."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_merge_assignments", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql(
+        "create table mx (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    eng.sql("insert into mx values (1, 'a', 10.0, 1), (2, 'b', 20.0, 1)")
+    eng.sql(
+        """
+        merge into mx as t0
+        using (
+          select 1 as id, 'a_new' as name, 99.0 as price,
+                 cast(5 as long) as ts
+          union select 3, 'c', 30.0, cast(5 as long)
+        ) s0
+        on t0.id = s0.id
+        when matched then update set price = s0.price + 1, ts = s0.ts
+        when not matched then insert (id, name, ts)
+             values (s0.id, upper(s0.name), s0.ts)
+        """
+    )
+    out = eng.sql("select id, name, price, ts from mx order by id")
+    return out.select(
+        "id", "name", F.round("price", 2).alias("price"), "ts"
+    )
+
+
+@q(
     "sql_ctas",
     """
     SELECT n_nationkey, n_name FROM nation

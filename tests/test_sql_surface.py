@@ -323,3 +323,54 @@ def test_create_table_as_select(engine, spark):
     # CTAS table is a full table: DML works on it
     engine.sql("delete from ctas_t where id = 2")
     assert [r["id"] for r in engine.sql("select id from ctas_t").collect()] == [3]
+
+
+def test_merge_explicit_assignments_and_insert_list(engine, spark):
+    """MERGE with explicit UPDATE SET assignments (unmentioned columns
+    keep TARGET values) and INSERT (cols) VALUES (exprs) (unmentioned
+    data columns insert as NULL) — the full Spark-SQL MERGE surface
+    beyond the reference's `set *` demo."""
+    engine.sql(
+        "create table mex (id int, name string, price double, ts long, "
+        "dt string) using hudi partitioned by (dt) "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql(
+        "insert into mex values (1, 'a', 10.0, 1, '2022-10-08'), "
+        "(2, 'b', 20.0, 1, '2022-10-08')"
+    )
+    engine.sql(
+        """
+        merge into mex as t0
+        using (
+          select 1 as id, 'a_new' as name, 99.0 as price, 5 as ts,
+                 '2022-10-08' as dt
+          union select 3, 'c', 30.0, 5, '2022-10-08'
+        ) s0
+        on t0.id = s0.id
+        when matched then update set price = s0.price + 1, ts = s0.ts
+        when not matched then insert (id, name, ts, dt)
+             values (s0.id, upper(s0.name), s0.ts, s0.dt)
+        """
+    )
+    rows = {r["id"]: r for r in engine.sql("select * from mex").collect()}
+    # matched: only price/ts updated; name keeps the TARGET value
+    assert rows[1]["price"] == 100.0 and rows[1]["ts"] == 5
+    assert rows[1]["name"] == "a"
+    # untouched row intact
+    assert rows[2]["name"] == "b" and rows[2]["price"] == 20.0
+    # insert list: price unmentioned -> NULL; name transformed
+    assert rows[3]["name"] == "C" and rows[3]["price"] is None
+    assert rows[3]["ts"] == 5 and rows[3]["dt"] == "2022-10-08"
+
+
+def test_update_without_where(engine, spark):
+    engine.sql(
+        "create table uw (id int, price double, ts long) using hudi "
+        "options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql("insert into uw values (1, 1.0, 1), (2, 2.0, 1)")
+    engine.sql("update uw set price = price * 10")
+    assert sorted(
+        r["price"] for r in engine.sql("select price from uw").collect()
+    ) == [10.0, 20.0]

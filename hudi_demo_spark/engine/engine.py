@@ -2207,6 +2207,9 @@ class Engine:
         matched_delete_cond: str | Column | None = None,
         not_matched_insert_cond: str | Column | None = None,
         not_matched_insert_values: dict[str, str | Column] | None = None,
+        not_matched_by_source_delete_cond: str | Column | None = None,
+        not_matched_by_source_update_set: dict[str, str | Column] | None = None,
+        not_matched_by_source_update_cond: str | Column | None = None,
     ) -> dict:
         """MERGE INTO (W5) — SparkSQLDemo.scala:77-91: full-outer join on
         the record key within the source's partitions + row-level CASE.
@@ -2216,7 +2219,14 @@ class Engine:
         `matched_update_set` may be "*" (take the source row) or an
         explicit {col: expr} map; `not_matched_insert_values` likewise
         narrows INSERT to an explicit column map (unmentioned data
-        columns insert as NULL, the Spark SQL MERGE semantics)."""
+        columns insert as NULL, the Spark SQL MERGE semantics).
+
+        `not_matched_by_source_*` (Spark 3.4 MERGE): act on TARGET rows
+        with no source match — the sync-deletion clause. These clauses
+        are inherently full-table (any target row might lack a match),
+        so their presence widens the scan from the source-pruned file
+        set to every live file; without them the merge stays
+        file-group-scoped."""
         cfg = self._resolve(table)
         instant = new_instant()
         tl = Timeline(cfg.path)
@@ -2226,17 +2236,27 @@ class Engine:
             ranges, n_src = self._batch_key_ranges(src)
             live = tl.live_files()
             on = self._merge_key_cols(cfg)
-            if self._is_global(cfg):
+            has_by_source = (
+                not_matched_by_source_delete_cond is not None
+                or not_matched_by_source_update_set is not None
+            )
+            if has_by_source:
+                # by-source clauses can touch ANY unmatched target row:
+                # pruning would hide rows from them — full live scan
+                affected = dict(live)
+            elif self._is_global(cfg):
                 # global index: a source row may match a target row in a
                 # DIFFERENT partition (and a matched update moves it) —
                 # key-only join over the globally pruned candidate set
                 affected = self._global_candidates(cfg, live, ranges, src)
             else:
                 affected = self._affected_files(live, ranges)
-            # bloom-pruned files provably hold none of the source's keys:
-            # their rows would all take the keep-unmatched-target branch,
-            # so leaving them live unscanned is semantics-preserving
-            affected = self._bloom_prune(cfg, affected, src, n_src)
+            if not has_by_source:
+                # bloom-pruned files provably hold none of the source's
+                # keys: their rows would all take the keep-unmatched-
+                # target branch, so leaving them live unscanned is
+                # semantics-preserving
+                affected = self._bloom_prune(cfg, affected, src, n_src)
             base = self._read_files(cfg, affected)
             if cfg.table_type == MOR:
                 base = self._merge_view(base, cfg)
@@ -2269,7 +2289,24 @@ class Engine:
             do_delete = matched & ~upd_c & del_c
             do_insert = ~t_here & s_here & ins_c
             drop_insert = ~t_here & s_here & ~ins_c
-            keep = ~(do_delete | drop_insert)
+            t_only = t_here & ~s_here
+            bs_upd_c = (
+                _as_cond(not_matched_by_source_update_cond)
+                if not_matched_by_source_update_cond is not None
+                else F.lit(True)
+            )
+            do_bs_update = (
+                (t_only & bs_upd_c)
+                if not_matched_by_source_update_set is not None
+                else F.lit(False)
+            )
+            do_bs_delete = (
+                (t_only & ~do_bs_update
+                 & _as_cond(not_matched_by_source_delete_cond))
+                if not_matched_by_source_delete_cond is not None
+                else F.lit(False)
+            )
+            keep = ~(do_delete | drop_insert | do_bs_delete)
             data_cols = [
                 f.name
                 for f in self._stored_schema(cfg).fields
@@ -2299,6 +2336,14 @@ class Engine:
                 if not_matched_insert_values is not None
                 else None
             )
+            bs_set_map = (
+                {
+                    k: _as_cond(v)
+                    for k, v in not_matched_by_source_update_set.items()
+                }
+                if not_matched_by_source_update_set is not None
+                else None
+            )
             dtypes = {
                 f.name: f.dataType for f in self._stored_schema(cfg).fields
             }
@@ -2326,6 +2371,16 @@ class Engine:
                         upd_val = F.col(f"t.{c}")
                 src_val = F.when(do_insert, ins_val).otherwise(upd_val)
                 val = F.when(use_src, src_val).otherwise(F.col(f"t.{c}"))
+                if bs_set_map is not None:
+                    if c == COMMIT_TIME_META:
+                        # by-source-updated rows are touched: stamp them
+                        val = F.when(
+                            do_bs_update, F.lit(instant)
+                        ).otherwise(val)
+                    elif c in bs_set_map:
+                        val = F.when(
+                            do_bs_update, bs_set_map[c]
+                        ).otherwise(val)
                 sel.append(val.alias(c))
             out = j.filter(keep).select(*sel)
             rewritten = self._materialize(

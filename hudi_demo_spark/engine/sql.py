@@ -822,16 +822,41 @@ class SqlRouter:
         upd_cond = del_cond = ins_cond = None
         upd_set: dict | str = "*"
         ins_vals: dict | None = None
-        has_update = has_delete = has_insert = False
+        bs_del_cond = bs_upd_cond = None
+        bs_upd_set: dict | None = None
+        has_update = has_delete = has_insert = has_bs_delete = False
         for cm in re.finditer(
-            r"when\s+(not\s+)?matched(?:\s+and\s+(.*?))?\s+then\s+"
-            r"(update\s+set\s+.*?|delete|insert\s+.*?)"
+            r"when\s+(not\s+)?matched(\s+by\s+source)?(?:\s+and\s+(.*?))?"
+            r"\s+then\s+(update\s+set\s+.*?|delete|insert\s+.*?)"
             r"(?=\s+when\s+(?:not\s+)?matched|\s*$)",
             clauses_sql,
             re.I | re.S,
         ):
-            notm, cond, action = cm.groups()
+            notm, by_source, cond, action = cm.groups()
             low_action = action.lower().strip()
+            if notm and by_source:
+                # Spark 3.4 MERGE: act on target rows without a source
+                # match (sync deletions / flagging)
+                if low_action == "delete":
+                    has_bs_delete, bs_del_cond = True, cond
+                elif low_action.startswith("update"):
+                    body = re.sub(
+                        r"^update\s+set\s+", "", action.strip(), flags=re.I
+                    )
+                    bs_upd_set = {}
+                    for a in _split_top_level(body):
+                        am = re.match(r"([\w.]+)\s*=\s*(.+)$", a.strip(), re.S)
+                        if not am:
+                            raise ValueError(f"bad assignment: {a!r}")
+                        bs_upd_set[am.group(1).split(".")[-1]] = fix(
+                            am.group(2).strip()
+                        )
+                    bs_upd_cond = cond
+                else:
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE supports UPDATE SET/DELETE"
+                    )
+                continue
             if notm and low_action.startswith("insert"):
                 has_insert, ins_cond = True, cond
                 body = action.strip()[len("insert"):].strip()
@@ -877,6 +902,13 @@ class SqlRouter:
             matched_delete_cond=(fix(del_cond) or "true") if has_delete else None,
             not_matched_insert_cond=fix(ins_cond) if ins_cond else None,
             not_matched_insert_values=ins_vals,
+            not_matched_by_source_delete_cond=(
+                (fix(bs_del_cond) or "true") if has_bs_delete else None
+            ),
+            not_matched_by_source_update_set=bs_upd_set,
+            not_matched_by_source_update_cond=(
+                fix(bs_upd_cond) if bs_upd_cond else None
+            ),
         )
         return None
 

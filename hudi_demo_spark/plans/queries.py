@@ -4393,6 +4393,59 @@ def sql_merge_assignments(spark, sf_dir):
 
 
 @q(
+    "sql_merge_by_source",
+    """
+    WITH base(id, name, price, ts) AS (
+      VALUES (1, 'a', 10.0, CAST(1 AS BIGINT)),
+             (2, 'b', 20.0, CAST(1 AS BIGINT)),
+             (3, 'c', 30.0, CAST(1 AS BIGINT)),
+             (4, 'd', 40.0, CAST(1 AS BIGINT))
+    ), src(id, name, price, ts) AS (
+      VALUES (1, 'a2', 11.0, CAST(2 AS BIGINT)),
+             (5, 'e', 50.0, CAST(2 AS BIGINT))
+    )
+    SELECT coalesce(t.id, s.id) AS id,
+           CASE WHEN s.id IS NOT NULL THEN s.name ELSE t.name END AS name,
+           round(CAST(CASE WHEN s.id IS NOT NULL THEN s.price
+                           ELSE t.price END AS DOUBLE), 2) AS price
+    FROM base t FULL OUTER JOIN src s ON t.id = s.id
+    WHERE NOT (t.id IS NOT NULL AND s.id IS NULL AND t.id != 3)
+    ORDER BY id
+    """,
+)
+def sql_merge_by_source(spark, sf_dir):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE (sync-mirror):
+    oracle replays the full-outer CASE with the by-source deletion."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_merge_by_source", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql(
+        "create table bs (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    eng.sql(
+        "insert into bs values (1, 'a', 10.0, 1), (2, 'b', 20.0, 1), "
+        "(3, 'c', 30.0, 1), (4, 'd', 40.0, 1)"
+    )
+    eng.sql(
+        """
+        merge into bs as t0
+        using (
+          select 1 as id, 'a2' as name, 11.0 as price, cast(2 as long) as ts
+          union select 5, 'e', 50.0, cast(2 as long)
+        ) s0
+        on t0.id = s0.id
+        when matched then update set *
+        when not matched then insert *
+        when not matched by source and t0.id != 3 then delete
+        """
+    )
+    out = eng.sql("select id, name, price from bs order by id")
+    return out.select("id", "name", F.round("price", 2).alias("price"))
+
+
+@q(
     "sql_ctas",
     """
     SELECT n_nationkey, n_name FROM nation

@@ -374,3 +374,49 @@ def test_update_without_where(engine, spark):
     assert sorted(
         r["price"] for r in engine.sql("select price from uw").collect()
     ) == [10.0, 20.0]
+
+
+def test_merge_not_matched_by_source(engine, spark):
+    """Spark 3.4 MERGE WHEN NOT MATCHED BY SOURCE: the sync-mirror
+    pattern — target rows missing from the source are deleted (or
+    flagged), matched rows update, new rows insert, in ONE statement."""
+    engine.sql(
+        "create table sync_t (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql(
+        "insert into sync_t values (1, 'a', 10.0, 1), (2, 'b', 20.0, 1), "
+        "(3, 'c', 30.0, 1), (4, 'd', 40.0, 1)"
+    )
+    engine.sql(
+        """
+        merge into sync_t as t0
+        using (
+          select 1 as id, 'a2' as name, 11.0 as price, cast(2 as long) as ts
+          union select 5, 'e', 50.0, cast(2 as long)
+        ) s0
+        on t0.id = s0.id
+        when matched then update set *
+        when not matched then insert *
+        when not matched by source and t0.id != 3 then delete
+        """
+    )
+    rows = {r["id"]: r["name"] for r in engine.sql("select * from sync_t").collect()}
+    # 2 and 4 gone (not in source); 3 protected by the clause condition
+    assert rows == {1: "a2", 3: "c", 5: "e"}
+    # by-source UPDATE variant: flag leftovers instead of deleting
+    engine.sql(
+        """
+        merge into sync_t as t0
+        using (select 1 as id, 'a3' as name, 12.0 as price,
+                      cast(3 as long) as ts) s0
+        on t0.id = s0.id
+        when matched then update set *
+        when not matched by source then update set name = concat(t0.name, '_stale')
+        """
+    )
+    rows2 = {r["id"]: r for r in engine.sql("select * from sync_t").collect()}
+    assert rows2[1]["name"] == "a3"
+    assert rows2[3]["name"] == "c_stale" and rows2[5]["name"] == "e_stale"
+    # flagged rows keep their other columns
+    assert rows2[3]["price"] == 30.0

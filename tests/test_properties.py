@@ -193,6 +193,7 @@ _op = st.one_of(
     st.tuples(st.just("log_compact"), st.just(None)),
     st.tuples(st.just("clean"), st.just(None)),
     st.tuples(st.just("archive"), st.just(None)),
+    st.tuples(st.just("merge_sync"), _upsert_rows),
 )
 _program = st.lists(_op, min_size=1, max_size=8)
 
@@ -219,6 +220,14 @@ def _model_apply(model, op, arg, commit_no):
         for i, ts in batch.items():
             if i not in model:
                 model[i] = (ts, commit_no)
+    elif op == "merge_sync":
+        # MERGE mirror: matched update, unmatched insert, NOT MATCHED BY
+        # SOURCE delete — the table becomes exactly the (deduped) batch
+        batch = {}
+        for i, ts in arg:
+            if i not in batch or ts >= batch[i]:
+                batch[i] = ts
+        model = {i: (ts, commit_no) for i, ts in batch.items()}
     return model
 
 
@@ -246,6 +255,14 @@ def test_dml_state_machine_matches_model(
             eng.insert(spark.createDataFrame(
                 [(i, ts) for i, ts in arg], "id int, ts long"),
                 "t", drop_duplicates=True)
+        elif op == "merge_sync":
+            eng.merge(
+                "t",
+                spark.createDataFrame(
+                    [(i, ts) for i, ts in arg], "id int, ts long"
+                ),
+                not_matched_by_source_delete_cond="true",
+            )
         elif op == "compact":
             eng.compact("t")
         elif op == "log_compact":

@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _WS = r"\s+"
 
@@ -706,24 +707,46 @@ class SqlRouter:
         return None
 
     def _insert(self, s: str) -> None:
-        m = re.match(r"insert\s+into\s+(\w+)\s+(.*)$", s, re.I | re.S)
-        name, rest = m.group(1), m.group(2).strip()
+        m = re.match(
+            r"insert\s+into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(.*)$",
+            s,
+            re.I | re.S,
+        )
+        name, col_list, rest = m.group(1), m.group(2), m.group(3).strip()
         cfg = self.engine._resolve(name)
-        data_cols = [
-            f.name
-            for f in self.engine._stored_schema(cfg).fields
-            if not f.name.startswith("_hoodie_")
+        schema = self.engine._stored_schema(cfg)
+        data_fields = [
+            f for f in schema.fields if not f.name.startswith("_hoodie_")
         ]
+        data_cols = [f.name for f in data_fields]
+        target_cols = (
+            [c.strip() for c in col_list.split(",") if c.strip()]
+            if col_list
+            else data_cols
+        )
+        unknown = [c for c in target_cols if c not in data_cols]
+        if unknown:
+            raise ValueError(f"unknown INSERT columns: {unknown}")
         if rest.lower().startswith("values"):
             body = rest[len("values") :].strip()
             df = self.spark.sql(
-                f"SELECT * FROM VALUES {body} AS t({', '.join(data_cols)})"
+                f"SELECT * FROM VALUES {body} AS t({', '.join(target_cols)})"
             )
         elif rest.lower().startswith("select"):
             self.engine.sync_catalog()
-            df = self.spark.sql(rest).toDF(*data_cols)
+            df = self.spark.sql(rest).toDF(*target_cols)
         else:
             raise ValueError(f"unsupported INSERT shape: {rest[:80]}")
+        if target_cols != data_cols:
+            # partial column list: unmentioned data columns insert NULL
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in target_cols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in data_fields
+                ]
+            )
         self.engine.insert(df, name)
         return None
 

@@ -420,3 +420,24 @@ def test_merge_not_matched_by_source(engine, spark):
     assert rows2[3]["name"] == "c_stale" and rows2[5]["name"] == "e_stale"
     # flagged rows keep their other columns
     assert rows2[3]["price"] == 30.0
+
+
+def test_insert_partial_column_list(engine, spark):
+    """INSERT INTO t (cols) VALUES/SELECT: unmentioned data columns
+    insert as NULL; order of the column list is honored."""
+    engine.sql(
+        "create table pci (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql("insert into pci (id, ts, name) values (1, 9, 'a')")
+    engine.sql(
+        "insert into pci (id, price, ts) select 2, 5.0, cast(1 as long)"
+    )
+    rows = {r["id"]: r for r in engine.sql("select * from pci").collect()}
+    assert rows[1]["name"] == "a" and rows[1]["price"] is None
+    assert rows[1]["ts"] == 9
+    assert rows[2]["name"] is None and rows[2]["price"] == 5.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown INSERT columns"):
+        engine.sql("insert into pci (nope) values (1)")

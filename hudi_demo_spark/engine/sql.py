@@ -842,12 +842,12 @@ class SqlRouter:
                 re.sub(rf"\b({re.escape(t_alias)})\.", "t.", cond),
             )
 
-        upd_cond = del_cond = ins_cond = None
-        upd_set: dict | str = "*"
+        ins_cond = None
         ins_vals: dict | None = None
         bs_del_cond = bs_upd_cond = None
         bs_upd_set: dict | None = None
-        has_update = has_delete = has_insert = has_bs_delete = False
+        has_insert = has_bs_delete = False
+        matched_list: list[tuple] = []  # ordered (cond, action)
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+source)?(?:\s+and\s+(.*?))?"
             r"\s+then\s+(update\s+set\s+.*?|delete|insert\s+.*?)"
@@ -902,10 +902,11 @@ class SqlRouter:
                         for c, e in zip(cols, exprs)
                     }
             elif low_action.startswith("update"):
-                has_update, upd_cond = True, cond
                 body = action.strip()[len("update"):].strip()
                 body = re.sub(r"^set\s+", "", body, flags=re.I)
-                if body.strip() != "*":
+                if body.strip() == "*":
+                    upd_set: dict | str = "*"
+                else:
                     # UPDATE SET col = expr, ... (explicit assignments)
                     upd_set = {}
                     for a in _split_top_level(body):
@@ -915,14 +916,13 @@ class SqlRouter:
                         upd_set[am.group(1).split(".")[-1]] = fix(
                             am.group(2).strip()
                         )
+                matched_list.append((fix(cond), upd_set))
             elif low_action == "delete":
-                has_delete, del_cond = True, cond
+                matched_list.append((fix(cond), "delete"))
         self.engine.merge(
             name,
             source,
-            matched_update_cond=fix(upd_cond) if has_update else None,
-            matched_update_set=upd_set if has_update else None,
-            matched_delete_cond=(fix(del_cond) or "true") if has_delete else None,
+            matched_clauses=matched_list,
             not_matched_insert_cond=fix(ins_cond) if ins_cond else None,
             not_matched_insert_values=ins_vals,
             not_matched_by_source_delete_cond=(

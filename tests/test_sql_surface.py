@@ -441,3 +441,34 @@ def test_insert_partial_column_list(engine, spark):
 
     with _pytest.raises(ValueError, match="unknown INSERT columns"):
         engine.sql("insert into pci (nope) values (1)")
+
+
+def test_merge_multiple_matched_clauses(engine, spark):
+    """Several conditioned WHEN MATCHED clauses: first-true wins (Spark
+    SQL MERGE precedence), different actions per clause."""
+    engine.sql(
+        "create table mmc (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql(
+        "insert into mmc values (1, 'a', 10.0, 1), (2, 'b', 20.0, 1), "
+        "(3, 'c', 30.0, 1), (4, 'd', 40.0, 1)"
+    )
+    engine.sql(
+        """
+        merge into mmc as t0
+        using (
+          select 1 as id, 100.0 as amt union select 2, 200.0
+          union select 3, 5.0 union select 4, 300.0
+        ) s0
+        on t0.id = s0.id
+        when matched and s0.amt < 10 then delete
+        when matched and s0.amt < 150 then update set price = s0.amt
+        when matched then update set price = s0.amt, name = concat(t0.name, '!')
+        """
+    )
+    rows = {r["id"]: r for r in engine.sql("select * from mmc").collect()}
+    assert 3 not in rows                      # first clause: delete
+    assert rows[1]["price"] == 100.0 and rows[1]["name"] == "a"   # clause 2
+    assert rows[2]["price"] == 200.0 and rows[2]["name"] == "b!"  # clause 3
+    assert rows[4]["price"] == 300.0 and rows[4]["name"] == "d!"  # clause 3

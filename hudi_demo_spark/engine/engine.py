@@ -2208,6 +2208,7 @@ class Engine:
         matched_clauses: list[tuple] | None = None,
         not_matched_insert_cond: str | Column | None = None,
         not_matched_insert_values: dict[str, str | Column] | None = None,
+        not_matched_clauses: list[tuple] | None = None,
         not_matched_by_source_delete_cond: str | Column | None = None,
         not_matched_by_source_update_set: dict[str, str | Column] | None = None,
         not_matched_by_source_update_cond: str | Column | None = None,
@@ -2276,11 +2277,6 @@ class Engine:
             j = t.join(s, on, "full_outer")
             t_here = F.col(f"t.{COMMIT_TIME_META}").isNotNull()
             s_here = F.col(f"s.{COMMIT_TIME_META}").isNotNull()
-            ins_c = (
-                _as_cond(not_matched_insert_cond)
-                if not_matched_insert_cond is not None
-                else F.lit(True)
-            )
             matched = t_here & s_here
             # normalize the matched-side surface into an ORDERED clause
             # list — first-true wins, the Spark SQL MERGE rule; a NULL
@@ -2320,8 +2316,38 @@ class Engine:
                 [f for f, _ in upd_branches],
                 F.lit(False),
             )
-            do_insert = ~t_here & s_here & ins_c
-            drop_insert = ~t_here & s_here & ~ins_c
+            # NOT MATCHED side, same ordered-clause normalization:
+            # [(cond, values_map|"*")], first-true wins, no clause fires
+            # → the source row is dropped
+            if not_matched_clauses is None:
+                norm_ins: list[tuple] = [(
+                    not_matched_insert_cond,
+                    not_matched_insert_values
+                    if not_matched_insert_values is not None
+                    else "*",
+                )]
+            else:
+                norm_ins = list(not_matched_clauses)
+            s_only = ~t_here & s_here
+            remaining = F.lit(True)
+            ins_branches: list[tuple] = []  # (fire_cond, values_map|None)
+            for cond, values in norm_ins:
+                c = (
+                    F.coalesce(_as_cond(cond), F.lit(False))
+                    if cond is not None
+                    else F.lit(True)
+                )
+                fire = s_only & remaining & c
+                ins_branches.append(
+                    (fire, None if values == "*" else dict(values))
+                )
+                remaining = remaining & ~c
+            do_insert = reduce(
+                lambda a, b: a | b,
+                [f for f, _ in ins_branches],
+                F.lit(False),
+            )
+            drop_insert = s_only & ~do_insert
             t_only = t_here & ~s_here
             bs_upd_c = (
                 _as_cond(not_matched_by_source_update_cond)
@@ -2359,11 +2385,15 @@ class Engine:
                 part_col.alias(PARTITION_PATH_META),
                 F.col(RECORD_KEY_META),
             ]
-            ins_map = (
-                {k: _as_cond(v) for k, v in not_matched_insert_values.items()}
-                if not_matched_insert_values is not None
-                else None
-            )
+            ins_branches = [
+                (
+                    fire,
+                    None
+                    if vals is None
+                    else {k: _as_cond(v) for k, v in vals.items()},
+                )
+                for fire, vals in ins_branches
+            ]
             bs_set_map = (
                 {
                     k: _as_cond(v)
@@ -2380,15 +2410,18 @@ class Engine:
                     # meta columns always come from the stamped source
                     ins_val = upd_val = F.col(f"s.{c}")
                 else:
-                    ins_val = (
-                        ins_map[c]
-                        if ins_map is not None and c in ins_map
-                        else (
-                            F.lit(None).cast(dtypes[c])
-                            if ins_map is not None
-                            else F.col(f"s.{c}")
-                        )
-                    )
+                    # fold the ordered insert branches the same way:
+                    # "*" takes the source row; an explicit column map
+                    # inserts NULL for unmentioned data columns
+                    ins_val = F.lit(None).cast(dtypes[c])
+                    for fire, imap in reversed(ins_branches):
+                        if imap is None:
+                            v = F.col(f"s.{c}")  # INSERT *
+                        elif c in imap:
+                            v = imap[c]
+                        else:
+                            v = F.lit(None).cast(dtypes[c])
+                        ins_val = F.when(fire, v).otherwise(ins_val)
                     # fold the ordered update branches into one CASE:
                     # first-fired clause's value wins; an explicit SET
                     # list leaves unmentioned columns at their TARGET

@@ -842,12 +842,11 @@ class SqlRouter:
                 re.sub(rf"\b({re.escape(t_alias)})\.", "t.", cond),
             )
 
-        ins_cond = None
-        ins_vals: dict | None = None
         bs_del_cond = bs_upd_cond = None
         bs_upd_set: dict | None = None
-        has_insert = has_bs_delete = False
+        has_bs_delete = False
         matched_list: list[tuple] = []  # ordered (cond, action)
+        ins_list: list[tuple] = []  # ordered (cond, "*"|{col: expr})
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+source)?(?:\s+and\s+(.*?))?"
             r"\s+then\s+(update\s+set\s+.*?|delete|insert\s+.*?)"
@@ -881,9 +880,10 @@ class SqlRouter:
                     )
                 continue
             if notm and low_action.startswith("insert"):
-                has_insert, ins_cond = True, cond
                 body = action.strip()[len("insert"):].strip()
-                if body != "*":
+                if body == "*":
+                    ins_list.append((fix(cond), "*"))
+                else:
                     # INSERT (cols) VALUES (exprs)
                     im = re.match(
                         r"\(([^)]*)\)\s*values\s*\((.*)\)\s*$", body,
@@ -897,10 +897,13 @@ class SqlRouter:
                         raise ValueError(
                             "INSERT column/value count mismatch"
                         )
-                    ins_vals = {
-                        c.split(".")[-1]: fix(e.strip())
-                        for c, e in zip(cols, exprs)
-                    }
+                    ins_list.append((
+                        fix(cond),
+                        {
+                            c.split(".")[-1]: fix(e.strip())
+                            for c, e in zip(cols, exprs)
+                        },
+                    ))
             elif low_action.startswith("update"):
                 body = action.strip()[len("update"):].strip()
                 body = re.sub(r"^set\s+", "", body, flags=re.I)
@@ -923,8 +926,9 @@ class SqlRouter:
             name,
             source,
             matched_clauses=matched_list,
-            not_matched_insert_cond=fix(ins_cond) if ins_cond else None,
-            not_matched_insert_values=ins_vals,
+            # an empty list means: a MERGE with no NOT MATCHED clause
+            # inserts nothing (old router behavior wrongly inserted)
+            not_matched_clauses=ins_list,
             not_matched_by_source_delete_cond=(
                 (fix(bs_del_cond) or "true") if has_bs_delete else None
             ),

@@ -472,3 +472,47 @@ def test_merge_multiple_matched_clauses(engine, spark):
     assert rows[1]["price"] == 100.0 and rows[1]["name"] == "a"   # clause 2
     assert rows[2]["price"] == 200.0 and rows[2]["name"] == "b!"  # clause 3
     assert rows[4]["price"] == 300.0 and rows[4]["name"] == "d!"  # clause 3
+
+
+def test_merge_multiple_insert_clauses_and_no_insert(engine, spark):
+    """Multiple conditioned NOT MATCHED clauses (first-true wins), and a
+    MERGE with NO not-matched clause inserts nothing."""
+    engine.sql(
+        "create table mni (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    engine.sql("insert into mni values (1, 'a', 10.0, 1)")
+    engine.sql(
+        """
+        merge into mni as t0
+        using (
+          select 7 as id, 'x' as name, 5.0 as price, cast(1 as long) as ts
+          union select 8, 'y', 500.0, cast(1 as long)
+          union select 9, 'z', 50.0, cast(1 as long)
+        ) s0
+        on t0.id = s0.id
+        when not matched and s0.price < 10 then insert (id, name, ts)
+             values (s0.id, concat('cheap_', s0.name), s0.ts)
+        when not matched and s0.price < 100 then insert *
+        """
+    )
+    rows = {r["id"]: r for r in engine.sql("select * from mni").collect()}
+    assert rows[7]["name"] == "cheap_x" and rows[7]["price"] is None
+    assert rows[9]["name"] == "z" and rows[9]["price"] == 50.0
+    assert 8 not in rows  # no clause fired → dropped
+    # merge with only a matched clause: unmatched source must NOT insert
+    engine.sql(
+        """
+        merge into mni as t0
+        using (select 1 as id, 'a2' as name, 11.0 as price,
+                      cast(2 as long) as ts
+               union select 99, 'n', 1.0, cast(2 as long)) s0
+        on t0.id = s0.id
+        when matched then update set *
+        """
+    )
+    ids = {r["id"] for r in engine.sql("select * from mni").collect()}
+    assert 99 not in ids and 1 in ids
+    assert {
+        r["id"]: r["name"] for r in engine.sql("select * from mni").collect()
+    }[1] == "a2"

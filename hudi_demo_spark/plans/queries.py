@@ -4393,6 +4393,64 @@ def sql_merge_assignments(spark, sf_dir):
 
 
 @q(
+    "sql_merge_multi_clause",
+    """
+    WITH base(id, name, price, ts) AS (
+      VALUES (1, 'a', 10.0, CAST(1 AS BIGINT)),
+             (2, 'b', 20.0, CAST(1 AS BIGINT)),
+             (3, 'c', 30.0, CAST(1 AS BIGINT)),
+             (4, 'd', 40.0, CAST(1 AS BIGINT))
+    ), src(id, amt) AS (
+      VALUES (1, 100.0), (2, 200.0), (3, 5.0), (4, 300.0), (9, 9.0)
+    ), act AS (
+      SELECT t.id, t.name, t.price, t.ts, s.amt,
+             CASE WHEN s.amt < 10 THEN 'del'
+                  WHEN s.amt < 150 THEN 'u1'
+                  ELSE 'u2' END AS a
+      FROM base t JOIN src s ON t.id = s.id
+    )
+    SELECT id,
+           CASE WHEN a = 'u2' THEN name || '!' ELSE name END AS name,
+           round(CAST(amt AS DOUBLE), 2) AS price
+    FROM act WHERE a != 'del'
+    ORDER BY id
+    """,
+)
+def sql_merge_multi_clause(spark, sf_dir):
+    """Multiple conditioned WHEN MATCHED clauses (delete / two updates,
+    first-true wins) replayed by a CASE oracle; the unmatched source row
+    is dropped (no NOT MATCHED clause)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("sql_merge_multi_clause", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql(
+        "create table mm (id int, name string, price double, ts long) "
+        "using hudi options (primaryKey = 'id', preCombineField = 'ts')"
+    )
+    eng.sql(
+        "insert into mm values (1, 'a', 10.0, 1), (2, 'b', 20.0, 1), "
+        "(3, 'c', 30.0, 1), (4, 'd', 40.0, 1)"
+    )
+    eng.sql(
+        """
+        merge into mm as t0
+        using (
+          select 1 as id, 100.0 as amt union select 2, 200.0
+          union select 3, 5.0 union select 4, 300.0 union select 9, 9.0
+        ) s0
+        on t0.id = s0.id
+        when matched and s0.amt < 10 then delete
+        when matched and s0.amt < 150 then update set price = s0.amt
+        when matched then update set price = s0.amt,
+                                     name = concat(t0.name, '!')
+        """
+    )
+    out = eng.sql("select id, name, price from mm order by id")
+    return out.select("id", "name", F.round("price", 2).alias("price"))
+
+
+@q(
     "sql_merge_by_source",
     """
     WITH base(id, name, price, ts) AS (

@@ -106,6 +106,10 @@ def _footer_minmax(path: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+class PreCommitValidationError(RuntimeError):
+    """A pre-commit validator rejected a write; nothing was published."""
+
+
 class Engine:
     """Facade over a directory of tables (the Flink 'hudi catalog' analog,
     hudi0.13_flink1.15/.../Configurations.java:84-91)."""
@@ -932,6 +936,56 @@ class Engine:
 
         return RecordIndex(self.spark, cfg)
 
+    def _precommit_validate(
+        self,
+        cfg: TableConfig,
+        instant: str,
+        added: list[dict],
+        removed: list[str] | str,
+    ) -> None:
+        """Pre-commit validator (the Hudi ``hoodie.precommit.validators``
+        analog): with table prop ``precommit.validator.sql`` set, the
+        SQL runs over the CANDIDATE snapshot — what the table would look
+        like if this write published — exposed as temp view
+        ``__candidate``. Any returned row is a violation: the staged
+        files are deleted, the inflight marker retired, and the write
+        aborts with PreCommitValidationError — nothing ever reaches the
+        timeline, so readers never see the bad data (the quality-gate
+        property Hudi's validators provide)."""
+        sql = cfg.props.get("precommit.validator.sql")
+        if not sql:
+            return
+        tl = Timeline(cfg.path)
+        live = tl.live_files()
+        removed_set = (
+            set(live) if removed == "*" else set(removed)
+        )
+        cand = {p: m for p, m in live.items() if p not in removed_set}
+        for f in added:
+            cand[f["path"]] = f
+        df = self._read_files(cfg, cand)
+        if cfg.table_type == MOR and any(
+            m.get("kind") == "delta" for m in cand.values()
+        ):
+            df = self._merge_view(df, cfg)
+        if DELETED_META in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
+        df.createOrReplaceTempView("__candidate")
+        bad = self.spark.sql(sql)
+        sample = bad.limit(3).collect()
+        if sample:
+            data = Path(cfg.path) / DATA_DIR
+            from hudi_demo_spark.engine import bloom as B
+
+            for f in added:
+                (data / f["path"]).unlink(missing_ok=True)
+                B.sidecar_path(cfg.path, f["path"]).unlink(missing_ok=True)
+            tl.finish_inflight(instant)
+            raise PreCommitValidationError(
+                "pre-commit validator rejected the write; first "
+                f"violations: {[r.asDict() for r in sample]}"
+            )
+
     def _index_append(self, cfg: TableConfig, stamped: DataFrame) -> None:
         """Maintain the record index and any secondary indexes after a
         committed write: append the batch's pairs. First write on an
@@ -1629,6 +1683,7 @@ class Engine:
                 out = out.join(existing.select(*on), on, "left_anti")
         kind = "base" if cfg.table_type == COW else "delta"
         added = self._materialize(out, cfg, instant, kind)
+        self._precommit_validate(cfg, instant, added, [])
         action = tlmod.COMMIT if cfg.table_type == COW else tlmod.DELTACOMMIT
         meta = Timeline(cfg.path).commit(
             instant, action, operation, added, [], self._commit_stats(added, None),
@@ -1945,6 +2000,7 @@ class Engine:
         if cfg.table_type == MOR:
             batch = self._dedup_batch(batch, cfg)
             added = self._materialize(batch, cfg, instant, "delta")
+            self._precommit_validate(cfg, instant, added, [])
             meta = tl.commit(
                 instant, tlmod.DELTACOMMIT, "upsert", added, [],
                 self._commit_stats(added, None), batch_id=batch_id,
@@ -2020,6 +2076,7 @@ class Engine:
             added = self._materialize(
                 winner, cfg, instant, "base", approx_bytes=affected_bytes
             )
+            self._precommit_validate(cfg, instant, added, sorted(affected))
             meta = tl.commit(
                 instant, tlmod.COMMIT, "upsert", added, sorted(affected),
                 self._commit_stats(added, None), batch_id=batch_id,

@@ -1023,6 +1023,26 @@ class Engine:
             else:
                 idx.append(stamped)
 
+    def _secondary_append_updated(
+        self, cfg: TableConfig, batch: DataFrame, set_cols
+    ) -> None:
+        """After an in-place rewrite (UPDATE / MERGE with explicit SET
+        maps), append the REWRITTEN rows' (value, partition) pairs for
+        any secondary-indexed column the assignment touched.
+        `_index_append(src)` only sees source-row values; without this
+        the index would lack the newly-assigned values and point-reads
+        / index-routed DML on them would prune every partition away —
+        silent lost reads and lost rows (the index's no-false-negatives
+        invariant)."""
+        from hudi_demo_spark.engine import secondary_index as si
+
+        touched = [c for c in si.indexed_columns(cfg) if c in set_cols]
+        if not touched:
+            return
+        self._secondary_append(
+            cfg, batch.select(*touched, PARTITION_PATH_META)
+        )
+
     def _secondary_truncate(self, cfg: TableConfig) -> None:
         from hudi_demo_spark.engine import secondary_index as si
 
@@ -1077,8 +1097,6 @@ class Engine:
             return None
 
         def lit_value(col: str, quoted, num):
-            if quoted is not None:
-                return quoted
             schema = self._stored_schema(cfg)
             if schema is None:
                 return None
@@ -1086,6 +1104,13 @@ class Engine:
                 dt = schema[col].dataType
             except KeyError:
                 return None
+            if quoted is not None:
+                # a quoted literal against a non-string column matches
+                # rows under Spark's coercion ('05' = 5) but the index
+                # stores the cast-to-string form ('5') — probing with
+                # the raw string would prune to zero files and silently
+                # lose the DML's rows, so only string columns qualify
+                return quoted if isinstance(dt, T.StringType) else None
             if isinstance(
                 dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
             ):
@@ -1797,6 +1822,7 @@ class Engine:
         removed = [
             rp for rp, m in live.items() if m.get("partition", "") in parts
         ]
+        self._precommit_validate(cfg, instant, added, removed)
         meta = tl.commit(
             instant,
             tlmod.REPLACECOMMIT,
@@ -1826,6 +1852,7 @@ class Engine:
             if m.get("partition", "") in parts
         )
         instant = new_instant()
+        self._precommit_validate(cfg, instant, [], removed)
         return tl.commit(
             instant,
             tlmod.REPLACECOMMIT,
@@ -1846,6 +1873,7 @@ class Engine:
         if partitions:
             return self.delete_partition(cfg, partitions)
         instant = new_instant()
+        self._precommit_validate(cfg, instant, [], "*")
         meta = Timeline(cfg.path).commit(
             instant, tlmod.REPLACECOMMIT, "truncate", [], "*", {}
         )
@@ -2118,6 +2146,7 @@ class Engine:
                 ).withColumn(COMMIT_TIME_META, F.lit(instant))
                 markers = self._conform(markers, cfg)
                 added = self._materialize(markers, cfg, instant, "delta")
+                self._precommit_validate(cfg, instant, added, [])
                 meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
                 self._maybe_compact(cfg)
                 return meta
@@ -2134,6 +2163,7 @@ class Engine:
                 keep, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
             )
+            self._precommit_validate(cfg, instant, added, sorted(affected))
             return tl.commit(instant, tlmod.COMMIT, "delete", added,
                              sorted(affected))
         finally:
@@ -2180,6 +2210,7 @@ class Engine:
                 )
                 markers = self._conform(markers, cfg)
                 added = self._materialize(markers, cfg, instant, "delta")
+                self._precommit_validate(cfg, instant, added, [])
                 meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
                 self._maybe_compact(cfg)
                 return meta
@@ -2189,6 +2220,7 @@ class Engine:
                 keep, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
             )
+            self._precommit_validate(cfg, instant, added, sorted(affected))
             return tl.commit(instant, tlmod.COMMIT, "delete", added,
                              sorted(affected))
         finally:
@@ -2225,7 +2257,9 @@ class Engine:
             updated = updated.withColumn(COMMIT_TIME_META, F.lit(instant))
             updated = self._conform(updated, cfg)
             added = self._materialize(updated, cfg, instant, "delta")
+            self._precommit_validate(cfg, instant, added, [])
             meta = tl.commit(instant, tlmod.DELTACOMMIT, "update", added, [])
+            self._secondary_append_updated(cfg, updated, set)
             self._maybe_compact(cfg)
             return meta
         snap = self.read(
@@ -2253,7 +2287,13 @@ class Engine:
             out, cfg, instant, "base",
             approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
         )
-        return tl.commit(instant, tlmod.COMMIT, "update", added, sorted(affected))
+        self._precommit_validate(cfg, instant, added, sorted(affected))
+        meta = tl.commit(instant, tlmod.COMMIT, "update", added, sorted(affected))
+        idx_batch = matched
+        for k, v in assigns.items():
+            idx_batch = idx_batch.withColumn(k, v)
+        self._secondary_append_updated(cfg, idx_batch, set)
+        return meta
 
     def merge(
         self,
@@ -2510,10 +2550,31 @@ class Engine:
                 out, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
             )
+            self._precommit_validate(
+                cfg, instant, rewritten, sorted(affected)
+            )
             meta = tl.commit(
                 instant, tlmod.COMMIT, "merge", rewritten, sorted(affected)
             )
             self._index_append(cfg, src)
+            # explicit SET / INSERT maps and by-source updates write
+            # values that are NOT source-row values, so src-based
+            # _index_append misses them — append the touched REWRITTEN
+            # rows' pairs for any indexed column an explicit map names
+            explicit_cols: set[str] = set()
+            for _, amap in upd_branches:
+                if amap is not None:
+                    explicit_cols |= set(amap)
+            for _, imap in ins_branches:
+                if imap is not None:
+                    explicit_cols |= set(imap)
+            if bs_set_map is not None:
+                explicit_cols |= set(bs_set_map)
+            if explicit_cols:
+                touched = j.filter(
+                    keep & (use_src | do_bs_update)
+                ).select(*sel)
+                self._secondary_append_updated(cfg, touched, explicit_cols)
             return meta
         finally:
             src.unpersist()
@@ -3066,23 +3127,39 @@ class Engine:
     ) -> dict | None:
         """Async-clustering EXECUTE step: run the named (or earliest)
         scheduled plan and drop the plan file. Returns the replacecommit
-        metadata, or None when no plan is pending."""
+        metadata, or None when no plan is pending.
+
+        A plan whose file groups were replaced by a later write can
+        NEVER succeed (OCC refuses to replace non-live files) — such a
+        stale plan is dropped on conflict rather than left to
+        permanently block every later plan: unnamed execution skips to
+        the next pending plan; a named execution re-raises after
+        dropping so the caller sees the conflict."""
         cfg = self._resolve(table)
-        pending = self.pending_clusterings(cfg)
-        if not pending:
-            return None
-        target = instant or pending[0]
-        p = Path(cfg.path) / TIMELINE_DIR / (
-            f"_requested-{target}.clustering.json"
-        )
-        plan = json.loads(p.read_text())
         tl = Timeline(cfg.path)
-        meta = self._execute_cluster(
-            cfg, tl, target, plan["files"], plan["sort_cols"],
-            plan.get("strategy", "linear"),
-        )
-        p.unlink(missing_ok=True)
-        return meta
+        while True:
+            pending = self.pending_clusterings(cfg)
+            if not pending:
+                return None
+            if instant is not None and instant not in pending:
+                return None
+            target = instant or pending[0]
+            p = Path(cfg.path) / TIMELINE_DIR / (
+                f"_requested-{target}.clustering.json"
+            )
+            plan = json.loads(p.read_text())
+            try:
+                meta = self._execute_cluster(
+                    cfg, tl, target, plan["files"], plan["sort_cols"],
+                    plan.get("strategy", "linear"),
+                )
+            except tlmod.ConcurrentWriteError:
+                p.unlink(missing_ok=True)
+                if instant is not None:
+                    raise
+                continue
+            p.unlink(missing_ok=True)
+            return meta
 
     def copy_to_table(
         self,

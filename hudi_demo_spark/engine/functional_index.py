@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import shutil
 from pathlib import Path
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,7 +113,10 @@ class FunctionalIndex:
         out: dict[str, list] = {}
         prefix = str(data).rstrip("/") + "/"
         for r in agg:
-            uri = r["__f"]
+            # input_file_name() returns a percent-encoded URI: a
+            # partition value with spaces/non-ASCII would otherwise
+            # never match the live-file relpaths (silently uncovered)
+            uri = unquote(r["__f"])
             # file:/abs/path or bare path → relpath under data/
             p = uri.split("://", 1)[-1] if "://" in uri else uri
             p = p[p.find(prefix) + len(prefix):] if prefix in p else p

@@ -130,3 +130,25 @@ def test_clean_compacts_sidecar_entries(engine, spark):
         spark.createDataFrame([(9, "z", 500.0, 9, "2022-02-01")], SCHEMA), t
     )
     assert engine.read(t, func_filter=("fxv", 999.0, 1001.0)).count() == 1
+
+
+def test_covers_percent_encoded_partition_paths(engine, spark):
+    """input_file_name() returns a percent-encoded URI; a partition
+    value with spaces must still get index entries (pre-fix those files
+    were silently uncovered — conservative but useless)."""
+    t = "fxenc"
+    engine.create_table(t, record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(
+        spark.createDataFrame(
+            [(1, "a", 10.0, 1, "v spc"), (2, "b", 900.0, 1, "plain")],
+            SCHEMA),
+        t,
+    )
+    engine.create_functional_index(t, "fxv", "price * 2")
+    cfg = engine._resolve(t)
+    idx = engine._functional_index(cfg, "fxv")
+    rng = idx.ranges()
+    assert any("v spc" in p for p in rng), rng
+    got = engine.read(t, func_filter=("fxv", 0.0, 100.0))
+    assert [r["id"] for r in got.collect()] == [1]

@@ -165,3 +165,79 @@ def test_auto_point_filter_gate(engine, spark):
     assert engine._auto_point_filter(cfg, "price = 10.0") is None
     assert engine._auto_point_filter(cfg, "name = 'x'") is None  # unindexed
     assert engine._auto_point_filter(cfg, "city = 'a' or id = 1") is None
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_update_indexed_column_indexes_new_value(engine, spark, table_type):
+    """UPDATE SET on an indexed column must land the NEW value in the
+    index — otherwise point-reads and auto-routed DML on it prune every
+    partition away and silently see/touch zero rows."""
+    t = f"sxupd_{table_type}"
+    engine.create_table(
+        t, record_key="id", precombine="ts", partition_by="dt",
+        table_type=table_type,
+    )
+    engine.insert(spark.createDataFrame(ROWS, SCHEMA), t)
+    engine.create_index(t, "city")
+    engine.update(t, set={"city": "'nyc'"}, where="city = 'lima'")
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    assert "dt=2022-01-03" in idx.lookup_partitions(["nyc"])
+    got = engine.read(t, point_filter=("city", ["nyc"]))
+    assert [r["id"] for r in got.collect()] == [4]
+    # auto-routed DML on the new value must find the row too
+    engine.update(t, set={"price": "price + 1"}, where="city = 'nyc'")
+    assert engine.read(t).filter("id = 4").collect()[0]["price"] == 41.0
+    engine.delete(t, "city = 'nyc'")
+    assert engine.read(t).filter("id = 4").count() == 0
+
+
+def test_merge_explicit_set_indexes_new_value(engine, spark):
+    """MERGE with an explicit SET map / by-source update writes values
+    that are NOT source-row values; the index must still cover them."""
+    t = "sxmerge"
+    engine.create_table(t, record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(spark.createDataFrame(ROWS, SCHEMA), t)
+    engine.create_index(t, "city")
+    src = spark.createDataFrame([(1, "zzz", 0.0, 9, "2022-01-01")], SCHEMA)
+    engine.merge(
+        t, src,
+        matched_update_set={"city": "'berlin'", "ts": "s.ts"},
+    )
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    assert "dt=2022-01-01" in idx.lookup_partitions(["berlin"])
+    got = engine.read(t, point_filter=("city", ["berlin"]))
+    assert [r["id"] for r in got.collect()] == [1]
+    # by-source update path: touch every non-matched target row
+    src2 = spark.createDataFrame([(2, "tokyo", 20.0, 9, "2022-01-01")], SCHEMA)
+    engine.merge(
+        t, src2,
+        matched_update_set={"ts": "s.ts"},
+        not_matched_by_source_update_set={"city": "'bs_city'"},
+    )
+    idx = engine._secondary_index(cfg, "city")
+    parts = idx.lookup_partitions(["bs_city"])
+    assert {"dt=2022-01-01", "dt=2022-01-02", "dt=2022-01-03"} <= parts
+    got = engine.read(t, point_filter=("city", ["bs_city"]))
+    assert sorted(r["id"] for r in got.collect()) == [1, 3, 4]
+
+
+def test_auto_point_filter_rejects_quoted_nonstring(engine, spark):
+    """A quoted literal against a non-string indexed column matches rows
+    under Spark's coercion ('05' = 5) but would probe the index with the
+    raw string — the gate must fall back to a full scan instead."""
+    t = _setup(engine, spark, name="sxq")
+    engine.create_index(t, "city")
+    engine.create_index(t, "ts")  # long column
+    cfg = engine._resolve(t)
+    assert engine._auto_point_filter(cfg, "ts = '05'") is None
+    assert engine._auto_point_filter(cfg, "ts in ('1', '2')") is None
+    assert engine._auto_point_filter(cfg, "ts = 5") == ("ts", ["5"])
+    assert engine._auto_point_filter(cfg, "city = 'paris'") == (
+        "city", ["paris"]
+    )
+    # end-to-end: coerced DML must not lose rows (falls back to scan)
+    engine.update(t, set={"price": "0.0"}, where="ts = '01'")
+    assert {r["price"] for r in engine.read(t).collect()} == {0.0}

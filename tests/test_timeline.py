@@ -877,3 +877,42 @@ def test_savepoint_explicit_instant(engine, spark):
     assert sorted(r["id"] for r in engine.read(t).collect()) == [1, 2, 3]
     with _pytest.raises(ValueError, match="unknown instant"):
         engine.savepoint(t, instant="19990101000000000000")
+
+
+def test_stale_clustering_plan_dropped_on_occ_conflict(engine, spark):
+    """A scheduled plan whose file groups were replaced by a later write
+    can never succeed (OCC). Unnamed execution must DROP the stale plan
+    and run the next pending one instead of being blocked forever."""
+    engine.create_table("accx", record_key="id", precombine="ts",
+                        partition_by="dt")
+    for row in ROWS:
+        engine.insert(spark.createDataFrame([row], SCHEMA), "accx")
+    stale = engine.schedule_clustering("accx", ["price"])
+    # replace every planned file group → the plan is unexecutable
+    engine.upsert(
+        spark.createDataFrame(
+            [(i, f"x{i}", float(i), 9000, d) for i, _, _, _, d in ROWS],
+            SCHEMA),
+        "accx",
+    )
+    fresh = engine.schedule_clustering("accx", ["price"])
+    assert engine.pending_clusterings("accx") == sorted([stale, fresh])
+    meta = engine.run_clustering_plan("accx")  # earliest = stale → skip
+    assert meta is not None and meta["operation"] == "cluster"
+    # stale plan quarantined, fresh plan executed, nothing pending
+    assert engine.pending_clusterings("accx") == []
+    assert sorted(r["id"] for r in engine.read("accx").collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    # a NAMED execution of a stale plan surfaces the conflict
+    stale2 = engine.schedule_clustering("accx", ["price"])
+    engine.upsert(
+        spark.createDataFrame([(1, "y", 1.0, 9999, "2022-11-25")], SCHEMA),
+        "accx",
+    )
+    import pytest
+    from hudi_demo_spark.engine.timeline import ConcurrentWriteError
+
+    with pytest.raises(ConcurrentWriteError):
+        engine.run_clustering_plan("accx", stale2)
+    assert engine.pending_clusterings("accx") == []

@@ -532,19 +532,22 @@ class Engine:
     def _truthy(v) -> bool:
         return str(v or "").lower() in ("1", "true", "yes")
 
-    def _build_blooms(self, cfg: TableConfig, added: list[dict]) -> None:
+    def _build_blooms(self, cfg: TableConfig, added: list[dict]) -> list:
         """Bloom index build (M1 — JavaClientHive2Hudi.java:167-180): one
         distributed pass over the just-written base files' key column
         (column-pruned scan, Arrow-batched per-file groups) producing a
-        bloom sidecar per file under _index/bloom/. Executor work is
-        O(batch rows) regardless of table size; the driver only writes
-        the finished bitmaps. Files flagged `bloom: true` in commit
-        metadata so probes need no filesystem discovery."""
+        bloom sidecar per file under _index/bloom/. The sidecar bitmap
+        is WRITTEN INSIDE THE EXECUTOR TASK (the lake is a shared
+        filesystem, same premise as the data files themselves) — the
+        driver only collects tiny (file, ok) acks and flips `bloom:
+        true` flags, so a bulk commit landing thousands of files never
+        funnels gigabytes of bitmaps through the driver. Files flagged
+        in commit metadata so probes need no filesystem discovery."""
         from hudi_demo_spark.engine import bloom as B
 
         files = [f for f in added if f.get("kind") == "base"]
         if not files:
-            return
+            return []
         data = Path(cfg.path) / DATA_DIR
         fpp = float(cfg.props.get("index.bloom.fpp", B.DEFAULT_FPP))
         cap = int(
@@ -556,33 +559,38 @@ class Engine:
             F.input_file_name().alias("__f"),
             F.col(RECORD_KEY_META).cast("string").alias("__k"),
         )
+        root = str(cfg.path)
+        prefix = str(data).rstrip("/") + "/"
 
         def _one(pdf):
             import pandas as pd
+            from urllib.parse import unquote
 
             from hudi_demo_spark.engine import bloom as BB
 
-            return pd.DataFrame(
-                {
-                    "f": [pdf["__f"].iloc[0]],
-                    "blob": [bytearray(BB.build(pdf["__k"], fpp, cap))],
-                }
-            )
+            uri = unquote(pdf["__f"].iloc[0])
+            p = uri.split("://", 1)[-1] if "://" in uri else uri
+            rel = p[p.find(prefix) + len(prefix):] if prefix in p else p
+            blob = bytes(BB.build(pdf["__k"], fpp, cap))
+            side = BB.sidecar_path(root, rel)
+            side.parent.mkdir(parents=True, exist_ok=True)
+            tmp = side.parent / (side.name + ".tmp")
+            tmp.write_bytes(blob)
+            tmp.replace(side)  # atomic publish: probes never see a torn blob
+            return pd.DataFrame({"f": [rel], "ok": [True]})
 
         rows = (
             key_df.groupBy("__f")
-            .applyInPandas(_one, "f string, blob binary")
+            .applyInPandas(_one, "f string, ok boolean")
             .collect()
         )
         by_name = {Path(f["path"]).name: f for f in files}
         for r in rows:
             f = by_name.get(Path(r["f"]).name)
-            if f is None:  # pragma: no cover
+            if f is None or not r["ok"]:  # pragma: no cover
                 continue
-            side = B.sidecar_path(cfg.path, f["path"])
-            side.parent.mkdir(parents=True, exist_ok=True)
-            side.write_bytes(bytes(r["blob"]))
             f["bloom"] = True
+        return rows
 
     def _bloom_prune(
         self,

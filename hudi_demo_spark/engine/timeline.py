@@ -197,11 +197,40 @@ class Timeline:
 
     # ---------------- read side ----------------
 
+    # fixed columns of the parquet checkpoint (the metadata-table "files"
+    # partition analog); everything else a file meta carries rides in the
+    # JSON `extra` column
+    _CP_SCALARS = ("commit", "kind", "partition", "bytes",
+                   "key_min", "key_max")
+
     def _checkpoint(self) -> dict | None:
-        cps = sorted(self.dir.glob(CHECKPOINT_PREFIX + "-*.json"))
+        cps = sorted(
+            list(self.dir.glob(CHECKPOINT_PREFIX + "-*.json"))
+            + list(self.dir.glob(CHECKPOINT_PREFIX + "-*.parquet")),
+            key=lambda p: p.stem,
+        )
         if not cps:
             return None
-        return json.loads(cps[-1].read_text())
+        p = cps[-1]
+        if p.suffix == ".json":  # pre-parquet checkpoints stay readable
+            return json.loads(p.read_text())
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(p).to_pydict()
+        files: dict[str, dict] = {}
+        for i, rp in enumerate(d["path"]):
+            m: dict = {"path": rp}
+            for c in self._CP_SCALARS:
+                v = d[c][i]
+                if v is not None:
+                    m[c] = v
+            if d["bloom"][i]:
+                m["bloom"] = True
+            if d["extra"][i]:
+                m.update(json.loads(d["extra"][i]))
+            files[rp] = m
+        as_of = p.stem[len(CHECKPOINT_PREFIX) + 1:]
+        return {"as_of": as_of, "files": files}
 
     def instants(self, include_archived: bool = False) -> list[dict]:
         """Completed instants, ascending. Active timeline only by default."""
@@ -277,10 +306,45 @@ class Timeline:
         )
 
     def write_checkpoint(self, as_of: str, files: dict[str, dict]) -> None:
-        p = self.dir / f"{CHECKPOINT_PREFIX}-{as_of}.json"
+        """Persist replay state as a PARQUET metadata table (one row per
+        live file), not a JSON blob: at 1M files the JSON form is
+        ~100 MB of driver-side parse per read — the parquet form is a
+        compressed columnar read (pyarrow here; Spark can scan the same
+        file distributively). Old `.json` checkpoints remain readable."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        known = set(self._CP_SCALARS) | {"path", "bloom"}
+        cols: dict[str, list] = {c: [] for c in
+                                 ("path", *self._CP_SCALARS, "bloom",
+                                  "extra")}
+        for rp, m in files.items():
+            cols["path"].append(rp)
+            for c in self._CP_SCALARS:
+                v = m.get(c)
+                if c == "bytes" and v is not None:
+                    v = int(v)
+                elif v is not None and c != "bytes":
+                    v = str(v)
+                cols[c].append(v)
+            cols["bloom"].append(bool(m.get("bloom")))
+            extra = {k: v for k, v in m.items() if k not in known}
+            cols["extra"].append(json.dumps(extra) if extra else None)
+        schema = pa.schema(
+            [("path", pa.string())]
+            + [(c, pa.int64() if c == "bytes" else pa.string())
+               for c in self._CP_SCALARS]
+            + [("bloom", pa.bool_()), ("extra", pa.string())]
+        )
+        table = pa.Table.from_pydict(cols, schema=schema)
+        p = self.dir / f"{CHECKPOINT_PREFIX}-{as_of}.parquet"
         tmp = p.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"as_of": as_of, "files": files}))
+        pq.write_table(table, tmp, compression="zstd")
         tmp.replace(p)
+        # a superseded older checkpoint is dead weight on every glob
+        for old in self.dir.glob(CHECKPOINT_PREFIX + "-*"):
+            if old.suffix in (".json", ".parquet") and old.stem < p.stem:
+                old.unlink(missing_ok=True)
 
     def archive(self, keep: int = 30) -> int:
         """Move all but the newest `keep` instants to archived/ (M3),

@@ -96,12 +96,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
+    from hudi_demo_spark.operators.util import spread
+
     narrow = media.select("media_id", "payload")
     # fan a single input split out before the Python stage (no-op at scale)
-    target = media.sparkSession._sc.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
-    return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
+    return spread(narrow).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

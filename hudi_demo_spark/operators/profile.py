@@ -7,15 +7,16 @@ from pyspark.sql import functions as F
 
 
 def profile_numeric(
-    df: DataFrame, cols: list[str], approx: bool = False
+    df: DataFrame, cols: list[str], approx: bool = True
 ) -> DataFrame:
-    """Per-column (n, n_null, n_distinct, min, max, median). Exact
-    percentile (sort-based) so results are engine-portable, unlike
-    approximate sketches.
+    """Per-column (n, n_null, n_distinct, min, max, median).
 
-    `approx=True` swaps exact distinct/median for HLL++ and a
-    quantile sketch — everything folds into ONE aggregate scan (the
-    100-TB formulation; tolerance-tested, not oracle-exact).
+    DEFAULT is the approx path (HLL++ distinct, quantile-sketch
+    median): ONE aggregate scan, bounded executor memory — the only
+    formulation that survives a 100 TB column. Exact mode
+    (`approx=False`) buffers each column's values for a sort-based
+    percentile — a memory cliff at scale — and exists as the OPT-IN
+    for small data where engine-portable, oracle-exact numbers matter.
 
     Shape (exact mode): ONE wide pass for everything except distinct counts (count,
     nulls, min/max, medians all fold into a single aggregate — one scan
@@ -29,12 +30,10 @@ def profile_numeric(
     if not cols:
         raise ValueError("profile_numeric: cols must be non-empty")
     if approx:
-        # the 100-TB path: HLL++ distinct counts and quantile-sketch
-        # medians fold into the SAME single wide aggregate as the other
-        # stats — one scan total, no sort, no per-column passes. Exact
-        # mode stays the default because it is engine-portable
-        # (differentially testable); approx is what you run on a corpus
-        # where an exact median means a terabyte-scale sort.
+        # the 100-TB path (default): HLL++ distinct counts and
+        # quantile-sketch medians fold into the SAME single wide
+        # aggregate as the other stats — one scan total, no sort, no
+        # per-column passes, bounded memory per group.
         exprs = [F.count("*").alias("n")]
         for c in cols:
             exprs += [

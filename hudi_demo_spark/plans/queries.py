@@ -3035,7 +3035,7 @@ def profile_numeric_columns(spark, sf_dir):
 
     l = load_table(spark, sf_dir, "lineitem")
     return profile_numeric(
-        l, ["l_discount", "l_quantity", "l_extendedprice"]
+        l, ["l_discount", "l_quantity", "l_extendedprice"], approx=False
     ).orderBy("col")
 
 

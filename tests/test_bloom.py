@@ -178,3 +178,42 @@ def test_bloom_clean_sweeps_sidecars(engine, spark):
         for p in bloom_root.rglob("*.bf")
     }
     assert on_disk == live
+
+
+def test_bulk_commit_writes_sidecars_executor_side(engine, spark):
+    """Scale contract: a bulk commit landing many base files must not
+    funnel bloom bitmaps through the driver — _build_blooms writes each
+    sidecar inside its executor task and the driver only collects tiny
+    (file, ok) acks. Proven by committing 64+ base files across 64
+    partitions and inspecting the returned ack rows."""
+    engine.create_table(
+        "tb64", record_key="id", precombine="ts", partition_by="dt",
+        props={"index.bloom.enabled": "true"},
+    )
+    rows = [
+        (i, float(i), 1, f"p{i % 64:02d}") for i in range(6400)
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, ts long, dt string")
+    engine.insert(df, "tb64")
+    live = _live_by_path(engine, "tb64")
+    base = {p: m for p, m in live.items() if m.get("kind") == "base"}
+    assert len(base) >= 64
+    cfg = engine._resolve("tb64")
+    for p, m in base.items():
+        assert m.get("bloom") is True
+        side = B.sidecar_path(cfg.path, p)
+        assert side.is_file() and side.stat().st_size > 0
+        # no leftover tmp from the atomic publish
+        assert not (side.parent / (side.name + ".tmp")).exists()
+    # the driver-side ack rows carry NO bitmap payload
+    acks = engine._build_blooms(cfg, [dict(m, path=p) for p, m in base.items()])
+    assert acks and all(set(r.asDict()) == {"f", "ok"} and r["ok"] for r in acks)
+    # probes still prune: a single-key upsert touches one file group
+    upd = spark.createDataFrame(
+        [(7, 700.0, 9, "p07")], "id int, price double, ts long, dt string"
+    )
+    n_before = len(_live_by_path(engine, "tb64"))
+    engine.upsert(upd, "tb64")
+    got = engine.read("tb64").filter("id = 7").collect()
+    assert got[0]["price"] == 700.0
+    assert len(_live_by_path(engine, "tb64")) == n_before

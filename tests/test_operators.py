@@ -297,8 +297,8 @@ def test_profile_approx_within_tolerance(spark, sf_dir):
 
     l = load_table(spark, sf_dir, "lineitem")
     cols = ["l_discount", "l_quantity"]
-    exact = {r["col"]: r for r in profile_numeric(l, cols).collect()}
-    approx = {r["col"]: r for r in profile_numeric(l, cols, approx=True).collect()}
+    exact = {r["col"]: r for r in profile_numeric(l, cols, approx=False).collect()}
+    approx = {r["col"]: r for r in profile_numeric(l, cols).collect()}  # approx is the default
     for c in cols:
         e, a = exact[c], approx[c]
         # null/min/max identical; distinct within 5%; median within 5%

@@ -916,3 +916,56 @@ def test_stale_clustering_plan_dropped_on_occ_conflict(engine, spark):
     with pytest.raises(ConcurrentWriteError):
         engine.run_clustering_plan("accx", stale2)
     assert engine.pending_clusterings("accx") == []
+
+
+def test_checkpoint_is_parquet_metadata_table(tmp_path):
+    """Scale proof (pure metadata, no Spark): replay state persists as
+    a PARQUET metadata table, not a JSON blob — a synthetic 50k-file
+    checkpoint round-trips bit-exactly (incl. col_stats in the `extra`
+    column) and loads via one columnar read; legacy .json checkpoints
+    stay readable."""
+    import json as J
+    import time as T
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    tl = Timeline(tmp_path / "t")
+    tl.dir.mkdir(parents=True)
+    files = {
+        f"dt=2022-{i % 12 + 1:02d}/f_{i:06d}.parquet": {
+            "path": f"dt=2022-{i % 12 + 1:02d}/f_{i:06d}.parquet",
+            "kind": "base",
+            "partition": f"dt=2022-{i % 12 + 1:02d}",
+            "bytes": 1024 * i,
+            "commit": f"2022{i:010d}",
+            "key_min": f"k{i:06d}",
+            "key_max": f"k{i + 1:06d}",
+            "bloom": True,
+            "col_stats": {"price": [float(i), float(i) + 1]},
+        }
+        for i in range(50_000)
+    }
+    tl.write_checkpoint("20220000000002", files)
+    cps = list(tl.dir.glob("_checkpoint-*"))
+    assert [p.suffix for p in cps] == [".parquet"]
+    # checkpoint bytes are columnar-compressed, far below the JSON form
+    assert cps[0].stat().st_size < len(J.dumps(files)) / 4
+    t0 = T.monotonic()
+    got = tl.live_files()
+    elapsed = T.monotonic() - t0
+    assert got == files
+    assert elapsed < 5.0  # columnar load, not a 50k-entry JSON parse
+    # a NEWER checkpoint supersedes and sweeps the old one
+    tl.write_checkpoint("20220000000003", dict(list(files.items())[:10]))
+    assert [p.name for p in tl.dir.glob("_checkpoint-*")] == [
+        "_checkpoint-20220000000003.parquet"
+    ]
+    assert len(tl.live_files()) == 10
+    # legacy JSON checkpoint still readable (pre-parquet tables)
+    tl2 = Timeline(tmp_path / "t2")
+    tl2.dir.mkdir(parents=True)
+    legacy = {"a.parquet": {"path": "a.parquet", "kind": "base",
+                            "partition": "", "bytes": 1, "commit": "1"}}
+    (tl2.dir / "_checkpoint-111.json").write_text(
+        J.dumps({"as_of": "111", "files": legacy}))
+    assert tl2.live_files() == legacy

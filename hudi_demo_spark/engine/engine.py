@@ -182,14 +182,88 @@ class Engine:
             p.parent.name for p in self.root.glob("*/_catalog.json")
         )
 
-    def sync_catalog(self) -> list[str]:
-        """Hive meta-sync analog (D5) — SyncHiveWithDatabase.scala:37-76:
-        walk the catalog root, register every table as a temp view."""
+    def sync_catalog(self, database: str | None = None) -> list[str]:
+        """Hive meta-sync (D5) — SyncHiveWithDatabase.scala:37-76: walk
+        the catalog root and register every table. Always registers a
+        session-scoped temp view (the exact snapshot read). With
+        `database` set on a hive-enabled session (get_spark(hive=True)),
+        ALSO pushes each table into the Hive metastore as a real
+        external table — schema, column comments, partition list, and
+        hudi.* TBLPROPERTIES — which persists across SparkSessions and
+        processes, like the reference's HMS sync.
+
+        Raw `SELECT` through the metastore table scans `data/` — for a
+        COW table after `clean(retain_commits=1)` that is exactly the
+        snapshot (one live version per file group); with retained
+        history or MOR deltas, metastore-table scans see file history
+        and snapshot reads must go through the engine (the same caveat
+        Hudi's Hive sync solves with its custom InputFormat)."""
         names = []
+        hive = False
+        if database is not None:
+            try:
+                hive = (
+                    self.spark.conf.get("spark.sql.catalogImplementation")
+                    == "hive"
+                )
+            except Exception:
+                hive = False
+            if not hive:
+                raise ValueError(
+                    "sync_catalog(database=...) needs a hive-enabled "
+                    "session — build it with get_spark(hive=True)"
+                )
         for name in self.list_tables():
             self.read(name).createOrReplaceTempView(name)
+            if hive:
+                self._hms_sync_table(name, database)
             names.append(name)
         return names
+
+    def _hms_sync_table(self, name: str, database: str) -> None:
+        """Push one table's definition into the Hive metastore
+        (SyncHiveWithDatabase.scala:37-76 + comment propagation per
+        SyncCommentsAcrossClusters.scala:100-113). Drop/recreate is
+        metadata-only (EXTERNAL location — no data touched); MSCK
+        discovers hive-style partition dirs."""
+        cfg = self._resolve(name)
+        schema = self._stored_schema(cfg)
+        if schema is None:
+            return
+        comments = cfg.props.get("column_comments", {}) or {}
+
+        def esc(s: str) -> str:
+            return str(s).replace("'", "''")
+
+        part_cols = list(cfg.partition_fields or [])
+        cols_ddl = []
+        for f in schema.fields:
+            if f.name == DELETED_META:
+                continue  # MOR-internal tombstone marker
+            c = f"`{f.name}` {f.dataType.simpleString()}"
+            if f.name in comments:
+                c += f" COMMENT '{esc(comments[f.name])}'"
+            cols_ddl.append(c)
+        loc = (Path(cfg.path) / DATA_DIR).resolve().as_uri()
+        props = {
+            "hudi.table.type": cfg.table_type,
+            "hudi.record.key": ",".join(cfg.record_key_fields or []),
+            "hudi.precombine.field": cfg.precombine_field or "",
+        }
+        tbl = f"`{database}`.`{name}`"
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        ddl = f"CREATE TABLE {tbl} ({', '.join(cols_ddl)}) USING parquet "
+        if part_cols:
+            ddl += "PARTITIONED BY (" + ", ".join(
+                f"`{c}`" for c in part_cols
+            ) + ") "
+        ddl += f"LOCATION '{loc}' TBLPROPERTIES (" + ", ".join(
+            f"'{esc(k)}'='{esc(v)}'" for k, v in props.items()
+        ) + ")"
+        self.spark.sql(ddl)
+        if part_cols and cfg.hive_style:
+            self.spark.sql(f"MSCK REPAIR TABLE {tbl}")
 
     # ------------------------------------------------------------------
     # resolution / schema

@@ -1797,6 +1797,57 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id,
+           CAST(1 AS DOUBLE) AS n_channels,
+           CAST(8000 AS DOUBLE) AS sample_rate,
+           CAST(50 + doc_id % 100 AS DOUBLE) AS n_samples,
+           CAST(8192 + (doc_id % 8) * 1024 AS DOUBLE) / 32768 AS rms,
+           CAST(8192 + (doc_id % 8) * 1024 AS DOUBLE) / 32768 AS peak,
+           CAST(49 + doc_id % 100 AS DOUBLE) AS zero_crossings
+    FROM documents WHERE doc_id <= 64 ORDER BY doc_id
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL audio decode, algebraically oracled: each doc_id
+    deterministically synthesizes a PCM WAV square wave (length
+    50 + id%100 samples, amplitude 8192 + (id%8)*1024 — exact binary
+    fractions so rms/peak are bit-exact doubles), which the pure-numpy
+    WAV decoder parses back; the oracle computes the same stats in
+    closed form from doc_id. A header mis-parse, byte-order slip, or
+    sample-scaling bug breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.multimodal import decode_image, encode_wav
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+    cols = ["doc_id", "n_channels", "sample_rate", "n_samples", "rms",
+            "peak", "zero_crossings"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 50 + int(did) % 100
+                amp = 8192 + (int(did) % 8) * 1024
+                sq = np.where(
+                    np.arange(n) % 2 == 0, amp, -amp
+                ).astype(np.int16)
+                rows.append((int(did), *decode_image(encode_wav(sq, 8000))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = ("doc_id bigint, n_channels double, sample_rate double, "
+              "n_samples double, rms double, peak double, "
+              "zero_crossings double")
+    return spread(d).mapInPandas(gen, schema).orderBy("doc_id")
+
+
 # =====================================================================
 # TPC-H-adapted relational coverage (semi/anti joins, correlated
 # aggregates, disjunctive pushdown, rollup/cube, set ops) — the

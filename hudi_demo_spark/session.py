@@ -17,7 +17,19 @@ def get_spark(
     app_name: str = "hudi_demo_spark",
     cpus: int | None = None,
     extra_conf: dict | None = None,
+    hive: bool = False,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
+    """`hive=True` enables Spark's built-in Hive catalog backed by an
+    embedded Derby metastore at `metastore_dir` (default a stable
+    per-user path) — table definitions synced via
+    `Engine.sync_catalog(database=...)` then persist ACROSS
+    SparkSessions and processes, the real Hive meta-sync (D5) instead
+    of session-scoped temp views. On a cluster the same code points at
+    a remote HMS via hive-site.xml; the Derby URL here is the local
+    stand-in. Must be chosen BEFORE the JVM starts (static conf): a
+    later get_spark(hive=True) in a process that already built a
+    non-hive session returns that session unchanged."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # make this package importable in Spark's Python workers (data-source
@@ -53,6 +65,19 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    if hive:
+        ms = metastore_dir or f"/tmp/hudi_demo_spark_metastore_{os.getuid()}"
+        os.makedirs(ms, exist_ok=True)
+        builder = (
+            builder.enableHiveSupport()
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={ms}/metastore_db;create=true",
+            )
+            # warehouse must be stable too, or managed-table paths and
+            # database locations dangle across processes
+            .config("spark.sql.warehouse.dir", f"{ms}/warehouse")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

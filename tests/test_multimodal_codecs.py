@@ -1,0 +1,129 @@
+"""Real pure-Python multimodal decode (PPM / BMP / WAV): numpy
+round-trip oracles for each container, end-to-end extract_features and
+resize through mapInPandas with fake=False."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from hudi_demo_spark.operators import multimodal as mm
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def _bmp_bytes(px: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (test fixture)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = px[:, :, ::-1]  # RGB → BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = b"".join(
+        rows[y].tobytes() + b"\0" * (stride - w * 3) for y in range(h)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + dib + body
+
+
+def test_ppm_roundtrip_bit_exact():
+    px = _rng().integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    m = mm.decode_ppm(mm.encode_ppm(px))
+    assert (m["width"], m["height"]) == (7, 5)
+    assert np.array_equal(m["pixels"], px)
+    # comments and multi-line headers parse
+    manual = b"P6\n# a comment\n7\n# more\n5 255\n" + px.tobytes()
+    assert np.array_equal(mm.decode_ppm(manual)["pixels"], px)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_roundtrip_bit_exact(top_down):
+    px = _rng(3).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    m = mm.decode_bmp(_bmp_bytes(px, top_down))
+    assert (m["width"], m["height"]) == (6, 4)
+    assert np.array_equal(m["pixels"], px)
+
+
+def test_wav_roundtrip_and_features():
+    rate = 8000
+    t = np.arange(800)
+    mono = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    m = mm.decode_wav(mm.encode_wav(mono, rate))
+    assert (m["n_channels"], m["sample_rate"], m["n_samples"]) == (1, rate, 800)
+    assert m["duration_ms"] == 100
+    # numpy-differential oracle for the feature vector
+    x = mono.astype(np.float64) / 32768.0
+    feats = mm.decode_image(mm.encode_wav(mono, rate))
+    assert feats[:3] == [1.0, float(rate), 800.0]
+    assert feats[3] == pytest.approx(np.sqrt((x ** 2).mean()))
+    assert feats[4] == pytest.approx(np.abs(x).max())
+    assert feats[5] == float(((x[:-1] * x[1:]) < 0).sum())
+    # stereo
+    st = np.stack([mono, -mono], axis=1)
+    m2 = mm.decode_wav(mm.encode_wav(st, rate))
+    assert m2["n_channels"] == 2 and m2["n_samples"] == 800
+
+
+def test_image_features_match_numpy():
+    px = _rng(11).integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    feats = mm.decode_image(mm.encode_ppm(px))
+    f = px.astype(np.float64)
+    luma = f @ np.array([0.2126, 0.7152, 0.0722])
+    assert feats[0:2] == [9.0, 8.0]
+    for i, ch in enumerate(range(3)):
+        assert feats[2 + i] == pytest.approx(f[:, :, ch].mean())
+    assert feats[5] == pytest.approx(luma.std())
+
+
+def test_unknown_container_still_raises():
+    with pytest.raises(NotImplementedError, match="unknown container"):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+    # and the fake path is unchanged (oracle stability)
+    assert mm.decode_image(b"abc", fake=True) == mm.decode_image(
+        b"abc", fake=True
+    )
+
+
+def test_extract_features_real_decode_e2e(spark):
+    px = _rng(5).integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    wav = mm.encode_wav(
+        (_rng(6).standard_normal(160) * 10000).astype(np.int16), 16000
+    )
+    rows = [
+        (1, "image", bytearray(mm.encode_ppm(px)), "image/x-portable-pixmap",
+         4, 3, None),
+        (2, "image", bytearray(_bmp_bytes(px)), "image/bmp", 4, 3, None),
+        (3, "audio", bytearray(wav), "audio/wav", None, None, 10),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           mm.extract_features(media, fake=False).collect()}
+    assert len(got) == 3
+    # PPM and BMP of the same pixels agree on every feature
+    assert got[1]["feature"] == pytest.approx(got[2]["feature"])
+    assert got[1]["feature"][0:2] == [4.0, 3.0]
+    assert got[3]["feature"][0:2] == [1.0, 16000.0]
+    oracle = mm.decode_image(wav)
+    assert got[3]["feature"] == pytest.approx(oracle, rel=1e-6)
+
+
+def test_resize_real_pixels_e2e(spark):
+    px = _rng(9).integers(0, 256, size=(64, 128, 3), dtype=np.uint8)
+    rows = [(1, "image", bytearray(mm.encode_ppm(px)),
+             "image/x-portable-pixmap", 128, 64, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_media(media, max_w=32, max_h=32, fake=False).collect()[0]
+    assert (out["new_w"], out["new_h"]) == (32, 16)
+    m = mm.decode_ppm(bytes(out["payload"]))
+    assert (m["width"], m["height"]) == (32, 16)
+    # numpy oracle: identical nearest-neighbor gather
+    yi = np.arange(16) * 64 // 16
+    xi = np.arange(32) * 128 // 32
+    assert np.array_equal(m["pixels"], px[yi][:, xi])

@@ -1996,12 +1996,34 @@ class Engine:
         return self.delete_partition(cfg, parts)
 
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
-        """preCombine dedup within the incoming batch (W6)."""
+        """preCombine dedup within the incoming batch (W6).
+
+        Key-skew guard (`write.skew_salt` = N): a window keyed by
+        record key puts ALL versions of one hot key on one task — a
+        90%-one-key event batch serializes there. With the prop set,
+        a salted PRE-REDUCE window (keys + pmod(id, N)) spreads the
+        hot key over N tasks and leaves ≤N candidates per key for the
+        final window — same winner (the ordering is applied in both
+        phases), bounded task size. Off by default: two shuffles only
+        pay for themselves on genuinely skewed batches."""
         keys = self._merge_key_cols(cfg)
         if cfg.precombine_field and cfg.precombine_field in batch.columns:
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(cfg.precombine_field).desc_nulls_last()
-            )
+            order = F.col(cfg.precombine_field).desc_nulls_last()
+            salt_n = int(cfg.props.get("write.skew_salt", 0) or 0)
+            if salt_n > 1:
+                # nondeterministic exprs can't live in a window spec —
+                # project the salt first, then window over the column
+                batch = batch.withColumn(
+                    "__salt",
+                    F.pmod(F.monotonically_increasing_id(), F.lit(salt_n)),
+                )
+                w1 = Window.partitionBy(*keys, "__salt").orderBy(order)
+                batch = (
+                    batch.withColumn("__rn", F.row_number().over(w1))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__salt")
+                )
+            w = Window.partitionBy(*keys).orderBy(order)
             return (
                 batch.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

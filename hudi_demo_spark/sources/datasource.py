@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -157,6 +158,14 @@ class LakehouseDataSource(DataSource):
         timeline IS the offset log: an offset is an instant, a
         micro-batch is the records of the commits in (start, end]."""
         return LakehouseStreamReader(self._cfg(), self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> "LakehouseStreamWriter":
+        """`df.writeStream.format("hudi")` — the Flink streaming sink
+        shape (TestStreamingMOR.java:57-59) as a Python data source
+        stream writer: one timeline commit per micro-batch, batch-id
+        keyed for exactly-once across restarts (same contract as the
+        foreachBatch path in streaming/write.py, but format-native)."""
+        return LakehouseStreamWriter(self.options, schema, overwrite)
 
 
 class LakehouseReader(DataSourceReader):
@@ -728,8 +737,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
 
 class LakehouseCommitMessage(WriterCommitMessage):
-    def __init__(self, files):
+    def __init__(self, files, instant: str | None = None):
         self.files = files  # [{"path", "partition", "bytes", "kind", ...}]
+        # the instant the task stamped into its rows — the stream
+        # writer publishes under it so the row-level commit-time column
+        # and the timeline instant agree (incremental-read exactness)
+        self.instant = instant
 
 
 class LakehouseWriter(DataSourceWriter):
@@ -845,7 +858,7 @@ class LakehouseWriter(DataSourceWriter):
 
         rows = list(iterator)
         if not rows:
-            return LakehouseCommitMessage([])
+            return LakehouseCommitMessage([], self.instant)
         full = T.StructType.fromJson(json.loads(self.full_schema_json))
         data_cols = [
             f.name for f in full.fields
@@ -925,7 +938,7 @@ class LakehouseWriter(DataSourceWriter):
                     "key_max": keys.max(),
                 }
             )
-        return LakehouseCommitMessage(out)
+        return LakehouseCommitMessage(out, self.instant)
 
     # ---------------- driver side ----------------
 
@@ -959,3 +972,60 @@ class LakehouseWriter(DataSourceWriter):
                     (data / f["path"]).unlink()
                 except FileNotFoundError:
                     pass
+
+
+class LakehouseStreamWriter(LakehouseWriter, DataSourceStreamWriter):
+    """`df.writeStream.format("hudi").start(path)` — the streaming sink
+    (T1/T3 shape, TestStreamingMOR.java:57-59) as a Python data source
+    stream writer, sharing LakehouseWriter's executor-side write path.
+
+    Per micro-batch: Spark constructs a fresh writer (the runner calls
+    `streamWriter()` per batch), so `__init__`'s instant is the batch's
+    instant; every task stamps it into its rows and ships it in the
+    commit message, and `commit(messages, batchId)` publishes ONE
+    timeline deltacommit/commit under that same instant — row-level
+    `_hoodie_commit_time` and the timeline agree, keeping incremental
+    reads exact.
+
+    Exactly-once across restarts: the timeline records `batch_id`; a
+    replayed batch (post-crash re-run of an already-committed epoch)
+    is detected in `commit()`, its freshly staged files are unlinked,
+    and nothing is published — the same contract as the foreachBatch
+    sink (streaming/write.py), held format-natively. Writer tasks never
+    see the timeline; only the driver-side commit touches it."""
+
+    def commit(self, messages, batchId: int | None = None, *args) -> None:
+        cfg = TableConfig.load(self.cfg_path)
+        tl = Timeline(cfg.path)
+        instants = {m.instant for m in messages
+                    if m is not None and getattr(m, "instant", None)}
+        instant = instants.pop() if len(instants) == 1 else self.instant
+        if instants:
+            # tasks disagree on the stamped instant — publishing any
+            # single one would orphan the others' rows outside the
+            # commit bound. Fail loudly; abort() reclaims the files.
+            raise RuntimeError(
+                f"stream writer tasks stamped different instants: "
+                f"{sorted(instants) + [instant]}"
+            )
+        added = [f for m in messages if m is not None for f in m.files]
+        if batchId is not None and batchId in tl.committed_batch_ids():
+            # restart replay of a committed epoch: drop the duplicate
+            # staged files, publish nothing (exactly-once)
+            data = Path(cfg.path) / DATA_DIR
+            for f in added:
+                (data / f["path"]).unlink(missing_ok=True)
+            return
+        action = (
+            tlmod.DELTACOMMIT if cfg.table_type == MOR else tlmod.COMMIT
+        )
+        tl.commit(
+            instant, action, "insert", added, [],
+            {"rows_written": None}, batch_id=batchId,
+        )
+        if cfg.schema_json is None:
+            cfg.schema_json = self.full_schema_json
+            cfg.save()
+
+    def abort(self, messages, batchId: int | None = None, *args) -> None:
+        LakehouseWriter.abort(self, messages)

@@ -1546,6 +1546,73 @@ class Engine:
         )
         return self.spark.createDataFrame(checks, schema)
 
+    def file_metadata(self, table: str | TableConfig) -> DataFrame:
+        """The metadata table as a QUERYABLE DataFrame (the Hudi
+        `hudi_table_changes`-style files view): one row per LIVE file —
+        path, commit, kind, partition, bytes, key range, bloom flag.
+        When an archive checkpoint exists, its parquet is read by SPARK
+        (distributed columnar scan) and only the bounded post-checkpoint
+        JSON tail is replayed driver-side — at 1M files the heavy part
+        never materializes as Python objects."""
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        cols = ["path", "commit", "kind", "partition", "bytes",
+                "key_min", "key_max", "bloom"]
+        schema = T.StructType(
+            [T.StructField(c, T.LongType() if c == "bytes"
+                           else (T.BooleanType() if c == "bloom"
+                                 else T.StringType()))
+             for c in cols]
+        )
+        cps = tl.checkpoint_parquets()
+        if cps:
+            cp_as_of = cps[-1].stem
+            base = self.spark.read.parquet(str(cps[-1])).select(
+                "path", "commit", "kind", "partition",
+                F.col("bytes").cast("long"),
+                "key_min", "key_max", F.col("bloom").cast("boolean"),
+            )
+            # replay only the post-checkpoint tail driver-side
+            tail: dict[str, dict] = {}
+            removed: set[str] = set()
+            wiped = False
+            for m in tl.instants():
+                if m["instant"] <= cp_as_of:
+                    continue
+                if m["files_removed"] == "*":
+                    wiped, tail, removed = True, {}, set()
+                else:
+                    for rp in m["files_removed"]:
+                        tail.pop(rp, None)
+                        removed.add(rp)
+                for f in m["files_added"]:
+                    tail[f["path"]] = {**f, "commit": m["instant"]}
+            if wiped:
+                base = base.limit(0)
+            elif removed or tail:
+                gone = removed | set(tail)  # re-added paths supersede
+                base = base.filter(~F.col("path").isin(*gone)) if gone else base
+            live_tail = tail
+        else:
+            base = self.spark.createDataFrame([], schema)
+            live_tail = tl.live_files()
+        def _row(p: str, m: dict) -> tuple:
+            return (
+                p,
+                m.get("commit"),
+                m.get("kind"),
+                m.get("partition"),
+                int(m["bytes"]) if m.get("bytes") is not None else None,
+                None if m.get("key_min") is None else str(m["key_min"]),
+                None if m.get("key_max") is None else str(m["key_max"]),
+                bool(m.get("bloom")),
+            )
+
+        rows = [_row(p, m) for p, m in live_tail.items()]
+        return base.unionByName(
+            self.spark.createDataFrame(rows, schema)
+        ).orderBy("path")
+
     def show_commits(self, table: str | TableConfig) -> DataFrame:
         """`call show_commits(table => ...)` (R23) —
         IncrementalQuery.scala:36-37; newest-first like the reference."""

@@ -428,6 +428,8 @@ class SqlRouter:
             return self.engine.show_commits(table)
         if proc in ("show_fsview_all", "show_fsview"):
             return self.engine.show_fsview(table)
+        if proc == "show_file_metadata":
+            return self.engine.file_metadata(table)
         if proc == "validate_table":
             return self.engine.validate(table)
         if proc == "show_partition_stats":

@@ -203,11 +203,17 @@ class Timeline:
     _CP_SCALARS = ("commit", "kind", "partition", "bytes",
                    "key_min", "key_max")
 
+    def checkpoint_parquets(self) -> list[Path]:
+        """Parquet checkpoints, ascending by as_of. Filenames carry NO
+        leading underscore (Spark's file index hides `_*`), so the same
+        file is directly scannable by `spark.read.parquet`."""
+        return sorted((self.dir / "checkpoints").glob("*.parquet"))
+
     def _checkpoint(self) -> dict | None:
         cps = sorted(
             list(self.dir.glob(CHECKPOINT_PREFIX + "-*.json"))
-            + list(self.dir.glob(CHECKPOINT_PREFIX + "-*.parquet")),
-            key=lambda p: p.stem,
+            + self.checkpoint_parquets(),
+            key=lambda p: p.stem.rsplit("-", 1)[-1],
         )
         if not cps:
             return None
@@ -229,8 +235,7 @@ class Timeline:
             if d["extra"][i]:
                 m.update(json.loads(d["extra"][i]))
             files[rp] = m
-        as_of = p.stem[len(CHECKPOINT_PREFIX) + 1:]
-        return {"as_of": as_of, "files": files}
+        return {"as_of": p.stem, "files": files}
 
     def instants(self, include_archived: bool = False) -> list[dict]:
         """Completed instants, ascending. Active timeline only by default."""
@@ -337,13 +342,17 @@ class Timeline:
             + [("bloom", pa.bool_()), ("extra", pa.string())]
         )
         table = pa.Table.from_pydict(cols, schema=schema)
-        p = self.dir / f"{CHECKPOINT_PREFIX}-{as_of}.parquet"
+        p = self.dir / "checkpoints" / f"{as_of}.parquet"
+        p.parent.mkdir(parents=True, exist_ok=True)
         tmp = p.with_suffix(".tmp")
         pq.write_table(table, tmp, compression="zstd")
         tmp.replace(p)
         # a superseded older checkpoint is dead weight on every glob
-        for old in self.dir.glob(CHECKPOINT_PREFIX + "-*"):
-            if old.suffix in (".json", ".parquet") and old.stem < p.stem:
+        for old in self.checkpoint_parquets():
+            if old.stem < as_of:
+                old.unlink(missing_ok=True)
+        for old in self.dir.glob(CHECKPOINT_PREFIX + "-*.json"):
+            if old.stem.rsplit("-", 1)[-1] < as_of:
                 old.unlink(missing_ok=True)
 
     def archive(self, keep: int = 30) -> int:

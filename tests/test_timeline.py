@@ -946,7 +946,7 @@ def test_checkpoint_is_parquet_metadata_table(tmp_path):
         for i in range(50_000)
     }
     tl.write_checkpoint("20220000000002", files)
-    cps = list(tl.dir.glob("_checkpoint-*"))
+    cps = tl.checkpoint_parquets()
     assert [p.suffix for p in cps] == [".parquet"]
     # checkpoint bytes are columnar-compressed, far below the JSON form
     assert cps[0].stat().st_size < len(J.dumps(files)) / 4
@@ -957,8 +957,8 @@ def test_checkpoint_is_parquet_metadata_table(tmp_path):
     assert elapsed < 5.0  # columnar load, not a 50k-entry JSON parse
     # a NEWER checkpoint supersedes and sweeps the old one
     tl.write_checkpoint("20220000000003", dict(list(files.items())[:10]))
-    assert [p.name for p in tl.dir.glob("_checkpoint-*")] == [
-        "_checkpoint-20220000000003.parquet"
+    assert [p.name for p in tl.checkpoint_parquets()] == [
+        "20220000000003.parquet"
     ]
     assert len(tl.live_files()) == 10
     # legacy JSON checkpoint still readable (pre-parquet tables)
@@ -969,3 +969,38 @@ def test_checkpoint_is_parquet_metadata_table(tmp_path):
     (tl2.dir / "_checkpoint-111.json").write_text(
         J.dumps({"as_of": "111", "files": legacy}))
     assert tl2.live_files() == legacy
+
+
+def test_file_metadata_queryable(engine, spark):
+    """Engine.file_metadata / `call show_file_metadata`: the live-file
+    metadata table as a DataFrame — after archive the heavy part comes
+    from the PARQUET checkpoint via a Spark scan, with the bounded JSON
+    tail replayed on top; rows always equal Timeline.live_files()."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    engine.create_table("fmt", record_key="id", precombine="ts",
+                        partition_by="dt")
+    for row in ROWS:
+        engine.insert(spark.createDataFrame([row], SCHEMA), "fmt")
+
+    def assert_matches():
+        cfg = engine._resolve("fmt")
+        live = Timeline(cfg.path).live_files()
+        got = {r["path"]: r for r in engine.file_metadata("fmt").collect()}
+        assert set(got) == set(live)
+        for p, m in live.items():
+            assert got[p]["commit"] == m.get("commit")
+            assert got[p]["partition"] == m.get("partition", "")
+            assert got[p]["bytes"] == m.get("bytes")
+
+    assert_matches()  # no checkpoint yet: pure driver tail
+    engine.archive("fmt", keep=2)  # writes the parquet checkpoint
+    assert_matches()  # checkpoint via Spark + 2-commit tail
+    # post-checkpoint mutations land in the tail and supersede
+    engine.upsert(
+        spark.createDataFrame([(1, "a1x", 11.0, 9999, "2022-11-25")],
+                              SCHEMA), "fmt")
+    engine.delete("fmt", "id = 4")
+    assert_matches()
+    rows = engine.sql("call show_file_metadata(table => 'fmt')").collect()
+    assert len(rows) == len(Timeline(engine._resolve("fmt").path).live_files())

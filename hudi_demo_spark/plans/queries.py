@@ -1333,6 +1333,57 @@ def streaming_ingest_mor(spark, sf_dir):
 
 
 @q(
+    "streaming_sink_native",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def streaming_sink_native(spark, sf_dir):
+    """T1/T3 through the FORMAT-NATIVE sink: bounded parquet stream →
+    `writeStream.format("hudi")` (Python data source stream writer) —
+    one timeline commit per micro-batch, batch_id recorded, and the
+    final snapshot must equal the source exactly. The foreachBatch
+    path is covered by streaming_ingest_mor; this gates the
+    DataSourceStreamWriter."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.sources.datasource import register
+
+    root = _scratch("streaming_sink_native", sf_dir)
+    eng = Engine(spark, root)
+    register(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = f"{root}/src"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    eng.create_table(
+        "t", record_key="event_id", partition_by="event_type",
+        table_type="mor",
+    )
+    cfg = eng._resolve("t")
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q_ = (
+        stream.writeStream.format("hudi")
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start(str(cfg.path))
+    )
+    q_.awaitTermination()
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    ins = Timeline(cfg.path).instants()
+    assert ins and all("batch_id" in m for m in ins), "batch ids missing"
+    return (
+        eng.read("t")
+        .select("event_id", "user_id", "event_type",
+                F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
     "streaming_incremental_pull",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value

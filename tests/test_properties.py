@@ -364,3 +364,41 @@ def test_schema_evolution_matches_model(spark, tmp_path_factory, program):
         }
         want = {i: {c: r.get(c) for c in cols} for i, r in rows.items()}
         assert got == want, f"after {op}: {got} != {want}"
+
+
+_batch_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # key (few → collisions)
+        st.integers(min_value=0, max_value=50),   # ts (precombine)
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(_batch_rows, st.integers(min_value=2, max_value=8))
+@settings(**_SETTINGS)
+def test_salted_dedup_equivalent_to_plain(spark, tmp_path_factory, rows,
+                                          salt_n):
+    """write.skew_salt property: the salted two-phase preCombine dedup
+    keeps exactly one row per key with the max ts, identical key→ts map
+    to the plain single-window path, for ANY batch and salt width."""
+    from hudi_demo_spark import Engine
+
+    root = tmp_path_factory.mktemp("saltlake")
+    eng = Engine(spark, root)
+    eng.create_table("a", record_key="id", precombine="ts",
+                     props={"write.skew_salt": str(salt_n)})
+    eng.create_table("b", record_key="id", precombine="ts")
+    df = spark.createDataFrame(rows, "id int, ts long, v double")
+    ca, cb = eng._resolve("a"), eng._resolve("b")
+    sa = eng._conform(eng._stamp(df, ca, "t0"), ca)
+    sb = eng._conform(eng._stamp(df, cb, "t0"), cb)
+    got_a = {(r["id"], r["ts"]) for r in eng._dedup_batch(sa, ca).collect()}
+    got_b = {(r["id"], r["ts"]) for r in eng._dedup_batch(sb, cb).collect()}
+    want = {}
+    for k, ts, _ in rows:
+        want[k] = max(want.get(k, -1), ts)
+    assert {p[0] for p in got_a} == set(want)
+    assert {(k, want[k]) for k in want} == {(k, t) for k, t in got_a}
+    assert {(k, t) for k, t in got_a} == {(k, t) for k, t in got_b}

@@ -1590,8 +1590,14 @@ class Engine:
             if wiped:
                 base = base.limit(0)
             elif removed or tail:
-                gone = removed | set(tail)  # re-added paths supersede
-                base = base.filter(~F.col("path").isin(*gone)) if gone else base
+                # re-added paths supersede their checkpoint row; a bulk
+                # tail can hold thousands of paths, so anti-join against
+                # a (broadcast) frame instead of an N-literal isin plan
+                gone = sorted(removed | set(tail))
+                gone_df = self.spark.createDataFrame(
+                    [(p,) for p in gone], "path string"
+                )
+                base = base.join(F.broadcast(gone_df), "path", "left_anti")
             live_tail = tail
         else:
             base = self.spark.createDataFrame([], schema)
@@ -2758,15 +2764,33 @@ class Engine:
         return SqlRouter(self).sql(statement)
 
     def alter_column_comment(
-        self, table: str | TableConfig, column: str, comment: str
+        self,
+        table: str | TableConfig,
+        column: str,
+        comment: str,
+        database: str | None = None,
     ) -> None:
         """ALTER TABLE ... CHANGE col comment (D6) —
-        SyncCommentsAcrossClusters.scala:100-103: column comments live in
-        catalog props (no HMS in this environment)."""
+        SyncCommentsAcrossClusters.scala:100-103: column comments live
+        in catalog props and flow into the metastore on sync_catalog.
+        With `database` set (hive-enabled session, table already
+        synced), the ALTER is ALSO pushed straight to the metastore
+        table — the reference's direct cross-cluster ALTER shape."""
         cfg = self._resolve(table)
         comments = cfg.props.setdefault("column_comments", {})
         comments[column] = comment
         cfg.save()
+        if database is not None:
+            schema = self._stored_schema(cfg)
+            types = {f.name: f.dataType.simpleString()
+                     for f in (schema.fields if schema else [])}
+            if column not in types:
+                raise ValueError(f"no such column: {column}")
+            esc = str(comment).replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE `{database}`.`{cfg.name}` CHANGE COLUMN "
+                f"`{column}` `{column}` {types[column]} COMMENT '{esc}'"
+            )
 
     # safe type widenings (Hudi 0.13 type-promotion matrix)
     _WIDEN_OK = {

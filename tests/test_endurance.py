@@ -131,6 +131,20 @@ def test_sustained_mixed_workload_matches_duckdb(
             )
         if step == 8:
             engine.archive(t, keep=5)
+            # archive wrote the PARQUET checkpoint mid-workload: the
+            # metadata table must agree with driver replay from here on
+            from hudi_demo_spark.engine.timeline import Timeline
+
+            cfgp = engine._resolve(t).path
+            assert Timeline(cfgp).checkpoint_parquets(), "no parquet cp"
+        if step >= 8:
+            from hudi_demo_spark.engine.timeline import Timeline
+
+            live = Timeline(engine._resolve(t).path).live_files()
+            meta_paths = {
+                r["path"] for r in engine.file_metadata(t).collect()
+            }
+            assert meta_paths == set(live)
 
     got = sorted(
         (r["o_orderkey"], r["month"], round(r["o_totalprice"], 2), r["seq"])

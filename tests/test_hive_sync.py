@@ -48,6 +48,9 @@ def test_sync_survives_new_process(tmp_path):
         eng.clean("trips", retain_commits=1, stale_staging_s=0)
         eng.alter_column_comment("trips", "fare", "total fare in USD")
         print("synced:", eng.sync_catalog(database="hudb"))
+        # direct metastore ALTER (SyncCommentsAcrossClusters.scala:100-103)
+        eng.alter_column_comment("trips", "ts", "event micros",
+                                 database="hudb")
     """, cwd=str(tmp_path))
     assert "synced: ['trips']" in out1
     # phase 2: a brand-new JVM + SparkSession sees the table, comment,
@@ -60,6 +63,7 @@ def test_sync_survives_new_process(tmp_path):
         desc = {{r["col_name"]: r["comment"]
                 for r in spark.sql("DESCRIBE TABLE hudb.trips").collect()}}
         print("fare_comment:", desc.get("fare"))
+        print("ts_comment:", desc.get("ts"))
         parts = sorted(r[0] for r in
                        spark.sql("SHOW PARTITIONS hudb.trips").collect())
         print("partitions:", parts)
@@ -73,6 +77,7 @@ def test_sync_survives_new_process(tmp_path):
     """, cwd=str(tmp_path))
     assert "tables: ['trips']" in out2
     assert "fare_comment: total fare in USD" in out2
+    assert "ts_comment: event micros" in out2
     assert "partitions: ['dt=2022-01-01', 'dt=2022-01-02']" in out2
     assert "rows: [(1, 11.0), (2, 20.0)]" in out2
     assert "ttype: cow id" in out2

@@ -1,16 +1,19 @@
 """Local version of the driver's DuckDB-oracle differential gate
-(SURVEY §5 item 1): run every registered query at sf0.001 and compare
-row count + column names + order-insensitive values against the oracle
-SQL. Approximate queries (no oracle) get a rows-run check."""
+(SURVEY §5 item 1): run every registered query and compare row count +
+column names + order-insensitive values against the oracle SQL.
+Approximate queries (no oracle) get a rows-run check. Defaults to
+sf0.001; set SPARK_GRAFT_SF_DIR to sweep sf0.01 / sf0.1 (the driver
+gates at sf0.01)."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 from hudi_demo_spark.plans import ORACLES, QUERIES
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

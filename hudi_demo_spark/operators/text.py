@@ -308,3 +308,172 @@ def classifier_score(
         F.round(margin, round_to).alias("margin"),
         (margin > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- BPE
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, weight) over the corpus — ONE scan + one agg; everything
+    after trains on this table, whose size is the DISTINCT vocabulary,
+    not the corpus."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    vocab_limit: int | None = None,
+) -> list[tuple[str, str]]:
+    """Distributed byte-pair-encoding trainer (Sennrich et al. 2016),
+    the standard subword-vocabulary step of a training-data pipeline.
+
+    Scale shape: the corpus is scanned ONCE for (word, weight); each of
+    the `num_merges` iterations is one JVM-side aggregation over the
+    cached word table (adjacent-pair explode → weighted count → argmax)
+    plus one codegen'd `aggregate` fold that applies the winning merge
+    — per-iteration cost ∝ distinct words, never corpus size, and the
+    driver holds only the merge list (K pairs). Ties break
+    deterministically on (count desc, pair asc).
+
+    No Python row-UDFs: pair extraction is `transform(slice(...))`,
+    merging is a left-to-right greedy `aggregate` fold — the exact
+    reference semantics (test_operators differential vs a pure-Python
+    BPE)."""
+    wc = _word_counts(df, text_col)
+    if vocab_limit is not None:
+        # standard trainer cap: frequency-ranked head of the vocabulary
+        # (deterministic tie-break on the word) — rare-word tails cost
+        # per-iteration latency and barely influence early merges
+        wc = wc.orderBy(
+            F.col("weight").desc(), F.col("word").asc()
+        ).limit(vocab_limit)
+    words = (
+        wc.withColumn(
+            "syms",
+            F.concat(
+                F.split(F.col("word"), ""),
+                F.array(F.lit("</w>")),
+            ),
+        )
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        cur = words
+        for _ in range(num_merges):
+            top = (
+                cur.select(
+                    "weight",
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1), "
+                            "(x, i) -> struct(x AS a, "
+                            "element_at(syms, i + 2) AS b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p")
+                .agg(F.sum("weight").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("p").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+            merges.append((a, b))
+            cur = cur.withColumn("syms", _merge_pair_expr("syms", a, b))
+            if len(merges) % 10 == 0:
+                # bound the fold-expression depth: materialize the
+                # merged symbol arrays every few iterations
+                cur = cur.select("word", "weight", "syms").persist()
+    finally:
+        words.unpersist()
+    return merges
+
+
+def _merge_pair_expr(col: str, a: str, b: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (a, b) → a||b inside an
+    array<string> column, as a codegen'd aggregate fold."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return F.expr(
+        f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
+        f"AND x = '{qb}' THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{qa}' || '{qb}')) ELSE concat(acc, array(x)) END)"
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize with a trained merge table. Scale shape: the merge
+    sequence is applied to the corpus's DISTINCT words only (an
+    Arrow-batched pandas stage over the vocabulary table — python cost
+    ∝ vocabulary, not corpus), then joined back to the exploded corpus
+    by word; the per-document token ids/counts come from one keyed
+    re-aggregation. Returns (id, n_tokens, tokens)."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _tok(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms = list(w) + ["</w>"]
+                while len(syms) > 1:
+                    best, bi = None, None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bi = r, i
+                    if best is None:
+                        break
+                    syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+                out.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "toks": out})
+
+    vocab = _word_counts(df, text_col).select("word")
+    word_toks = vocab.mapInPandas(_tok, "word string, toks array<string>")
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        exploded.join(word_toks, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            id_col,
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
+    )

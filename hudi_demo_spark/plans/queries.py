@@ -1848,6 +1848,28 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q("text_bpe_token_counts")
+def text_bpe_token_counts(spark, sf_dir):
+    """Distributed BPE (train 20 merges on the frequency-capped
+    documents word table, tokenize via the distinct-word join) →
+    per-doc subword token
+    counts. Iterative vocabulary training is genuinely
+    non-SQL-expressible (each merge depends on the argmax of the
+    previous state), so this query has no DuckDB oracle; its semantics
+    are pinned by the pure-Python differential test
+    (tests/test_operators.py::test_bpe_trainer_matches_reference)."""
+    from hudi_demo_spark.operators.text import apply_bpe, train_bpe
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(d, "text", num_merges=20, vocab_limit=20_000)
+    assert len(merges) > 0
+    return (
+        apply_bpe(d, "doc_id", "text", merges)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "multimodal_real_decode",
     """

@@ -453,3 +453,65 @@ def test_semantic_dedup_with_kmeans_refined_cells(spark, sf_dir):
         threshold=0.999, n_centroids=4, kmeans_iters=2,
     )
     assert ids == {r["vec_id"] for r in kept2.collect()}
+
+
+def test_bpe_trainer_matches_reference(spark):
+    """Distributed BPE (train on the word table, apply via distinct-word
+    join) is differentially tested against a pure-Python reference
+    implementation of Sennrich-style BPE — identical merge sequence and
+    identical tokenization, including deterministic tie-breaks."""
+    from collections import Counter
+
+    from hudi_demo_spark.operators.text import apply_bpe, train_bpe
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat"),
+        (3, "a cat and a hat and a mat"),
+        (4, "the hat that the cat wore"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # --- pure-Python reference BPE ---
+    wc = Counter(
+        w for _, t in rows for w in t.lower().split() if w
+    )
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+
+    def ref_train(k):
+        merges = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += wc[w]
+            if not pairs:
+                break
+            # deterministic tie-break: max count, then LEXICOGRAPHICALLY
+            # SMALLEST pair
+            m = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            merges.append(m)
+            a, b = m
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    K = 25
+    want_merges = ref_train(K)
+    got_merges = train_bpe(df, "text", num_merges=K)
+    assert got_merges == want_merges
+    got = {r["doc_id"]: (r["n_tokens"], r["tokens"])
+           for r in apply_bpe(df, "doc_id", "text", got_merges).collect()}
+    for did, text in rows:
+        want_toks = []
+        for w in text.lower().split():
+            want_toks.extend(vocab[w])
+        assert got[did] == (len(want_toks), want_toks), did

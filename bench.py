@@ -77,6 +77,9 @@ HEADLINE = [
     "text_classifier_score",
     "corpus_temperature_mix",
     "corpus_cap_per_group",
+    # round 2 additions
+    "multimodal_real_decode",
+    "streaming_sink_native",
 ]
 
 

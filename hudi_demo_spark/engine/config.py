@@ -28,6 +28,20 @@ DATA_DIR = "data"
 COW = "cow"
 MOR = "mor"
 
+
+def relpath_from_uri(uri: str, data_dir: str | Path) -> str:
+    """`input_file_name()` URI → relpath under the table's data dir.
+    Spark returns a percent-encoded `file:/...` URI; partition values
+    with spaces/non-ASCII must decode before matching live-file
+    relpaths. Shared by every index builder that keys on file identity
+    (bloom sidecars, functional index) so URI-handling fixes land once."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    p = p.split("://", 1)[-1] if "://" in p else p
+    prefix = str(data_dir).rstrip("/") + "/"
+    return p[p.find(prefix) + len(prefix):] if prefix in p else p
+
 # Merge payloads (java-client/.../JavaClientHive2Hudi.java:145-148):
 # OVERWRITE_LATEST = OverwriteWithLatestAvroPayload (latest commit wins,
 # preCombine breaks intra-batch ties); DEFAULT = DefaultHoodieRecordPayload

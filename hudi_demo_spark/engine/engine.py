@@ -264,6 +264,27 @@ class Engine:
         self.spark.sql(ddl)
         if part_cols and cfg.hive_style:
             self.spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        elif part_cols:
+            # value-only partition dirs: MSCK cannot discover them, but
+            # the timeline knows every live partition — register each
+            # explicitly so metastore SELECTs see the data
+            parts = sorted({
+                m.get("partition", "")
+                for m in Timeline(cfg.path).live_files().values()
+                if m.get("partition")
+            })
+            data = Path(cfg.path) / DATA_DIR
+            for pp in parts:
+                segs = pp.split("/")
+                if len(segs) != len(part_cols):
+                    continue  # unexpected layout: leave undiscovered
+                spec = ", ".join(
+                    f"`{c}`='{esc(v)}'" for c, v in zip(part_cols, segs)
+                )
+                self.spark.sql(
+                    f"ALTER TABLE {tbl} ADD IF NOT EXISTS PARTITION "
+                    f"({spec}) LOCATION '{(data / pp).resolve().as_uri()}'"
+                )
 
     # ------------------------------------------------------------------
     # resolution / schema
@@ -638,13 +659,11 @@ class Engine:
 
         def _one(pdf):
             import pandas as pd
-            from urllib.parse import unquote
 
             from hudi_demo_spark.engine import bloom as BB
+            from hudi_demo_spark.engine.config import relpath_from_uri
 
-            uri = unquote(pdf["__f"].iloc[0])
-            p = uri.split("://", 1)[-1] if "://" in uri else uri
-            rel = p[p.find(prefix) + len(prefix):] if prefix in p else p
+            rel = relpath_from_uri(pdf["__f"].iloc[0], prefix.rstrip("/"))
             blob = bytes(BB.build(pdf["__k"], fpp, cap))
             side = BB.sidecar_path(root, rel)
             side.parent.mkdir(parents=True, exist_ok=True)
@@ -2429,8 +2448,11 @@ class Engine:
                 cfg, partition_filter=partition_filter, point_filter=auto_pf
             )
             updated = snap.filter(cond)
-            for k, v in assigns.items():
-                updated = updated.withColumn(k, v)
+            # SIMULTANEOUS assignment (one projection over the pre-update
+            # row, same as the COW path and SQL UPDATE semantics): a
+            # sequential withColumn loop would feed later assignments
+            # the already-overwritten values (SET a=b, b=a would not swap)
+            updated = updated.withColumns(dict(assigns))
             updated = updated.withColumn(COMMIT_TIME_META, F.lit(instant))
             updated = self._conform(updated, cfg)
             added = self._materialize(updated, cfg, instant, "delta")
@@ -2466,9 +2488,9 @@ class Engine:
         )
         self._precommit_validate(cfg, instant, added, sorted(affected))
         meta = tl.commit(instant, tlmod.COMMIT, "update", added, sorted(affected))
-        idx_batch = matched
-        for k, v in assigns.items():
-            idx_batch = idx_batch.withColumn(k, v)
+        # simultaneous projection, matching the written data exactly —
+        # sequential withColumn would index values the write never produced
+        idx_batch = matched.withColumns(dict(assigns))
         self._secondary_append_updated(cfg, idx_batch, set)
         return meta
 
@@ -2515,6 +2537,7 @@ class Engine:
         tl = Timeline(cfg.path)
         src = self._conform(self._stamp(source, cfg, instant), cfg)
         src = self._dedup_batch(src, cfg).persist()
+        flagged = None
         try:
             ranges, n_src = self._batch_key_ranges(src)
             live = tl.live_files()
@@ -2722,7 +2745,34 @@ class Engine:
                             do_bs_update, bs_set_map[c]
                         ).otherwise(val)
                 sel.append(val.alias(c))
-            out = j.filter(keep).select(*sel)
+            # explicit SET / INSERT maps and by-source updates write
+            # values that are NOT source-row values, so src-based
+            # _index_append misses them — when such a map touches an
+            # indexed column, carry a __touched flag through ONE
+            # persisted computation of the join (recomputing the
+            # full-outer join for the index append would double the
+            # merge's scan cost)
+            explicit_cols: set[str] = set()
+            for _, amap in upd_branches:
+                if amap is not None:
+                    explicit_cols |= set(amap)
+            for _, imap in ins_branches:
+                if imap is not None:
+                    explicit_cols |= set(imap)
+            if bs_set_map is not None:
+                explicit_cols |= set(bs_set_map)
+            from hudi_demo_spark.engine import secondary_index as si
+
+            idx_cols = [
+                c for c in si.indexed_columns(cfg) if c in explicit_cols
+            ]
+            if idx_cols:
+                flagged = j.filter(keep).select(
+                    *sel, (use_src | do_bs_update).alias("__touched")
+                ).persist()
+                out = flagged.drop("__touched")
+            else:
+                out = j.filter(keep).select(*sel)
             rewritten = self._materialize(
                 out, cfg, instant, "base",
                 approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
@@ -2734,27 +2784,14 @@ class Engine:
                 instant, tlmod.COMMIT, "merge", rewritten, sorted(affected)
             )
             self._index_append(cfg, src)
-            # explicit SET / INSERT maps and by-source updates write
-            # values that are NOT source-row values, so src-based
-            # _index_append misses them — append the touched REWRITTEN
-            # rows' pairs for any indexed column an explicit map names
-            explicit_cols: set[str] = set()
-            for _, amap in upd_branches:
-                if amap is not None:
-                    explicit_cols |= set(amap)
-            for _, imap in ins_branches:
-                if imap is not None:
-                    explicit_cols |= set(imap)
-            if bs_set_map is not None:
-                explicit_cols |= set(bs_set_map)
-            if explicit_cols:
-                touched = j.filter(
-                    keep & (use_src | do_bs_update)
-                ).select(*sel)
+            if flagged is not None:
+                touched = flagged.filter(F.col("__touched")).drop("__touched")
                 self._secondary_append_updated(cfg, touched, explicit_cols)
             return meta
         finally:
             src.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
 
     def sql(self, statement: str):
         """SQL DML surface (SparkSQLDemo statement set) — see
@@ -2777,19 +2814,30 @@ class Engine:
         synced), the ALTER is ALSO pushed straight to the metastore
         table — the reference's direct cross-cluster ALTER shape."""
         cfg = self._resolve(table)
+        # validate BEFORE persisting anything: a typo'd column must not
+        # leave a bogus comment in catalog props (it would flow into
+        # every later sync's DDL)
+        col_type = None
+        schema = self._stored_schema(cfg)
+        if schema is not None:
+            types = {f.name: f.dataType.simpleString()
+                     for f in schema.fields}
+            if column not in types:
+                raise ValueError(f"no such column: {column}")
+            col_type = types[column]
+        if database is not None and col_type is None:
+            raise ValueError(
+                "metastore comment sync needs a written table "
+                "(no stored schema yet)"
+            )
         comments = cfg.props.setdefault("column_comments", {})
         comments[column] = comment
         cfg.save()
         if database is not None:
-            schema = self._stored_schema(cfg)
-            types = {f.name: f.dataType.simpleString()
-                     for f in (schema.fields if schema else [])}
-            if column not in types:
-                raise ValueError(f"no such column: {column}")
             esc = str(comment).replace("'", "''")
             self.spark.sql(
                 f"ALTER TABLE `{database}`.`{cfg.name}` CHANGE COLUMN "
-                f"`{column}` `{column}` {types[column]} COMMENT '{esc}'"
+                f"`{column}` `{column}` {col_type} COMMENT '{esc}'"
             )
 
     # safe type widenings (Hudi 0.13 type-promotion matrix)

@@ -42,12 +42,11 @@ from __future__ import annotations
 import json
 import shutil
 from pathlib import Path
-from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_demo_spark.engine.config import TableConfig
+from hudi_demo_spark.engine.config import TableConfig, relpath_from_uri
 
 PROP_PREFIX = "index.functional."
 MARKER = "_complete"
@@ -111,15 +110,8 @@ class FunctionalIndex:
             .collect()
         )
         out: dict[str, list] = {}
-        prefix = str(data).rstrip("/") + "/"
         for r in agg:
-            # input_file_name() returns a percent-encoded URI: a
-            # partition value with spaces/non-ASCII would otherwise
-            # never match the live-file relpaths (silently uncovered)
-            uri = unquote(r["__f"])
-            # file:/abs/path or bare path → relpath under data/
-            p = uri.split("://", 1)[-1] if "://" in uri else uri
-            p = p[p.find(prefix) + len(prefix):] if prefix in p else p
+            p = relpath_from_uri(r["__f"], data)
             lo, hi = _json_safe(r["lo"]), _json_safe(r["hi"])
             if lo is not None and hi is not None:
                 out[p] = [lo, hi]

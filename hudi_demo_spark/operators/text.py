@@ -368,6 +368,7 @@ def train_bpe(
         .persist()
     )
     merges: list[tuple[str, str]] = []
+    cached = [words]  # every persisted handle, unpersisted on exit
     try:
         cur = words
         for _ in range(num_merges):
@@ -395,10 +396,17 @@ def train_bpe(
             cur = cur.withColumn("syms", _merge_pair_expr("syms", a, b))
             if len(merges) % 10 == 0:
                 # bound the fold-expression depth: materialize the
-                # merged symbol arrays every few iterations
+                # merged symbol arrays every few iterations (and retire
+                # the previous cached copy — leaving every 10th
+                # generation pinned would leak storage memory on long
+                # trainings)
                 cur = cur.select("word", "weight", "syms").persist()
+                cur.count()  # materialize before dropping the parent
+                cached[-1].unpersist()
+                cached.append(cur)
     finally:
-        words.unpersist()
+        for c in cached:
+            c.unpersist()
     return merges
 
 

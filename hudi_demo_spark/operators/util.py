@@ -38,7 +38,12 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
         )
-        if size // max(1, max_split) + 1 >= target:
+        # relations without real statistics (DSv2 / python data sources)
+        # report defaultSizeInBytes — a near-Long.MAX sentinel, not a
+        # measurement. Anything past 1 PB is that sentinel in practice
+        # (a genuine 100 TB scan is still under it): treat as unknown
+        # and err toward the repartition, per the contract above.
+        if size < (1 << 50) and size // max(1, max_split) + 1 >= target:
             return df  # input already fans out to enough splits
     except Exception:
         pass

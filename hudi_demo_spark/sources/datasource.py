@@ -736,6 +736,27 @@ class LakehouseStreamReader(DataSourceStreamReader):
         pass
 
 
+def _invalidate_indexes(cfg: TableConfig) -> None:
+    """format('hudi') writers commit in a SESSIONLESS worker — they
+    cannot run the Spark jobs that append record/secondary-index
+    entries. Dropping the completeness markers (pure filesystem) keeps
+    the no-false-negatives invariant by ABSENCE: reads fall back to
+    full scans and the next Engine write rebuilds from the snapshot."""
+    import shutil
+
+    from hudi_demo_spark.engine import secondary_index as si
+
+    for col in si.indexed_columns(cfg):
+        shutil.rmtree(
+            Path(cfg.path) / "_index" / "secondary" / col,
+            ignore_errors=True,
+        )
+    if str(cfg.props.get("index.record_level", "")).lower() in (
+        "1", "true", "yes",
+    ):
+        shutil.rmtree(Path(cfg.path) / "_index" / "keys", ignore_errors=True)
+
+
 class LakehouseCommitMessage(WriterCommitMessage):
     def __init__(self, files, instant: str | None = None):
         self.files = files  # [{"path", "partition", "bytes", "kind", ...}]
@@ -790,6 +811,16 @@ class LakehouseWriter(DataSourceWriter):
             )
         if TableConfig.exists(path):
             cfg = TableConfig.load(path)
+            if cfg.props.get("precommit.validator.sql"):
+                # validators evaluate SQL over the candidate snapshot —
+                # impossible in the sessionless commit worker. Refuse
+                # loudly rather than silently publishing unvalidated rows.
+                raise RuntimeError(
+                    "table declares precommit.validator.sql, which the "
+                    "format('hudi') writer cannot evaluate (commit runs "
+                    "in a sessionless worker) — write through "
+                    "Engine.insert / the foreachBatch streaming sink"
+                )
         else:
             keys = options.get("hoodie.datasource.write.recordkey.field")
             parts = options.get(
@@ -957,6 +988,7 @@ class LakehouseWriter(DataSourceWriter):
             self.instant, action, operation, added, removed,
             {"rows_written": None},
         )
+        _invalidate_indexes(cfg)
         if cfg.schema_json != self.full_schema_json:
             if cfg.schema_json is None or self.overwrite:
                 cfg.schema_json = self.full_schema_json
@@ -992,7 +1024,14 @@ class LakehouseStreamWriter(LakehouseWriter, DataSourceStreamWriter):
     is detected in `commit()`, its freshly staged files are unlinked,
     and nothing is published — the same contract as the foreachBatch
     sink (streaming/write.py), held format-natively. Writer tasks never
-    see the timeline; only the driver-side commit touches it."""
+    see the timeline; only the driver-side commit touches it.
+
+    The `overwrite` flag (complete output mode) publishes each batch as
+    a replacecommit (removed="*"): the table always equals the latest
+    emission, never an append pile-up. Declared record/secondary
+    indexes are INVALIDATED on every commit (the sessionless worker
+    cannot append entries — see `_invalidate_indexes`), and tables with
+    `precommit.validator.sql` are refused at writer construction."""
 
     def commit(self, messages, batchId: int | None = None, *args) -> None:
         cfg = TableConfig.load(self.cfg_path)
@@ -1016,13 +1055,23 @@ class LakehouseStreamWriter(LakehouseWriter, DataSourceStreamWriter):
             for f in added:
                 (data / f["path"]).unlink(missing_ok=True)
             return
-        action = (
-            tlmod.DELTACOMMIT if cfg.table_type == MOR else tlmod.COMMIT
-        )
+        if self.overwrite:
+            # complete-output-mode sinks re-emit the FULL result every
+            # micro-batch: each commit replaces the table contents
+            # (replacecommit, removed="*"), never appends duplicates
+            action, operation, removed = (
+                tlmod.REPLACECOMMIT, "insert_overwrite_table", "*",
+            )
+        else:
+            action = (
+                tlmod.DELTACOMMIT if cfg.table_type == MOR else tlmod.COMMIT
+            )
+            operation, removed = "insert", []
         tl.commit(
-            instant, action, "insert", added, [],
+            instant, action, operation, added, removed,
             {"rows_written": None}, batch_id=batchId,
         )
+        _invalidate_indexes(cfg)
         if cfg.schema_json is None:
             cfg.schema_json = self.full_schema_json
             cfg.save()

@@ -664,3 +664,71 @@ def test_writestream_restart_exactly_once(engine, spark, tmp_path):
     assert sorted(
         r["id"] for r in engine.read("wed").collect()
     ) == [0, 1, 2, 3, 7]
+
+
+def test_writestream_complete_mode_replaces(engine, spark, tmp_path):
+    """Complete-output-mode aggregation into the hudi sink: every
+    emission REPLACES the table (replacecommit), never appends — the
+    table always equals the latest aggregate."""
+    engine.create_table("cmsrc", record_key="id", precombine="ts")
+    engine.create_table("cmdst", record_key="event_type")
+    src, dst = engine._resolve("cmsrc"), engine._resolve("cmdst")
+
+    def run():
+        q = (
+            spark.readStream.format("hudi").load(str(src.path))
+            .groupBy(F.col("name").alias("event_type"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("hudi")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start(str(dst.path))
+        )
+        q.awaitTermination(120)
+
+    engine.insert(
+        _mkdf(spark, [(1, "x", 1.0, 1, "d"), (2, "x", 1.0, 1, "d"),
+                      (3, "y", 1.0, 1, "d")]), "cmsrc")
+    run()
+    got = {r["event_type"]: r["n"] for r in engine.read("cmdst").collect()}
+    assert got == {"x": 2, "y": 1}
+    engine.insert(_mkdf(spark, [(4, "y", 1.0, 1, "d")]), "cmsrc")
+    run()
+    got = {r["event_type"]: r["n"] for r in engine.read("cmdst").collect()}
+    assert got == {"x": 2, "y": 2}  # replaced, not appended
+
+
+def test_writer_refuses_validator_tables_and_invalidates_indexes(
+    engine, spark, tmp_path
+):
+    """The sessionless format('hudi') writers cannot evaluate SQL
+    validators (refused loudly) nor append index entries (indexes are
+    invalidated so reads fall back to exact scans)."""
+    import pytest as _pytest
+
+    engine.create_table(
+        "wv", record_key="id", precombine="ts",
+        props={"precommit.validator.sql":
+               "SELECT 1 FROM __candidate WHERE price < 0"},
+    )
+    cfgv = engine._resolve("wv")
+    df = _mkdf(spark, [(1, "a", 1.0, 1, "d")])
+    with _pytest.raises(Exception, match="validator"):
+        df.write.format("hudi").mode("append").save(str(cfgv.path))
+    # indexed table: batch format write invalidates, reads stay exact
+    engine.create_table("wix", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, [(1, "a", 1.0, 1, "d1")]), "wix")
+    engine.create_index("wix", "name")
+    cfg = engine._resolve("wix")
+    assert engine._secondary_index(cfg, "name").usable()
+    _mkdf(spark, [(2, "zz", 2.0, 1, "d2")]).write.format("hudi").mode(
+        "append").save(str(cfg.path))
+    assert not engine._secondary_index(cfg, "name").usable()
+    got = engine.read("wix", point_filter=("name", ["zz"]))  # fallback scan
+    assert [r["id"] for r in got.collect()] == [2]
+    # next engine write rebuilds from the snapshot
+    engine.upsert(_mkdf(spark, [(3, "qq", 3.0, 1, "d3")]), "wix")
+    idx = engine._secondary_index(cfg, "name")
+    assert idx.usable() and idx.lookup_partitions(["zz"]) == {"dt=d2"}

@@ -620,3 +620,22 @@ def test_write_parquet_codec_prop(engine, spark):
         }
         assert codecs == {"zstd"}, (f, codecs)
     assert engine.read("codec_t").count() == 100
+
+
+def test_update_swap_assignments_simultaneous(engine, spark):
+    """UPDATE SET a=b, b=a must SWAP (one projection over the
+    pre-update row) on BOTH table types — a sequential withColumn loop
+    would feed the second assignment the already-overwritten value."""
+    for tt in ("cow", "mor"):
+        t = f"swap_{tt}"
+        engine.create_table(t, record_key="id", precombine="ts",
+                            table_type=tt)
+        engine.insert(
+            spark.createDataFrame(
+                [(1, "A", "B", 1)], "id int, a string, b string, ts long"
+            ),
+            t,
+        )
+        engine.update(t, set={"a": "b", "b": "a"}, where="id = 1")
+        row = engine.read(t).collect()[0]
+        assert (row["a"], row["b"]) == ("B", "A"), tt

@@ -515,3 +515,25 @@ def test_bpe_trainer_matches_reference(spark):
         for w in text.lower().split():
             want_toks.extend(vocab[w])
         assert got[did] == (len(want_toks), want_toks), did
+
+
+def test_spread_fans_out_statless_relations(spark, engine):
+    """Regression (review finding): DSv2/python data sources report a
+    defaultSizeInBytes sentinel, not a measurement — spread() must
+    treat that as unknown and still fan out, or CPU-heavy Python
+    stages downstream of format('hudi') reads serialize on one core."""
+    from hudi_demo_spark.operators.util import spread
+    from hudi_demo_spark.sources.datasource import register
+
+    register(spark)
+    engine.create_table("spt", record_key="id")
+    engine.insert(
+        spark.createDataFrame([(i, float(i)) for i in range(100)],
+                              "id int, v double"),
+        "spt",
+    )
+    cfg = engine._resolve("spt")
+    ds = spark.read.format("hudi").load(str(cfg.path))
+    out = spread(ds)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= min(target, 8)

@@ -241,3 +241,27 @@ def test_auto_point_filter_rejects_quoted_nonstring(engine, spark):
     # end-to-end: coerced DML must not lose rows (falls back to scan)
     engine.update(t, set={"price": "0.0"}, where="ts = '01'")
     assert {r["price"] for r in engine.read(t).collect()} == {0.0}
+
+
+def test_update_swap_indexes_written_values(engine, spark):
+    """Regression (review finding): the index batch must use the SAME
+    simultaneous projection as the written data — with SET a=b, b=a on
+    an indexed column, the index must record the swapped values."""
+    t = "sxswap"
+    engine.create_table(t, record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(
+        spark.createDataFrame(
+            [(1, "A", "B", 1, "d1")],
+            "id int, a string, b string, ts long, dt string",
+        ),
+        t,
+    )
+    engine.create_index(t, "a")
+    engine.create_index(t, "b")
+    engine.update(t, set={"a": "b", "b": "a"}, where="id = 1")
+    # written data swapped; index must serve the NEW values exactly
+    assert [r["id"] for r in
+            engine.read(t, point_filter=("a", ["B"])).collect()] == [1]
+    assert [r["id"] for r in
+            engine.read(t, point_filter=("b", ["A"])).collect()] == [1]

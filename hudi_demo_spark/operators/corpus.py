@@ -375,3 +375,82 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_per_group)
         .drop("__rn")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: str,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", hashed n-gram
+    variant): score every raw document by how target-like its hashed
+    unigram+bigram feature distribution is —
+    ``log w(d) = Σ_f log p_target(b(f)) / p_raw(b(f))`` with add-alpha
+    smoothing over `n_buckets` hashed buckets. Sampling ∝ w is the
+    standard pre-training data-selection step for steering a crawl
+    toward a target domain.
+
+    Scale shape: ONE explode pass over the corpus (features hashed
+    map-side with the engine-portable md5 hash so a SQL oracle can
+    replay bit-for-bit), one map-side-combinable bucket aggregate
+    (B rows), one broadcast join of the B-row ratio table back onto
+    per-doc bucket counts, one final keyed agg. No driver state beyond
+    the B-row table; corpus shuffles only (doc, bucket) pairs.
+
+    Returns (id, n_features, log_weight) — log_weight rounded to 3
+    decimals (sum of ≤B per-doc terms; both engines agree at that
+    precision)."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.expr(target_cond).cast("boolean").alias("__is_t"),
+        toks.alias("__t"),
+    )
+    feats = base.select(
+        id_col,
+        "__is_t",
+        F.explode(
+            F.concat(
+                F.col("__t"),
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1), "
+                    "(x, i) -> x || ' ' || element_at(__t, i + 2))"
+                ),
+            )
+        ).alias("__f"),
+    ).withColumn(
+        "__b", F.pmod(portable_hash60("__f"), F.lit(n_buckets))
+    )
+    buckets = feats.groupBy("__b").agg(
+        F.sum(F.col("__is_t").cast("long")).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    totals = buckets.agg(
+        F.sum("nt").alias("Tt"), F.sum("nr").alias("Tr")
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("nt") + alpha) / (F.col("Tt") + alpha * n_buckets))
+            - F.log((F.col("nr") + alpha) / (F.col("Tr") + alpha * n_buckets))
+        ).alias("__lr"),
+    )
+    doc_buckets = feats.groupBy(id_col, "__b").agg(
+        F.count("*").alias("__c")
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_features"),
+            F.round(F.sum(F.col("__c") * F.col("__lr")), 3).alias(
+                "log_weight"
+            ),
+        )
+    )

@@ -1848,6 +1848,56 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_dsir_weights",
+    """
+    WITH base AS (
+      SELECT doc_id, source = 'src1' AS is_t,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, is_t,
+             unnest(list_concat(
+               t, list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1]))) AS f
+      FROM base
+    ), bucketed AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % 256 AS b
+      FROM feats
+    ), buckets AS (
+      SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+             count(*) AS nr
+      FROM bucketed GROUP BY b
+    ), totals AS (
+      SELECT sum(nt) AS tt, sum(nr) AS tr FROM buckets
+    ), ratios AS (
+      SELECT b, ln((nt + 0.5) / (tt + 0.5 * 256))
+                - ln((nr + 0.5) / (tr + 0.5 * 256)) AS lr
+      FROM buckets, totals
+    ), doc_buckets AS (
+      SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+           round(CAST(sum(c * lr) AS DOUBLE), 3) AS log_weight
+    FROM doc_buckets JOIN ratios USING (b)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (hashed unigram+bigram n-gram
+    features, target domain = source 'src1'): per-doc log importance
+    weight replayed bucket-for-bucket by the SQL oracle (the
+    engine-portable md5 hash keeps bucket assignment identical)."""
+    from hudi_demo_spark.operators.corpus import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        d, "doc_id", "text", "source = 'src1'"
+    ).orderBy("doc_id")
+
+
 @q("text_bpe_token_counts")
 def text_bpe_token_counts(spark, sf_dir):
     """Distributed BPE (train 20 merges on the frequency-capped

@@ -99,3 +99,30 @@ def test_redact_pii_patterns(spark):
     assert got[1] == "mail me at [EMAIL] now"
     assert got[2] == "server [IP] and call [PHONE]"
     assert got[3] == "no pii here, just 3.14 and v1.2.3"
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR semantics: raw docs sharing the target domain's n-grams
+    must score higher log-importance than out-of-domain docs; weights
+    are deterministic (portable hash, no RNG)."""
+    from hudi_demo_spark.operators.corpus import dsir_weights
+
+    rows = [
+        # target domain: cooking
+        (1, "whisk the eggs and fold the flour gently", "target"),
+        (2, "simmer the sauce and season the broth with salt", "target"),
+        (3, "knead the dough and proof the yeast overnight", "target"),
+        # raw pool: one cooking-like, two out-of-domain
+        (10, "fold the flour and whisk the eggs with salt", "raw"),
+        (11, "compile the kernel and link the object files", "raw"),
+        (12, "the defendant appealed the verdict to the court", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_weights(df, "doc_id", "text",
+                               "src = 'target'").collect()}
+    assert w[10] > w[11] and w[10] > w[12]
+    w2 = {r["doc_id"]: r["log_weight"]
+          for r in dsir_weights(df, "doc_id", "text",
+                                "src = 'target'").collect()}
+    assert w == w2  # deterministic

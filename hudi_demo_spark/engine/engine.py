@@ -1029,13 +1029,11 @@ class Engine:
         partition from the row itself — the index would be dead weight."""
         if not self._is_global(cfg):
             return None
-        if str(cfg.props.get("index.record_level", "")).lower() not in (
-            "1", "true", "yes",
-        ):
-            return None
-        from hudi_demo_spark.engine.record_index import RecordIndex
+        from hudi_demo_spark.engine import record_index as ri
 
-        return RecordIndex(self.spark, cfg)
+        if not ri.enabled(cfg):
+            return None
+        return ri.RecordIndex(self.spark, cfg)
 
     def _precommit_validate(
         self,

@@ -55,10 +55,23 @@ BUCKET_COL = "__bucket"
 MARKER = "_complete"
 
 
+def index_path(cfg) -> "Path":
+    """Single source of truth for the on-disk layout — reused by the
+    sessionless format('hudi') writers' invalidation."""
+    return Path(cfg.path) / "_index" / "keys"
+
+
+def enabled(cfg) -> bool:
+    """Whether the table declares the record-level index."""
+    return str(cfg.props.get("index.record_level", "")).lower() in (
+        "1", "true", "yes",
+    )
+
+
 class RecordIndex:
     def __init__(self, spark: SparkSession, cfg: TableConfig):
         self.spark = spark
-        self.path = Path(cfg.path) / "_index" / "keys"
+        self.path = index_path(cfg)
         self.buckets = int(cfg.props.get("index.record_level.buckets", 64))
 
     # ---------------- state ----------------

@@ -53,6 +53,12 @@ MARKER = "_complete"
 PROP = "index.secondary"  # comma-separated list of indexed columns
 
 
+def index_path(cfg: TableConfig, col: str) -> Path:
+    """Single source of truth for the on-disk layout — reused by the
+    sessionless format('hudi') writers' invalidation."""
+    return Path(cfg.path) / "_index" / "secondary" / col
+
+
 def indexed_columns(cfg: TableConfig) -> list[str]:
     return [
         c.strip()
@@ -65,7 +71,7 @@ class SecondaryIndex:
     def __init__(self, spark: SparkSession, cfg: TableConfig, col: str):
         self.spark = spark
         self.col = col
-        self.path = Path(cfg.path) / "_index" / "secondary" / col
+        self.path = index_path(cfg, col)
         self.buckets = int(cfg.props.get("index.secondary.buckets", 64))
 
     # ---------------- state ----------------

@@ -394,12 +394,13 @@ def dsir_weights(
     standard pre-training data-selection step for steering a crawl
     toward a target domain.
 
-    Scale shape: ONE explode pass over the corpus (features hashed
-    map-side with the engine-portable md5 hash so a SQL oracle can
-    replay bit-for-bit), one map-side-combinable bucket aggregate
-    (B rows), one broadcast join of the B-row ratio table back onto
-    per-doc bucket counts, one final keyed agg. No driver state beyond
-    the B-row table; corpus shuffles only (doc, bucket) pairs.
+    Scale shape: fit/score is inherently TWO corpus passes. Fit: one
+    explode + map-side-combinable bucket aggregate whose B result rows
+    are the only driver state. Score: one explode + keyed per-doc agg,
+    with the B-entry log-ratio table riding in-plan as a literal array
+    (no join, no broadcast build). Features hash with the
+    engine-portable md5 so a SQL oracle replays bucket-for-bucket;
+    corpus shuffles only (doc, bucket) pairs.
 
     Returns (id, n_features, log_weight) — log_weight rounded to 3
     decimals (sum of ≤B per-doc terms; both engines agree at that
@@ -418,8 +419,11 @@ def dsir_weights(
         F.explode(
             F.concat(
                 F.col("__t"),
+                # greatest(…, 0): an empty/whitespace-only doc has zero
+                # tokens — a raw size-1 slice length would be negative
+                # and abort the whole job (oracle's range(1,0) is empty)
                 F.expr(
-                    "transform(slice(__t, 1, size(__t) - 1), "
+                    "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
                     "(x, i) -> x || ' ' || element_at(__t, i + 2))"
                 ),
             )
@@ -427,30 +431,39 @@ def dsir_weights(
     ).withColumn(
         "__b", F.pmod(portable_hash60("__f"), F.lit(n_buckets))
     )
-    buckets = feats.groupBy("__b").agg(
-        F.sum(F.col("__is_t").cast("long")).alias("nt"),
-        F.count("*").alias("nr"),
+    # FIT pass: per-bucket counts (map-side-combinable agg, B result
+    # rows collected — the only driver state). The fit/score split is
+    # inherently two corpus passes; neither caches anything.
+    import math
+
+    rows = (
+        feats.groupBy("__b")
+        .agg(
+            F.sum(F.col("__is_t").cast("long")).alias("nt"),
+            F.count("*").alias("nr"),
+        )
+        .collect()
     )
-    totals = buckets.agg(
-        F.sum("nt").alias("Tt"), F.sum("nr").alias("Tr")
-    )
-    ratios = buckets.crossJoin(F.broadcast(totals)).select(
-        "__b",
-        (
-            F.log((F.col("nt") + alpha) / (F.col("Tt") + alpha * n_buckets))
-            - F.log((F.col("nr") + alpha) / (F.col("Tr") + alpha * n_buckets))
-        ).alias("__lr"),
-    )
-    doc_buckets = feats.groupBy(id_col, "__b").agg(
-        F.count("*").alias("__c")
+    tt = sum(r["nt"] for r in rows)
+    tr = sum(r["nr"] for r in rows)
+    lr = [0.0] * n_buckets  # empty buckets are never referenced
+    for r in rows:
+        lr[r["__b"]] = math.log(
+            (r["nt"] + alpha) / (tt + alpha * n_buckets)
+        ) - math.log((r["nr"] + alpha) / (tr + alpha * n_buckets))
+    # SCORE pass: ratio table rides IN-PLAN as a literal array (the
+    # SemDeDup literal-centroid trick) — no join, no broadcast build,
+    # one keyed aggregate per doc
+    ratio = F.element_at(
+        F.array(*[F.lit(v) for v in lr]),
+        (F.col("__b") + 1).cast("int"),
     )
     return (
-        doc_buckets.join(F.broadcast(ratios), "__b")
+        feats.groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__c"))
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_features"),
-            F.round(F.sum(F.col("__c") * F.col("__lr")), 3).alias(
-                "log_weight"
-            ),
+            F.round(F.sum(F.col("__c") * ratio), 3).alias("log_weight"),
         )
     )

@@ -739,22 +739,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
 def _invalidate_indexes(cfg: TableConfig) -> None:
     """format('hudi') writers commit in a SESSIONLESS worker — they
     cannot run the Spark jobs that append record/secondary-index
-    entries. Dropping the completeness markers (pure filesystem) keeps
-    the no-false-negatives invariant by ABSENCE: reads fall back to
-    full scans and the next Engine write rebuilds from the snapshot."""
+    entries. Dropping the completeness markers (pure filesystem, layout
+    owned by the index modules) keeps the no-false-negatives invariant
+    by ABSENCE: reads fall back to full scans and the next Engine write
+    rebuilds from the snapshot. Call BEFORE the timeline commit: rmtree
+    is not atomic, and invalidating after publish would leave a window
+    where a concurrent reader trusts a stale index against already-live
+    files (invalidating then failing to commit is merely a wasted
+    rebuild)."""
     import shutil
 
+    from hudi_demo_spark.engine import record_index as ri
     from hudi_demo_spark.engine import secondary_index as si
 
     for col in si.indexed_columns(cfg):
-        shutil.rmtree(
-            Path(cfg.path) / "_index" / "secondary" / col,
-            ignore_errors=True,
-        )
-    if str(cfg.props.get("index.record_level", "")).lower() in (
-        "1", "true", "yes",
-    ):
-        shutil.rmtree(Path(cfg.path) / "_index" / "keys", ignore_errors=True)
+        shutil.rmtree(si.index_path(cfg, col), ignore_errors=True)
+    if ri.enabled(cfg):
+        shutil.rmtree(ri.index_path(cfg), ignore_errors=True)
 
 
 class LakehouseCommitMessage(WriterCommitMessage):
@@ -984,11 +985,11 @@ class LakehouseWriter(DataSourceWriter):
             action = tlmod.REPLACECOMMIT
             operation = "insert_overwrite_table"
             removed = "*"
+        _invalidate_indexes(cfg)
         tl.commit(
             self.instant, action, operation, added, removed,
             {"rows_written": None},
         )
-        _invalidate_indexes(cfg)
         if cfg.schema_json != self.full_schema_json:
             if cfg.schema_json is None or self.overwrite:
                 cfg.schema_json = self.full_schema_json
@@ -1067,11 +1068,11 @@ class LakehouseStreamWriter(LakehouseWriter, DataSourceStreamWriter):
                 tlmod.DELTACOMMIT if cfg.table_type == MOR else tlmod.COMMIT
             )
             operation, removed = "insert", []
+        _invalidate_indexes(cfg)
         tl.commit(
             instant, action, operation, added, removed,
             {"rows_written": None}, batch_id=batchId,
         )
-        _invalidate_indexes(cfg)
         if cfg.schema_json is None:
             cfg.schema_json = self.full_schema_json
             cfg.save()

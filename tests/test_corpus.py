@@ -116,12 +116,19 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         (10, "fold the flour and whisk the eggs with salt", "raw"),
         (11, "compile the kernel and link the object files", "raw"),
         (12, "the defendant appealed the verdict to the court", "raw"),
+        # empty / whitespace-only / single-token docs must not crash
+        # the bigram slice (review regression)
+        (13, "", "raw"),
+        (14, "   ", "raw"),
+        (15, "solo", "raw"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, src string")
     w = {r["doc_id"]: r["log_weight"]
          for r in dsir_weights(df, "doc_id", "text",
                                "src = 'target'").collect()}
     assert w[10] > w[11] and w[10] > w[12]
+    assert 13 not in w and 14 not in w  # featureless docs drop out
+    assert 15 in w  # single token → one unigram feature, no bigrams
     w2 = {r["doc_id"]: r["log_weight"]
           for r in dsir_weights(df, "doc_id", "text",
                                 "src = 'target'").collect()}

@@ -422,6 +422,15 @@ class SqlRouter:
             if am:
                 args[am.group(1).lower()] = am.group(2)
         table = args.get("table")
+        if proc == "sync_catalog":
+            # catalog-wide, no table arg — SyncHiveWithDatabase.scala's
+            # runnable-job shape: CALL sync_catalog(database => 'db')
+            names = self.engine.sync_catalog(
+                database=args.get("database")
+            )
+            return self.engine.spark.createDataFrame(
+                [(n,) for n in names], "table string"
+            )
         if table is None:
             raise ValueError(f"call {proc}(table => '<name>', ...)")
         if proc == "show_commits":

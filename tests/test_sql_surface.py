@@ -516,3 +516,19 @@ def test_merge_multiple_insert_clauses_and_no_insert(engine, spark):
     assert {
         r["id"]: r["name"] for r in engine.sql("select * from mni").collect()
     }[1] == "a2"
+
+
+def test_call_sync_catalog_registers_views(engine, spark):
+    """CALL sync_catalog() — SyncHiveWithDatabase.scala:37-76 as a SQL
+    procedure: every catalog table becomes a queryable temp view."""
+    engine.create_table("sc1", record_key="id")
+    engine.create_table("sc2", record_key="id")
+    engine.insert(spark.createDataFrame([(1, 1.0)], "id int, v double"),
+                  "sc1")
+    engine.insert(spark.createDataFrame([(2, 2.0)], "id int, v double"),
+                  "sc2")
+    got = sorted(r["table"]
+                 for r in engine.sql("call sync_catalog()").collect())
+    assert got == ["sc1", "sc2"]
+    assert spark.sql("select id from sc1").collect()[0][0] == 1
+    assert spark.sql("select id from sc2").collect()[0][0] == 2

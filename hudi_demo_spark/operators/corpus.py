@@ -467,3 +467,39 @@ def dsir_weights(
             F.round(F.sum(F.col("__c") * ratio), 3).alias("log_weight"),
         )
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: str,
+    k: int,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    seed: str = "dsir",
+) -> DataFrame:
+    """The RESAMPLING step of DSIR: draw `k` docs without replacement
+    with probability ∝ exp(log_weight), via the Gumbel-top-k trick —
+    score = log_weight + Gumbel(0,1), take the k largest. The Gumbel
+    noise derives from the engine-portable md5 hash of (seed, id), so
+    the draw is deterministic, reproducible across engines, and
+    SQL-oracle-checkable; changing `seed` redraws.
+
+    Scale shape: one pass to score (dsir_weights) + a TakeOrdered
+    top-k — no global sort materializes."""
+    w = dsir_weights(df, id_col, text_col, target_cond,
+                     n_buckets=n_buckets, alpha=alpha)
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    m = 1 << 53
+    h = portable_hash60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    u = (F.pmod(h, F.lit(m)) + 0.5) / F.lit(float(m))
+    score = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.select(id_col, "log_weight", F.round(score, 3).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1848,10 +1848,11 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@q(
-    "corpus_dsir_weights",
-    """
-    WITH base AS (
+# shared DSIR CTE chain (DuckDB dialect): hashed unigram+bigram buckets
+# → smoothed log-ratios → per-doc log importance. Used by BOTH dsir
+# oracles so the feature/bucket math can never drift between them.
+_DSIR_WEIGHTS_CTES = """
+    base AS (
       SELECT doc_id, source = 'src1' AS is_t,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          x -> x != '') AS t
@@ -1878,11 +1879,19 @@ def multimodal_features(spark, sf_dir):
       FROM buckets, totals
     ), doc_buckets AS (
       SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
-    )
-    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
-           round(CAST(sum(c * lr) AS DOUBLE), 3) AS log_weight
-    FROM doc_buckets JOIN ratios USING (b)
-    GROUP BY doc_id ORDER BY doc_id
+    ), dsir AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+             round(CAST(sum(c * lr) AS DOUBLE), 3) AS log_weight
+      FROM doc_buckets JOIN ratios USING (b)
+      GROUP BY doc_id
+    )"""
+
+
+@q(
+    "corpus_dsir_weights",
+    f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, n_features, log_weight FROM dsir ORDER BY doc_id
     """,
 )
 def corpus_dsir_weights(spark, sf_dir):
@@ -1896,6 +1905,32 @@ def corpus_dsir_weights(spark, sf_dir):
     return dsir_weights(
         d, "doc_id", "text", "source = 'src1'"
     ).orderBy("doc_id")
+
+
+@q(
+    "corpus_dsir_resample",
+    f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, log_weight,
+           round(log_weight - ln(-ln(
+             ((CAST('0x' || substring(md5('dsir:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 9007199254740992) + 0.5) / 9007199254740992)), 3)
+             AS score
+    FROM dsir ORDER BY score DESC, doc_id ASC LIMIT 40
+    """,
+)
+def corpus_dsir_resample(spark, sf_dir):
+    """DSIR resampling via Gumbel-top-k: 40 docs drawn without
+    replacement with probability ∝ exp(log importance), noise derived
+    from the portable hash of (seed, doc_id) — the exact draw is
+    deterministic and the oracle replays it term-for-term."""
+    from hudi_demo_spark.operators.corpus import dsir_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        d, "doc_id", "text", "source = 'src1'", k=40
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
 
 @q("text_bpe_token_counts")

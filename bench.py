@@ -138,7 +138,11 @@ def main() -> None:
         per_query[name] = best
         total += best
         print(f"[bench] {name}: {best:.3f}s", file=sys.stderr)
-    out = {
+    # Full per-query detail goes to stderr + a sidecar file; the single
+    # stdout JSON line stays SHORT so the driver's tail-capture window
+    # never truncates its head (round-2 postmortem: the 65-entry per-query
+    # map outgrew the window and BENCH_r02.json recorded parsed:null).
+    detail = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -146,7 +150,23 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1))
+    except OSError as ex:  # pragma: no cover
+        print(f"[bench] could not write {detail_path}: {ex}", file=sys.stderr)
+    print(f"[bench] detail: {json.dumps(detail)}", file=sys.stderr)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if errors:
+        out["n_errors"] = len(errors)
     print(json.dumps(out))
 
 

@@ -110,6 +110,15 @@ class PreCommitValidationError(RuntimeError):
     """A pre-commit validator rejected a write; nothing was published."""
 
 
+class IncrementalRangeCleanedError(RuntimeError):
+    """An incremental range references commits whose files `clean()`
+    already deleted: the changeset would be silently incomplete. Hudi
+    throws here too (retention shorter than the consumer's lag is a
+    misconfig). Re-read with `allow_cleaned=True` to accept a partial
+    changeset; the skip count is then recorded in
+    `engine.last_incremental_stats`."""
+
+
 class Engine:
     """Facade over a directory of tables (the Flink 'hudi catalog' analog,
     hudi0.13_flink1.15/.../Configurations.java:84-91)."""
@@ -437,8 +446,13 @@ class Engine:
         tl_marker.heartbeat_inflight(instant)
         data = Path(cfg.path) / DATA_DIR
         added: list[dict] = []
-        for src in sorted(tmp.rglob("*.parquet")):
-            if self._parquet_rows(src) == 0:
+        srcs = sorted(tmp.rglob("*.parquet"))
+        # empty-part detection reads one footer per file: distributed at
+        # the same threshold as _footer_stats so a bulk commit landing
+        # thousands of files never serializes footer IO on the driver
+        nrows = self._footer_rows([str(s) for s in srcs])
+        for src in srcs:
+            if nrows.get(str(src), -1) == 0:
                 # empty part files (empty input slices) are dead weight:
                 # never prunable, opened by every snapshot read forever
                 src.unlink()
@@ -513,6 +527,21 @@ class Engine:
         except Exception:  # pragma: no cover
             return -1
 
+    def _footer_rows(self, paths: list[str]) -> dict[str, int]:
+        """{path: footer row count} — same driver/executor split as
+        `_footer_stats`: small commits read on the driver, large commits
+        fan out (O(#files / cluster), not O(#files) serial)."""
+        if len(paths) >= self._FOOTER_DISTRIBUTE_MIN:
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(paths) // 16, 256))
+            rows_fn = Engine._parquet_rows
+            return dict(
+                sc.parallelize(paths, slices)
+                .map(lambda p: (p, rows_fn(Path(p))))
+                .collect()
+            )
+        return {p: self._parquet_rows(Path(p)) for p in paths}
+
     @contextmanager
     def _file_sizing(self, cfg: TableConfig, approx_bytes: int | None = None):
         """Small-file handling (M5 — parquetMaxFileSize/compactionSmallFileSize,
@@ -560,6 +589,10 @@ class Engine:
     # 128 MB targets lands ~8k files → ~8 s driver stall, growing with
     # commit size, not cluster size)
     _FOOTER_DISTRIBUTE_MIN = 64
+    # same tradeoff for bloom-sidecar PROBES during upsert tagging: a few
+    # sidecars read faster on the driver than a job launches; many read
+    # in parallel on executors (serial driver IO grows with table size)
+    _BLOOM_PROBE_DISTRIBUTE_MIN = 64
 
     def _footer_stats(
         self, paths: list[str], cols: list[str]
@@ -720,38 +753,131 @@ class Engine:
             return candidates
         import numpy as np
 
-        pairs = (
-            batch.select(PARTITION_PATH_META, RECORD_KEY_META)
+        # Hash the batch's distinct (partition, key) pairs EXECUTOR-SIDE
+        # (vectorized in Arrow batches), then pull ONE bounded Arrow
+        # transfer of fixed-width hash pairs (≤ max_keys × 16 B) to build
+        # the probe arrays — the driver never loops over raw keys.
+        # uint64 rides the wire as two's-complement int64 (reinterpret,
+        # not convert) because Arrow longs are signed.
+        def _hash_pairs(it):
+            import pandas as pd
+
+            from hudi_demo_spark.engine import bloom as BB
+
+            for pdf in it:
+                hs = [BB.key_hashes(k) for k in pdf["__k"]]
+                yield pd.DataFrame(
+                    {
+                        "__pp": pdf["__pp"],
+                        "__h1": np.array(
+                            [h[0] for h in hs], dtype=np.uint64
+                        ).view(np.int64),
+                        "__h2": np.array(
+                            [h[1] for h in hs], dtype=np.uint64
+                        ).view(np.int64),
+                    }
+                )
+
+        pairs_pdf = (
+            batch.select(
+                F.coalesce(
+                    F.col(PARTITION_PATH_META).cast("string"), F.lit("")
+                ).alias("__pp"),
+                F.col(RECORD_KEY_META).cast("string").alias("__k"),
+            )
             .distinct()
-            .collect()
+            .mapInPandas(_hash_pairs, "__pp string, __h1 long, __h2 long")
+            .toPandas()
         )
-        by_part: dict[str, list[str]] = {}
-        for pp, k in pairs:
-            by_part.setdefault(pp or "", []).append(k)
-        hcache = {
-            pp: np.array([B.key_hashes(k) for k in ks], dtype=np.uint64)
-            for pp, ks in by_part.items()
-        }
+        hcache: dict[str, np.ndarray] = {}
+        for pp, g in pairs_pdf.groupby("__pp", sort=False):
+            hcache[pp] = np.stack(
+                [
+                    g["__h1"].to_numpy().view(np.uint64),
+                    g["__h2"].to_numpy().view(np.uint64),
+                ],
+                axis=1,
+            )
         glob = (
             np.concatenate(list(hcache.values()))
             if self._is_global(cfg) and hcache
             else None
         )
-        out: dict[str, dict] = {}
-        for p, m in candidates.items():
-            if p not in probed:
-                out[p] = m
-                continue
-            h = glob if glob is not None else hcache.get(
-                m.get("partition", "")
-            )
-            if h is None or not len(h):
-                out[p] = m
-                continue
-            bl = B.load(B.sidecar_path(cfg.path, m["path"]))
-            if bl is None or B.might_contain_any(bl, h[:, 0], h[:, 1]):
-                out[p] = m
-        return out
+        dist_min = int(
+            cfg.props.get("index.bloom.probe.distribute_min",
+                          self._BLOOM_PROBE_DISTRIBUTE_MIN)
+        )
+        if len(probed) >= dist_min:
+            kept = self._bloom_probe_distributed(cfg, probed, hcache, glob)
+        else:
+            # few sidecars: a Spark job costs more than the reads
+            kept = set()
+            for p, m in probed.items():
+                h = glob if glob is not None else hcache.get(
+                    m.get("partition", "")
+                )
+                if h is None or not len(h):
+                    kept.add(p)
+                    continue
+                bl = B.load(B.sidecar_path(cfg.path, m["path"]))
+                if bl is None or B.might_contain_any(bl, h[:, 0], h[:, 1]):
+                    kept.add(p)
+        return {
+            p: m for p, m in candidates.items() if p not in probed or p in kept
+        }
+
+    def _bloom_probe_distributed(
+        self,
+        cfg: TableConfig,
+        probed: dict[str, dict],
+        hcache: dict,
+        glob,
+    ) -> set:
+        """Fan the sidecar reads out to executors (mirror of
+        `_build_blooms`): candidate relpaths parallelize into tasks, the
+        batch's key-hash arrays ride a broadcast (≤1.6 MB at the 100k
+        lookup cap), each task loads ITS sidecars from the shared
+        filesystem and acks a tiny (relpath, keep) row. The driver never
+        opens a sidecar — at 100 TB a point upsert whose uuid keys defeat
+        range pruning probes thousands of sidecars in parallel instead of
+        serially (JavaClientHive2Hudi.java:167-180's tagging pass is
+        likewise a distributed job in Hudi)."""
+        root = str(cfg.path)
+        bc = self.spark.sparkContext.broadcast(
+            {"by_part": hcache, "glob": glob}
+        )
+        rows = [(p, m.get("partition", "") or "") for p, m in probed.items()]
+        n_slices = min(
+            len(rows), max(self.spark.sparkContext.defaultParallelism, 1)
+        )
+        cand = self.spark.createDataFrame(
+            rows, "__p string, __pp string"
+        ).repartition(n_slices)
+
+        def _probe(it):
+            import pandas as pd
+
+            from hudi_demo_spark.engine import bloom as BB
+
+            d = bc.value
+            for pdf in it:
+                keeps = []
+                for rel, pp in zip(pdf["__p"], pdf["__pp"]):
+                    h = d["glob"] if d["glob"] is not None else d[
+                        "by_part"
+                    ].get(pp)
+                    if h is None or not len(h):
+                        keeps.append(True)
+                        continue
+                    bl = BB.load(BB.sidecar_path(root, rel))
+                    keeps.append(
+                        bl is None
+                        or BB.might_contain_any(bl, h[:, 0], h[:, 1])
+                    )
+                yield pd.DataFrame({"__p": pdf["__p"], "__keep": keeps})
+
+        acks = cand.mapInPandas(_probe, "__p string, __keep boolean").collect()
+        return {r["__p"] for r in acks if r["__keep"]}
 
     def _empty(self, cfg: TableConfig) -> DataFrame:
         schema = self._stored_schema(cfg) or T.StructType(
@@ -1673,12 +1799,19 @@ class Engine:
         begin: str | None = None,
         end: str | None = None,
         path_glob: str | None = None,
+        allow_cleaned: bool = False,
     ) -> DataFrame:
         """Incremental query (S3/S4) — IncrementalQuery.scala:48-53:
         latest state of rows changed in `(begin, end]`. File set comes from
         the commits in range (metadata pruning); the row-level
         `_hoodie_commit_time` filter makes the bound exact; a window dedup
-        returns one row per changed key (Hudi's latest-file-slice read)."""
+        returns one row per changed key (Hudi's latest-file-slice read).
+
+        If `clean()` already deleted in-range files, the changeset would
+        be silently incomplete — raise `IncrementalRangeCleanedError`
+        (Hudi throws here too) unless `allow_cleaned=True`, which skips
+        the gone files and records the skip count in
+        `self.last_incremental_stats["cleaned_files_skipped"]`."""
         import fnmatch
 
         cfg = self._resolve(table)
@@ -1700,9 +1833,23 @@ class Engine:
             files = {
                 p: m for p, m in files.items() if fnmatch.fnmatch("/" + p, g)
             }
-        # drop files cleaned from disk (Hudi errors here; we skip+warn via stats)
         data = Path(cfg.path) / DATA_DIR
-        files = {p: m for p, m in files.items() if (data / p).is_file() or m.get("kind") == "external"}
+        gone = sorted(
+            p
+            for p, m in files.items()
+            if m.get("kind") != "external" and not (data / p).is_file()
+        )
+        if gone:
+            if not allow_cleaned:
+                raise IncrementalRangeCleanedError(
+                    f"incremental range ({begin}, {end}] references "
+                    f"{len(gone)} file(s) already removed by clean() — the "
+                    "changeset would be incomplete (first gone: "
+                    f"{gone[0]}). Widen the clean retention or pass "
+                    "allow_cleaned=True to accept a partial changeset."
+                )
+            files = {p: m for p, m in files.items() if p not in gone}
+        self.last_incremental_stats = {"cleaned_files_skipped": len(gone)}
         df = self._read_files(cfg, files)
         if COMMIT_TIME_META in df.columns:
             if begin is not None:
@@ -2124,6 +2271,59 @@ class Engine:
     def _affected_partitions(self, df: DataFrame) -> list[str]:
         return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
 
+    def _matched_scan_footprint(
+        self, matched: DataFrame
+    ) -> tuple[set, set | None]:
+        """(partitions, source files) of the rows a predicate DML matched —
+        ONE distinct over (input_file_name, partition_path), result size
+        bounded by the matched FILE count, not row count. The file set
+        narrows the COW rewrite to the file groups that actually contain
+        matched rows (the same pruning discipline upsert gets from key
+        ranges and blooms): a one-row DELETE in a 1 TB partition rewrites
+        one file group, not the partition. Returns files=None — caller
+        keeps the partition-granular set — if any row lost file lineage
+        (`input_file_name() = ''`); pruning is then skipped, never unsound.
+        Reference intent: Hudi tags records to their owning file group
+        before rewriting (JavaClientHive2Hudi.java:167-180)."""
+        from urllib.parse import unquote
+
+        rows = (
+            matched.select(
+                F.input_file_name().alias("__f"),
+                F.col(PARTITION_PATH_META).alias("__pp"),
+            )
+            .distinct()
+            .collect()
+        )
+        parts = {r["__pp"] for r in rows}
+        uris = {r["__f"] for r in rows}
+        if not uris or "" in uris or None in uris:
+            return parts, None
+        hit = {
+            str(Path(unquote(u).split("://", 1)[-1]).resolve()) for u in uris
+        }
+        return parts, hit
+
+    def _prune_to_matched_files(
+        self, cfg: TableConfig, affected: dict[str, dict], hit: set | None
+    ) -> dict[str, dict]:
+        """Intersect a partition-granular rewrite candidate set with the
+        files the matched scan actually read; files without a matched row
+        carry forward live and un-rewritten in the commit."""
+        if hit is None:
+            return affected
+        data = Path(cfg.path) / DATA_DIR
+        out: dict[str, dict] = {}
+        for p, m in affected.items():
+            ap = (
+                m.get("abs_path")
+                if m.get("kind") == "external"
+                else str(data / p)
+            )
+            if str(Path(ap).resolve()) in hit:
+                out[p] = m
+        return out
+
     @staticmethod
     def _batch_key_ranges(
         df: DataFrame,
@@ -2328,40 +2528,42 @@ class Engine:
             partition_filter=partition_filter,
             point_filter=self._auto_point_filter(cfg, condition),
         )
-        matched = snap.filter(cond).persist()
-        try:
-            parts = set(self._affected_partitions(matched))
-            if not parts:
-                return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
-                                 {"rows_deleted": 0})
-            if cfg.table_type == MOR:
-                markers = matched.withColumn(
-                    DELETED_META, F.lit(True)
-                ).withColumn(COMMIT_TIME_META, F.lit(instant))
-                markers = self._conform(markers, cfg)
-                added = self._materialize(markers, cfg, instant, "delta")
-                self._precommit_validate(cfg, instant, added, [])
-                meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
-                self._maybe_compact(cfg)
-                return meta
-            live = tl.live_files()
-            affected = {
-                p: m for p, m in live.items() if m.get("partition", "") in parts
-            }
-            # SQL DELETE removes rows where cond is TRUE; rows where it is
-            # NULL must survive — a bare ~cond would drop them (NULL).
-            keep = self._read_files(cfg, affected).filter(
-                ~F.coalesce(cond, F.lit(False))
-            )
-            added = self._materialize(
-                keep, cfg, instant, "base",
-                approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
-            )
-            self._precommit_validate(cfg, instant, added, sorted(affected))
-            return tl.commit(instant, tlmod.COMMIT, "delete", added,
-                             sorted(affected))
-        finally:
-            matched.unpersist()
+        # NOT persisted: caching would serve the footprint scan from the
+        # InMemory columnar cache, where input_file_name() returns '' and
+        # the file-group prune degrades to whole-partition. matched is
+        # consumed once per branch below, so the cache bought nothing.
+        matched = snap.filter(cond)
+        parts, hit = self._matched_scan_footprint(matched)
+        if not parts:
+            return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
+                             {"rows_deleted": 0})
+        if cfg.table_type == MOR:
+            markers = matched.withColumn(
+                DELETED_META, F.lit(True)
+            ).withColumn(COMMIT_TIME_META, F.lit(instant))
+            markers = self._conform(markers, cfg)
+            added = self._materialize(markers, cfg, instant, "delta")
+            self._precommit_validate(cfg, instant, added, [])
+            meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
+            self._maybe_compact(cfg)
+            return meta
+        live = tl.live_files()
+        affected = {
+            p: m for p, m in live.items() if m.get("partition", "") in parts
+        }
+        affected = self._prune_to_matched_files(cfg, affected, hit)
+        # SQL DELETE removes rows where cond is TRUE; rows where it is
+        # NULL must survive — a bare ~cond would drop them (NULL).
+        keep = self._read_files(cfg, affected).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        added = self._materialize(
+            keep, cfg, instant, "base",
+            approx_bytes=sum(m.get("bytes") or 0 for m in affected.values()),
+        )
+        self._precommit_validate(cfg, instant, added, sorted(affected))
+        return tl.commit(instant, tlmod.COMMIT, "delete", added,
+                         sorted(affected))
 
     def delete_keys(self, table: str | TableConfig, keys_df: DataFrame) -> dict:
         """DELETE by key list (W8) — client.delete(List<HoodieKey>)
@@ -2463,7 +2665,7 @@ class Engine:
             cfg, partition_filter=partition_filter, point_filter=auto_pf
         )
         matched = snap.filter(cond)
-        affected_parts = {r[0] for r in matched.select(PARTITION_PATH_META).distinct().collect()}
+        affected_parts, hit = self._matched_scan_footprint(matched)
         if not affected_parts:
             return tl.commit(instant, tlmod.COMMIT, "update", [], [],
                              {"rows_updated": 0})
@@ -2471,6 +2673,7 @@ class Engine:
         affected = {
             p: m for p, m in live.items() if m.get("partition", "") in affected_parts
         }
+        affected = self._prune_to_matched_files(cfg, affected, hit)
         base = self._read_files(cfg, affected)
         out = base
         newcols = {

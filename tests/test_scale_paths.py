@@ -1,0 +1,201 @@
+"""Scale-path regression tests (round-3 VERDICT items): file-group-granular
+COW predicate DML, executor-side bloom probe, loud incremental-range
+cleaning, and distributed empty-file footer checks. Each asserts the
+DISTRIBUTION property (what runs where), not just the result — the result
+checks live in test_dml / test_bloom / test_timeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+ROWS = "id int, name string, price double, ts long, dt string"
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, ROWS)
+
+
+def _batch(tag, lo, hi, dt="2022-09-05"):
+    return [(i, f"{tag}", 10.0, 100, dt) for i in range(lo, hi)]
+
+
+def _live(engine, table):
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    cfg = engine._resolve(table)
+    return set(Timeline(cfg.path).live_files())
+
+
+# ---------------------------------------------------------------------------
+# weak #1: COW predicate DELETE/UPDATE rewrite matched file groups only
+# ---------------------------------------------------------------------------
+
+def _two_filegroup_table(engine, spark):
+    """One partition, two commits → ≥2 live file groups; the predicate
+    targets a row that lives only in the FIRST commit's file(s), via a
+    non-key column so auto point-filter pruning cannot help."""
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, _batch("alpha", 1, 6)), "t")
+    first = _live(engine, "t")
+    assert first
+    engine.insert(_mkdf(spark, _batch("beta", 100, 106)), "t")
+    second_only = _live(engine, "t") - first
+    assert second_only  # second commit added its own file group(s)
+    return first, second_only
+
+
+def test_delete_rewrites_only_matched_file_groups(engine, spark):
+    first, second_only = _two_filegroup_table(engine, spark)
+    meta = engine.delete("t", "name = 'alpha' and id = 1")
+    live = _live(engine, "t")
+    # sibling file groups (second commit) carry forward UN-rewritten
+    assert second_only <= live
+    assert set(meta["files_removed"]) <= first
+    got = sorted(r[0] for r in engine.read("t").select("id").collect())
+    assert got == [2, 3, 4, 5] + list(range(100, 106))
+
+
+def test_update_rewrites_only_matched_file_groups(engine, spark):
+    first, second_only = _two_filegroup_table(engine, spark)
+    meta = engine.update("t", set={"price": F.lit(99.0)},
+                         where="name = 'alpha' and id = 2")
+    live = _live(engine, "t")
+    assert second_only <= live
+    assert set(meta["files_removed"]) <= first
+    st = {r[0]: r[1] for r in engine.read("t").select("id", "price").collect()}
+    assert st[2] == 99.0 and st[1] == 10.0 and st[100] == 10.0
+
+
+def test_delete_unmatched_partition_untouched(engine, spark):
+    """Cross-partition sanity: a delete matching one partition must not
+    replace the other partition's files (pre-existing behavior, pinned)."""
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, _batch("a", 1, 4, dt="2022-09-05")
+                        + _batch("b", 10, 14, dt="2022-09-25")), "t")
+    before = _live(engine, "t")
+    other = {p for p in before if "2022-09-25" in p}
+    assert other
+    engine.delete("t", "id = 1")
+    assert other <= _live(engine, "t")
+
+
+# ---------------------------------------------------------------------------
+# weak #2: bloom probe fans out to executors (no driver sidecar IO)
+# ---------------------------------------------------------------------------
+
+def test_bloom_probe_distributed_no_driver_sidecar_reads(engine, spark,
+                                                         monkeypatch):
+    from hudi_demo_spark.engine import bloom as B
+
+    engine.create_table(
+        "t", record_key="id", precombine="ts", partition_by="dt",
+        props={"index.bloom.enabled": "true", "write.parallelism": "72"},
+    )
+    # 72 file groups in one partition, hash-spread keys → overlapping key
+    # ranges, so range pruning keeps everything and the bloom probe is
+    # the only pruner (the regime the distributed path exists for)
+    engine.insert(_mkdf(spark, _batch("seed", 1, 721)), "t")
+    flagged = _live(engine, "t")
+    assert len(flagged) >= 64
+
+    calls = []
+    real_load = B.load
+
+    def driver_load(path):
+        calls.append(path)
+        return real_load(path)
+
+    monkeypatch.setattr(B, "load", driver_load)
+    meta = engine.upsert(_mkdf(spark, [(5, "upd", 11.0, 200,
+                                        "2022-09-05")]), "t")
+    # the probe ran on executors: zero driver-side sidecar loads
+    assert calls == []
+    # and it actually pruned: a 1-key upsert rewrites ~1 file group
+    assert 1 <= len(meta["files_removed"]) <= 4
+    row = engine.read("t").filter("id = 5").select("price").collect()
+    assert [r[0] for r in row] == [11.0]
+
+
+def test_bloom_probe_small_candidate_driver_path(engine, spark):
+    """Under the distribute threshold the driver loop still prunes
+    correctly (hashes now arrive pre-computed from the executor pass)."""
+    engine.create_table(
+        "t", record_key="id", precombine="ts", partition_by="dt",
+        props={"index.bloom.enabled": "true", "write.parallelism": "4"},
+    )
+    engine.insert(_mkdf(spark, _batch("seed", 1, 41)), "t")
+    meta = engine.upsert(_mkdf(spark, [(7, "upd", 12.0, 200,
+                                        "2022-09-05")]), "t")
+    assert len(meta["files_removed"]) <= 2
+    row = engine.read("t").filter("id = 7").select("price").collect()
+    assert [r[0] for r in row] == [12.0]
+
+
+# ---------------------------------------------------------------------------
+# weak #3: incremental read over a cleaned range fails loudly
+# ---------------------------------------------------------------------------
+
+def test_incremental_cleaned_range_raises(engine, spark):
+    from hudi_demo_spark.engine.engine import IncrementalRangeCleanedError
+
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    m1 = engine.insert(_mkdf(spark, _batch("v1", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v2", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v3", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v4", 1, 5)), "t")
+    engine.clean("t", retain_commits=1, stale_staging_s=0.0)
+    with pytest.raises(IncrementalRangeCleanedError):
+        engine.read_incremental("t", begin=m1["instant"]).count()
+    # opt-out: partial changeset allowed, skip count recorded
+    df = engine.read_incremental("t", begin=m1["instant"],
+                                 allow_cleaned=True)
+    assert df.count() == 4  # latest state of the 4 keys, from live files
+    assert engine.last_incremental_stats["cleaned_files_skipped"] >= 1
+
+
+def test_incremental_unclean_range_records_zero_skips(engine, spark):
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    m1 = engine.insert(_mkdf(spark, _batch("v1", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v2", 1, 5)), "t")
+    assert engine.read_incremental("t", begin=m1["instant"]).count() == 4
+    assert engine.last_incremental_stats["cleaned_files_skipped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# minor: empty-file footer check distributes past _FOOTER_DISTRIBUTE_MIN
+# ---------------------------------------------------------------------------
+
+def test_footer_rows_distributes_large_commits(engine, tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = []
+    for i in range(70):
+        p = tmp_path / f"f{i:03d}.parquet"
+        n = 0 if i % 2 == 0 else 3
+        pq.write_table(pa.table({"a": list(range(n))}), str(p))
+        paths.append(str(p))
+
+    calls = []
+    real_pf = pq.ParquetFile
+
+    def driver_pf(*a, **kw):
+        calls.append(a)
+        return real_pf(*a, **kw)
+
+    # patch DRIVER-side pyarrow only; executor workers re-import the real
+    # module in their own processes, so counts stay correct iff the read
+    # fanned out
+    monkeypatch.setattr(pq, "ParquetFile", driver_pf)
+    out = engine._footer_rows(paths)
+    assert calls == []  # zero driver footer reads at 70 files
+    assert out[paths[0]] == 0 and out[paths[1]] == 3
+    assert len(out) == 70
+
+    # under the threshold the driver path is used (and counted)
+    small = engine._footer_rows(paths[:5])
+    assert len(calls) == 5
+    assert small[paths[0]] == 0 and small[paths[1]] == 3

@@ -80,6 +80,8 @@ HEADLINE = [
     # round 2 additions
     "multimodal_real_decode",
     "streaming_sink_native",
+    # round 3 additions
+    "engine_secondary_range",
 ]
 
 

@@ -1052,6 +1052,7 @@ class Engine:
             )
             for rf in ranges:
                 files = self._prune_by_stats(files, *rf)
+                files = self._secondary_range_prune(cfg, files, *rf)
         if point_filter is not None:
             pcol, pvals = point_filter
             pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
@@ -1101,6 +1102,41 @@ class Engine:
             if fhi is not None:
                 df = df.filter(e <= F.lit(fhi))
         return df
+
+    # types whose `cast(cast(x as string) as T)` round-trip is exact in
+    # Spark — the secondary index stores values as cast-to-string, so a
+    # range probe may only cast back for these (a lossy round-trip would
+    # prune partitions that DO contain matches: lost rows)
+    _RANGE_CASTABLE = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.DateType,
+    )
+
+    def _secondary_range_prune(
+        self, cfg: TableConfig, files: dict[str, dict], col: str, lo, hi
+    ) -> dict[str, dict]:
+        """Partition-level RANGE pruning through a secondary index:
+        col-stats skipping (above) degenerates on high-cardinality
+        columns spread uniformly across files — every file's [min, max]
+        spans the range. The index knows exactly which partitions hold
+        in-range values; intersect. No-op without a usable index or for
+        types whose string round-trip is inexact."""
+        idx = self._secondary_index(cfg, col)
+        if idx is None or not idx.usable():
+            return files
+        schema = self._stored_schema(cfg)
+        if schema is None:
+            return files
+        try:
+            dt = schema[col].dataType
+        except KeyError:
+            return files
+        if not isinstance(dt, self._RANGE_CASTABLE):
+            return files
+        hit = idx.lookup_partitions_range(lo, hi, dt.simpleString())
+        return {
+            p: m for p, m in files.items() if m.get("partition", "") in hit
+        }
 
     @staticmethod
     def _prune_by_stats(
@@ -1300,6 +1336,11 @@ class Engine:
     _EQ_COND = re.compile(r"^\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|(-?\d+))\s*$")
     _IN_COND = re.compile(r"^\s*`?(\w+)`?\s+in\s*\(([^()]*)\)\s*$", re.I)
     _LIT = re.compile(r"^(?:'([^']*)'|(-?\d+))$")
+    _BETWEEN_COND = re.compile(
+        r"^\s*`?(\w+)`?\s+between\s+(?:'([^']*)'|(-?\d+))"
+        r"\s+and\s+(?:'([^']*)'|(-?\d+))\s*$",
+        re.I,
+    )
 
     def _auto_point_filter(self, cfg: TableConfig, condition) -> tuple | None:
         """(col, values) when `condition` is a simple ``col = lit`` /
@@ -1359,6 +1400,46 @@ class Engine:
                 vals.append(v)
             return (m.group(1), vals) if vals else None
         return None
+
+    def _auto_range_filter(self, cfg: TableConfig, condition) -> tuple | None:
+        """(col, lo, hi) when `condition` is a simple ``col BETWEEN lit
+        AND lit`` — lets DML route range predicates through col-stats
+        skipping AND the secondary index's range probe
+        (`_secondary_range_prune`) without the caller saying so. Same
+        conservative literal-typing gate as `_auto_point_filter`: quoted
+        literals only against string columns, bare integers only against
+        integral columns — a coerced comparison could prune partitions
+        that match under Spark's coercion, losing DML rows. Routed for
+        ANY column (col-stats pruning needs no index; the index probe
+        engages when one exists)."""
+        if not isinstance(condition, str):
+            return None
+        m = self._BETWEEN_COND.match(condition)
+        if not m:
+            return None
+        col = m.group(1)
+        schema = self._stored_schema(cfg)
+        if schema is None:
+            return None
+        try:
+            dt = schema[col].dataType
+        except KeyError:
+            return None
+
+        def lit_value(quoted, num):
+            if quoted is not None:
+                return quoted if isinstance(dt, T.StringType) else None
+            if isinstance(
+                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+            ):
+                return int(num)
+            return None
+
+        lo = lit_value(m.group(2), m.group(3))
+        hi = lit_value(m.group(4), m.group(5))
+        if lo is None or hi is None:
+            return None
+        return (col, lo, hi)
 
     def create_functional_index(
         self, table: str | TableConfig, name: str, expr: str
@@ -2527,6 +2608,7 @@ class Engine:
             cfg,
             partition_filter=partition_filter,
             point_filter=self._auto_point_filter(cfg, condition),
+            range_filter=self._auto_range_filter(cfg, condition),
         )
         # NOT persisted: caching would serve the footprint scan from the
         # InMemory columnar cache, where input_file_name() returns '' and
@@ -2643,9 +2725,11 @@ class Engine:
         tl = Timeline(cfg.path)
         assigns = {k: _as_cond(v) for k, v in set.items()}
         auto_pf = self._auto_point_filter(cfg, where)
+        auto_rf = self._auto_range_filter(cfg, where)
         if cfg.table_type == MOR:
             snap = self.read(
-                cfg, partition_filter=partition_filter, point_filter=auto_pf
+                cfg, partition_filter=partition_filter, point_filter=auto_pf,
+            range_filter=auto_rf
             )
             updated = snap.filter(cond)
             # SIMULTANEOUS assignment (one projection over the pre-update
@@ -2662,7 +2746,8 @@ class Engine:
             self._maybe_compact(cfg)
             return meta
         snap = self.read(
-            cfg, partition_filter=partition_filter, point_filter=auto_pf
+            cfg, partition_filter=partition_filter, point_filter=auto_pf,
+            range_filter=auto_rf
         )
         matched = snap.filter(cond)
         affected_parts, hit = self._matched_scan_footprint(matched)

@@ -144,6 +144,31 @@ class SecondaryIndex:
 
     # ---------------- read side ----------------
 
+    def lookup_partitions_range(
+        self, lo, hi, cast_type: str | None
+    ) -> set[str]:
+        """Partitions that may contain a value in [lo, hi] for the
+        indexed column — the RANGE-probe side (Hudi 1.0 secondary
+        indexes serve eq/IN; range reuses the same layout). Hash buckets
+        cannot narrow a range, so this scans the INDEX — distinct
+        value→partition pairs, orders of magnitude smaller than the
+        table — distributively with Spark, casting the stored string
+        values back to the column's type so ordering is the column's,
+        not lexicographic. Requires a SparkSession (range probes run
+        engine-side, not in the sessionless planning worker); open
+        bounds pass None."""
+        if not any(self.path.rglob("*.parquet")):
+            return set()
+        df = self.spark.read.parquet(str(self.path))
+        v = F.col("value").cast(cast_type) if cast_type else F.col("value")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (v <= F.lit(hi))
+        rows = df.filter(cond).select("partition").distinct().collect()
+        return {r[0] for r in rows}
+
     def lookup_partitions(self, values: list) -> set[str]:
         """Partitions that may contain any of `values` for the indexed
         column. Pure pyarrow (no SparkSession needed — callable from

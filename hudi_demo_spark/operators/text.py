@@ -333,6 +333,8 @@ def train_bpe(
     text_col: str,
     num_merges: int = 50,
     vocab_limit: int | None = None,
+    sample_fraction: float | None = None,
+    sample_seed: int = 42,
 ) -> list[tuple[str, str]]:
     """Distributed byte-pair-encoding trainer (Sennrich et al. 2016),
     the standard subword-vocabulary step of a training-data pipeline.
@@ -348,7 +350,22 @@ def train_bpe(
     No Python row-UDFs: pair extraction is `transform(slice(...))`,
     merging is a left-to-right greedy `aggregate` fold — the exact
     reference semantics (test_operators differential vs a pure-Python
-    BPE)."""
+    BPE).
+
+    `sample_fraction` trains on a DETERMINISTIC content-hash sample of
+    the documents (keep iff `xxhash64(text, seed) mod 1e6 <
+    fraction*1e6`) — the 100 TB contract: vocabulary training must not
+    imply `num_merges` full-corpus passes, and the same corpus + seed
+    reproduces the same merge list regardless of partitioning or row
+    order (a `rand()` sample would not)."""
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.filter(
+            F.pmod(
+                F.abs(F.xxhash64(F.col(text_col), F.lit(sample_seed))),
+                F.lit(1_000_000),
+            )
+            < int(sample_fraction * 1_000_000)
+        )
     wc = _word_counts(df, text_col)
     if vocab_limit is not None:
         # standard trainer cap: frequency-ranked head of the vocabulary

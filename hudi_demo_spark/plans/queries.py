@@ -3807,15 +3807,16 @@ def engine_insert_overwrite(spark, sf_dir):
     """
     SELECT event_id, user_id, event_type, round(value + 100, 4) AS value,
            'update' AS change_type
-    FROM events WHERE event_id % 5 = 0 AND event_id % 11 <> 0
+    FROM events
+    WHERE event_id % 2 = 0 AND event_id % 5 = 0 AND event_id % 11 <> 0
     UNION ALL
     SELECT event_id, user_id, event_type, round(value, 4) AS value,
            'delete' AS change_type
-    FROM events WHERE event_id % 11 = 0
+    FROM events WHERE event_id % 2 = 0 AND event_id % 11 = 0
     UNION ALL
     SELECT event_id + 100000000 AS event_id, user_id, event_type,
            round(value, 4) AS value, 'insert' AS change_type
-    FROM events WHERE event_id % 13 = 0
+    FROM events WHERE event_id % 2 = 0 AND event_id % 13 = 0
     ORDER BY event_id, change_type
     """,
 )
@@ -3832,7 +3833,8 @@ def engine_cdc_read(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value",
         F.lit(1).cast("long").alias("seq"),
-    )
+    ).filter(F.col("event_id") % 2 == 0)  # half-size fixture: the CDC
+    # machinery under test is commit-count-shaped, not row-count-shaped
     eng.create_table(
         "t", record_key="event_id", precombine="seq", partition_by="event_type"
     )
@@ -4186,7 +4188,15 @@ def embedding_covariance_q(spark, sf_dir):
     SELECT doc_id, l - 1 AS n_tokens, s AS start_token,
            s // 64 AS first_seq, (s + l - 1) // 64 AS last_seq
     FROM placed ORDER BY doc_id
-    """,
+    """.replace(
+        # half-size fixture (content of every stage unchanged): the
+        # pipeline's cost is the shingle self-join, quadratic-ish in
+        # docs — str.replace rewrites every `FROM documents`, including
+        # the one inside the shared NGRAM_PAIR_CTES fragment, and the
+        # Spark side applies the identical doc_id gate below
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0) documents",
+    ),
 )
 def corpus_pipeline_end_to_end(spark, sf_dir):
     """The whole training-data pipeline as one differentially-tested
@@ -4200,7 +4210,9 @@ def corpus_pipeline_end_to_end(spark, sf_dir):
     from hudi_demo_spark.operators.graph import canonical_docs
     from hudi_demo_spark.operators.sampling import weighted_mix
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select("a", "b")
     canon = canonical_docs(d, pairs, "doc_id")
     train = canon.filter(F.col("doc_id") % 7 != 0)
@@ -4772,7 +4784,7 @@ def sql_table_changes_tvf(spark, sf_dir):
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
            round(sum(value), 2) AS sum_value
-    FROM events
+    FROM events WHERE event_id % 2 = 0
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -4787,7 +4799,8 @@ def engine_incremental_rollup(spark, sf_dir):
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    )
+    ).filter(F.col("event_id") % 2 == 0)  # half-size fixture: refresh
+    # correctness is commit-window-shaped, not row-count-shaped
     eng.create_table("src", record_key="event_id", partition_by="event_type")
     create_rollup(eng, "src", "roll", ["event_type"], ["value"])
     eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
@@ -5095,6 +5108,42 @@ def engine_secondary_index(spark, sf_dir):
     eng.upsert(c.filter(F.col("c_custkey") % 2 == 1), "t")
     return (
         eng.read("t", point_filter=("c_nationkey", [3, 7]))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "engine_secondary_range",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer
+    WHERE c_nationkey BETWEEN 5 AND 9
+    ORDER BY c_custkey
+    """,
+)
+def engine_secondary_range(spark, sf_dir):
+    """Secondary-index RANGE probe (round-3 extension of Hudi 1.0
+    secondary indexes, which serve eq/IN): `read(range_filter=...)`
+    routes BETWEEN through the index's value→partition mapping — the
+    index scan (distinct pairs) replaces a full-table scan when
+    col-stats can't discriminate — and must equal the plain predicate.
+    Exercised across a maintenance write (upsert after build)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_secondary_range", sf_dir)
+    eng = Engine(spark, root)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    eng.create_table(
+        "t", record_key="c_custkey", partition_by="c_mktsegment"
+    )
+    eng.insert(c.filter(F.col("c_custkey") % 2 == 0), "t")
+    eng.sql("create index idx_nation on t using secondary_index (c_nationkey)")
+    eng.upsert(c.filter(F.col("c_custkey") % 2 == 1), "t")
+    return (
+        eng.read("t", range_filter=("c_nationkey", 5, 9))
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")
     )

@@ -732,3 +732,51 @@ def test_writer_refuses_validator_tables_and_invalidates_indexes(
     engine.upsert(_mkdf(spark, [(3, "qq", 3.0, 1, "d3")]), "wix")
     idx = engine._secondary_index(cfg, "name")
     assert idx.usable() and idx.lookup_partitions(["zz"]) == {"dt=d2"}
+
+
+def test_multi_start_drain_contract(engine, spark, tmp_path):
+    """Pins the Spark 4 Python-stream-source batching contract (round-3
+    VERDICT #10): under `trigger(availableNow=True)` a Python source
+    delivers AT MOST ONE micro-batch per `start()` — everything between
+    the checkpointed offset and `latestOffset()` at trigger time. A
+    backlog that grows while a run is finishing therefore needs another
+    `start()`; each restart drains exactly the new tail, never
+    re-emitting (batch-id exactly-once in the native sink). This is the
+    documented limitation of `sources/datasource.py`'s reader (no
+    AvailableNow offset-plan API for Python sources), pinned here so a
+    future Spark upgrade that lifts it shows up as a failing count."""
+    engine.create_table("msrc", record_key="id", precombine="ts")
+    engine.create_table("mdst", record_key="id", precombine="ts",
+                        table_type="mor")
+    src, dst = engine._resolve("msrc"), engine._resolve("mdst")
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    def run_once():
+        q = (
+            spark.readStream.format("hudi").load(str(src.path))
+            .writeStream.format("hudi")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start(str(dst.path))
+        )
+        q.awaitTermination(120)
+        return len([m for m in Timeline(dst.path).instants()
+                    if m["action"] == "deltacommit"])
+
+    # backlog of 3 source commits → ONE batch (one sink commit) drains all
+    for i in range(3):
+        engine.insert(
+            _mkdf(spark, [(i, f"r{i}", 1.0, 100, "2022-09-05")]), "msrc"
+        )
+    assert run_once() == 1
+    assert sorted(r["id"] for r in engine.read("mdst").collect()) == [0, 1, 2]
+    # new commits after the run: a SECOND start is required and drains
+    # exactly the tail (one more sink commit, no re-emission)
+    engine.insert(_mkdf(spark, [(7, "r7", 7.0, 100, "2022-09-05")]), "msrc")
+    engine.insert(_mkdf(spark, [(8, "r8", 8.0, 100, "2022-09-05")]), "msrc")
+    assert run_once() == 2
+    assert sorted(r["id"] for r in engine.read("mdst").collect()) == [
+        0, 1, 2, 7, 8
+    ]
+    # idle restart: nothing pending → no new commit (exactly-once holds)
+    assert run_once() == 2

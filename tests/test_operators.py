@@ -517,6 +517,27 @@ def test_bpe_trainer_matches_reference(spark):
         assert got[did] == (len(want_toks), want_toks), did
 
 
+def test_bpe_sample_fraction_deterministic(spark, sf_dir):
+    """`train_bpe(sample_fraction=...)` is the 100 TB contract: a
+    content-hash (seeded, partitioning-independent) document sample.
+    fraction=1.0 is a no-op; a 50% sample reproduces bit-identically
+    across calls and its merge list stays close to full-corpus training
+    (the fixture measures 0.8; the floor guards against drift)."""
+    from hudi_demo_spark.operators.text import train_bpe
+    from hudi_demo_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = train_bpe(docs, "text", num_merges=20, vocab_limit=2000)
+    assert train_bpe(docs, "text", num_merges=20, vocab_limit=2000,
+                     sample_fraction=1.0) == full
+    half = train_bpe(docs, "text", num_merges=20, vocab_limit=2000,
+                     sample_fraction=0.5)
+    assert train_bpe(docs, "text", num_merges=20, vocab_limit=2000,
+                     sample_fraction=0.5) == half
+    overlap = len(set(full) & set(half)) / len(full)
+    assert overlap >= 0.6
+
+
 def test_spread_fans_out_statless_relations(spark, engine):
     """Regression (review finding): DSv2/python data sources report a
     defaultSizeInBytes sentinel, not a measurement — spread() must

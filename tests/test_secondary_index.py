@@ -265,3 +265,47 @@ def test_update_swap_indexes_written_values(engine, spark):
             engine.read(t, point_filter=("a", ["B"])).collect()] == [1]
     assert [r["id"] for r in
             engine.read(t, point_filter=("b", ["A"])).collect()] == [1]
+
+
+def test_range_probe_prunes_partitions(engine, spark):
+    """Round-3 range extension: BETWEEN on an indexed int column prunes
+    the file list to the partitions holding in-range values — strictly
+    fewer files than the unpruned set — and results equal the plain
+    predicate (numeric ordering, not lexicographic: 10 > 9)."""
+    t = "rx"
+    engine.create_table(t, record_key="id", precombine="ts",
+                        partition_by="dt")
+    rows = [(i, f"c{i}", float(i), i, f"2022-01-{1 + i % 4:02d}")
+            for i in range(1, 21)]
+    engine.insert(spark.createDataFrame(rows, SCHEMA), t)
+    engine.sql(f"create index idx_ts on {t} using secondary_index (ts)")
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "ts")
+    # numeric cast-back: [9, 12] must include 10..12, exclude 13+
+    assert idx.lookup_partitions_range(9, 12, "bigint") == {
+        f"dt=2022-01-{1 + i % 4:02d}" for i in range(9, 13)
+    }
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    live = Timeline(cfg.path).live_files()
+    pruned = engine._secondary_range_prune(cfg, dict(live), "ts", 1, 1)
+    assert len(pruned) < len(live)  # index beat the unpruned file list
+    got = engine.read(t, range_filter=("ts", 9, 12))
+    assert sorted(r["id"] for r in got.collect()) == [9, 10, 11, 12]
+
+
+def test_range_probe_string_column_and_dml_routing(engine, spark):
+    t = _setup(engine, spark)
+    engine.sql(f"create index idx_city on {t} using secondary_index (city)")
+    cfg = engine._resolve(t)
+    # auto-routing: BETWEEN parses to a range filter with exact typing
+    assert engine._auto_range_filter(cfg, "city between 'lima' and 'paris'") \
+        == ("city", "lima", "paris")
+    assert engine._auto_range_filter(cfg, "id between 2 and 3") == ("id", 2, 3)
+    # quoted literal on a non-string column: refused (coercion hazard)
+    assert engine._auto_range_filter(cfg, "id between '2' and '3'") is None
+    # DML rides the route end-to-end and stays exact
+    engine.update(t, set={"price": F.lit(99.0)},
+                  where="city between 'lima' and 'paris'")
+    st = {r["id"]: r["price"] for r in engine.read(t).collect()}
+    assert st == {1: 99.0, 2: 20.0, 3: 99.0, 4: 99.0}

@@ -82,6 +82,8 @@ HEADLINE = [
     "streaming_sink_native",
     # round 3 additions
     "engine_secondary_range",
+    "dedup_cross_corpus",
+    "ann_pq_recall",
 ]
 
 

@@ -324,3 +324,68 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "union_size", "jaccard")
     )
+
+
+def cross_corpus_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Document-level contamination screen between TWO corpora: exact
+    word-3-gram Jaccard pairs (a ∈ left, b ∈ right) ≥ threshold —
+    the doc-granular complement of `decontaminate`'s n-gram hit test
+    (a training doc that paraphrases an eval doc shares most shingles
+    without any single verbatim 8-gram).
+
+    Same scale shape as `ngram_jaccard_pairs`: candidate generation IS
+    the shingle-keyed left×right join (no crossJoin), cost bounded by
+    Σ freq_l(sh)·freq_r(sh) and capped via `max_shingle_freq` computed
+    over the UNION (a stop-shingle must be dropped from both sides or
+    the intersection count skews). Returns
+    (a, b, inter, union_size, jaccard)."""
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.transform(
+                        word_trigrams(text_col), lambda s: F.xxhash64(s)
+                    )
+                ).alias("sh"),
+            )
+            .dropDuplicates(["id", "sh"])
+        )
+
+    lsh, rsh = shingled(left), shingled(right)
+    if max_shingle_freq is not None:
+        freq = (
+            lsh.select("sh")
+            .unionAll(rsh.select("sh"))
+            .groupBy("sh")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("sh")
+        )
+        lsh = lsh.join(freq, "sh")
+        rsh = rsh.join(freq, "sh")
+    na = lsh.groupBy("id").agg(F.count("*").alias("na")).withColumnRenamed("id", "a")
+    nb = rsh.groupBy("id").agg(F.count("*").alias("nb")).withColumnRenamed("id", "b")
+    inter = (
+        lsh.alias("l")
+        .join(rsh.alias("r"), "sh")
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_size", "jaccard")
+    )

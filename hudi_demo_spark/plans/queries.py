@@ -1486,6 +1486,46 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_cross_corpus",
+    f"""
+    WITH {NGRAM_SHINGLE_CTES}, l AS (
+      SELECT doc_id, sh FROM dgrams WHERE doc_id % 3 <> 0
+    ), r AS (
+      SELECT doc_id, sh FROM dgrams WHERE doc_id % 3 = 0
+    ), na AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id),
+    nb AS (SELECT doc_id, count(*) AS n FROM r GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM l JOIN r ON l.sh = r.sh GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b, inter, na.n + nb.n - inter AS union_size,
+           round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+    FROM inter JOIN na ON a = na.doc_id JOIN nb ON b = nb.doc_id
+    WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.10
+    ORDER BY a, b
+    """,
+)
+def dedup_cross_corpus_q(spark, sf_dir):
+    """Train-vs-eval doc-level contamination screen: exact 3-gram
+    Jaccard pairs ACROSS two corpora (train = doc_id%3≠0, eval =
+    doc_id%3=0) — the paraphrase-contamination complement of the
+    verbatim-8-gram `corpus_decontaminate`. Shingle-keyed left×right
+    join; no crossJoin."""
+    from hudi_demo_spark.operators.dedup import cross_corpus_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        cross_corpus_jaccard_pairs(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0),
+            "doc_id", "text", threshold=0.10,
+        )
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("a", "b")
+    )
+
+
 def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
     """Full MinHash+LSH pipeline in DuckDB SQL: portable 60-bit shingle
     hash → 64 affine-mix mins → band-bucket candidates (joined on the raw
@@ -4944,6 +4984,43 @@ def ann_recall_report(spark, sf_dir):
     return spark.createDataFrame(
         rows, "method string, recall_at_5 double"
     ).orderBy("method")
+
+
+@q("ann_pq_recall")
+def ann_pq_recall(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) recall@5 against
+    exact brute force: the corpus scans as 16 small ints per vector
+    (16× compression at dim=64) with ADC scoring, then the k·16 ADC
+    shortlist re-ranks at full precision — the memory-bounded scan shape
+    a 100 TB embedding corpus needs. Rows-only by design (k-means
+    codebooks are iterative, not SQL), but self-verifying: a recall
+    FLOOR of 0.85 fails the gate loudly on any regression (measured
+    0.98 on the near-uniform fixture — the hardest corpus for
+    quantization; pq_encode/ADC/refine are additionally differential-
+    tested against pure numpy in test_operators)."""
+    from hudi_demo_spark.operators.similarity import brute_force_topk, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q20 = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, q20, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    n_exact = exact.count()
+    approx = pq_topk(
+        e, q20, "vec_id", "embedding", k=5, m=16, codes=16, iters=2,
+        rerank=16,
+    )
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact, ["query_id", "neighbor_id"]
+    ).count()
+    recall = round(hits / n_exact, 4)
+    if recall < 0.85:
+        raise AssertionError(
+            f"PQ recall regression: recall@5={recall} < 0.85"
+        )
+    return spark.createDataFrame(
+        [("pq", recall)], "method string, recall_at_5 double"
+    )
 
 
 # =====================================================================

@@ -558,3 +558,85 @@ def test_spread_fans_out_statless_relations(spark, engine):
     out = spread(ds)
     target = spark.sparkContext.defaultParallelism
     assert out.rdd.getNumPartitions() >= min(target, 8)
+
+
+def test_pq_differential_vs_numpy(spark, sf_dir):
+    """pq_encode + ADC + refine vs a pure-numpy reference on the SAME
+    codebooks: codes identical (incl. first-min tie-break), ADC sums
+    equal to float tolerance, refined top-k identical. Trains once on
+    the fixture (kmeans_fit has its own differential test)."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    m, codes = 8, 8
+    books = pq_train(e, "vec_id", "embedding", m=m, codes=codes, iters=1)
+    assert len(books) == m and all(len(b) == codes for b in books)
+
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in e.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    U = np.where(nrm > 0, X / nrm, X)
+    sub = U.shape[1] // m
+    B = np.array(books)  # (m, codes, sub)
+
+    # reference codes: per-subspace argmin of squared L2 (first min wins)
+    want_codes = np.stack([
+        np.argmin(
+            ((U[:, j * sub:(j + 1) * sub][:, None, :] - B[j][None, :, :])
+             ** 2).sum(axis=2),
+            axis=1,
+        )
+        for j in range(m)
+    ], axis=1)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(e, books, "vec_id", "embedding").collect()}
+    for idx, i in enumerate(ids):
+        assert got[i] == list(want_codes[idx]), i
+
+    # reference ADC + exact-cosine refine for queries vec_id < 5
+    qids = [i for i in ids if i < 5]
+    k, rerank = 3, 4
+    want_top = {}
+    for qi in qids:
+        qrow = U[ids.index(qi)]
+        lut = np.stack([
+            ((qrow[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2).sum(axis=1)
+            for j in range(m)
+        ])  # (m, codes)
+        adc = np.array([
+            lut[np.arange(m), want_codes[idx]].sum()
+            for idx in range(len(ids))
+        ])
+        order = sorted(
+            (i for i in ids if i != qi),
+            key=lambda i: (adc[ids.index(i)], i),
+        )[: k * rerank]
+        qx = X[ids.index(qi)]
+        cos = {
+            i: float(
+                X[ids.index(i)] @ qx
+                / (np.linalg.norm(X[ids.index(i)]) * np.linalg.norm(qx))
+            )
+            for i in order
+        }
+        want_top[qi] = sorted(order, key=lambda i: (-cos[i], i))[:k]
+    res = pq_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=k, codebooks=books, rerank=rerank,
+    ).collect()
+    got_top = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got_top == want_top

@@ -396,18 +396,38 @@ def semantic_dedup(
     )
 
 
-def _sq_l2_lit(vec_expr, centroid: list) -> F.Column:
-    """Squared L2 distance between a vector expression and a LITERAL
-    centroid — zip_with + sequential fold (JVM codegen, deterministic
-    float order, no Python boundary)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+def _sq_l2_expr(a, b) -> F.Column:
+    """Squared L2 distance between two array<double> expressions —
+    zip_with + sequential fold (JVM, deterministic float order, no
+    Python boundary)."""
     return F.aggregate(
-        F.zip_with(
-            vec_expr, lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _codebooks_lit(codebooks: list) -> F.Column:
+    """The m×codes×sub codebooks as ONE literal nested array. PQ's
+    per-row work is then a single higher-order expression LOOPING over
+    this value (transform/aggregate) instead of m×codes unrolled fold
+    expressions — identical arithmetic, but the plan stays O(1) in
+    m×codes, so codegen compiles in milliseconds instead of tens of
+    seconds per distinct codebook (measured: 25 s → sub-second plan
+    setup at m=16, codes=16)."""
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cv]) for cv in book
+        ]) for book in codebooks
+    ])
+
+
+def _pq_subdists(B: F.Column, vec_d, j, sub: int) -> F.Column:
+    """array of squared L2 distances from vector-slice j to every code
+    of subspace j (j is a 0-based int Column)."""
+    sl = F.slice(vec_d, (j * sub + 1).cast("int"), sub)
+    return F.transform(
+        F.element_at(B, (j + 1).cast("int")), lambda cv: _sq_l2_expr(sl, cv)
     )
 
 
@@ -418,6 +438,7 @@ def pq_train(
     m: int = 8,
     codes: int = 16,
     iters: int = 3,
+    sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011, the standard
     memory-bounded ANN family; see PAPERS.md): split each vector into
@@ -427,8 +448,16 @@ def pq_train(
     Scale shape: one `kmeans_fit` run per subspace over SLICED vectors —
     every iteration is map-side assignment against literal centroids
     plus one keyed re-centering shuffle; the driver ever holds only
-    m × codes × (dim/m) floats (= dim × codes — a few KB). Deterministic
-    end-to-end (portable-hash seeding, fixed fold order)."""
+    m × codes × (dim/m) floats (= dim × codes — a few KB). The
+    normalized corpus is persisted for the m×iters jobs (each otherwise
+    re-scans the source). `sample_mod=N` trains on the deterministic
+    1/N id-hash sample (`xxhash64(id) % N == 0`) — the standard Faiss
+    practice: codebooks need a representative sample, not the corpus,
+    so training cost is corpus-size-independent at 100 TB.
+    Deterministic end-to-end (portable-hash seeding, fixed fold
+    order)."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("pq_train: empty corpus")
@@ -436,16 +465,73 @@ def pq_train(
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
-    unit = _unit_vectors(df, id_col, vec_col)
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sliced = unit.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv"),
+    if sample_mod and sample_mod > 1:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
         )
-        cents, _ = kmeans_fit(sliced, id_col, "__sv", k=codes, iters=iters)
-        books.append([list(map(float, v)) for _, v in sorted(cents)])
-    return books
+    unit = _unit_vectors(df, id_col, vec_col).persist()
+    try:
+        # seeds: the portable-hash-ordered first `codes` sample vectors
+        # (same deterministic pick as seed_centroids), sliced per
+        # subspace — every subspace trains on the same seed rows
+        seed = sorted(
+            unit.select(F.col(id_col).alias("__i"),
+                        F.col(vec_col).alias("__v"))
+            .orderBy(portable_hash60(F.col("__i").cast("string")), "__i")
+            .limit(codes)
+            .collect(),
+            key=lambda r: r["__i"],
+        )
+        if len(seed) < codes:
+            raise ValueError(
+                f"pq_train: corpus/sample has {len(seed)} rows < codes={codes}"
+            )
+        books = [
+            [
+                [float(x) for x in r["__v"][j * sub:(j + 1) * sub]]
+                for r in seed
+            ]
+            for j in range(m)
+        ]
+        # batched Lloyd: ONE job per iteration trains every subspace —
+        # each row emits (subspace, nearest-code, subvector) via the same
+        # literal-codebook argmin the encoder uses (train and encode
+        # share one metric: squared L2 on unit vectors), and recentering
+        # is one keyed shuffle on (subspace, code, dimension). The
+        # driver collects m×codes×(dim/m) = dim×codes floats per
+        # iteration; empty codes keep their previous centroid.
+        for _ in range(iters):
+            B = _codebooks_lit(books)
+            vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+            def jrow(j):
+                d = _pq_subdists(B, vd, j, sub)
+                return F.struct(
+                    j.cast("int").alias("j"),
+                    (F.array_position(d, F.array_min(d)) - 1)
+                    .cast("int").alias("c"),
+                    F.slice(vd, (j * sub + 1).cast("int"), sub).alias("sv"),
+                )
+
+            rows = (
+                unit.select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(m - 1)), jrow
+                        )
+                    ).alias("e")
+                )
+                .select("e.j", "e.c", F.posexplode("e.sv").alias("d", "x"))
+                .groupBy("j", "c", "d")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            books = [[list(cv) for cv in book] for book in books]
+            for r in rows:
+                books[r["j"]][r["c"]][r["d"]] = float(r["mu"])
+        return books
+    finally:
+        unit.unpersist()
 
 
 def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -475,22 +561,23 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>) — each vector's per-subspace nearest-code
-    ids (0-based). Pure map-side expression work against the literal
-    codebooks (m × codes squared-L2 folds per row, whole-stage codegen;
-    no shuffle, no Python). Ties break to the LOWER code id
+    ids (0-based). Pure map-side expression work: one higher-order loop
+    over the literal codebook array (no shuffle, no Python, O(1) plan
+    size — see `_codebooks_lit`). Ties break to the LOWER code id
     (`array_position` finds the first minimum) — deterministic."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out_codes = []
-    for j, book in enumerate(codebooks):
-        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
-        dists = F.array(*[_sq_l2_lit(sv, c) for c in book])
-        out_codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.select(
-        F.col(id_col), F.array(*out_codes).alias("codes")
+    B = _codebooks_lit(codebooks)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_j(j):
+        d = _pq_subdists(B, vd, j, sub)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), code_j
     )
+    return df.select(F.col(id_col), codes_expr.alias("codes"))
 
 
 def pq_topk(
@@ -531,13 +618,13 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
     unit_q = _unit_vectors(queries, id_col, vec_col)
-    qv = F.col(vec_col)
-    lut = F.array(
-        *[
-            _sq_l2_lit(F.slice(qv, j * sub + 1, sub), c)
-            for j, book in enumerate(codebooks)
-            for c in book
-        ]
+    B = _codebooks_lit(codebooks)
+    qvd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: _pq_subdists(B, qvd, j, sub),
+        )
     )
     q = unit_q.select(F.col(id_col).alias("query_id"), lut.alias("__lut"))
     scored = (

@@ -4998,7 +4998,9 @@ def ann_pq_recall(spark, sf_dir):
     0.98 on the near-uniform fixture — the hardest corpus for
     quantization; pq_encode/ADC/refine are additionally differential-
     tested against pure numpy in test_operators)."""
-    from hudi_demo_spark.operators.similarity import brute_force_topk, pq_topk
+    from hudi_demo_spark.operators.similarity import (
+        brute_force_topk, pq_topk, pq_train,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     q20 = e.filter(F.col("vec_id") < 20)
@@ -5006,9 +5008,15 @@ def ann_pq_recall(spark, sf_dir):
         "query_id", "neighbor_id"
     ).persist()
     n_exact = exact.count()
+    # codebooks train on the deterministic 1/4 id-hash sample with one
+    # Lloyd iteration — the Faiss-style training budget (codebooks need
+    # a representative sample, not the corpus); the recall floor below
+    # is the guard that this budget stays sufficient
+    books = pq_train(
+        e, "vec_id", "embedding", m=16, codes=16, iters=2, sample_mod=4
+    )
     approx = pq_topk(
-        e, q20, "vec_id", "embedding", k=5, m=16, codes=16, iters=2,
-        rerank=16,
+        e, q20, "vec_id", "embedding", k=5, codebooks=books, rerank=24
     )
     hits = approx.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"]

@@ -753,51 +753,65 @@ class Engine:
             return candidates
         import numpy as np
 
-        # Hash the batch's distinct (partition, key) pairs EXECUTOR-SIDE
-        # (vectorized in Arrow batches), then pull ONE bounded Arrow
-        # transfer of fixed-width hash pairs (≤ max_keys × 16 B) to build
-        # the probe arrays — the driver never loops over raw keys.
-        # uint64 rides the wire as two's-complement int64 (reinterpret,
-        # not convert) because Arrow longs are signed.
-        def _hash_pairs(it):
-            import pandas as pd
-
-            from hudi_demo_spark.engine import bloom as BB
-
-            for pdf in it:
-                hs = [BB.key_hashes(k) for k in pdf["__k"]]
-                yield pd.DataFrame(
-                    {
-                        "__pp": pdf["__pp"],
-                        "__h1": np.array(
-                            [h[0] for h in hs], dtype=np.uint64
-                        ).view(np.int64),
-                        "__h2": np.array(
-                            [h[1] for h in hs], dtype=np.uint64
-                        ).view(np.int64),
-                    }
-                )
-
-        pairs_pdf = (
-            batch.select(
-                F.coalesce(
-                    F.col(PARTITION_PATH_META).cast("string"), F.lit("")
-                ).alias("__pp"),
-                F.col(RECORD_KEY_META).cast("string").alias("__k"),
-            )
-            .distinct()
-            .mapInPandas(_hash_pairs, "__pp string, __h1 long, __h2 long")
-            .toPandas()
+        distinct_pairs = batch.select(
+            F.coalesce(
+                F.col(PARTITION_PATH_META).cast("string"), F.lit("")
+            ).alias("__pp"),
+            F.col(RECORD_KEY_META).cast("string").alias("__k"),
+        ).distinct()
+        hash_dist_min = int(
+            cfg.props.get("index.bloom.hash.distribute_min", 20_000)
         )
         hcache: dict[str, np.ndarray] = {}
-        for pp, g in pairs_pdf.groupby("__pp", sort=False):
-            hcache[pp] = np.stack(
-                [
-                    g["__h1"].to_numpy().view(np.uint64),
-                    g["__h2"].to_numpy().view(np.uint64),
-                ],
-                axis=1,
-            )
+        if batch_rows <= hash_dist_min:
+            # point-lookup regime: collecting ≤20k skinny pairs and
+            # hashing on the driver is ~10 ms — a python-worker stage
+            # here costs 20-50× the work it distributes (measured +0.5 s
+            # per upsert at sf0.1)
+            by_part: dict[str, list[str]] = {}
+            for pp, k in distinct_pairs.collect():
+                by_part.setdefault(pp or "", []).append(k)
+            for pp, ks in by_part.items():
+                hcache[pp] = np.array(
+                    [B.key_hashes(k) for k in ks], dtype=np.uint64
+                )
+        else:
+            # big batches hash EXECUTOR-SIDE (vectorized in Arrow
+            # batches); ONE bounded Arrow transfer of fixed-width hash
+            # pairs (≤ max_keys × 16 B) builds the probe arrays — the
+            # driver never loops over raw keys. uint64 rides the wire as
+            # two's-complement int64 (reinterpret) — Arrow longs are
+            # signed.
+            def _hash_pairs(it):
+                import pandas as pd
+
+                from hudi_demo_spark.engine import bloom as BB
+
+                for pdf in it:
+                    hs = [BB.key_hashes(k) for k in pdf["__k"]]
+                    yield pd.DataFrame(
+                        {
+                            "__pp": pdf["__pp"],
+                            "__h1": np.array(
+                                [h[0] for h in hs], dtype=np.uint64
+                            ).view(np.int64),
+                            "__h2": np.array(
+                                [h[1] for h in hs], dtype=np.uint64
+                            ).view(np.int64),
+                        }
+                    )
+
+            pairs_pdf = distinct_pairs.mapInPandas(
+                _hash_pairs, "__pp string, __h1 long, __h2 long"
+            ).toPandas()
+            for pp, g in pairs_pdf.groupby("__pp", sort=False):
+                hcache[pp] = np.stack(
+                    [
+                        g["__h1"].to_numpy().view(np.uint64),
+                        g["__h2"].to_numpy().view(np.uint64),
+                    ],
+                    axis=1,
+                )
         glob = (
             np.concatenate(list(hcache.values()))
             if self._is_global(cfg) and hcache

@@ -84,6 +84,7 @@ HEADLINE = [
     "engine_secondary_range",
     "dedup_cross_corpus",
     "ann_pq_recall",
+    "engine_join_view",
 ]
 
 

@@ -120,6 +120,150 @@ def refresh_rollup(engine, name: str) -> dict | None:
     return out
 
 
+def create_join_view(
+    engine,
+    name: str,
+    left: str,
+    right: str,
+    on: list[str],
+):
+    """Define `name` as an incrementally-maintained INNER equi-join view
+    of two engine tables — the second classic derived-table shape next
+    to rollups (dimension enrichment: fact ⋈ dim materialized once,
+    refreshed by deltas). The view's record key is the union of both
+    sources' record keys (a join row's identity); non-join data columns
+    must not collide. Refresh with `refresh_join_view`."""
+    lcfg, rcfg = engine._resolve(left), engine._resolve(right)
+    if not lcfg.record_key_fields or not rcfg.record_key_fields:
+        raise ValueError("join view requires keyed sources")
+    lcols = {f.name for f in engine.read(left).schema.fields}
+    rcols = {f.name for f in engine.read(right).schema.fields}
+    clash = (lcols & rcols) - set(on) - {
+        RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META,
+    }
+    if clash:
+        raise ValueError(f"join view column collision: {sorted(clash)}")
+    key = list(
+        dict.fromkeys(
+            lcfg.record_key_fields + rcfg.record_key_fields
+        )
+    )
+    return engine.create_table(
+        name,
+        record_key=key,
+        partition_by=None,
+        props={
+            "derived.join.left": left,
+            "derived.join.right": right,
+            "derived.join.on": ",".join(on),
+        },
+    )
+
+
+def refresh_join_view(engine, name: str) -> dict | None:
+    """Fold both sources' new commits into the join view. Insert-only
+    windows: candidates = ΔL ⋈ R ∪ L ⋈ ΔR, collapsed by the view key in
+    the upsert — refresh cost scales with data ARRIVED on either side
+    (each delta joins the other side's pruned snapshot), never with view
+    size. Windows containing updates/deletes switch to partial
+    recompute: the CDC reads name the changed row identities, every view
+    row built from one of them is re-derived exactly from the current
+    snapshots, and pairs that no longer join are deleted. Returns the
+    last upsert's commit meta, or None when neither source moved."""
+    cfg = engine._resolve(name)
+    left = cfg.props["derived.join.left"]
+    right = cfg.props["derived.join.right"]
+    on = cfg.props["derived.join.on"].split(",")
+    lcfg, rcfg = engine._resolve(left), engine._resolve(right)
+    lkey, rkey = lcfg.record_key_fields, rcfg.record_key_fields
+    meta_cols = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
+
+    def window(src_cfg, prop):
+        tl = Timeline(src_cfg.path)
+        begin = cfg.props.get(prop)
+        end = tl.last_instant()
+        if end is None or begin == end:
+            return begin, None, []
+        return begin, end, [
+            m for m in tl.instants()
+            if (begin is None or m["instant"] > begin)
+            and m["instant"] <= end
+        ]
+
+    lb, le, lwin = window(lcfg, "derived.join.left_offset")
+    rb, re_, rwin = window(rcfg, "derived.join.right_offset")
+    if le is None and re_ is None:
+        return None
+    mutated = any(
+        m["operation"] not in _ALLOWED for m in (lwin + rwin)
+    )
+    lsnap = engine.read(left).drop(*meta_cols)
+    rsnap = engine.read(right).drop(*meta_cols)
+    out = None
+    if not mutated:
+        cands = []
+        if le is not None:
+            dl = engine.read_incremental(left, begin=lb, end=le).drop(*meta_cols)
+            cands.append(dl.join(rsnap, on))
+        if re_ is not None:
+            dr = engine.read_incremental(right, begin=rb, end=re_).drop(*meta_cols)
+            cands.append(lsnap.join(dr, on))
+        combined = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
+        # ΔL⋈ΔR rows appear on both sides; the upsert's key dedup
+        # collapses them (identical images), so no distinct shuffle here
+        out = engine.upsert(combined, name)
+    else:
+        # changed identities on either side (CDC = inserts+updates+deletes)
+        changed_l = (
+            engine.read_cdc(left, begin=lb, end=le).select(*lkey).distinct()
+            if le is not None else None
+        )
+        changed_r = (
+            engine.read_cdc(right, begin=rb, end=re_).select(*rkey).distinct()
+            if re_ is not None else None
+        )
+        parts = []
+        if changed_l is not None:
+            parts.append(
+                lsnap.join(F.broadcast(changed_l), lkey, "left_semi")
+                .join(rsnap, on)
+            )
+        if changed_r is not None:
+            parts.append(
+                lsnap.join(
+                    rsnap.join(F.broadcast(changed_r), rkey, "left_semi"),
+                    on,
+                )
+            )
+        fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        fresh = fresh.dropDuplicates(lkey + rkey)
+        out = engine.upsert(fresh, name)
+        # view rows built from a changed identity that did not re-derive
+        # no longer join — delete them by view key
+        try:
+            view = engine.read(name).drop(*meta_cols)
+        except Exception:
+            view = None
+        if view is not None:
+            stale = None
+            if changed_l is not None:
+                stale = view.join(F.broadcast(changed_l), lkey, "left_semi")
+            if changed_r is not None:
+                sr = view.join(F.broadcast(changed_r), rkey, "left_semi")
+                stale = sr if stale is None else stale.unionByName(sr)
+            gone = stale.select(*lkey, *rkey).join(
+                fresh.select(*lkey, *rkey), lkey + rkey, "left_anti"
+            )
+            if gone.take(1):
+                engine.delete_keys(name, gone)
+    if le is not None:
+        cfg.props["derived.join.left_offset"] = le
+    if re_ is not None:
+        cfg.props["derived.join.right_offset"] = re_
+    cfg.save()
+    return out
+
+
 def _refresh_recompute(
     engine, name, source, group_cols, sum_cols, begin, end
 ):

@@ -4858,6 +4858,65 @@ def engine_incremental_rollup(spark, sf_dir):
 
 
 @q(
+    "engine_join_view",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE c_mktsegment END
+               AS c_mktsegment
+      FROM customer WHERE NOT c_custkey % 7 = 0
+    ), fact AS (
+      SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    )
+    SELECT f.o_orderkey, f.c_custkey, f.o_totalprice, d.c_name,
+           d.c_mktsegment
+    FROM fact f JOIN dim d USING (c_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def engine_join_view(spark, sf_dir):
+    """Incrementally-maintained JOIN view (the dimension-enrichment
+    derived table next to rollups): fact ⋈ dim materialized once, then
+    refreshed from the sources' incremental/CDC reads — an insert-only
+    fact window folds as Δfact ⋈ dim; dim UPDATE+DELETE switch to
+    partial recompute (changed dim keys' join rows re-derived, orphaned
+    pairs deleted). Final state must equal the batch join of the mutated
+    sources."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    root = _scratch("engine_join_view", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    eng.create_table("dim", record_key="c_custkey")
+    eng.insert(c, "dim")
+    eng.create_table("fact", record_key="o_orderkey")
+    eng.insert(o.filter(F.col("o_orderkey") % 4 == 0), "fact")
+    create_join_view(eng, "jv", "fact", "dim", on=["c_custkey"])
+    refresh_join_view(eng, "jv")
+    eng.insert(o.filter(F.col("o_orderkey") % 4 == 1), "fact")
+    refresh_join_view(eng, "jv")  # insert-only incremental fold
+    eng.update("dim", set={"c_mktsegment": F.lit("X")},
+               where="c_custkey % 10 = 0")
+    eng.delete("dim", "c_custkey % 7 = 0")
+    refresh_join_view(eng, "jv")  # CDC partial recompute + orphan delete
+    return (
+        eng.read("jv")
+        .select("o_orderkey", "c_custkey", "o_totalprice", "c_name",
+                "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_rollup_mutations",
     """
     WITH cur AS (

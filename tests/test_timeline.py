@@ -1004,3 +1004,65 @@ def test_file_metadata_queryable(engine, spark):
     assert_matches()
     rows = engine.sql("call show_file_metadata(table => 'fmt')").collect()
     assert len(rows) == len(Timeline(engine._resolve("fmt").path).live_files())
+
+
+def test_incremental_join_view_matches_batch(engine, spark):
+    """Derived JOIN view maintained from incremental/CDC reads equals
+    the batch join after insert-only folds, a dim update (changed pairs
+    re-derived), and a dim delete (orphaned pairs dropped)."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    engine.create_table("jv_dim", record_key="d")
+    engine.create_table("jv_fact", record_key="k")
+
+    def dim(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("label"),
+        )
+
+    def fact(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("d"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    engine.insert(dim(0, 8), "jv_dim")   # dims 0..7 (8,9 dangle)
+    engine.insert(fact(0, 50), "jv_fact")
+    create_join_view(engine, "jv_v", "jv_fact", "jv_dim", on=["d"])
+    assert refresh_join_view(engine, "jv_v") is not None
+
+    def want_now():
+        f = {r["k"]: (r["d"], r["v"]) for r in engine.read("jv_fact").collect()}
+        dd = {r["d"]: r["label"] for r in engine.read("jv_dim").collect()}
+        return {
+            (k, d): (v, dd[d]) for k, (d, v) in f.items() if d in dd
+        }
+
+    def got_now():
+        return {
+            (r["k"], r["d"]): (r["v"], r["label"])
+            for r in engine.read("jv_v").collect()
+        }
+
+    assert got_now() == want_now()
+    # insert-only incremental fold on BOTH sides in one refresh
+    engine.insert(fact(50, 80), "jv_fact")
+    engine.insert(dim(8, 10), "jv_dim")
+    assert refresh_join_view(engine, "jv_v") is not None
+    assert got_now() == want_now()
+    assert refresh_join_view(engine, "jv_v") is None  # neither moved
+    # dim mutation window: update relabels, delete orphans pairs
+    engine.update("jv_dim", set={"label": F.lit("Z")}, where="d = 3")
+    engine.delete("jv_dim", "d in (4, 5)")
+    assert refresh_join_view(engine, "jv_v") is not None
+    assert got_now() == want_now()
+    # fact delete: its pairs leave the view
+    engine.delete("jv_fact", "k % 7 = 0")
+    assert refresh_join_view(engine, "jv_v") is not None
+    assert got_now() == want_now()

@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_cross_corpus",
     "ann_pq_recall",
     "engine_join_view",
+    "dedup_canonical_quality",
 ]
 
 

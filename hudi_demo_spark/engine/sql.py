@@ -615,6 +615,57 @@ class SqlRouter:
         if proc == "rebuild_record_index":
             ok = self.engine.rebuild_record_index(table)
             return self.spark.createDataFrame([(ok,)], "rebuilt boolean")
+        if proc == "create_rollup":
+            # derived-table surface (DeltaStreamer-style runnable jobs):
+            # CALL create_rollup(table => 'src', name => 'roll',
+            #                    group_cols => 'a,b', sum_cols => 'v')
+            from hudi_demo_spark.engine.derived import create_rollup
+
+            name = args.get("name")
+            groups = [c.strip() for c in args.get("group_cols", "").split(",")
+                      if c.strip()]
+            sums = [c.strip() for c in args.get("sum_cols", "").split(",")
+                    if c.strip()]
+            if not name or not groups:
+                raise ValueError(
+                    "call create_rollup(table => 'src', name => 'roll', "
+                    "group_cols => 'a,b', sum_cols => 'v')"
+                )
+            create_rollup(self.engine, table, name, groups, sums)
+            return None
+        if proc == "refresh_rollup":
+            from hudi_demo_spark.engine.derived import refresh_rollup
+
+            meta = refresh_rollup(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
+        if proc == "create_join_view":
+            # CALL create_join_view(table => 'fact', name => 'view',
+            #                       right_table => 'dim', on => 'k1,k2')
+            from hudi_demo_spark.engine.derived import create_join_view
+
+            name, right = args.get("name"), args.get("right_table")
+            on = [c.strip() for c in args.get("on", "").split(",")
+                  if c.strip()]
+            if not name or not right or not on:
+                raise ValueError(
+                    "call create_join_view(table => 'fact', name => 'v', "
+                    "right_table => 'dim', on => 'k')"
+                )
+            create_join_view(self.engine, name, table, right, on)
+            return None
+        if proc == "refresh_join_view":
+            from hudi_demo_spark.engine.derived import refresh_join_view
+
+            meta = refresh_join_view(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
         raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:

@@ -170,3 +170,45 @@ def canonical_docs(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def canonical_docs_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Quality-arbitrated dedup finale: within each near-dup component
+    keep the row with the HIGHEST `order_col` (a quality/length/score
+    expression), ties to the lowest id — the keep-best-duplicate policy
+    production dedup pipelines use instead of keep-first (a boilerplate
+    stub can carry the min id; its higher-quality twin should survive).
+    Rows in no pair survive untouched.
+
+    Scale shape: components come from the same CC machinery; the
+    arbitration window shuffles only the PAIRED rows (id-keyed join
+    against the membership set first), never the corpus; unpaired rows
+    pass through an anti-join on the same key. Joins stay keyed — AQE
+    broadcasts the membership side when it is small (the common case),
+    without betting the plan on it."""
+    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "node", id_col
+    )
+    members = df.join(cc, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("__ord").desc(), F.col(id_col).asc()
+    )
+    keep_ids = (
+        members.withColumn("__ord", order_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    unpaired = df.join(cc.select(id_col), id_col, "left_anti")
+    return unpaired.unionByName(
+        df.join(keep_ids, id_col, "left_semi")
+    )

@@ -1526,6 +1526,58 @@ def dedup_cross_corpus_q(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_canonical_quality",
+    f"""
+    WITH RECURSIVE {NGRAM_PAIR_CTES}, edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS r FROM edges
+      UNION
+      SELECT e.s AS node, reach.r FROM edges e JOIN reach ON e.d = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), memb AS (
+      SELECT d.doc_id, c.component,
+             len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                             x -> x != '')) AS q
+      FROM documents d JOIN comp c ON d.doc_id = c.node
+    ), keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn
+        FROM memb) t WHERE rn = 1
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp)
+       OR doc_id IN (SELECT doc_id FROM keep)
+    ORDER BY doc_id
+    """,
+)
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-arbitrated near-dup canonicalization: within each
+    connected component of 3-gram-Jaccard pair evidence, keep the
+    LONGEST document (token count; ties to the lower id) — the
+    keep-best-duplicate policy production pipelines use instead of
+    keep-first. Oracle re-derives components recursively and applies
+    the same window."""
+    from hudi_demo_spark.operators.dedup import ngram_jaccard_pairs
+    from hudi_demo_spark.operators.graph import canonical_docs_by
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select(
+        "a", "b"
+    )
+    quality = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    return (
+        canonical_docs_by(d, pairs, "doc_id", quality)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
     """Full MinHash+LSH pipeline in DuckDB SQL: portable 60-bit shingle
     hash → 64 affine-mix mins → band-bucket candidates (joined on the raw

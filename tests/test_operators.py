@@ -640,3 +640,21 @@ def test_pq_differential_vs_numpy(spark, sf_dir):
     for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
         got_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got_top == want_top
+
+
+def test_canonical_docs_by_keeps_best_quality(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.operators.graph import canonical_docs_by
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "much longer text here"), (3, "mid text"),
+         (7, "island"), (9, "atoll")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    q = F.length("text")
+    kept = sorted(
+        r["doc_id"] for r in canonical_docs_by(df, pairs, "doc_id", q).collect()
+    )
+    assert kept == [2, 7, 9]  # longest of {1,2,3} wins, singletons stay

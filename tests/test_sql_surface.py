@@ -532,3 +532,46 @@ def test_call_sync_catalog_registers_views(engine, spark):
     assert got == ["sc1", "sc2"]
     assert spark.sql("select id from sc1").collect()[0][0] == 1
     assert spark.sql("select id from sc2").collect()[0][0] == 2
+
+
+def test_call_derived_table_procedures(engine, spark):
+    """CALL create_rollup/refresh_rollup/create_join_view/
+    refresh_join_view — the runnable-job SQL surface over
+    engine/derived.py."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("dsrc", record_key="k")
+    engine.insert(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+        "dsrc",
+    )
+    engine.sql(
+        "call create_rollup(table => 'dsrc', name => 'droll', "
+        "group_cols => 'g', sum_cols => 'v')"
+    )
+    r = engine.sql("call refresh_rollup(table => 'droll')").collect()[0]
+    assert r["refreshed"] is True and r["instant"]
+    got = {r["g"]: r["n_rows"] for r in engine.read("droll").collect()}
+    assert got == {"0": 25, "1": 25, "2": 25, "3": 25}
+    assert engine.sql(
+        "call refresh_rollup(table => 'droll')"
+    ).collect()[0]["refreshed"] is False
+
+    engine.create_table("ddim", record_key="g")
+    engine.insert(
+        spark.createDataFrame(
+            [("0", "zero"), ("1", "one")], "g string, label string"
+        ),
+        "ddim",
+    )
+    engine.sql(
+        "call create_join_view(table => 'dsrc', name => 'dview', "
+        "right_table => 'ddim', on => 'g')"
+    )
+    r = engine.sql("call refresh_join_view(table => 'dview')").collect()[0]
+    assert r["refreshed"] is True
+    assert engine.read("dview").count() == 50  # g in {0,1} only

@@ -236,7 +236,11 @@ def refresh_join_view(engine, name: str) -> dict | None:
                 )
             )
         fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        fresh = fresh.dropDuplicates(lkey + rkey)
+        # a field shared by both sources' record keys (e.g. both keyed
+        # 'id', joined on it) appears once in the join output — dedupe
+        # the composite view key or every select/join below is ambiguous
+        vkey = list(dict.fromkeys(lkey + rkey))
+        fresh = fresh.dropDuplicates(vkey)
         out = engine.upsert(fresh, name)
         # view rows built from a changed identity that did not re-derive
         # no longer join — delete them by view key
@@ -251,8 +255,8 @@ def refresh_join_view(engine, name: str) -> dict | None:
             if changed_r is not None:
                 sr = view.join(F.broadcast(changed_r), rkey, "left_semi")
                 stale = sr if stale is None else stale.unionByName(sr)
-            gone = stale.select(*lkey, *rkey).join(
-                fresh.select(*lkey, *rkey), lkey + rkey, "left_anti"
+            gone = stale.select(*vkey).join(
+                fresh.select(*vkey), vkey, "left_anti"
             )
             if gone.take(1):
                 engine.delete_keys(name, gone)

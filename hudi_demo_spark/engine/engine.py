@@ -127,6 +127,8 @@ class Engine:
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # stats of the most recent read_incremental (documented attribute)
+        self.last_incremental_stats = {"cleaned_files_skipped": 0}
 
     # ------------------------------------------------------------------
     # catalog / DDL  (D1-D7)
@@ -1066,11 +1068,14 @@ class Engine:
             )
             for rf in ranges:
                 files = self._prune_by_stats(files, *rf)
-                files = self._secondary_range_prune(cfg, files, *rf)
+                if as_of is None:  # index is current-state; see point_filter
+                    files = self._secondary_range_prune(cfg, files, *rf)
         if point_filter is not None:
             pcol, pvals = point_filter
             pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
-            idx = self._secondary_index(cfg, pcol)
+            # the index reflects CURRENT state; a time-travel read may need
+            # values that only existed historically — fall back to stats
+            idx = self._secondary_index(cfg, pcol) if as_of is None else None
             if idx is not None and idx.usable():
                 hit = idx.lookup_partitions(pvals)
                 files = {
@@ -1943,7 +1948,8 @@ class Engine:
                     f"{gone[0]}). Widen the clean retention or pass "
                     "allow_cleaned=True to accept a partial changeset."
                 )
-            files = {p: m for p, m in files.items() if p not in gone}
+            gone_set = set(gone)
+            files = {p: m for p, m in files.items() if p not in gone_set}
         self.last_incremental_stats = {"cleaned_files_skipped": len(gone)}
         df = self._read_files(cfg, files)
         if COMMIT_TIME_META in df.columns:
@@ -1976,6 +1982,7 @@ class Engine:
         begin: str | None = None,
         end: str | None = None,
         images: str = "after",
+        allow_cleaned: bool = False,
     ) -> DataFrame:
         """Change-data-capture read: per-key row changes in `(begin, end]`
         (end defaults to the latest instant) — the engine analog of Hudi's
@@ -1991,9 +1998,11 @@ class Engine:
         file, so files present in BOTH snapshots cannot hold changed rows
         — only the file-set DIFFERENCE is scanned (the two sides of the
         diff join are the rewritten file groups, not the table). MOR
-        falls back to two merged snapshot reads. Files already removed by
-        `clean` are skipped like in read_incremental (Hudi errors there;
-        cleaning inside an open CDC window is a retention misconfig).
+        falls back to two merged snapshot reads. If `clean()` already
+        deleted files either snapshot needs, the diff would silently
+        miss changes (e.g. deletes whose before-image is gone) — raise
+        `IncrementalRangeCleanedError` like `read_incremental`, unless
+        `allow_cleaned=True` accepts the partial diff.
         """
         cfg = self._resolve(table)
         if not cfg.record_key_fields:
@@ -2003,11 +2012,21 @@ class Engine:
         data = Path(cfg.path) / DATA_DIR
 
         def _on_disk(files: dict[str, dict]) -> dict[str, dict]:
-            return {
-                p: m
+            gone = sorted(
+                p
                 for p, m in files.items()
-                if (data / p).is_file() or m.get("kind") == "external"
-            }
+                if m.get("kind") != "external" and not (data / p).is_file()
+            )
+            if gone and not allow_cleaned:
+                raise IncrementalRangeCleanedError(
+                    f"CDC range ({begin}, {end}] needs {len(gone)} file(s) "
+                    "already removed by clean() — the change set would be "
+                    f"incomplete (first gone: {gone[0]}). Widen the clean "
+                    "retention or pass allow_cleaned=True to accept a "
+                    "partial diff."
+                )
+            gone_set = set(gone)
+            return {p: m for p, m in files.items() if p not in gone_set}
 
         if cfg.table_type == COW:
             b_files = _on_disk(tl.live_files(as_of=begin)) if begin else {}
@@ -2363,9 +2382,6 @@ class Engine:
             )
         return batch.dropDuplicates(keys)
 
-    def _affected_partitions(self, df: DataFrame) -> list[str]:
-        return [r[0] for r in df.select(PARTITION_PATH_META).distinct().collect()]
-
     def _matched_scan_footprint(
         self, matched: DataFrame
     ) -> tuple[set, set | None]:
@@ -2624,25 +2640,32 @@ class Engine:
             point_filter=self._auto_point_filter(cfg, condition),
             range_filter=self._auto_range_filter(cfg, condition),
         )
-        # NOT persisted: caching would serve the footprint scan from the
-        # InMemory columnar cache, where input_file_name() returns '' and
-        # the file-group prune degrades to whole-partition. matched is
-        # consumed once per branch below, so the cache bought nothing.
         matched = snap.filter(cond)
-        parts, hit = self._matched_scan_footprint(matched)
-        if not parts:
-            return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
-                             {"rows_deleted": 0})
         if cfg.table_type == MOR:
+            # MOR writes delete MARKERS — no base rewrite, so the file
+            # footprint is useless here; one scan materializes the
+            # markers directly (an empty result writes no files and
+            # commits rows_deleted=0)
             markers = matched.withColumn(
                 DELETED_META, F.lit(True)
             ).withColumn(COMMIT_TIME_META, F.lit(instant))
             markers = self._conform(markers, cfg)
             added = self._materialize(markers, cfg, instant, "delta")
+            if not added:
+                return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
+                                 {"rows_deleted": 0})
             self._precommit_validate(cfg, instant, added, [])
             meta = tl.commit(instant, tlmod.DELTACOMMIT, "delete", added, [])
             self._maybe_compact(cfg)
             return meta
+        # COW: NOT persisted — caching would serve the footprint scan
+        # from the InMemory columnar cache, where input_file_name()
+        # returns '' and the file-group prune degrades to
+        # whole-partition; matched is consumed exactly once below.
+        parts, hit = self._matched_scan_footprint(matched)
+        if not parts:
+            return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
+                             {"rows_deleted": 0})
         live = tl.live_files()
         affected = {
             p: m for p, m in live.items() if m.get("partition", "") in parts

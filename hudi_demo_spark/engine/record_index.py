@@ -148,7 +148,7 @@ class RecordIndex:
         the index buckets the keys hash into (partition-pruned scan of
         the index dataset), then a semi-join against the batch keys.
         Returns a driver-side set — bounded by the table's partition
-        count, the same cardinality `_affected_partitions` collects."""
+        count (a distinct-partition-paths collect)."""
         if not any(self.path.rglob("*.parquet")):
             return set()  # complete-but-empty index (empty table)
         kdf = keys.select(F.col(RECORD_KEY_META).alias("key")).distinct()

@@ -275,6 +275,38 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _shingled_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, shingle-hash) rows — shared candidate substrate of
+    the self-join and cross-corpus Jaccard miners. Shingles are
+    xxhash64'd before the dedup/join shuffles: 8-byte keys instead of
+    ~25-byte strings (measured ~15% faster end-to-end at sf0.1). A
+    64-bit collision would perturb one intersection count; at 2⁻⁶⁴ per
+    shingle pair that is negligible against any threshold."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(word_trigrams(text_col), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .dropDuplicates(["id", "sh"])
+    )
+
+
+def _jaccard_assemble(inter, na, nb, threshold: float) -> DataFrame:
+    """(a, b, inter) + per-side sizes → thresholded
+    (a, b, inter, union_size, jaccard) — shared miner tail."""
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_size", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -287,18 +319,8 @@ def ngram_jaccard_pairs(
 
     Candidate generation is the shingle self-join (keyed shuffle), so cost
     is Σ freq(shingle)² — bounded by dropping stop-shingles above
-    `max_shingle_freq` at scale.
-
-    Shingles are xxhash64'd before the dedup/join shuffles: 8-byte keys
-    instead of ~25-byte strings (measured ~15% faster end-to-end at
-    sf0.1). A 64-bit collision would perturb one intersection count;
-    at 2⁻⁶⁴ per shingle pair that is negligible against the threshold."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(word_trigrams(text_col), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).dropDuplicates(["id", "sh"])
+    `max_shingle_freq` at scale."""
+    sh = _shingled_ids(df, id_col, text_col)
     # NOT persisted: the l/r self-join sides are identical subplans, so
     # Spark reuses one shuffle (ReusedExchange); caching only adds an
     # in-memory columnar write (measured ~15% slower at sf0.1)
@@ -316,14 +338,7 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
-        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "inter", "union_size", "jaccard")
-    )
+    return _jaccard_assemble(inter, na, nb, threshold)
 
 
 def cross_corpus_jaccard_pairs(
@@ -346,22 +361,8 @@ def cross_corpus_jaccard_pairs(
     over the UNION (a stop-shingle must be dropped from both sides or
     the intersection count skews). Returns
     (a, b, inter, union_size, jaccard)."""
-
-    def shingled(df: DataFrame) -> DataFrame:
-        return (
-            _spread(df)
-            .select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    F.transform(
-                        word_trigrams(text_col), lambda s: F.xxhash64(s)
-                    )
-                ).alias("sh"),
-            )
-            .dropDuplicates(["id", "sh"])
-        )
-
-    lsh, rsh = shingled(left), shingled(right)
+    lsh = _shingled_ids(left, id_col, text_col)
+    rsh = _shingled_ids(right, id_col, text_col)
     if max_shingle_freq is not None:
         freq = (
             lsh.select("sh")
@@ -381,11 +382,4 @@ def cross_corpus_jaccard_pairs(
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
-        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "inter", "union_size", "jaccard")
-    )
+    return _jaccard_assemble(inter, na, nb, threshold)

@@ -1066,3 +1066,59 @@ def test_incremental_join_view_matches_batch(engine, spark):
     engine.delete("jv_fact", "k % 7 = 0")
     assert refresh_join_view(engine, "jv_v") is not None
     assert got_now() == want_now()
+
+
+def test_join_view_shared_key_field(engine, spark):
+    """Regression (review finding): both sources keyed by the SAME field
+    name, joined on it — the composite view key must dedupe or the
+    mutation-path selects are ambiguous."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    engine.create_table("ska", record_key="id")
+    engine.create_table("skb", record_key="id")
+    engine.insert(
+        spark.range(0, 10).select("id", F.lit("a").alias("av")), "ska"
+    )
+    engine.insert(
+        spark.range(0, 6).select("id", F.lit("b").alias("bv")), "skb"
+    )
+    create_join_view(engine, "skv", "ska", "skb", on=["id"])
+    assert refresh_join_view(engine, "skv") is not None
+    assert engine.read("skv").count() == 6
+    # mutation path exercises the deduped-vkey selects
+    engine.delete("skb", "id >= 4")
+    engine.update("ska", set={"av": F.lit("A")}, where="id = 0")
+    assert refresh_join_view(engine, "skv") is not None
+    got = {(r["id"], r["av"]) for r in engine.read("skv").collect()}
+    assert got == {(0, "A"), (1, "a"), (2, "a"), (3, "a")}
+
+
+def test_cdc_cleaned_range_raises(engine, spark):
+    """Regression (review finding): a CDC window whose before-image
+    files were cleaned must fail loudly, not return a silently
+    incomplete diff (same contract as read_incremental)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.engine import IncrementalRangeCleanedError
+
+    engine.create_table("cdcl", record_key="k")
+    m1 = engine.insert(
+        spark.range(0, 10).select(F.col("id").alias("k"),
+                                  F.lit(1.0).alias("v")), "cdcl"
+    )
+    engine.delete("cdcl", "k < 3")
+    engine.upsert(
+        spark.range(3, 10).select(F.col("id").alias("k"),
+                                  F.lit(2.0).alias("v")), "cdcl"
+    )
+    engine.clean("cdcl", retain_commits=1, stale_staging_s=0.0)
+    with _pytest.raises(IncrementalRangeCleanedError):
+        engine.read_cdc("cdcl", begin=m1["instant"]).count()
+    # opt-out returns the partial diff instead
+    df = engine.read_cdc("cdcl", begin=m1["instant"], allow_cleaned=True)
+    assert df.count() >= 0

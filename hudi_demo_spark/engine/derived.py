@@ -240,7 +240,9 @@ def refresh_join_view(engine, name: str) -> dict | None:
         # 'id', joined on it) appears once in the join output — dedupe
         # the composite view key or every select/join below is ambiguous
         vkey = list(dict.fromkeys(lkey + rkey))
-        fresh = fresh.dropDuplicates(vkey)
+        # persisted: consumed by the upsert AND the orphan anti-join —
+        # uncached, the 3-way recompute join would run twice
+        fresh = fresh.dropDuplicates(vkey).persist()
         out = engine.upsert(fresh, name)
         # view rows built from a changed identity that did not re-derive
         # no longer join — delete them by view key
@@ -257,9 +259,11 @@ def refresh_join_view(engine, name: str) -> dict | None:
                 stale = sr if stale is None else stale.unionByName(sr)
             gone = stale.select(*vkey).join(
                 fresh.select(*vkey), vkey, "left_anti"
-            )
+            ).persist()  # take(1) probe + delete both consume it
             if gone.take(1):
                 engine.delete_keys(name, gone)
+            gone.unpersist()
+        fresh.unpersist()
     if le is not None:
         cfg.props["derived.join.left_offset"] = le
     if re_ is not None:

@@ -1360,6 +1360,12 @@ class Engine:
         r"\s+and\s+(?:'([^']*)'|(-?\d+))\s*$",
         re.I,
     )
+    # the expanded spelling of BETWEEN: col >= lo AND col <= hi
+    _RANGE_CONJ = re.compile(
+        r"^\s*`?(\w+)`?\s*>=\s*(?:'([^']*)'|(-?\d+))"
+        r"\s+and\s+`?(\w+)`?\s*<=\s*(?:'([^']*)'|(-?\d+))\s*$",
+        re.I,
+    )
 
     def _auto_point_filter(self, cfg: TableConfig, condition) -> tuple | None:
         """(col, values) when `condition` is a simple ``col = lit`` /
@@ -1435,7 +1441,11 @@ class Engine:
             return None
         m = self._BETWEEN_COND.match(condition)
         if not m:
-            return None
+            mc = self._RANGE_CONJ.match(condition)
+            # the conjunction spelling must reference ONE column
+            if not mc or mc.group(1) != mc.group(4):
+                return None
+            m = mc
         col = m.group(1)
         schema = self._stored_schema(cfg)
         if schema is None:
@@ -1454,8 +1464,12 @@ class Engine:
                 return int(num)
             return None
 
-        lo = lit_value(m.group(2), m.group(3))
-        hi = lit_value(m.group(4), m.group(5))
+        if m.re is self._RANGE_CONJ:
+            lo = lit_value(m.group(2), m.group(3))
+            hi = lit_value(m.group(5), m.group(6))
+        else:
+            lo = lit_value(m.group(2), m.group(3))
+            hi = lit_value(m.group(4), m.group(5))
         if lo is None or hi is None:
             return None
         return (col, lo, hi)

@@ -309,3 +309,24 @@ def test_range_probe_string_column_and_dml_routing(engine, spark):
                   where="city between 'lima' and 'paris'")
     st = {r["id"]: r["price"] for r in engine.read(t).collect()}
     assert st == {1: 99.0, 2: 20.0, 3: 99.0, 4: 99.0}
+
+
+def test_auto_range_filter_conjunction_form(engine, spark):
+    """`col >= lo and col <= hi` (the expanded BETWEEN spelling) routes
+    through the same range-filter pruning as BETWEEN; mismatched or
+    coerced forms are refused."""
+    t = _setup(engine, spark)
+    cfg = engine._resolve(t)
+    assert engine._auto_range_filter(cfg, "ts >= 1 and ts <= 3") == ("ts", 1, 3)
+    assert engine._auto_range_filter(
+        cfg, "city >= 'a' and city <= 'm'"
+    ) == ("city", "a", "m")
+    # two different columns: not a range on one column
+    assert engine._auto_range_filter(cfg, "ts >= 1 and id <= 3") is None
+    # quoted literal on a non-string column: refused (coercion hazard)
+    assert engine._auto_range_filter(cfg, "ts >= '1' and ts <= '3'") is None
+    # DML end-to-end through the conjunction route
+    engine.update(t, set={"price": F.lit(7.0)},
+                  where="id >= 2 and id <= 3")
+    st = {r["id"]: r["price"] for r in engine.read(t).collect()}
+    assert st == {1: 10.0, 2: 7.0, 3: 7.0, 4: 40.0}

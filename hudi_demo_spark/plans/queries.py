@@ -5113,7 +5113,9 @@ def ann_pq_recall(spark, sf_dir):
         brute_force_topk, pq_topk, pq_train,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # one corpus scan feeds the exact baseline, codebook training AND
+    # the encode pass — cache it for the query's lifetime
+    e = load_table(spark, sf_dir, "embeddings").persist()
     q20 = e.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(e, q20, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
@@ -5132,6 +5134,8 @@ def ann_pq_recall(spark, sf_dir):
     hits = approx.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"]
     ).count()
+    e.unpersist()
+    exact.unpersist()
     recall = round(hits / n_exact, 4)
     if recall < 0.85:
         raise AssertionError(

@@ -187,3 +187,58 @@ def test_length_batches_windows_are_subbucket_partitioned(spark, sf_dir):
         # every window is partitioned: either (bucket, __s) for doc rows
         # or (bucket) for the tiny offsets aggregate — never global
         assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_cross_corpus_join_is_shingle_keyed(spark, sf_dir):
+    """The two-corpus contamination screen must candidate-generate via a
+    shingle-keyed join — never a cartesian pair enumeration."""
+    from hudi_demo_spark.operators.dedup import cross_corpus_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    df = cross_corpus_jaccard_pairs(
+        d.filter("doc_id % 3 != 0"), d.filter("doc_id % 3 = 0"),
+        "doc_id", "text", threshold=0.1,
+    )
+    plan = plan_of(df, "extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scan_broadcasts_queries_only(spark, sf_dir):
+    """PQ's ADC stage is a broadcast of the tiny query side over the
+    encoded corpus: the corpus must not shuffle before scoring, and the
+    refine joins must not be cartesian."""
+    from hudi_demo_spark.operators.similarity import pq_topk, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, "vec_id", "embedding", m=4, codes=8, iters=1,
+                     sample_mod=8)
+    df = pq_topk(e, e.filter("vec_id < 3"), "vec_id", "embedding",
+                 k=3, codebooks=books, rerank=2)
+    plan = plan_of(df, "extended")
+    # the only nested-loop is the deliberate broadcast ADC cross join
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_secondary_range_probe_prunes_before_scan(spark, tmp_path):
+    """read(range_filter) on an indexed column must shrink the FILE LIST
+    (metadata-level pruning), not just add a row filter."""
+    from pyspark.sql import functions as SF
+
+    from hudi_demo_spark.engine import Engine
+
+    eng = Engine(spark, tmp_path / "lake")
+    eng.create_table("t", record_key="id", precombine="ts",
+                     partition_by="dt")
+    rows = [(i, f"c{i}", float(i), i, f"2022-01-{1 + i % 5:02d}")
+            for i in range(1, 31)]
+    eng.insert(spark.createDataFrame(
+        rows, "id int, city string, price double, ts long, dt string"), "t")
+    eng.sql("create index idx_ts on t using secondary_index (ts)")
+    # the pruned scan reads strictly fewer parquet FILES than the
+    # unfiltered snapshot — metadata-level pruning, not a row filter
+    full_files = eng.read("t").inputFiles()
+    pruned_files = eng.read("t", range_filter=("ts", 1, 1)).inputFiles()
+    assert len(full_files) > len(pruned_files) >= 1
+    assert all("2022-01-02" in f for f in pruned_files)  # ts=1 partition

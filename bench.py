@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_pq_recall",
     "engine_join_view",
     "dedup_canonical_quality",
+    "multimodal_phash_dedup",
 ]
 
 

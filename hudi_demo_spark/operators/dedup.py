@@ -236,16 +236,36 @@ def simhash_near_pairs(
     with bit_count(xor). No crossJoin."""
     # persisted: the signature plan feeds both sides of the chunk self-join
     sigs = simhash(df, id_col, text_col, bits=bits, portable=portable).persist()
+    return hamming_near_pairs(
+        sigs, id_col, "simhash", max_hamming=max_hamming,
+        band_bits=band_bits, bits=bits,
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic Hamming near-dup miner over ANY precomputed `bits`-bit
+    signature column (SimHash text signatures, perceptual image hashes,
+    audio fingerprints): pigeonhole chunk blocking + `bit_count(xor)`
+    verify — join keyed by (chunk, chunk-value), never a crossJoin.
+    Guaranteed complete for max_hamming < bits/band_bits (a closer pair
+    must agree on some chunk); wider thresholds trade recall."""
     chunks = bits // band_bits
     blocked = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * band_bits)
+                        F.shiftright(F.col(sig_col), c * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("key"),
                     )
@@ -253,10 +273,10 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("cb"),
-    ).select(id_col, "simhash", "cb.chunk", "cb.key")
+    ).select(id_col, "__sig", "cb.chunk", "cb.key")
     l = blocked.alias("l")
     r = blocked.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    ham = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
     return (
         l.join(r, ["chunk", "key"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

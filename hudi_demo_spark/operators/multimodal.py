@@ -299,6 +299,88 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash (pHash, the classic DCT image
+    fingerprint): decode → luma → 32×32 nearest-neighbor resample →
+    orthonormal 2-D DCT-II (pure-numpy basis matmul, no scipy) →
+    top-left 8×8 low-frequency block minus the DC term → each
+    coefficient hashes to its sign vs the block median. Robust to
+    resizing/re-encoding/small edits; Hamming distance between hashes
+    tracks perceptual difference. Returned as a SIGNED 64-bit int
+    (two's complement) so it rides a Spark `long` column directly."""
+    import numpy as np
+
+    m = decode_media(payload)
+    if m["kind"] != "image":
+        raise ValueError("phash64: payload is not an image")
+    px = m["pixels"].astype(np.float64)
+    luma = px @ np.array([0.2126, 0.7152, 0.0722])
+    n = 32
+    yi = np.arange(n) * m["height"] // n
+    xi = np.arange(n) * m["width"] // n
+    g = luma[yi][:, xi]
+    k = np.arange(n)[:, None]
+    basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    basis *= np.where(k == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n))
+    coef = basis @ g @ basis.T
+    block = coef[:8, :8].ravel()[1:]  # 63 AC coefficients, DC dropped
+    bits = block > np.median(block)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    h <<= 1  # pad to 64 bits (63 AC bits + one zero)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, phash long) over an image payload column — one Arrow-batched
+    mapInPandas pass (decode + DCT are vectorized numpy per payload;
+    python cost ∝ pixels, zero shuffle). Rows whose payload is missing
+    or not a decodable image yield NULL and are dropped: a fingerprint
+    that silently hashed garbage would create false dedup pairs."""
+    from hudi_demo_spark.operators.util import spread as _spread
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_hashes = [], []
+        for pdf in batches:
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    out_hashes.append(phash64(b))
+                    out_ids.append(i)
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: out_ids, "phash": out_hashes})
+            out_ids, out_hashes = [], []
+
+    return _spread(media.select(id_col, payload_col)).mapInPandas(
+        _hash, f"{id_col} long, phash long"
+    )
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 10,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Image near-dup pairs (a, b, hamming ≤ max_hamming) by perceptual
+    hash — the image-side member of the dedup family: pHash map-side,
+    then the shared pigeonhole chunk blocking + bit_count(xor) verify
+    (`dedup.hamming_near_pairs`). No crossJoin at any corpus size."""
+    from hudi_demo_spark.operators.dedup import hamming_near_pairs
+
+    sigs = phash_media(media, id_col, payload_col).persist()
+    return hamming_near_pairs(
+        sigs, id_col, "phash", max_hamming=max_hamming,
+        band_bits=band_bits,
+    )
+
+
 def _resize_pixels(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Real nearest-neighbor downscale for PPM/BMP payloads (numpy
     index-gather, no per-pixel Python); output re-encoded as PPM."""

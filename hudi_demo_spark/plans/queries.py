@@ -2098,6 +2098,60 @@ def multimodal_real_decode(spark, sf_dir):
     return spread(d).mapInPandas(gen, schema).orderBy("doc_id")
 
 
+@q(
+    "multimodal_phash_dedup",
+    """
+    SELECT a.doc_id AS a, b.doc_id AS b, 0 AS hamming
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 48) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id <= 48) b
+      ON a.doc_id % 6 = b.doc_id % 6 AND a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Image near-dup detection by perceptual hash, algebraically
+    oracled: each doc_id ≤ 48 synthesizes a REAL PPM image — a seeded
+    8×8 block pattern chosen by its group (doc_id % 6) plus a per-id
+    BRIGHTNESS shift (doc_id // 6 × 3). Same group → payload bytes
+    differ but the DCT AC spectrum is identical (brightness is DC-only),
+    so pHash Hamming distance is 0; different groups measure ≥24 bits
+    apart. The expected pair set is therefore exactly the same-group
+    pairs — a plain SQL join — while the Spark side runs the full
+    decode → DCT → chunk-blocking pipeline. A resample slip, DCT basis
+    error, or blocking bug breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.multimodal import encode_ppm, phash_near_pairs
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 48"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                g = int(did) % 6
+                rng = np.random.default_rng(1000 + g)
+                tile = rng.integers(30, 226, size=(8, 8)).astype(np.float64)
+                v = np.kron(tile, np.ones((8, 8)))
+                v = np.clip(v + (int(did) // 6) * 3, 0, 255)
+                ids.append(int(did))
+                payloads.append(
+                    encode_ppm(np.stack([v, v, v], axis=2).astype(np.uint8))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spread(d).mapInPandas(gen, "media_id long, payload binary")
+    return (
+        phash_near_pairs(media, max_hamming=10)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 # =====================================================================
 # TPC-H-adapted relational coverage (semi/anti joins, correlated
 # aggregates, disjunctive pushdown, rollup/cube, set ops) — the

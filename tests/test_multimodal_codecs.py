@@ -127,3 +127,46 @@ def test_resize_real_pixels_e2e(spark):
     yi = np.arange(16) * 64 // 16
     xi = np.arange(32) * 128 // 32
     assert np.array_equal(m["pixels"], px[yi][:, xi])
+
+
+def test_phash_invariances():
+    """pHash contract: identical image → identical hash; brightness
+    shift → Hamming 0 (DC-only); re-encoded downscale → small distance;
+    structurally different image → large distance."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.multimodal import (
+        _resize_pixels, encode_ppm, phash64,
+    )
+
+    def blocky(seed, bright=0):
+        rng = np.random.default_rng(seed)
+        tile = rng.integers(30, 226, size=(8, 8)).astype(np.float64)
+        v = np.clip(np.kron(tile, np.ones((8, 8))) + bright, 0, 255)
+        return encode_ppm(np.stack([v, v, v], axis=2).astype(np.uint8))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = phash64(blocky(7))
+    assert phash64(blocky(7)) == base
+    assert ham(base, phash64(blocky(7, bright=9))) == 0
+    small = phash64(_resize_pixels(blocky(7), 32, 32))
+    assert ham(base, small) <= 8  # scale-robust
+    assert ham(base, phash64(blocky(8))) > 16  # different content
+
+
+def test_phash_media_skips_undecodable(spark):
+    from hudi_demo_spark.operators.multimodal import (
+        encode_ppm, encode_wav, phash_media,
+    )
+    import numpy as np
+
+    img = encode_ppm(np.full((16, 16, 3), 100, dtype=np.uint8))
+    wav = encode_wav(np.zeros(10, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, img), (2, wav), (3, None), (4, b"garbage")],
+        "media_id long, payload binary",
+    )
+    rows = phash_media(df).collect()
+    assert [r["media_id"] for r in rows] == [1]

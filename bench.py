@@ -87,6 +87,7 @@ HEADLINE = [
     "engine_join_view",
     "dedup_canonical_quality",
     "multimodal_phash_dedup",
+    "multimodal_afp_dedup",
 ]
 
 

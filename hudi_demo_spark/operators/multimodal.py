@@ -381,6 +381,95 @@ def phash_near_pairs(
     )
 
 
+def afp64(payload: bytes, n_fft: int = 2048, bands: int = 63) -> int:
+    """64-bit audio fingerprint (spectral-band signature, the
+    chromaprint-family shape): decode WAV → mono → nearest resample to
+    `n_fft` samples → magnitude spectrum (pure-numpy real-DFT matmul,
+    no scipy) → `bands` log-spaced band energies → each band hashes to
+    its sign vs the band-energy median. Amplitude/volume changes scale
+    every band equally, so the fingerprint is gain-invariant; Hamming
+    distance tracks spectral difference. Signed 64-bit int (rides a
+    Spark `long`)."""
+    import numpy as np
+
+    m = decode_media(payload)
+    if m["kind"] != "audio":
+        raise ValueError("afp64: payload is not audio")
+    x = m["samples"].astype(np.float64).mean(axis=1)
+    if len(x) == 0:
+        raise ValueError("afp64: empty audio")
+    idx = np.arange(n_fft) * len(x) // n_fft
+    g = x[idx]
+    n = n_fft
+    k = np.arange(1, n // 2)[:, None]  # skip DC; real spectrum
+    ang = 2 * np.pi * k * np.arange(n)[None, :] / n
+    mag = np.hypot(np.cos(ang) @ g, np.sin(ang) @ g)
+    edges = np.unique(
+        np.geomspace(1, len(mag), bands + 2).astype(int)
+    )
+    # band MEANS, not sums — a sum encodes log-band WIDTH, which is the
+    # same for every signal (flat-spectrum inputs would all collide);
+    # each bit is the sign of an ADJACENT-band delta (the chromaprint
+    # family's spectral-shape code), so gain scales both sides equally
+    # and the signature depends only on spectral shape
+    band_e = np.array([
+        mag[a:b].mean() if b > a else 0.0
+        for a, b in zip(edges[:-1], edges[1:])
+    ])
+    if len(band_e) < bands + 1:  # tiny n_fft: pad deterministically
+        band_e = np.pad(band_e, (0, bands + 1 - len(band_e)))
+    bits = band_e[:-1] > band_e[1:]
+    h = 0
+    for b in bits[:63]:
+        h = (h << 1) | int(b)
+    h <<= 1
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def afp_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, afp long) over an audio payload column — Arrow-batched
+    mapInPandas, zero shuffle; undecodable/non-audio rows drop (a
+    fingerprint over garbage would fabricate dedup pairs)."""
+    from hudi_demo_spark.operators.util import spread as _spread
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    hs.append(afp64(b))
+                    ids.append(i)
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: ids, "afp": hs})
+
+    return _spread(media.select(id_col, payload_col)).mapInPandas(
+        _hash, f"{id_col} long, afp long"
+    )
+
+
+def afp_near_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 10,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Audio near-dup pairs (a, b, hamming ≤ max_hamming) — the audio
+    member of the dedup family, sharing `dedup.hamming_near_pairs`'
+    pigeonhole blocking with SimHash and pHash. No crossJoin."""
+    from hudi_demo_spark.operators.dedup import hamming_near_pairs
+
+    sigs = afp_media(media, id_col, payload_col).persist()
+    return hamming_near_pairs(
+        sigs, id_col, "afp", max_hamming=max_hamming, band_bits=band_bits
+    )
+
+
 def _resize_pixels(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Real nearest-neighbor downscale for PPM/BMP payloads (numpy
     index-gather, no per-pixel Python); output re-encoded as PPM."""

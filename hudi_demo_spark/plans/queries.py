@@ -2099,6 +2099,64 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_afp_dedup",
+    """
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 48) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id <= 48) b
+      ON a.doc_id % 6 = b.doc_id % 6 AND a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def multimodal_afp_dedup(spark, sf_dir):
+    """Audio near-dup detection by spectral fingerprint, algebraically
+    oracled: each doc_id ≤ 48 synthesizes a REAL PCM WAV — a 200-tone
+    chord with a group-seeded (doc_id % 6) random spectral envelope at a
+    per-id VOLUME (6000 − (doc_id // 6)·500). The fingerprint's bits are
+    adjacent-band delta signs, so volume cancels: same group measures
+    Hamming ≤ 1, different groups ≥ 19 — the expected pair set is
+    exactly the same-group pairs, a plain SQL join, while Spark runs the
+    full decode → DFT → band-delta → blocking pipeline (max_hamming=3
+    keeps the pigeonhole guarantee exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.multimodal import afp_near_pairs, encode_wav
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 48"
+    )
+
+    def gen(batches):
+        sr, n = 8000, 4000
+        t = np.arange(n) / sr
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                g = int(did) % 6
+                rng = np.random.default_rng(500 + g)
+                freqs = rng.uniform(60, 3900, size=200)
+                amps = rng.uniform(0.1, 1.0, size=200)
+                x = (
+                    amps[:, None]
+                    * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
+                ).sum(axis=0)
+                x = x / np.abs(x).max()
+                vol = 6000 - (int(did) // 6) * 500
+                ids.append(int(did))
+                payloads.append(encode_wav((vol * x).astype(np.int16), sr))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spread(d).mapInPandas(gen, "media_id long, payload binary")
+    return (
+        afp_near_pairs(media, max_hamming=3)
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
+@q(
     "multimodal_phash_dedup",
     """
     SELECT a.doc_id AS a, b.doc_id AS b, 0 AS hamming

@@ -170,3 +170,52 @@ def test_phash_media_skips_undecodable(spark):
     )
     rows = phash_media(df).collect()
     assert [r["media_id"] for r in rows] == [1]
+
+
+def test_afp_invariances():
+    """Audio fingerprint contract: identical audio → identical hash;
+    volume change → Hamming ~0 (delta bits are gain-invariant); a flat
+    white-noise spectrum must NOT collide with a shaped one (regression:
+    band SUMS encoded band width and collided everything); different
+    spectral shapes are far apart."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.multimodal import afp64, encode_wav
+
+    def shaped(seed, vol=6000, n=4000, sr=8000):
+        rng = np.random.default_rng(seed)
+        freqs = rng.uniform(60, 3900, size=200)
+        amps = rng.uniform(0.1, 1.0, size=200)
+        t = np.arange(n) / sr
+        x = (amps[:, None] * np.sin(2 * np.pi * freqs[:, None] * t)).sum(0)
+        return encode_wav((vol * x / np.abs(x).max()).astype(np.int16), sr)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = afp64(shaped(1))
+    assert afp64(shaped(1)) == base
+    assert ham(base, afp64(shaped(1, vol=3500))) <= 1
+    assert ham(base, afp64(shaped(2))) > 12
+    rng = np.random.default_rng(9)
+    white = encode_wav(
+        (6000 * rng.standard_normal(4000) / 4).astype(np.int16), 8000
+    )
+    assert ham(base, afp64(white)) > 8
+
+
+def test_afp_media_skips_non_audio(spark):
+    import numpy as np
+
+    from hudi_demo_spark.operators.multimodal import (
+        afp_media, encode_ppm, encode_wav,
+    )
+
+    wav = encode_wav(
+        (6000 * np.sin(np.arange(4000) / 3)).astype(np.int16), 8000
+    )
+    img = encode_ppm(np.full((8, 8, 3), 10, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, wav), (2, img), (3, None)], "media_id long, payload binary"
+    )
+    assert [r["media_id"] for r in afp_media(df).collect()] == [1]

@@ -658,3 +658,55 @@ def test_canonical_docs_by_keeps_best_quality(spark):
         r["doc_id"] for r in canonical_docs_by(df, pairs, "doc_id", q).collect()
     )
     assert kept == [2, 7, 9]  # longest of {1,2,3} wins, singletons stay
+
+
+def test_cross_corpus_stop_shingle_cap(spark):
+    """max_shingle_freq drops stop-shingles from BOTH corpora (computed
+    over the union) — a pair held together only by a ubiquitous phrase
+    disappears; a genuinely similar pair survives."""
+    from hudi_demo_spark.operators.dedup import cross_corpus_jaccard_pairs
+
+    stop = "the quick brown fox"
+    left = spark.createDataFrame(
+        [(1, f"{stop} alpha beta gamma delta"),
+         (2, "unrelated text entirely different content here")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, f"{stop} alpha beta gamma epsilon"),
+         (11, f"{stop} zebra yak xylophone walrus vulture")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["a"], r["b"])
+        for r in cross_corpus_jaccard_pairs(
+            left, right, "doc_id", "text", threshold=0.15
+        ).collect()
+    }
+    assert (1, 10) in uncapped and (1, 11) in uncapped
+    capped = {
+        (r["a"], r["b"])
+        for r in cross_corpus_jaccard_pairs(
+            left, right, "doc_id", "text", threshold=0.15,
+            max_shingle_freq=2,
+        ).collect()
+    }
+    # the stop-phrase shingles appear 3x across the union → dropped;
+    # (1,11) shared ONLY those, (1,10) still shares 'alpha beta gamma'
+    assert (1, 10) in capped and (1, 11) not in capped
+
+
+def test_hamming_near_pairs_generic(spark):
+    """The shared blocking miner works over any precomputed signature
+    column, honors the pigeonhole completeness bound, and reports exact
+    distances."""
+    from hudi_demo_spark.operators.dedup import hamming_near_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011), (3, 0b1010), (4, -1)],
+        "id long, sig long",
+    )
+    rows = hamming_near_pairs(sigs, "id", "sig", max_hamming=3,
+                              band_bits=16).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}

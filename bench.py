@@ -88,6 +88,11 @@ HEADLINE = [
     "dedup_canonical_quality",
     "multimodal_phash_dedup",
     "multimodal_afp_dedup",
+    # round 4 additions
+    "ann_ivfpq_recall",
+    "engine_join_view_left",
+    "streaming_join_view",
+    "engine_dml_filegroup",
 ]
 
 
@@ -120,10 +125,12 @@ def main() -> None:
                 ).save()
             except Exception as ex:  # pragma: no cover
                 print(f"[bench] warmup {name} failed: {ex}", file=sys.stderr)
-    # timed: min of 2 runs per query — run-to-run variance in a shared
-    # JVM (GC, codegen cache) is ±2s, far above the signal for sub-second
-    # queries; min-over-repetitions is the standard throughput estimator
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # timed: min of 3 runs per query — ambient load on this box moves
+    # queries ±30%, far above the signal for sub-second queries;
+    # per-query min-over-repetitions makes round-over-round deltas
+    # attributable without manual interleaved re-runs (fixtures cached
+    # between laps keep the cost bounded)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     errors: list[str] = []
     total = 0.0

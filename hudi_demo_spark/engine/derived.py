@@ -15,21 +15,72 @@ maintenance — the CDC read names the changed row identities, their
 groups (before- and after-image sides) are re-aggregated exactly from
 the snapshot, emptied groups are deleted. Refresh cost scales with
 changed groups, never with table size.
+
+Every snapshot the maintenance touches is KEY-PRUNED before it is
+scanned: the delta's join/group/record-key values (bounded — collected
+with a cap) ride into `engine.read(point_filter=…)`, which serves them
+from the record-level index, secondary index, per-file key ranges, or
+column stats. A refresh therefore reads the file groups the delta can
+touch, not the table — the property that makes incremental maintenance
+incremental at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from hudi_demo_spark.engine.config import (
     COMMIT_TIME_META,
     PARTITION_PATH_META,
     RECORD_KEY_META,
 )
+from hudi_demo_spark.engine.keys import record_key_col
 from hudi_demo_spark.engine.timeline import Timeline
 
 _OFFSET_PROP = "derived.last_refresh_instant"
 _ALLOWED = {"insert", "bootstrap_full", "bootstrap_metadata"}
+# timeline instants that never change row CONTENT: table services
+# rewrite or remove files but preserve every live row (and its
+# _hoodie_commit_time), so they must not force the expensive
+# partial-recompute path — only genuine DML does
+_ROW_PRESERVING = {
+    "clean",
+    "compact",
+    "log_compact",
+    "cluster",
+    "bucket_resize",
+    "archive",
+}
+
+# past this many distinct probe values, snapshot-side pruning is skipped
+# (the delta is near-table-sized anyway, and an unbounded key collect
+# would blow the driver); pruning is advisory so the cap is always sound
+_PRUNE_VAL_CAP = 50_000
+
+
+def _bounded_vals(df: DataFrame, col: str, cap: int = _PRUNE_VAL_CAP):
+    """Distinct non-null values of `col`, or None past `cap` — the
+    bounded 'which keys moved' collect that drives snapshot pruning."""
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows if r[0] is not None] or None
+
+
+def _pruned_read(engine, table: str, col: str | None, vals, meta_cols):
+    """Snapshot read pruned to the file groups that can contain
+    `col IN vals` (record/secondary index, key ranges, or col-stats —
+    whatever the table has); unpruned when the probe set overflowed the
+    cap. The residual `IN` row-filter applied by `read` is a superset
+    restriction of the equi-join/semi-join every caller applies next,
+    so results are exact either way."""
+    if col is None or vals is None:
+        return engine.read(table).drop(*meta_cols)
+    return engine.read(table, point_filter=(col, vals)).drop(*meta_cols)
+
+
+def _data_ops(window: list[dict]) -> list[dict]:
+    return [m for m in window if m["operation"] not in _ROW_PRESERVING]
 
 
 def create_rollup(
@@ -57,8 +108,12 @@ def create_rollup(
 def refresh_rollup(engine, name: str) -> dict | None:
     """Fold source commits since the last refresh into the rollup:
     incremental read → partial aggregate of JUST the new rows →
-    key-joined additive combine with the current rollup state → upsert.
-    Returns the commit meta, or None when the source has no new commits.
+    key-joined additive combine with the current rollup state (read
+    key-pruned to the touched groups; only touched groups are
+    upserted — an untouched group's row is never rewritten) → upsert.
+    Returns the commit meta, or None when the source has no new commits
+    (table-service instants such as clean/cluster/compact advance the
+    offset but neither fold nor recompute — they preserve row content).
     """
     cfg = engine._resolve(name)
     source = cfg.props["derived.source"]
@@ -74,7 +129,14 @@ def refresh_rollup(engine, name: str) -> dict | None:
         m for m in tl.instants()
         if (begin is None or m["instant"] > begin) and m["instant"] <= end
     ]
-    bad = [m["operation"] for m in window if m["operation"] not in _ALLOWED]
+    data_win = _data_ops(window)
+    if not data_win:
+        # services only (clean/cluster/compact/...): no row changed —
+        # advance the offset without touching the rollup
+        cfg.props[_OFFSET_PROP] = end
+        cfg.save()
+        return None
+    bad = [m["operation"] for m in data_win if m["operation"] not in _ALLOWED]
     if bad:
         # updates/deletes in the window: additive folding would need
         # retractions — switch to PARTIAL RECOMPUTE maintenance instead
@@ -91,18 +153,27 @@ def refresh_rollup(engine, name: str) -> dict | None:
     partial = delta.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
-    )
+    ).persist()  # consumed by the key collect AND the combine below
     meta = {RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META}
+    # the rollup's record key IS the group tuple — compute the touched
+    # groups' key strings with the engine's own keygen and read the
+    # current state pruned to the file groups that hold them
+    touched = _bounded_vals(
+        partial.select(record_key_col(group_cols).alias("__k")), "__k"
+    )
     try:
-        current = engine.read(name).drop(*meta)
+        current = _pruned_read(engine, name, RECORD_KEY_META, touched, [])
     except Exception:
         current = None
     if current is not None and current.take(1):
         agg_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
-        cur = current.select(
+        cur = current.drop(*meta).select(
             *group_cols, *[F.col(c).alias(f"__old_{c}") for c in agg_cols]
         )
-        combined = partial.join(cur, group_cols, "full_outer").select(
+        # LEFT join: groups absent from the delta keep their stored row
+        # untouched — upserting them back would rewrite the whole rollup
+        # every refresh
+        combined = partial.join(cur, group_cols, "left").select(
             *group_cols,
             *[
                 (
@@ -115,6 +186,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
     else:
         combined = partial
     out = engine.upsert(combined, name)
+    partial.unpersist()
     cfg.props[_OFFSET_PROP] = end
     cfg.save()
     return out
@@ -126,16 +198,32 @@ def create_join_view(
     left: str,
     right: str,
     on: list[str],
+    how: str = "inner",
 ):
-    """Define `name` as an incrementally-maintained INNER equi-join view
-    of two engine tables — the second classic derived-table shape next
-    to rollups (dimension enrichment: fact ⋈ dim materialized once,
-    refreshed by deltas). The view's record key is the union of both
-    sources' record keys (a join row's identity); non-join data columns
-    must not collide. Refresh with `refresh_join_view`."""
+    """Define `name` as an incrementally-maintained equi-join view of
+    two engine tables — the second classic derived-table shape next to
+    rollups (dimension enrichment: fact ⋈ dim materialized once,
+    refreshed by deltas). `how` ∈ {'inner', 'left'}: LEFT OUTER keeps
+    unmatched left rows NULL-extended, and maintenance repairs them when
+    a match later arrives or disappears. The view's record key is the
+    union of both sources' record keys (a join row's identity — for
+    LEFT views the right-key columns of an unmatched row are NULL, so
+    the left key alone must identify it: LEFT views require the join
+    columns to contain the right table's record key). Non-join data
+    columns must not collide. Refresh with `refresh_join_view`."""
     lcfg, rcfg = engine._resolve(left), engine._resolve(right)
     if not lcfg.record_key_fields or not rcfg.record_key_fields:
         raise ValueError("join view requires keyed sources")
+    if how not in ("inner", "left"):
+        raise ValueError(f"join view how must be inner|left, got {how!r}")
+    if how == "left" and not set(rcfg.record_key_fields) <= set(on):
+        # with right-key cols outside `on`, an unmatched row's NULL
+        # right-key would collide with other unmatched rows sharing the
+        # left key — the view key would not identify rows
+        raise ValueError(
+            "LEFT join view requires the right table's record key to be "
+            "part of the join columns"
+        )
     lcols = {f.name for f in engine.read(left).schema.fields}
     rcols = {f.name for f in engine.read(right).schema.fields}
     clash = (lcols & rcols) - set(on) - {
@@ -148,6 +236,12 @@ def create_join_view(
             lcfg.record_key_fields + rcfg.record_key_fields
         )
     )
+    if how == "left":
+        # unmatched rows NULL the right-side key fields; the left key
+        # alone identifies every row (right keys ⊆ on are never NULL on
+        # matched rows, but the key must be stable across match/unmatch
+        # transitions of the SAME left row)
+        key = list(dict.fromkeys(lcfg.record_key_fields))
     return engine.create_table(
         name,
         record_key=key,
@@ -156,6 +250,7 @@ def create_join_view(
             "derived.join.left": left,
             "derived.join.right": right,
             "derived.join.on": ",".join(on),
+            "derived.join.how": how,
         },
     )
 
@@ -163,17 +258,22 @@ def create_join_view(
 def refresh_join_view(engine, name: str) -> dict | None:
     """Fold both sources' new commits into the join view. Insert-only
     windows: candidates = ΔL ⋈ R ∪ L ⋈ ΔR, collapsed by the view key in
-    the upsert — refresh cost scales with data ARRIVED on either side
-    (each delta joins the other side's pruned snapshot), never with view
-    size. Windows containing updates/deletes switch to partial
-    recompute: the CDC reads name the changed row identities, every view
-    row built from one of them is re-derived exactly from the current
-    snapshots, and pairs that no longer join are deleted. Returns the
-    last upsert's commit meta, or None when neither source moved."""
+    the upsert — each delta joins the OTHER side's snapshot read pruned
+    to the delta's join-key values, so refresh cost scales with data
+    ARRIVED on either side, never with view or table size. Windows
+    containing updates/deletes switch to partial recompute: the CDC
+    reads name the changed row identities, every view row built from
+    one of them is re-derived exactly from the (key-pruned) current
+    snapshots, and pairs that no longer join are deleted. LEFT OUTER
+    views additionally repair NULL-extension: a left row whose first
+    match arrives loses its NULL row (same view key, overwritten by the
+    upsert), and one whose last match disappears regains it. Returns
+    the last upsert's commit meta, or None when neither source moved."""
     cfg = engine._resolve(name)
     left = cfg.props["derived.join.left"]
     right = cfg.props["derived.join.right"]
     on = cfg.props["derived.join.on"].split(",")
+    how = cfg.props.get("derived.join.how", "inner")
     lcfg, rcfg = engine._resolve(left), engine._resolve(right)
     lkey, rkey = lcfg.record_key_fields, rcfg.record_key_fields
     meta_cols = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
@@ -190,85 +290,197 @@ def refresh_join_view(engine, name: str) -> dict | None:
             and m["instant"] <= end
         ]
 
+    def _advance(le, re_):
+        if le is not None:
+            cfg.props["derived.join.left_offset"] = le
+        if re_ is not None:
+            cfg.props["derived.join.right_offset"] = re_
+        cfg.save()
+
     lb, le, lwin = window(lcfg, "derived.join.left_offset")
     rb, re_, rwin = window(rcfg, "derived.join.right_offset")
     if le is None and re_ is None:
         return None
+    l_data, r_data = _data_ops(lwin), _data_ops(rwin)
+    if not l_data and not r_data:
+        # table services only on both sides: row content unchanged
+        _advance(le, re_)
+        return None
     mutated = any(
-        m["operation"] not in _ALLOWED for m in (lwin + rwin)
+        m["operation"] not in _ALLOWED for m in (l_data + r_data)
     )
-    lsnap = engine.read(left).drop(*meta_cols)
-    rsnap = engine.read(right).drop(*meta_cols)
     out = None
     if not mutated:
         cands = []
-        if le is not None:
-            dl = engine.read_incremental(left, begin=lb, end=le).drop(*meta_cols)
-            cands.append(dl.join(rsnap, on))
-        if re_ is not None:
-            dr = engine.read_incremental(right, begin=rb, end=re_).drop(*meta_cols)
-            cands.append(lsnap.join(dr, on))
-        combined = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
+        if l_data:
+            dl = engine.read_incremental(
+                left, begin=lb, end=le
+            ).drop(*meta_cols).persist()  # key collect + join
+            rsnap = _pruned_read(
+                engine, right, on[0], _bounded_vals(dl, on[0]), meta_cols
+            )
+            cands.append((dl.join(rsnap, on, how), dl))
+        if r_data:
+            dr = engine.read_incremental(
+                right, begin=rb, end=re_
+            ).drop(*meta_cols).persist()
+            lsnap = _pruned_read(
+                engine, left, on[0], _bounded_vals(dr, on[0]), meta_cols
+            )
+            # Δ-right against the LEFT snapshot is always inner: a left
+            # row absent from the join never originates here
+            cands.append((lsnap.join(dr, on, "inner"), dr))
+        combined = cands[0][0]
+        if len(cands) == 2:
+            combined = combined.unionByName(cands[1][0])
         # ΔL⋈ΔR rows appear on both sides; the upsert's key dedup
-        # collapses them (identical images), so no distinct shuffle here
+        # collapses them (identical images), so no distinct shuffle
+        # here. LEFT views need no extra care: a Δ-right match for an
+        # existing NULL-extended row shares its view key (the left key)
+        # and the upsert overwrites it.
         out = engine.upsert(combined, name)
+        for _, d in cands:
+            d.unpersist()
     else:
         # changed identities on either side (CDC = inserts+updates+deletes)
         changed_l = (
             engine.read_cdc(left, begin=lb, end=le).select(*lkey).distinct()
-            if le is not None else None
+            if le is not None and l_data else None
         )
         changed_r = (
             engine.read_cdc(right, begin=rb, end=re_).select(*rkey).distinct()
-            if re_ is not None else None
+            if re_ is not None and r_data else None
         )
-        parts = []
-        if changed_l is not None:
-            parts.append(
-                lsnap.join(F.broadcast(changed_l), lkey, "left_semi")
-                .join(rsnap, on)
+        vals_l = (
+            _bounded_vals(changed_l, lkey[0]) if changed_l is not None else None
+        )
+        vals_r = (
+            _bounded_vals(changed_r, rkey[0]) if changed_r is not None else None
+        )
+        if how == "inner":
+            out = _recompute_inner(
+                engine, name, left, right, on, lkey, rkey, meta_cols,
+                changed_l, changed_r, vals_l, vals_r,
             )
-        if changed_r is not None:
-            parts.append(
-                lsnap.join(
-                    rsnap.join(F.broadcast(changed_r), rkey, "left_semi"),
-                    on,
-                )
+        else:
+            out = _recompute_left(
+                engine, name, left, right, on, lkey, rkey, meta_cols,
+                changed_l, changed_r, vals_l, vals_r,
             )
-        fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        # a field shared by both sources' record keys (e.g. both keyed
-        # 'id', joined on it) appears once in the join output — dedupe
-        # the composite view key or every select/join below is ambiguous
-        vkey = list(dict.fromkeys(lkey + rkey))
-        # persisted: consumed by the upsert AND the orphan anti-join —
-        # uncached, the 3-way recompute join would run twice
-        fresh = fresh.dropDuplicates(vkey).persist()
-        out = engine.upsert(fresh, name)
-        # view rows built from a changed identity that did not re-derive
-        # no longer join — delete them by view key
-        try:
-            view = engine.read(name).drop(*meta_cols)
-        except Exception:
-            view = None
-        if view is not None:
-            stale = None
-            if changed_l is not None:
-                stale = view.join(F.broadcast(changed_l), lkey, "left_semi")
-            if changed_r is not None:
-                sr = view.join(F.broadcast(changed_r), rkey, "left_semi")
-                stale = sr if stale is None else stale.unionByName(sr)
-            gone = stale.select(*vkey).join(
-                fresh.select(*vkey), vkey, "left_anti"
-            ).persist()  # take(1) probe + delete both consume it
-            if gone.take(1):
-                engine.delete_keys(name, gone)
-            gone.unpersist()
-        fresh.unpersist()
-    if le is not None:
-        cfg.props["derived.join.left_offset"] = le
-    if re_ is not None:
-        cfg.props["derived.join.right_offset"] = re_
-    cfg.save()
+    _advance(le, re_)
+    return out
+
+
+def _recompute_inner(
+    engine, name, left, right, on, lkey, rkey, meta_cols,
+    changed_l, changed_r, vals_l, vals_r,
+):
+    """INNER-view partial recompute: re-derive every view row built
+    from a changed identity, delete pairs that no longer join. Every
+    snapshot read is key-pruned to the changed identities (or their
+    join-key values)."""
+    parts = []
+    if changed_l is not None:
+        lsnap = _pruned_read(engine, left, lkey[0], vals_l, meta_cols)
+        cl = lsnap.join(F.broadcast(changed_l), lkey, "left_semi").persist()
+        rsnap = _pruned_read(
+            engine, right, on[0], _bounded_vals(cl, on[0]), meta_cols
+        )
+        parts.append(cl.join(rsnap, on))
+    if changed_r is not None:
+        rsnap = _pruned_read(engine, right, rkey[0], vals_r, meta_cols)
+        cr = rsnap.join(F.broadcast(changed_r), rkey, "left_semi").persist()
+        lsnap = _pruned_read(
+            engine, left, on[0], _bounded_vals(cr, on[0]), meta_cols
+        )
+        parts.append(lsnap.join(cr, on))
+    fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    # a field shared by both sources' record keys (e.g. both keyed
+    # 'id', joined on it) appears once in the join output — dedupe
+    # the composite view key or every select/join below is ambiguous
+    vkey = list(dict.fromkeys(lkey + rkey))
+    # persisted: consumed by the upsert AND the orphan anti-join —
+    # uncached, the recompute join would run twice
+    fresh = fresh.dropDuplicates(vkey).persist()
+    out = engine.upsert(fresh, name)
+    # view rows built from a changed identity that did not re-derive
+    # no longer join — delete them by view key
+    stale = None
+    if changed_l is not None:
+        v = _pruned_read(engine, name, lkey[0], vals_l, meta_cols)
+        stale = v.join(F.broadcast(changed_l), lkey, "left_semi")
+    if changed_r is not None:
+        v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
+        sr = v.join(F.broadcast(changed_r), rkey, "left_semi")
+        stale = sr if stale is None else stale.unionByName(sr)
+    if stale is not None:
+        gone = stale.select(*vkey).distinct().join(
+            fresh.select(*vkey), vkey, "left_anti"
+        ).persist()  # take(1) probe + delete both consume it
+        if gone.take(1):
+            engine.delete_keys(name, gone)
+        gone.unpersist()
+    fresh.unpersist()
+    return out
+
+
+def _recompute_left(
+    engine, name, left, right, on, lkey, rkey, meta_cols,
+    changed_l, changed_r, vals_l, vals_r,
+):
+    """LEFT-OUTER-view partial recompute. Touched left identities:
+    (a) changed left rows, (b) left rows matching a changed right row
+    NOW (new/updated match), (c) left rows whose STORED view row
+    references a changed right key (their match changed or vanished —
+    read from the view, where the join columns carry the right key).
+    Every touched-and-live left row is re-derived with a LEFT join
+    against the key-pruned right side — regaining its NULL extension
+    when the match disappeared; touched-but-dead left rows are deleted
+    by view key (the left key: LEFT views are keyed by it)."""
+    touched = None
+
+    def _fold(df):
+        nonlocal touched
+        touched = df if touched is None else touched.unionByName(df)
+
+    if changed_l is not None:
+        _fold(changed_l)
+    if changed_r is not None:
+        # (b): right rows as they NOW stand that changed, joined back to
+        # left identities via the join columns
+        rsnap = _pruned_read(engine, right, rkey[0], vals_r, meta_cols)
+        cr = rsnap.join(F.broadcast(changed_r), rkey, "left_semi")
+        lsnap = _pruned_read(
+            engine, left, on[0], _bounded_vals(cr, on[0]), meta_cols
+        )
+        _fold(lsnap.join(cr.select(*on), on, "left_semi").select(*lkey))
+        # (c): stored matches referencing a changed right key — the view
+        # carries the join columns, and rkey ⊆ on (enforced at create)
+        v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
+        _fold(v.join(F.broadcast(changed_r), rkey, "left_semi").select(*lkey))
+    touched = touched.distinct().persist()
+    t_vals = _bounded_vals(touched, lkey[0])
+    live_left = _pruned_read(engine, left, lkey[0], t_vals, meta_cols).join(
+        F.broadcast(touched), lkey, "left_semi"
+    )
+    rsnap2 = _pruned_read(
+        engine, right, on[0], _bounded_vals(live_left, on[0]), meta_cols
+    )
+    fresh = live_left.join(rsnap2, on, "left").dropDuplicates(lkey).persist()
+    out = engine.upsert(fresh, name)
+    # touched left identities with no live left row: their view rows die
+    v = _pruned_read(engine, name, lkey[0], t_vals, meta_cols)
+    gone = (
+        v.join(F.broadcast(touched), lkey, "left_semi")
+        .select(*lkey).distinct()
+        .join(fresh.select(*lkey), lkey, "left_anti")
+        .persist()
+    )
+    if gone.take(1):
+        engine.delete_keys(name, gone)
+    gone.unpersist()
+    fresh.unpersist()
+    touched.unpersist()
     return out
 
 
@@ -281,20 +493,36 @@ def _refresh_recompute(
     sides, so a group-moving update repairs its old group too). Those
     groups — and only those — are re-aggregated exactly from the current
     snapshot and upserted; groups that lost their last row are deleted
-    from the rollup. Group columns are assumed non-null (they are the
+    from the rollup. Both snapshot scans are key-pruned: the changed-key
+    probe rides the record-key ranges / record index, the group
+    re-aggregation rides col-stats or a secondary index on the first
+    group column. Group columns are assumed non-null (they are the
     rollup's record key)."""
     cdc = engine.read_cdc(source, begin=begin, end=end)
-    keys = cdc.select(RECORD_KEY_META).distinct()
-    snap = engine.read(source)
-    affected = snap.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
+    keys = cdc.select(RECORD_KEY_META).distinct().persist()
+    key_vals = _bounded_vals(keys, RECORD_KEY_META)
+    snap_k = (
+        engine.read(source, point_filter=(RECORD_KEY_META, key_vals))
+        if key_vals is not None else engine.read(source)
+    )
+    affected = snap_k.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
     if begin is not None:
-        prev = engine.read(source, as_of=begin)
+        prev = (
+            engine.read(
+                source, as_of=begin,
+                point_filter=(RECORD_KEY_META, key_vals),
+            )
+            if key_vals is not None else engine.read(source, as_of=begin)
+        )
         affected = affected.union(
             prev.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
         )
-    groups = affected.distinct()
+    groups = affected.distinct().persist()  # group collect + 2 joins
+    snap_g = _pruned_read(
+        engine, source, group_cols[0], _bounded_vals(groups, group_cols[0]), []
+    )
     fresh = (
-        snap.join(groups, group_cols, "left_semi")
+        snap_g.join(groups, group_cols, "left_semi")
         .groupBy(*group_cols)
         .agg(
             F.count("*").alias("n_rows"),
@@ -305,4 +533,6 @@ def _refresh_recompute(
     gone = groups.join(fresh.select(*group_cols), group_cols, "left_anti")
     if gone.take(1):
         engine.delete_keys(name, gone)
+    groups.unpersist()
+    keys.unpersist()
     return meta

@@ -892,7 +892,14 @@ class Engine:
                     )
                 yield pd.DataFrame({"__p": pdf["__p"], "__keep": keeps})
 
-        acks = cand.mapInPandas(_probe, "__p string, __keep boolean").collect()
+        try:
+            acks = cand.mapInPandas(
+                _probe, "__p string, __keep boolean"
+            ).collect()
+        finally:
+            # a long-lived session upserts many times; leaked per-upsert
+            # broadcasts accumulate driver+executor memory
+            bc.unpersist()
         return {r["__p"] for r in acks if r["__keep"]}
 
     def _empty(self, cfg: TableConfig) -> DataFrame:
@@ -1073,22 +1080,50 @@ class Engine:
         if point_filter is not None:
             pcol, pvals = point_filter
             pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
-            # the index reflects CURRENT state; a time-travel read may need
-            # values that only existed historically — fall back to stats
-            idx = self._secondary_index(cfg, pcol) if as_of is None else None
-            if idx is not None and idx.usable():
-                hit = idx.lookup_partitions(pvals)
-                files = {
-                    p: m
-                    for p, m in files.items()
-                    if m.get("partition", "") in hit
-                }
+            if pcol == RECORD_KEY_META:
+                # key-set probe (derived-view maintenance, key-scoped
+                # reads): every commit records per-file [key_min,
+                # key_max], so the scan prunes to files whose key range
+                # intersects the probe set — valid for time-travel too
+                # (ranges are per-file facts). The record-level index
+                # additionally prunes to owning PARTITIONS on
+                # current-state reads of global tables.
+                if as_of is None:
+                    ridx = self._record_index(cfg)
+                    if ridx is not None and ridx.usable():
+                        kdf = self.spark.createDataFrame(
+                            [(str(v),) for v in pvals],
+                            f"{RECORD_KEY_META} string",
+                        )
+                        hit = ridx.lookup_partitions(kdf)
+                        files = {
+                            p: m
+                            for p, m in files.items()
+                            if m.get("partition", "") in hit
+                        }
+                files = self._prune_by_key_ranges(files, pvals)
             else:
-                # no index: col-stats skipping still bounds the scan
-                kept: dict[str, dict] = {}
-                for v in pvals:
-                    kept |= self._prune_by_stats(files, pcol, v, v)
-                files = kept
+                # the index reflects CURRENT state; a time-travel read
+                # may need values that only existed historically — fall
+                # back to stats
+                idx = (
+                    self._secondary_index(cfg, pcol)
+                    if as_of is None
+                    else None
+                )
+                if idx is not None and idx.usable():
+                    hit = idx.lookup_partitions(pvals)
+                    files = {
+                        p: m
+                        for p, m in files.items()
+                        if m.get("partition", "") in hit
+                    }
+                else:
+                    # no index: col-stats skipping still bounds the scan
+                    kept: dict[str, dict] = {}
+                    for v in pvals:
+                        kept |= self._prune_by_stats(files, pcol, v, v)
+                    files = kept
         func_expr = None
         if func_filter is not None:
             fname, flo, fhi = func_filter
@@ -1174,6 +1209,28 @@ class Engine:
                         continue
                 except TypeError:
                     pass
+            out[p] = m
+        return out
+
+    @staticmethod
+    def _prune_by_key_ranges(
+        files: dict[str, dict], keys: list
+    ) -> dict[str, dict]:
+        """Record-key-set file skipping: drop files whose [key_min,
+        key_max] cannot contain any probed key (sorted probe set +
+        bisect — O(files · log keys), not O(files · keys)). Files
+        without a recorded key range are kept: pruning is an
+        optimization, never a filter."""
+        import bisect
+
+        sv = sorted(str(k) for k in keys if k is not None)
+        out: dict[str, dict] = {}
+        for p, m in files.items():
+            kmin, kmax = m.get("key_min"), m.get("key_max")
+            if kmin is not None and kmax is not None and sv:
+                i = bisect.bisect_left(sv, kmin)
+                if i >= len(sv) or sv[i] > kmax:
+                    continue
             out[p] = m
         return out
 
@@ -1955,6 +2012,9 @@ class Engine:
         )
         if gone:
             if not allow_cleaned:
+                # don't leave a previous call's stats lying around for a
+                # caller that catches this and reads the counter
+                self.last_incremental_stats = {"cleaned_files_skipped": 0}
                 raise IncrementalRangeCleanedError(
                     f"incremental range ({begin}, {end}] references "
                     f"{len(gone)} file(s) already removed by clean() — the "
@@ -2024,6 +2084,10 @@ class Engine:
         tl = Timeline(cfg.path)
         end = end or tl.last_instant()
         data = Path(cfg.path) / DATA_DIR
+        # both snapshot sides accumulate into the counter (the
+        # IncrementalRangeCleanedError contract promises the skip count
+        # lands here under allow_cleaned=True, same as read_incremental)
+        self.last_incremental_stats = {"cleaned_files_skipped": 0}
 
         def _on_disk(files: dict[str, dict]) -> dict[str, dict]:
             gone = sorted(
@@ -2039,6 +2103,7 @@ class Engine:
                     "retention or pass allow_cleaned=True to accept a "
                     "partial diff."
                 )
+            self.last_incremental_stats["cleaned_files_skipped"] += len(gone)
             gone_set = set(gone)
             return {p: m for p, m in files.items() if p not in gone_set}
 
@@ -2396,8 +2461,19 @@ class Engine:
             )
         return batch.dropDuplicates(keys)
 
+    # past this many distinct matched files, a broad-predicate DML stops
+    # shipping URI strings to the driver and falls back to the
+    # partition-granular rewrite set (pruning is advisory, so the cap is
+    # always sound); override with table prop `write.dml.file_prune_cap`
+    _FILE_PRUNE_CAP = 10_000
+
+    def _file_prune_cap(self, cfg: TableConfig) -> int:
+        return int(
+            cfg.props.get("write.dml.file_prune_cap", self._FILE_PRUNE_CAP)
+        )
+
     def _matched_scan_footprint(
-        self, matched: DataFrame
+        self, matched: DataFrame, cap: int = _FILE_PRUNE_CAP
     ) -> tuple[set, set | None]:
         """(partitions, source files) of the rows a predicate DML matched —
         ONE distinct over (input_file_name, partition_path), result size
@@ -2407,9 +2483,14 @@ class Engine:
         ranges and blooms): a one-row DELETE in a 1 TB partition rewrites
         one file group, not the partition. Returns files=None — caller
         keeps the partition-granular set — if any row lost file lineage
-        (`input_file_name() = ''`); pruning is then skipped, never unsound.
-        Reference intent: Hudi tags records to their owning file group
-        before rewriting (JavaClientHive2Hudi.java:167-180)."""
+        (`input_file_name() = ''`, or a URI form that doesn't resolve to
+        a live file: Hadoop emits both 'file:///p' and 'file:/p'), or if
+        the matched file count exceeds `cap` (a broad predicate over a
+        ~1M-file table would otherwise ship ~100 MB of URI strings to
+        the driver for a prune that saves nothing). Pruning is then
+        skipped, never unsound. Reference intent: Hudi tags records to
+        their owning file group before rewriting
+        (JavaClientHive2Hudi.java:167-180)."""
         from urllib.parse import unquote
 
         rows = (
@@ -2418,15 +2499,39 @@ class Engine:
                 F.col(PARTITION_PATH_META).alias("__pp"),
             )
             .distinct()
+            .limit(cap + 1)
             .collect()
         )
         parts = {r["__pp"] for r in rows}
+        if len(rows) > cap:
+            # partitions may be under-reported past the limit — recover
+            # the complete partition set with a cheap dedicated distinct
+            parts = {
+                r["__pp"]
+                for r in matched.select(
+                    F.col(PARTITION_PATH_META).alias("__pp")
+                )
+                .distinct()
+                .collect()
+            }
+            return parts, None
         uris = {r["__f"] for r in rows}
         if not uris or "" in uris or None in uris:
             return parts, None
-        hit = {
-            str(Path(unquote(u).split("://", 1)[-1]).resolve()) for u in uris
-        }
+        hit = set()
+        for u in uris:
+            p = unquote(u)
+            if "://" in p:
+                p = p.split("://", 1)[-1]
+            elif p.startswith("file:"):
+                # single-slash Hadoop form 'file:/path'
+                p = p[len("file:"):]
+            rp = Path(p)
+            if not rp.is_file():
+                # unrecognized URI form — treat as lost lineage rather
+                # than prune against a path that matches nothing
+                return parts, None
+            hit.add(str(rp.resolve()))
         return parts, hit
 
     def _prune_to_matched_files(
@@ -2434,11 +2539,17 @@ class Engine:
     ) -> dict[str, dict]:
         """Intersect a partition-granular rewrite candidate set with the
         files the matched scan actually read; files without a matched row
-        carry forward live and un-rewritten in the commit."""
+        carry forward live and un-rewritten in the commit. Safety net: if
+        the intersection empties a partition the scan matched rows in
+        (path-normalization mismatch — symlinked data dir, exotic URI
+        scheme), pruning is abandoned for the partition-granular set; a
+        silent empty prune here would commit a successful-looking no-op
+        DELETE/UPDATE and lose the DML."""
         if hit is None:
             return affected
         data = Path(cfg.path) / DATA_DIR
         out: dict[str, dict] = {}
+        kept_parts: set = set()
         for p, m in affected.items():
             ap = (
                 m.get("abs_path")
@@ -2447,6 +2558,10 @@ class Engine:
             )
             if str(Path(ap).resolve()) in hit:
                 out[p] = m
+                kept_parts.add(m.get("partition", ""))
+        matched_parts = {m.get("partition", "") for m in affected.values()}
+        if matched_parts - kept_parts:
+            return affected
         return out
 
     @staticmethod
@@ -2676,7 +2791,9 @@ class Engine:
         # from the InMemory columnar cache, where input_file_name()
         # returns '' and the file-group prune degrades to
         # whole-partition; matched is consumed exactly once below.
-        parts, hit = self._matched_scan_footprint(matched)
+        parts, hit = self._matched_scan_footprint(
+            matched, cap=self._file_prune_cap(cfg)
+        )
         if not parts:
             return tl.commit(instant, tlmod.COMMIT, "delete", [], [],
                              {"rows_deleted": 0})
@@ -2801,7 +2918,9 @@ class Engine:
             range_filter=auto_rf
         )
         matched = snap.filter(cond)
-        affected_parts, hit = self._matched_scan_footprint(matched)
+        affected_parts, hit = self._matched_scan_footprint(
+            matched, cap=self._file_prune_cap(cfg)
+        )
         if not affected_parts:
             return tl.commit(instant, tlmod.COMMIT, "update", [], [],
                              {"rows_updated": 0})

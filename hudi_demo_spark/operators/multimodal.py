@@ -365,13 +365,17 @@ def phash_near_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    max_hamming: int = 10,
-    band_bits: int = 16,
+    max_hamming: int = 7,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Image near-dup pairs (a, b, hamming ≤ max_hamming) by perceptual
     hash — the image-side member of the dedup family: pHash map-side,
     then the shared pigeonhole chunk blocking + bit_count(xor) verify
-    (`dedup.hamming_near_pairs`). No crossJoin at any corpus size."""
+    (`dedup.hamming_near_pairs`). No crossJoin at any corpus size.
+    Completeness guaranteed only for max_hamming < 64/band_bits (8
+    chunks at the default band_bits=8 → exact through Hamming 7); a
+    wider max_hamming trades recall — pairs differing in every chunk
+    are missed — unless band_bits shrinks to restore the bound."""
     from hudi_demo_spark.operators.dedup import hamming_near_pairs
 
     sigs = phash_media(media, id_col, payload_col).persist()
@@ -456,12 +460,14 @@ def afp_near_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    max_hamming: int = 10,
-    band_bits: int = 16,
+    max_hamming: int = 7,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Audio near-dup pairs (a, b, hamming ≤ max_hamming) — the audio
     member of the dedup family, sharing `dedup.hamming_near_pairs`'
-    pigeonhole blocking with SimHash and pHash. No crossJoin."""
+    pigeonhole blocking with SimHash and pHash. No crossJoin.
+    Complete only for max_hamming < 64/band_bits (Hamming ≤ 7 at the
+    defaults); wider thresholds trade recall."""
     from hudi_demo_spark.operators.dedup import hamming_near_pairs
 
     sigs = afp_media(media, id_col, payload_col).persist()

@@ -686,6 +686,175 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 3,
+    codebooks: list | None = None,
+    centroids: list | None = None,
+    rerank: int = 4,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composition — the production 100 TB ANN shape (Faiss
+    IVFPQ; Jégou et al. 2011): a coarse inverted-file index limits the
+    candidate set to the query's `n_probe` probed cells, and inside
+    those cells candidates score by PQ asymmetric distance over m small
+    ints per vector, with the k·`rerank` shortlist re-ranked at full
+    precision. Versus `pq_topk` (flat IndexPQ: ADC over the WHOLE
+    encoded corpus per query batch) the scan drops to O(probed cells);
+    versus `ivf_topk` (full-precision re-rank inside cells) the
+    in-cell scan reads 32×-compressed codes. PQ here quantizes the
+    unit vectors directly (not per-cell residuals — residual encoding
+    buys recall at the cost of per-cell LUTs; the recall floor in the
+    gate guards that this simpler composition stays sufficient).
+
+    Plan shape: corpus → map-side cell assignment + map-side PQ encode
+    (centroids and codebooks are plan literals) → ONE shuffle keyed by
+    centroid_id for the cell join against the broadcast query side →
+    per-query top-k window → broadcast shortlist refine. No crossJoin,
+    no corpus-side shuffle besides the cell join and final window."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col, vec_col, m, codes, iters, sample_mod=sample_mod
+        )
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    unit_corpus = _unit_vectors(_spread(corpus), id_col, vec_col)
+    cell = ivf_assign(unit_corpus, centroids, id_col, vec_col, n_probe=1)
+    # encode inline over the cell-assigned frame (pq_encode projects
+    # (id, codes) and would drop the cell id)
+    enc = cell.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        F.col("__v").alias(vec_col),
+    )
+    B = _codebooks_lit(codebooks)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_j(j):
+        d = _pq_subdists(B, vd, j, sub)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    enc = enc.select(
+        "neighbor_id",
+        "centroid_id",
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_j).alias(
+            "codes"
+        ),
+    )
+    unit_q = _unit_vectors(queries, id_col, vec_col)
+    qcell = ivf_assign(unit_q, centroids, id_col, vec_col, n_probe=n_probe)
+    qvd = F.transform(F.col("__v"), lambda x: x.cast("double"))
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.element_at(B, (j + 1).cast("int")),
+                lambda cv: _sq_l2_expr(
+                    F.slice(qvd, (j * sub + 1).cast("int"), sub), cv
+                ),
+            ),
+        )
+    )
+    q = qcell.select(
+        F.col(id_col).alias("query_id"), "centroid_id", lut.alias("__lut")
+    )
+    scored = (
+        enc.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(
+                        F.col("__lut"),
+                        (i * F.lit(n_codes) + c + F.lit(1)).cast("int"),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    if rerank <= 1:
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            shortlist.withColumn("rank", F.row_number().over(w2))
+            .select("query_id", "neighbor_id", "adc", "rank")
+        )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    refined = (
+        cvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score", cosine_similarity("__qv", "__cv"))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivfpq_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id) candidate pairs the IVF stage admits —
+    the observable for 'the in-cell scan reads a strict subset of the
+    corpus': its count at n_probe < n_centroids is < n_queries ×
+    corpus_size, which a plan test asserts."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    unit_corpus = _unit_vectors(_spread(corpus), id_col, vec_col)
+    cell = ivf_assign(unit_corpus, centroids, id_col, vec_col, n_probe=1)
+    unit_q = _unit_vectors(queries, id_col, vec_col)
+    qcell = ivf_assign(unit_q, centroids, id_col, vec_col, n_probe=n_probe)
+    return (
+        cell.select(F.col(id_col).alias("neighbor_id"), "centroid_id")
+        .join(
+            F.broadcast(
+                qcell.select(F.col(id_col).alias("query_id"), "centroid_id")
+            ),
+            "centroid_id",
+        )
+        .select("query_id", "neighbor_id")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",

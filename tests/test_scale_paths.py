@@ -199,3 +199,190 @@ def test_footer_rows_distributes_large_commits(engine, tmp_path, monkeypatch):
     small = engine._footer_rows(paths[:5])
     assert len(calls) == 5
     assert small[paths[0]] == 0 and small[paths[1]] == 3
+
+
+# ---------------------------------------------------------------------------
+# round-4: record-key point probes prune files; derived-view refreshes
+# read KEY-PRUNED snapshots; DML footprint collect is capped; the
+# file-prune intersection falls back rather than silently no-op'ing
+# ---------------------------------------------------------------------------
+
+def _read_spy(monkeypatch, record):
+    """Wrap Engine.read to log (table, point_filter, n_input_files) per
+    call — the observable for 'the refresh scanned a pruned snapshot'."""
+    from hudi_demo_spark.engine.engine import Engine
+
+    orig = Engine.read
+
+    def spy(self, table, *a, **kw):
+        df = orig(self, table, *a, **kw)
+        name = table if isinstance(table, str) else getattr(
+            table, "name", str(table)
+        )
+        record.append((str(name), kw.get("point_filter"),
+                       len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(Engine, "read", spy)
+
+
+def test_point_filter_record_key_prunes_files(engine, spark):
+    from hudi_demo_spark.engine.config import RECORD_KEY_META
+
+    engine.create_table("kt", record_key="id", precombine="ts")
+    for lo in (10, 20, 30, 40):
+        engine.insert(_mkdf(spark, _batch("x", lo, lo + 10)), "kt")
+    total = len(engine.read("kt").inputFiles())
+    assert total >= 4
+    pruned = engine.read("kt", point_filter=(RECORD_KEY_META, ["25"]))
+    assert len(pruned.inputFiles()) < total
+    assert [r[0] for r in pruned.select("id").collect()] == [25]
+
+
+def test_rollup_recompute_prunes_snapshot_scan(engine, spark, monkeypatch):
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    rows = "id int, g string, v double"
+
+    def df(lo, g, v=1.0):
+        return spark.createDataFrame(
+            [(i, g, v) for i in range(lo, lo + 10)], rows
+        )
+
+    engine.create_table(
+        "dsrc2", record_key="id", props={"write.stats_cols": "g"}
+    )
+    for lo, g in ((10, "a"), (20, "b"), (30, "c"), (40, "d")):
+        engine.insert(df(lo, g), "dsrc2")
+    create_rollup(engine, "dsrc2", "droll2", ["g"], ["v"])
+    assert refresh_rollup(engine, "droll2") is not None
+    engine.update("dsrc2", set={"v": F.lit(5.0)}, where="id = 25")
+    total = len(engine.read("dsrc2").inputFiles())
+    calls = []
+    _read_spy(monkeypatch, calls)
+    assert refresh_rollup(engine, "droll2") is not None
+    src_pruned = [c for c in calls if c[0] == "dsrc2"]
+    assert src_pruned, "recompute must read the source"
+    assert all(pf is not None for _, pf, _ in src_pruned), (
+        "every source snapshot read must carry a point_filter"
+    )
+    assert all(n < total for *_, n in src_pruned), (
+        "every source snapshot read must scan a strict file subset"
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in engine.read("droll2").collect()
+    }
+    assert got["b"] == (10, 14.0)  # 9×1.0 + the updated 5.0
+    assert got["a"] == (10, 10.0) and got["d"] == (10, 10.0)
+
+
+def test_join_view_fold_prunes_snapshot_scan(engine, spark, monkeypatch):
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    lrows = "id int, g string, v double"
+    engine.create_table("jl", record_key="id",
+                        props={"write.stats_cols": "g"})
+    for lo, g in ((10, "a"), (20, "b"), (30, "c")):
+        engine.insert(
+            spark.createDataFrame(
+                [(i, g, 1.0) for i in range(lo, lo + 5)], lrows
+            ),
+            "jl",
+        )
+    engine.create_table("jr", record_key="g",
+                        props={"write.stats_cols": "g"})
+    for g, w in (("a", "x"), ("b", "y"), ("c", "z")):
+        engine.insert(
+            spark.createDataFrame([(g, w)], "g string, w string"), "jr"
+        )
+    create_join_view(engine, "jv2", "jl", "jr", on=["g"])
+    assert refresh_join_view(engine, "jv2") is not None
+    # single-group delta: the right-snapshot read of the fold must
+    # touch a strict subset of the right table's files
+    engine.insert(
+        spark.createDataFrame(
+            [(i, "c", 2.0) for i in range(40, 45)], lrows
+        ),
+        "jl",
+    )
+    total_r = len(engine.read("jr").inputFiles())
+    assert total_r >= 3
+    calls = []
+    _read_spy(monkeypatch, calls)
+    assert refresh_join_view(engine, "jv2") is not None
+    r_reads = [c for c in calls if c[0] == "jr"]
+    assert r_reads and all(pf is not None for _, pf, _ in r_reads)
+    assert all(n < total_r for *_, n in r_reads)
+    assert engine.read("jv2").count() == 20
+
+
+def test_services_do_not_force_rollup_recompute(engine, spark, monkeypatch):
+    """Row-preserving timeline instants (cluster/clean/compact) must
+    neither additive-fold nor partial-recompute — the refresh advances
+    the offset and leaves the rollup untouched."""
+    from hudi_demo_spark.engine import derived as D
+
+    rows = "id int, g string, v double"
+
+    def df(lo, g):
+        return spark.createDataFrame(
+            [(i, g, 1.0) for i in range(lo, lo + 10)], rows
+        )
+
+    engine.create_table("csrc", record_key="id")
+    engine.insert(df(10, "a"), "csrc")
+    engine.insert(df(20, "b"), "csrc")
+    D.create_rollup(engine, "csrc", "croll", ["g"], ["v"])
+    assert D.refresh_rollup(engine, "croll") is not None
+    engine.cluster("csrc", ["g"])
+    called = []
+    monkeypatch.setattr(
+        D, "_refresh_recompute",
+        lambda *a, **k: called.append(1),
+    )
+    assert D.refresh_rollup(engine, "croll") is None
+    assert not called, "cluster-only window must not trigger recompute"
+    monkeypatch.undo()
+    engine.insert(df(30, "b"), "csrc")
+    assert D.refresh_rollup(engine, "croll") is not None
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in engine.read("croll").collect()
+    }
+    assert got == {"a": (10, 10.0), "b": (20, 20.0)}
+
+
+def test_dml_file_prune_cap_falls_back_partition_granular(engine, spark):
+    """Past the cap, the matched-file collect stops and the rewrite set
+    degrades to partition-granular — results identical, driver safe."""
+    engine.create_table(
+        "capt", record_key="id", precombine="ts", partition_by="dt",
+        props={"write.dml.file_prune_cap": "1"},
+    )
+    engine.insert(_mkdf(spark, _batch("a", 1, 6)), "capt")
+    engine.insert(_mkdf(spark, _batch("b", 100, 106)), "capt")
+    engine.insert(_mkdf(spark, _batch("c", 200, 206)), "capt")
+    before = _live(engine, "capt")
+    assert len(before) >= 3
+    meta = engine.delete("capt", "name = 'a' or name = 'b'")
+    # 2 matched files > cap 1 → partition-granular: ALL partition files
+    # replaced (the 'c' file carries forward via the rewrite)
+    assert set(meta["files_removed"]) == before
+    got = sorted(r[0] for r in engine.read("capt").select("id").collect())
+    assert got == list(range(200, 206))
+
+
+def test_prune_to_matched_files_falls_back_when_partition_emptied(engine):
+    """A path-normalization mismatch (symlinked data dir, exotic URI
+    scheme) must abandon pruning, not silently no-op the DML."""
+    engine.create_table("pfb", record_key="id")
+    cfg = engine._resolve("pfb")
+    affected = {
+        "f1.parquet": {"partition": ""},
+        "f2.parquet": {"partition": ""},
+    }
+    out = engine._prune_to_matched_files(cfg, affected, {"/no/such/file"})
+    assert out == affected

@@ -1122,3 +1122,82 @@ def test_cdc_cleaned_range_raises(engine, spark):
     # opt-out returns the partial diff instead
     df = engine.read_cdc("cdcl", begin=m1["instant"], allow_cleaned=True)
     assert df.count() >= 0
+
+
+def test_left_join_view_lifecycle(engine, spark):
+    """LEFT OUTER join view (round-4): unmatched left rows materialize
+    NULL-extended; maintenance upgrades them when a match arrives,
+    restores the NULL extension when the match disappears, and drops
+    the row when the left row dies."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    engine.create_table("ljf", record_key="id")
+    engine.create_table("ljd", record_key="d")
+    engine.insert(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 1.0), (3, "zz", 1.0)],
+            "id int, d string, v double",
+        ),
+        "ljf",
+    )
+    engine.insert(
+        spark.createDataFrame([("a", "A")], "d string, w string"), "ljd"
+    )
+    create_join_view(engine, "ljv", "ljf", "ljd", on=["d"], how="left")
+    assert refresh_join_view(engine, "ljv") is not None
+    got = {r["id"]: r["w"] for r in engine.read("ljv").collect()}
+    assert got == {1: "A", 2: None, 3: None}
+    # match arrives (insert-only fold): NULL row upgraded in place
+    engine.insert(
+        spark.createDataFrame([("b", "B")], "d string, w string"), "ljd"
+    )
+    assert refresh_join_view(engine, "ljv") is not None
+    got = {r["id"]: r["w"] for r in engine.read("ljv").collect()}
+    assert got == {1: "A", 2: "B", 3: None}
+    # match content changes (CDC recompute): row re-derived
+    engine.update("ljd", set={"w": F.lit("A2")}, where="d = 'a'")
+    assert refresh_join_view(engine, "ljv") is not None
+    got = {r["id"]: r["w"] for r in engine.read("ljv").collect()}
+    assert got == {1: "A2", 2: "B", 3: None}
+    # match disappears: NULL extension restored, not deleted
+    engine.delete("ljd", "d = 'b'")
+    assert refresh_join_view(engine, "ljv") is not None
+    got = {r["id"]: r["w"] for r in engine.read("ljv").collect()}
+    assert got == {1: "A2", 2: None, 3: None}
+    # left row dies: view row goes with it
+    engine.delete("ljf", "id = 3")
+    assert refresh_join_view(engine, "ljv") is not None
+    got = {r["id"]: r["w"] for r in engine.read("ljv").collect()}
+    assert got == {1: "A2", 2: None}
+    # batch oracle: the view always equals the plain LEFT JOIN
+    fact = engine.read("ljf").select("id", "d", "v")
+    dim = engine.read("ljd").select("d", "w")
+    expect = {
+        (r["id"], r["w"]) for r in fact.join(dim, "d", "left").collect()
+    }
+    assert {(r["id"], r["w"]) for r in engine.read("ljv").select(
+        "id", "w").collect()} == expect
+
+
+def test_left_join_view_requires_right_key_in_on(engine, spark):
+    import pytest as _pytest
+
+    engine.create_table("ljf2", record_key="id")
+    engine.create_table("ljd2", record_key="k2")
+    engine.insert(
+        spark.createDataFrame([(1, "a")], "id int, d string"), "ljf2"
+    )
+    engine.insert(
+        spark.createDataFrame([("k", "a", "w")],
+                              "k2 string, d string, w string"),
+        "ljd2",
+    )
+    from hudi_demo_spark.engine.derived import create_join_view
+
+    with _pytest.raises(ValueError, match="record key"):
+        create_join_view(engine, "ljv2", "ljf2", "ljd2", on=["d"],
+                         how="left")

@@ -93,6 +93,7 @@ HEADLINE = [
     "engine_join_view_left",
     "streaming_join_view",
     "engine_dml_filegroup",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -1,0 +1,543 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — no codec libraries.
+
+Closes the library-bound-codec gap for the most common container: a
+complete baseline sequential DCT decoder (DQT/DHT/SOF0/DRI/SOS parse,
+canonical Huffman entropy decode with byte-stuffing and restart
+markers, dequantize + de-zigzag, orthonormal 2-D IDCT as an 8×8 basis
+matmul, chroma upsampling for 4:4:4/4:2:2/4:2:0, JFIF YCbCr→RGB) and a
+matching test-fixture encoder (4:4:4 / grayscale, ITU-T T.81 Annex K
+quantization and Huffman tables, libjpeg quality scaling). Progressive
+(SOF2) and arithmetic-coded JPEGs raise NotImplementedError — honest
+gaps, loudly.
+
+Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
+operators/multimodal.py) — per-payload Python cost, zero shuffle. The
+entropy loop is Python-per-symbol (fine for fixture-sized images and
+correctness gates; swap in a library decoder behind the same
+`decode_media` dispatch for production throughput).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ITU-T T.81 Figure A.6 zigzag order: zigzag index -> natural index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 base quantization tables (natural order via zigzag)
+_K1_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_K2_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_DC_LUMA = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _idct_basis():
+    """Orthonormal DCT-II basis A (8×8): spatial = A.T @ coeffs @ A."""
+    import numpy as np
+
+    n = 8
+    k = np.arange(n)[:, None]
+    a = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    a *= np.where(k == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n))
+    return a
+
+
+def _canonical_codes(bits, huffval):
+    """(bits, huffval) → {(length, code): symbol} (T.81 Annex C)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = huffval[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at markers, and resynchronizes on RSTn (restart markers)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                # marker (EOI / next segment): missing bits decode as 0
+                # padding per T.81 — but running off the scan is a
+                # corrupt stream for our purposes
+                raise ValueError("JPEG: hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker: drop buffered bits,
+        then skip the ≤1 pad byte (possibly 0xFF with a stuffed 0x00,
+        or 0xFF fill bytes per T.81 B.1.1.2) in front of it. Bounded
+        scan — a marker not found within a few bytes is corruption."""
+        self.acc = 0
+        self.n = 0
+        for _ in range(4):
+            if (
+                self.buf[self.pos] == 0xFF
+                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            if (
+                self.buf[self.pos] == 0xFF
+                and self.buf[self.pos + 1] == 0x00
+            ):
+                self.pos += 2  # stuffed pad byte
+            else:
+                self.pos += 1  # plain pad/fill byte
+        raise ValueError("JPEG: expected restart marker")
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.12)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_huff(r: _BitReader, table) -> int:
+    length, code = 0, 0
+    while True:
+        code = (code << 1) | r.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("JPEG: invalid Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JFIF → {'kind': 'image', 'width', 'height',
+    'pixels': uint8 (h, w, 3)} — same contract as decode_ppm/decode_bmp
+    (grayscale replicates to 3 channels). Raises NotImplementedError
+    for progressive/arithmetic/12-bit streams, ValueError for corrupt
+    ones."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = [0] * 64
+                for z in range(64):
+                    tbl[ZIGZAG[z]] = body[i + z]
+                qt[tq] = tbl
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = [0] + list(body[i + 1 : i + 17])
+                n = sum(bits)
+                huffval = list(body[i + 17 : i + 17 + n])
+                hufftabs[(tc, th)] = _canonical_codes(bits, huffval)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic JPEG not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            smap = {}
+            for c in range(ns):
+                cs, tabs = body[1 + c * 2], body[2 + c * 2]
+                smap[cs] = (tabs >> 4, tabs & 0x0F)
+            scan = (smap, pos + 2 + size)
+            break
+        pos += 2 + size
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    smap, data_pos = scan
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _idct_basis()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    r = _BitReader(payload, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_t = hufftabs[(0, smap[c["id"]][0])]
+                ac_t = hufftabs[(1, smap[c["id"]][1])]
+                q = np.array(qt[c["tq"]], dtype=np.float64)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            coef = np.zeros(64)
+                            t = _decode_huff(r, dc_t)
+                            diff = _extend(r.receive(t), t)
+                            pred[ci] += diff
+                            coef[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(r, ac_t)
+                                rr, ss = rs >> 4, rs & 0x0F
+                                if ss == 0:
+                                    if rr == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rr
+                                if k > 63:
+                                    raise ValueError("JPEG: AC overflow")
+                                coef[ZIGZAG[k]] = _extend(
+                                    r.receive(ss), ss
+                                )
+                                k += 1
+                        except _RestartPending as ex:
+                            raise ValueError(
+                                "JPEG: restart marker inside MCU"
+                            ) from ex
+                        block = (coef * q).reshape(8, 8)
+                        px = A.T @ block @ A + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample + crop
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        pixels = np.stack([g, g, g], axis=2)
+    elif len(out) == 3:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+        pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"JPEG with {len(out)} components")
+    return {"kind": "image", "width": w, "height": h, "pixels": pixels}
+
+
+# ---------------------------------------------------------------------------
+# test-fixture encoder (4:4:4 color / grayscale, standard tables)
+# ---------------------------------------------------------------------------
+
+
+def _quality_scale(base: list[int], quality: int) -> list[int]:
+    """libjpeg quality scaling of an Annex K base table."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (b * s + 50) // 100)) for b in base]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _enc_codes(bits, huffval):
+    """(bits, huffval) → {symbol: (code, length)}."""
+    dec = _canonical_codes(bits, huffval)
+    return {sym: (code, length) for (length, code), sym in dec.items()}
+
+
+def _csize(v: int) -> int:
+    t = 0
+    v = abs(v)
+    while v:
+        t += 1
+        v >>= 1
+    return t
+
+
+def encode_jpeg_baseline(
+    arr, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) grayscale → baseline JFIF bytes
+    (4:4:4 subsampling, Annex K tables at `quality`;
+    `restart_interval` > 0 emits DRI + RSTn markers every N MCUs).
+    Test-fixture encoder for the decoder's differential gates."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    ql = _quality_scale(_K1_LUMA, quality)
+    qc = _quality_scale(_K2_CHROMA, quality)
+    A = _idct_basis()
+
+    if gray:
+        planes = [a - 128.0]
+        qts = [ql]
+        ncomp = 1
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [ql, qc, qc]
+        ncomp = 3
+    bw, bh = -(-w // 8), -(-h // 8)
+    dc_tabs = [_enc_codes(*_DC_LUMA), _enc_codes(*_DC_CHROMA)]
+    ac_tabs = [_enc_codes(*_AC_LUMA), _enc_codes(*_AC_CHROMA)]
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    mcu_count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred = [0] * ncomp
+            mcu_count += 1
+            for ci in range(ncomp):
+                p = planes[ci]
+                blk = np.zeros((8, 8))
+                ys, xs = by * 8, bx * 8
+                seg = p[ys:min(ys + 8, h), xs:min(xs + 8, w)]
+                # edge replication padding
+                blk[: seg.shape[0], : seg.shape[1]] = seg
+                if seg.shape[0] < 8:
+                    blk[seg.shape[0]:, :] = blk[seg.shape[0] - 1, :]
+                if seg.shape[1] < 8:
+                    blk[:, seg.shape[1]:] = blk[:, seg.shape[1] - 1][:, None]
+                coef = A @ blk @ A.T
+                q = np.array(qts[ci]).reshape(8, 8)
+                qz = np.round(coef / q).astype(int)
+                flat = qz.ravel()
+                zz = [int(flat[ZIGZAG[z]]) for z in range(64)]
+                dct, act = (
+                    (dc_tabs[0], ac_tabs[0]) if ci == 0
+                    else (dc_tabs[min(1, ncomp - 2)], ac_tabs[min(1, ncomp - 2)])
+                )
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = _csize(diff)
+                code, length = dct[t]
+                wtr.write(code, length)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = act[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    s = _csize(v)
+                    code, length = act[(run << 4) | s]
+                    wtr.write(code, length)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, length = act[0x00]
+                    wtr.write(code, length)
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, tbl in enumerate(qts[: 2 if ncomp == 3 else 1]):
+        out += seg(0xDB, bytes([tid]) + bytes(tbl[ZIGZAG[z]] for z in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for tc, th, (bits, hv) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    )[: 4 if ncomp == 3 else 2]:
+        out += seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(hv)
+        )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -67,7 +67,8 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def sniff(payload: bytes | None) -> str | None:
-    """Container type from magic bytes: 'ppm' | 'bmp' | 'wav' | None."""
+    """Container type from magic bytes:
+    'ppm' | 'bmp' | 'wav' | 'jpeg' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"P6":
@@ -76,6 +77,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -196,9 +199,10 @@ def decode_wav(payload: bytes) -> dict:
 
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes → decoded dict (see decode_ppm /
-    decode_bmp / decode_wav). Unknown containers raise — the honest
-    stub is retained only for codecs that genuinely need libraries
-    (JPEG/PNG/MP3/H.264...)."""
+    decode_bmp / decode_wav / jpeg.decode_jpeg — baseline JFIF decodes
+    for REAL in pure numpy). Unknown containers raise — the honest stub
+    is retained only for codecs that genuinely need libraries
+    (PNG/MP3/H.264...)."""
     k = sniff(payload)
     if k == "ppm":
         return decode_ppm(payload)
@@ -206,9 +210,14 @@ def decode_media(payload: bytes) -> dict:
         return decode_bmp(payload)
     if k == "wav":
         return decode_wav(payload)
+    if k == "jpeg":
+        from hudi_demo_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unknown container: only PPM/BMP/WAV decode without codec "
-        "libraries; pass fake=True for the deterministic test double"
+        "unknown container: only PPM/BMP/WAV/baseline-JPEG decode "
+        "without codec libraries; pass fake=True for the deterministic "
+        "test double"
     )
 
 

@@ -851,6 +851,7 @@ def ivfpq_candidates(
             ),
             "centroid_id",
         )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
 

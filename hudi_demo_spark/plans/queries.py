@@ -2099,6 +2099,63 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_jpeg_decode",
+    """
+    SELECT d.doc_id,
+           CAST(64 * sum((d.doc_id * 7 + i.i * 13 + j.j * 31) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(4) i(i), range(4) j(j)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode, algebraically oracled: each doc_id
+    synthesizes a 32×32 grayscale image of 4×4 constant 8×8 tiles with
+    value (doc_id·7 + i·13 + j·31) mod 256, Huffman-encoded as an
+    actual JFIF stream at quality=100 — where every quantization step
+    is 1, so a block-constant image has integer DC and zero AC and the
+    decode is EXACT. The Spark side runs the full entropy-decode →
+    dequant → IDCT pipeline in Arrow batches and reports each image's
+    pixel sum; the oracle computes the same sum in closed form. A
+    Huffman table slip, zigzag error, or IDCT bug breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.jpeg import encode_jpeg_baseline
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                i, j = np.meshgrid(np.arange(4), np.arange(4),
+                                   indexing="ij")
+                tiles = ((int(did) * 7 + i * 13 + j * 31) % 256).astype(
+                    np.uint8
+                )
+                g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                px = decode_media(
+                    encode_jpeg_baseline(g, quality=100)
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_afp_dedup",
     """
     SELECT a.doc_id AS a, b.doc_id AS b

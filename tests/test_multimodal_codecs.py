@@ -219,3 +219,107 @@ def test_afp_media_skips_non_audio(spark):
         [(1, wav), (2, img), (3, None)], "media_id long, payload binary"
     )
     assert [r["media_id"] for r in afp_media(df).collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (round-4): pure-numpy JFIF codec
+# ---------------------------------------------------------------------------
+
+def test_jpeg_gray_matches_reference_reconstruction():
+    """Differential: the decoder must reproduce the independent
+    reference reconstruction (FDCT → quantize → dequant → IDCT with the
+    encoder's own tables) BIT-EXACTLY for grayscale — proving Huffman
+    coding, zigzag, dequantization and the IDCT are all faithful."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    g = _rng(7).integers(0, 256, size=(24, 40), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=90))
+    assert (out["width"], out["height"]) == (40, 24)
+    A = J._idct_basis()
+    ql = np.array(J._quality_scale(J._K1_LUMA, 90), dtype=float).reshape(8, 8)
+    p = g.astype(float) - 128.0
+    ref = np.zeros((24, 40))
+    for by in range(3):
+        for bx in range(5):
+            blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            qz = np.round((A @ blk @ A.T) / ql)
+            ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                A.T @ (qz * ql) @ A + 128.0
+            )
+    ref = np.clip(np.round(ref), 0, 255)
+    assert np.array_equal(out["pixels"][:, :, 0].astype(float), ref)
+
+
+def test_jpeg_block_constant_roundtrip_exact_at_q100():
+    """At quality=100 every quant step is 1, so an image constant per
+    8×8 block has integer DC and zero AC — the decode is EXACT. This is
+    the algebraic identity the multimodal_jpeg_decode gate oracles."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    tiles = _rng(5).integers(0, 256, size=(3, 4), dtype=np.uint8)
+    g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    out = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=100))
+    assert np.array_equal(out["pixels"][:, :, 0], g)
+
+
+def test_jpeg_color_roundtrip_close_and_odd_dims():
+    from hudi_demo_spark.operators import jpeg as J
+
+    xx, yy = np.meshgrid(np.arange(23), np.arange(17))
+    c = np.stack([(xx * 5) % 256, (yy * 7) % 256, (xx + yy) % 256],
+                 axis=2).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_baseline(c, quality=95))
+    assert (out["width"], out["height"]) == (23, 17)
+    err = np.abs(out["pixels"].astype(float) - c.astype(float))
+    assert err.mean() < 3.0  # lossy, but close on smooth content
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from hudi_demo_spark.operators import jpeg as J
+
+    g = _rng(11).integers(0, 256, size=(40, 33), dtype=np.uint8)
+    a = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=90))["pixels"]
+    b = J.decode_jpeg(
+        J.encode_jpeg_baseline(g, quality=90, restart_interval=3)
+    )["pixels"]
+    assert np.array_equal(a, b)
+    c = _rng(12).integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    x = J.decode_jpeg(J.encode_jpeg_baseline(c, quality=90))["pixels"]
+    y = J.decode_jpeg(
+        J.encode_jpeg_baseline(c, quality=90, restart_interval=2)
+    )["pixels"]
+    assert np.array_equal(x, y)
+
+
+def test_jpeg_dispatch_and_progressive_rejected():
+    from hudi_demo_spark.operators import jpeg as J
+
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    payload = J.encode_jpeg_baseline(g, quality=100)
+    assert mm.sniff(payload) == "jpeg"
+    m = mm.decode_media(payload)
+    assert m["kind"] == "image" and m["pixels"][0, 0, 0] == 99
+    # flip SOF0 → SOF2 (progressive): loud NotImplementedError
+    prog = bytearray(payload)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_feature_extraction_mapinpandas(spark):
+    """End-to-end: JPEG payloads flow through the same Arrow-batched
+    extract_features path as PPM/BMP/WAV."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    tiles = _rng(9).integers(0, 256, size=(4, 4), dtype=np.uint8)
+    g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    payload = J.encode_jpeg_baseline(g, quality=100)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    row = mm.extract_features(media, fake=False).collect()[0]
+    assert row["n_bytes"] == len(payload)
+    feats = row["feature"]
+    assert feats[0] == 32.0 and feats[1] == 32.0  # width, height
+    assert abs(feats[2] - float(g.mean())) < 1e-6  # exact decode → mean

@@ -710,3 +710,99 @@ def test_hamming_near_pairs_generic(spark):
                               band_bits=16).collect()
     got = {(r["a"], r["b"]): r["hamming"] for r in rows}
     assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_ivfpq_differential_vs_numpy(spark, sf_dir):
+    """ivfpq_topk vs a pure-numpy reference of the SAME pipeline (cell
+    assignment → candidate restriction to probed cells → ADC → exact
+    refine) on shared centroids+codebooks: top-k lists identical, and
+    the admitted candidate set both (a) matches the reference and
+    (b) is a strict subset of the corpus at n_probe < n_centroids."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.similarity import (
+        ivfpq_candidates, ivfpq_topk, pq_train, seed_centroids,
+    )
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    m, codes, n_cent, n_probe, k, rerank = 8, 8, 8, 3, 3, 4
+    cents = seed_centroids(e, "vec_id", "embedding", n_cent)
+    books = pq_train(e, "vec_id", "embedding", m=m, codes=codes, iters=1)
+
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in e.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    U = np.where(nrm > 0, X / nrm, X)
+    C = np.stack([np.array(c) for _, c in cents])
+    cids = [cid for cid, _ in cents]
+    cn = np.linalg.norm(C, axis=1)
+
+    def probes(v, n):
+        s = (C @ v) / cn
+        order = sorted(range(len(cids)), key=lambda i: (-s[i], cids[i]))
+        return [cids[i] for i in order[:n]]
+
+    cell_of = {ids[i]: probes(U[i], 1)[0] for i in range(len(ids))}
+    sub = U.shape[1] // m
+    B = np.array(books)
+    codes_arr = np.stack([
+        np.argmin(
+            ((U[:, j * sub:(j + 1) * sub][:, None, :] - B[j][None, :, :])
+             ** 2).sum(axis=2),
+            axis=1,
+        )
+        for j in range(m)
+    ], axis=1)
+
+    qids = [i for i in ids if i < 5]
+    want_cand, want_top = {}, {}
+    for qi in qids:
+        qidx = ids.index(qi)
+        cells = set(probes(U[qidx], n_probe))
+        cand = [i for i in ids if cell_of[i] in cells and i != qi]
+        want_cand[qi] = set(cand)
+        lut = np.stack([
+            ((U[qidx][j * sub:(j + 1) * sub][None, :] - B[j]) ** 2).sum(
+                axis=1
+            )
+            for j in range(m)
+        ])
+        adc = {
+            i: lut[np.arange(m), codes_arr[ids.index(i)]].sum()
+            for i in cand
+        }
+        short = sorted(cand, key=lambda i: (adc[i], i))[: k * rerank]
+        qx = X[qidx]
+        cos = {
+            i: float(X[ids.index(i)] @ qx
+                     / (np.linalg.norm(X[ids.index(i)])
+                        * np.linalg.norm(qx)))
+            for i in short
+        }
+        want_top[qi] = sorted(short, key=lambda i: (-cos[i], i))[:k]
+
+    q5 = e.filter(F.col("vec_id") < 5)
+    got_cand = {}
+    for r in ivfpq_candidates(
+        e, q5, "vec_id", "embedding", n_probe=n_probe, centroids=cents
+    ).collect():
+        got_cand.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert got_cand == want_cand
+    for qi in qids:
+        assert len(want_cand[qi]) < len(ids) - 1  # strict subset
+    res = ivfpq_topk(
+        e, q5, "vec_id", "embedding", k=k, n_probe=n_probe,
+        codebooks=books, centroids=cents, rerank=rerank,
+    ).collect()
+    got_top = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got_top == want_top

@@ -68,15 +68,15 @@ def _bounded_vals(df: DataFrame, col: str, cap: int = _PRUNE_VAL_CAP):
 
 
 def _pruned_read(engine, table: str, col: str | None, vals, meta_cols):
-    """Snapshot read pruned to the file groups that can contain
+    """Snapshot read FILE-pruned to the groups that can contain
     `col IN vals` (record/secondary index, key ranges, or col-stats —
     whatever the table has); unpruned when the probe set overflowed the
-    cap. The residual `IN` row-filter applied by `read` is a superset
-    restriction of the equi-join/semi-join every caller applies next,
-    so results are exact either way."""
+    cap. point_prune (no row filter): every caller equi-joins or
+    semi-joins on the probed identity next, so a thousands-of-literals
+    IN expression would add plan weight without changing results."""
     if col is None or vals is None:
         return engine.read(table).drop(*meta_cols)
-    return engine.read(table, point_filter=(col, vals)).drop(*meta_cols)
+    return engine.read(table, point_prune=(col, vals)).drop(*meta_cols)
 
 
 def _data_ops(window: list[dict]) -> list[dict]:
@@ -342,13 +342,18 @@ def refresh_join_view(engine, name: str) -> dict | None:
         for _, d in cands:
             d.unpersist()
     else:
-        # changed identities on either side (CDC = inserts+updates+deletes)
+        # changed identities on either side (CDC = inserts+updates+deletes).
+        # Persisted: each is consumed by the bounded-vals collect plus
+        # two broadcast joins — uncached, the CDC file-diff scan would
+        # run three times per side.
         changed_l = (
-            engine.read_cdc(left, begin=lb, end=le).select(*lkey).distinct()
+            engine.read_cdc(left, begin=lb, end=le)
+            .select(*lkey).distinct().persist()
             if le is not None and l_data else None
         )
         changed_r = (
-            engine.read_cdc(right, begin=rb, end=re_).select(*rkey).distinct()
+            engine.read_cdc(right, begin=rb, end=re_)
+            .select(*rkey).distinct().persist()
             if re_ is not None and r_data else None
         )
         vals_l = (
@@ -367,6 +372,9 @@ def refresh_join_view(engine, name: str) -> dict | None:
                 engine, name, left, right, on, lkey, rkey, meta_cols,
                 changed_l, changed_r, vals_l, vals_r,
             )
+        for d in (changed_l, changed_r):
+            if d is not None:
+                d.unpersist()
     _advance(le, re_)
     return out
 
@@ -502,7 +510,7 @@ def _refresh_recompute(
     keys = cdc.select(RECORD_KEY_META).distinct().persist()
     key_vals = _bounded_vals(keys, RECORD_KEY_META)
     snap_k = (
-        engine.read(source, point_filter=(RECORD_KEY_META, key_vals))
+        engine.read(source, point_prune=(RECORD_KEY_META, key_vals))
         if key_vals is not None else engine.read(source)
     )
     affected = snap_k.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
@@ -510,7 +518,7 @@ def _refresh_recompute(
         prev = (
             engine.read(
                 source, as_of=begin,
-                point_filter=(RECORD_KEY_META, key_vals),
+                point_prune=(RECORD_KEY_META, key_vals),
             )
             if key_vals is not None else engine.read(source, as_of=begin)
         )

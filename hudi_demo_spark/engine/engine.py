@@ -1038,6 +1038,7 @@ class Engine:
         range_filter: tuple | None = None,
         point_filter: tuple | None = None,
         func_filter: tuple | None = None,
+        point_prune: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
@@ -1051,7 +1052,11 @@ class Engine:
         secondary index exists on `col` (Hudi 1.0 CREATE INDEX —
         `create_index`), the scan is pruned to the partitions the index
         maps those values to, falling back to col-stats skipping
-        otherwise. `func_filter=(index_name, lo, hi)` applies
+        otherwise. `point_prune=(col, values)` applies the SAME file
+        pruning but NO row filter — for callers that join/semi-join on
+        the probed identity next (derived-view maintenance), where a
+        thousands-of-literals IN expression would only bloat the plan.
+        `func_filter=(index_name, lo, hi)` applies
         `lo <= expr <= hi` for a functional index's expression
         (`create_functional_index`), skipping base files whose recorded
         expression range cannot overlap (deltas/unindexed files always
@@ -1077,53 +1082,18 @@ class Engine:
                 files = self._prune_by_stats(files, *rf)
                 if as_of is None:  # index is current-state; see point_filter
                     files = self._secondary_range_prune(cfg, files, *rf)
+        if point_prune is not None:
+            pcol, pvals = point_prune
+            pvals = (
+                list(pvals)
+                if isinstance(pvals, (list, tuple, set))
+                else [pvals]
+            )
+            files = self._point_prune_files(cfg, files, pcol, pvals, as_of)
         if point_filter is not None:
             pcol, pvals = point_filter
             pvals = list(pvals) if isinstance(pvals, (list, tuple, set)) else [pvals]
-            if pcol == RECORD_KEY_META:
-                # key-set probe (derived-view maintenance, key-scoped
-                # reads): every commit records per-file [key_min,
-                # key_max], so the scan prunes to files whose key range
-                # intersects the probe set — valid for time-travel too
-                # (ranges are per-file facts). The record-level index
-                # additionally prunes to owning PARTITIONS on
-                # current-state reads of global tables.
-                if as_of is None:
-                    ridx = self._record_index(cfg)
-                    if ridx is not None and ridx.usable():
-                        kdf = self.spark.createDataFrame(
-                            [(str(v),) for v in pvals],
-                            f"{RECORD_KEY_META} string",
-                        )
-                        hit = ridx.lookup_partitions(kdf)
-                        files = {
-                            p: m
-                            for p, m in files.items()
-                            if m.get("partition", "") in hit
-                        }
-                files = self._prune_by_key_ranges(files, pvals)
-            else:
-                # the index reflects CURRENT state; a time-travel read
-                # may need values that only existed historically — fall
-                # back to stats
-                idx = (
-                    self._secondary_index(cfg, pcol)
-                    if as_of is None
-                    else None
-                )
-                if idx is not None and idx.usable():
-                    hit = idx.lookup_partitions(pvals)
-                    files = {
-                        p: m
-                        for p, m in files.items()
-                        if m.get("partition", "") in hit
-                    }
-                else:
-                    # no index: col-stats skipping still bounds the scan
-                    kept: dict[str, dict] = {}
-                    for v in pvals:
-                        kept |= self._prune_by_stats(files, pcol, v, v)
-                    files = kept
+            files = self._point_prune_files(cfg, files, pcol, pvals, as_of)
         func_expr = None
         if func_filter is not None:
             fname, flo, fhi = func_filter
@@ -1206,6 +1176,79 @@ class Engine:
             if rng is not None:
                 try:
                     if rng[1] < lo or rng[0] > hi:
+                        continue
+                except TypeError:
+                    pass
+            out[p] = m
+        return out
+
+    def _point_prune_files(
+        self,
+        cfg: TableConfig,
+        files: dict[str, dict],
+        pcol: str,
+        pvals: list,
+        as_of: str | None,
+    ) -> dict[str, dict]:
+        """Shared file pruning for a `col IN values` probe — the read
+        path behind both point_filter (prune + row filter) and
+        point_prune (prune only). RECORD_KEY_META probes ride the
+        per-file key ranges (valid for time-travel too — ranges are
+        per-file facts) plus the record-level index on current-state
+        reads of global tables; other columns ride a secondary index
+        when declared (current-state only — the index may lack values
+        that existed historically), else sorted-probe col-stats
+        skipping."""
+        if pcol == RECORD_KEY_META:
+            if as_of is None:
+                ridx = self._record_index(cfg)
+                if ridx is not None and ridx.usable():
+                    kdf = self.spark.createDataFrame(
+                        [(str(v),) for v in pvals],
+                        f"{RECORD_KEY_META} string",
+                    )
+                    hit = ridx.lookup_partitions(kdf)
+                    files = {
+                        p: m
+                        for p, m in files.items()
+                        if m.get("partition", "") in hit
+                    }
+            return self._prune_by_key_ranges(files, pvals)
+        idx = self._secondary_index(cfg, pcol) if as_of is None else None
+        if idx is not None and idx.usable():
+            hit = idx.lookup_partitions(pvals)
+            return {
+                p: m
+                for p, m in files.items()
+                if m.get("partition", "") in hit
+            }
+        return self._prune_by_stats_set(files, pcol, pvals)
+
+    @staticmethod
+    def _prune_by_stats_set(
+        files: dict[str, dict], col: str, vals: list
+    ) -> dict[str, dict]:
+        """Column-stats file skipping for a VALUE SET: drop files whose
+        recorded [min, max] for `col` cannot contain any probed value —
+        sorted probe set + bisect, O(files · log values), so a 30k-key
+        CDC delta prunes in milliseconds instead of a per-value scan.
+        Unsortable/mixed-type probes or stats keep the file
+        (conservative)."""
+        import bisect
+
+        try:
+            sv = sorted(v for v in vals if v is not None)
+        except TypeError:
+            return files
+        if not sv:
+            return files
+        out: dict[str, dict] = {}
+        for p, m in files.items():
+            rng = (m.get("col_stats") or {}).get(col)
+            if rng is not None:
+                try:
+                    i = bisect.bisect_left(sv, rng[0])
+                    if i >= len(sv) or sv[i] > rng[1]:
                         continue
                 except TypeError:
                     pass

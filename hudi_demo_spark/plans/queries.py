@@ -5088,7 +5088,7 @@ def engine_incremental_rollup(spark, sf_dir):
       FROM customer WHERE NOT c_custkey % 7 = 0
     ), fact AS (
       SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
-      FROM orders WHERE o_orderkey % 8 IN (0, 1)
+      FROM orders WHERE o_orderkey % 16 IN (0, 1)
     )
     SELECT f.o_orderkey, f.c_custkey, f.o_totalprice, d.c_name,
            d.c_mktsegment
@@ -5120,7 +5120,7 @@ def engine_join_view(spark, sf_dir):
     eng.create_table("dim", record_key="c_custkey")
     eng.insert(c, "dim")
     eng.create_table("fact", record_key="o_orderkey")
-    eng.insert(o.filter(F.col("o_orderkey") % 8 <= 1), "fact")
+    eng.insert(o.filter(F.col("o_orderkey") % 16 <= 1), "fact")
     create_join_view(eng, "jv", "fact", "dim", on=["c_custkey"])
     refresh_join_view(eng, "jv")  # insert-only incremental fold
     eng.update("dim", set={"c_mktsegment": F.lit("X")},

@@ -208,8 +208,10 @@ def test_footer_rows_distributes_large_commits(engine, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 def _read_spy(monkeypatch, record):
-    """Wrap Engine.read to log (table, point_filter, n_input_files) per
-    call — the observable for 'the refresh scanned a pruned snapshot'."""
+    """Wrap Engine.read to log (table, point probe, n_input_files) per
+    call — the observable for 'the refresh scanned a pruned snapshot'.
+    Captures point_prune (file pruning without the row filter — the
+    derived-view path) and point_filter alike."""
     from hudi_demo_spark.engine.engine import Engine
 
     orig = Engine.read
@@ -219,8 +221,11 @@ def _read_spy(monkeypatch, record):
         name = table if isinstance(table, str) else getattr(
             table, "name", str(table)
         )
-        record.append((str(name), kw.get("point_filter"),
-                       len(df.inputFiles())))
+        record.append((
+            str(name),
+            kw.get("point_prune") or kw.get("point_filter"),
+            len(df.inputFiles()),
+        ))
         return df
 
     monkeypatch.setattr(Engine, "read", spy)

@@ -94,6 +94,7 @@ HEADLINE = [
     "streaming_join_view",
     "engine_dml_filegroup",
     "multimodal_jpeg_decode",
+    "multimodal_png_decode",
 ]
 
 

@@ -68,7 +68,7 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def sniff(payload: bytes | None) -> str | None:
     """Container type from magic bytes:
-    'ppm' | 'bmp' | 'wav' | 'jpeg' | None."""
+    'ppm' | 'bmp' | 'wav' | 'jpeg' | 'png' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"P6":
@@ -79,6 +79,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -199,10 +201,10 @@ def decode_wav(payload: bytes) -> dict:
 
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes → decoded dict (see decode_ppm /
-    decode_bmp / decode_wav / jpeg.decode_jpeg — baseline JFIF decodes
-    for REAL in pure numpy). Unknown containers raise — the honest stub
-    is retained only for codecs that genuinely need libraries
-    (PNG/MP3/H.264...)."""
+    decode_bmp / decode_wav / jpeg.decode_jpeg / png.decode_png —
+    baseline JFIF and PNG decode for REAL in pure numpy + stdlib
+    zlib). Unknown containers raise — the honest stub is retained only
+    for codecs that genuinely need libraries (MP3/H.264...)."""
     k = sniff(payload)
     if k == "ppm":
         return decode_ppm(payload)
@@ -214,8 +216,12 @@ def decode_media(payload: bytes) -> dict:
         from hudi_demo_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if k == "png":
+        from hudi_demo_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "unknown container: only PPM/BMP/WAV/baseline-JPEG decode "
+        "unknown container: only PPM/BMP/WAV/baseline-JPEG/PNG decode "
         "without codec libraries; pass fake=True for the deterministic "
         "test double"
     )

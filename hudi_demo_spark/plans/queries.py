@@ -2156,6 +2156,61 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_png_decode",
+    """
+    SELECT d.doc_id,
+           CAST(sum((d.doc_id * 11 + i.i * 17 + j.j * 23) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(16) i(i), range(24) j(j)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode (numpy + stdlib zlib), exactly oracled: each
+    doc_id synthesizes a 16×24 grayscale image with pixel (i,j) =
+    (doc_id·11 + i·17 + j·23) mod 256, DEFLATE-encoded as an actual
+    PNG whose scanline filter type cycles with doc_id % 5 — so the
+    gate exercises every unfilter path (None/Sub/Up/Average/Paeth).
+    PNG is lossless, so the decoded pixel sum equals the closed-form
+    SQL sum bit-exactly; an inflate slip, filter bug, or sample-demux
+    error breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.png import encode_png
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                i, j = np.meshgrid(np.arange(16), np.arange(24),
+                                   indexing="ij")
+                g = ((int(did) * 11 + i * 17 + j * 23) % 256).astype(
+                    np.uint8
+                )
+                px = decode_media(
+                    encode_png(g, filter_type=int(did) % 5)
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_afp_dedup",
     """
     SELECT a.doc_id AS a, b.doc_id AS b

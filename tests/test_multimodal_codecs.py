@@ -323,3 +323,99 @@ def test_jpeg_feature_extraction_mapinpandas(spark):
     feats = row["feature"]
     assert feats[0] == 32.0 and feats[1] == 32.0  # width, height
     assert abs(feats[2] - float(g.mean())) < 1e-6  # exact decode → mean
+
+
+# ---------------------------------------------------------------------------
+# PNG (round-4): numpy + stdlib-zlib decoder
+# ---------------------------------------------------------------------------
+
+def _png_chunks(ihdr_body, extra, pixdata):
+    """Hand-build a PNG from raw parts (paths the fixture encoder
+    doesn't emit: palette, RGBA, 16-bit)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for ctype, body in extra:
+        out += chunk(ctype, body)
+    out += chunk(b"IDAT", zlib.compress(pixdata)) + chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("gray", [False, True])
+def test_png_roundtrip_every_filter(ft, gray):
+    from hudi_demo_spark.operators.png import decode_png, encode_png
+
+    if gray:
+        a = _rng(ft).integers(0, 256, size=(9, 21), dtype=np.uint8)
+    else:
+        a = _rng(ft).integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    out = decode_png(encode_png(a, filter_type=ft))
+    want = np.stack([a, a, a], axis=2) if gray else a
+    assert np.array_equal(out["pixels"], want)
+
+
+def test_png_rgba_composites_over_black():
+    import struct
+
+    from hudi_demo_spark.operators.png import decode_png
+
+    # 1×2 RGBA: opaque red, half-transparent white
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    row = b"\x00" + bytes([255, 0, 0, 255, 255, 255, 255, 128])
+    out = decode_png(_png_chunks(ihdr, [], row))
+    assert out["pixels"][0, 0].tolist() == [255, 0, 0]
+    assert out["pixels"][0, 1].tolist() == [128, 128, 128]
+
+
+def test_png_palette_and_16bit():
+    import struct
+
+    from hudi_demo_spark.operators.png import decode_png
+
+    # 2×2 paletted (depth 8): indices into a 3-color palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    out = decode_png(_png_chunks(ihdr, [(b"PLTE", plte)], rows))
+    assert out["pixels"][0, 0].tolist() == [255, 0, 0]
+    assert out["pixels"][0, 1].tolist() == [0, 255, 0]
+    assert out["pixels"][1, 0].tolist() == [0, 0, 255]
+    # 1×2 16-bit gray: high byte survives the scale-down
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    row16 = b"\x00" + struct.pack(">HH", 0xABCD, 0x1234)
+    o16 = decode_png(_png_chunks(ihdr16, [], row16))
+    assert o16["pixels"][0, 0, 0] == 0xAB and o16["pixels"][0, 1, 0] == 0x12
+
+
+def test_png_sub_byte_palette_depth():
+    import struct
+
+    from hudi_demo_spark.operators.png import decode_png
+
+    # 4×1 depth-2 palette: indices 0,1,2,3 packed into one byte
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 2, 3, 0, 0, 0)
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40])
+    row = b"\x00" + bytes([0b00011011])
+    out = decode_png(_png_chunks(ihdr, [(b"PLTE", plte)], row))
+    assert [out["pixels"][0, i].tolist() for i in range(4)] == [
+        [10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 40]]
+
+
+def test_png_interlaced_rejected_and_dispatch():
+    import struct
+
+    from hudi_demo_spark.operators.png import decode_png, encode_png
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_png_chunks(ihdr, [], b""))
+    a = np.full((4, 4, 3), 7, dtype=np.uint8)
+    payload = encode_png(a)
+    assert mm.sniff(payload) == "png"
+    assert np.array_equal(mm.decode_media(payload)["pixels"], a)

@@ -95,6 +95,7 @@ HEADLINE = [
     "engine_dml_filegroup",
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
+    "engine_bloom_filegroup",
 ]
 
 

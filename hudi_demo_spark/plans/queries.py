@@ -5375,6 +5375,75 @@ def engine_dml_filegroup(spark, sf_dir):
 
 
 @q(
+    "engine_bloom_filegroup",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders
+                                     WHERE o_orderkey % 4 = 1
+                                       AND o_orderkey >= 100)
+                  THEN 'B' ELSE o_orderstatus END AS st,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    )
+    SELECT o_orderkey, st AS o_orderstatus, o_totalprice
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def engine_bloom_filegroup(spark, sf_dir):
+    """Bloom-index point-upsert pruning, SELF-ASSERTING: two insert
+    commits with INTERLEAVED key populations (o_orderkey % 4 = 1 vs 2)
+    make the per-file key RANGES overlap completely, so range pruning
+    alone cannot localize a key — only the per-file bloom sidecars can.
+    A one-key upsert must then replace exactly ONE file group; the
+    commit's files_removed count is asserted inside the query, so the
+    bloom probe's pruning effect (the property that keeps a point
+    upsert from rewriting every overlapping file at 100 TB) is
+    re-proven on every driver run. Returns the oracled post-upsert
+    state."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    root = _scratch("engine_bloom_filegroup", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table(
+        "t", record_key="o_orderkey",
+        props={"index.bloom.enabled": True},
+    )
+    eng.insert(o.filter(F.col("o_orderkey") % 4 == 1), "t")
+    eng.insert(o.filter(F.col("o_orderkey") % 4 == 2), "t")
+    live_before = set(Timeline(eng._resolve("t").path).live_files())
+    if len(live_before) < 2:
+        raise AssertionError("fixture must build >=2 file groups")
+    # the probe key must sit lexicographically INSIDE both commits'
+    # string key ranges (record keys compare as strings), or range
+    # pruning alone would localize it and the bloom would go untested —
+    # ">= 100" lands it mid-range on every SF
+    key = o.filter(
+        (F.col("o_orderkey") % 4 == 1) & (F.col("o_orderkey") >= 100)
+    ).agg(F.min("o_orderkey")).collect()[0][0]
+    delta = o.filter(F.col("o_orderkey") == key).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+    meta = eng.upsert(delta, "t")
+    removed = set(meta["files_removed"])
+    if len(removed) != 1:
+        raise AssertionError(
+            f"bloom pruning regression: one-key upsert replaced "
+            f"{len(removed)}/{len(live_before)} file groups"
+        )
+    return (
+        eng.read("t")
+        .select("o_orderkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_rollup_mutations",
     """
     WITH cur AS (

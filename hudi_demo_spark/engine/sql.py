@@ -644,7 +644,8 @@ class SqlRouter:
             )
         if proc == "create_join_view":
             # CALL create_join_view(table => 'fact', name => 'view',
-            #                       right_table => 'dim', on => 'k1,k2')
+            #                       right_table => 'dim', on => 'k1,k2'
+            #                       [, how => 'left'])
             from hudi_demo_spark.engine.derived import create_join_view
 
             name, right = args.get("name"), args.get("right_table")
@@ -655,7 +656,10 @@ class SqlRouter:
                     "call create_join_view(table => 'fact', name => 'v', "
                     "right_table => 'dim', on => 'k')"
                 )
-            create_join_view(self.engine, name, table, right, on)
+            create_join_view(
+                self.engine, name, table, right, on,
+                how=args.get("how", "inner"),
+            )
             return None
         if proc == "refresh_join_view":
             from hudi_demo_spark.engine.derived import refresh_join_view

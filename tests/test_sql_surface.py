@@ -575,3 +575,33 @@ def test_call_derived_table_procedures(engine, spark):
     r = engine.sql("call refresh_join_view(table => 'dview')").collect()[0]
     assert r["refreshed"] is True
     assert engine.read("dview").count() == 50  # g in {0,1} only
+
+
+def test_call_left_join_view_procedure(engine, spark):
+    """CALL create_join_view(..., how => 'left') routes the LEFT OUTER
+    derived-table shape through the SQL surface."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("lsrc", record_key="k")
+    engine.insert(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+        ),
+        "lsrc",
+    )
+    engine.create_table("ldim", record_key="g")
+    engine.insert(
+        spark.createDataFrame([("0", "zero")], "g string, label string"),
+        "ldim",
+    )
+    engine.sql(
+        "call create_join_view(table => 'lsrc', name => 'lview', "
+        "right_table => 'ldim', on => 'g', how => 'left')"
+    )
+    r = engine.sql("call refresh_join_view(table => 'lview')").collect()[0]
+    assert r["refreshed"] is True
+    got = {r["k"]: r["label"] for r in engine.read("lview").collect()}
+    assert len(got) == 10
+    assert got[0] == "zero" and got[4] == "zero"
+    assert got[1] is None and got[2] is None

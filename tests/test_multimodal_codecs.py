@@ -83,7 +83,12 @@ def test_image_features_match_numpy():
 
 
 def test_unknown_container_still_raises():
+    # MP3 frame sync — a container that genuinely needs a library
     with pytest.raises(NotImplementedError, match="unknown container"):
+        mm.decode_image(b"\xff\xfb\x90\x64" + b"\0" * 32)
+    # PNG is now a REAL decoder: a corrupt stream is a ValueError from
+    # the codec, no longer an unknown-container stub
+    with pytest.raises(ValueError, match="missing IHDR/IDAT"):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
     # and the fake path is unchanged (oracle stability)
     assert mm.decode_image(b"abc", fake=True) == mm.decode_image(

@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
     "engine_bloom_filegroup",
+    "engine_view_prune",
 ]
 
 

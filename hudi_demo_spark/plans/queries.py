@@ -5444,6 +5444,91 @@ def engine_bloom_filegroup(spark, sf_dir):
 
 
 @q(
+    "engine_view_prune",
+    """
+    WITH mx AS (
+      SELECT max(event_id) AS m FROM events WHERE event_id % 4 = 0
+    ), src AS (
+      SELECT event_id,
+             CAST(floor(event_id * 4.0 / (mx.m + 1)) AS INT) AS band,
+             CASE WHEN event_id = 8 THEN 999.5 ELSE value END AS value
+      FROM events, mx WHERE event_id % 4 = 0
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM src GROUP BY band ORDER BY band
+    """,
+)
+def engine_view_prune(spark, sf_dir):
+    """Derived-view refresh pruning, SELF-ASSERTING (the round-3 scale
+    flaw's permanent guard): four band-aligned insert commits give every
+    file group disjoint record-key ranges AND disjoint group-col stats;
+    after a one-row source UPDATE the rollup's partial recompute must
+    read the source with point pruning on EVERY snapshot access —
+    asserted inside the query by spying `engine.read` (each source read
+    carries a point_filter/point_prune kwarg and scans a strict file
+    subset). This is what keeps incremental maintenance from scanning
+    the whole 100 TB fact table per refresh. Returns the oracled rollup
+    state."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_view_prune", sf_dir)
+    eng = Engine(spark, root)
+    ids = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 4 == 0
+    )
+    # scale-invariant quartile banding: 4 contiguous id ranges at any SF
+    mx = ids.agg(F.max("event_id")).collect()[0][0]
+    e = ids.select(
+        "event_id",
+        F.floor(F.col("event_id") * 4.0 / (mx + 1)).cast("int").alias("band"),
+        "value",
+    )
+    eng.create_table(
+        "src", record_key="event_id", props={"write.stats_cols": "band"}
+    )
+    for b in range(4):
+        eng.insert(e.filter(F.col("band") == b), "src")
+    create_rollup(eng, "src", "roll", ["band"], ["value"])
+    refresh_rollup(eng, "roll")
+    eng.update("src", set={"value": F.lit(999.5)}, where="event_id = 8")
+    total = len(eng.read("src").inputFiles())
+    if total < 4:
+        raise AssertionError("fixture must build >=4 source file groups")
+    orig_read = eng.read
+    src_reads: list[tuple[bool, int]] = []
+
+    def spy(table, **kw):
+        df = orig_read(table, **kw)
+        if table == "src":
+            pruned = (
+                kw.get("point_filter") is not None
+                or kw.get("point_prune") is not None
+            )
+            src_reads.append((pruned, len(df.inputFiles())))
+        return df
+
+    eng.read = spy
+    try:
+        refresh_rollup(eng, "roll")
+    finally:
+        eng.read = orig_read
+    if not src_reads:
+        raise AssertionError("recompute must read the source")
+    if not all(p and n < total for p, n in src_reads):
+        raise AssertionError(
+            f"view-refresh pruning regression: source reads "
+            f"{src_reads} vs {total} live files"
+        )
+    return (
+        eng.read("roll")
+        .select("band", "n_rows", F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("band")
+    )
+
+
+@q(
     "engine_rollup_mutations",
     """
     WITH cur AS (

@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_png_decode",
     "engine_bloom_filegroup",
     "engine_view_prune",
+    "engine_chained_rollup",
 ]
 
 

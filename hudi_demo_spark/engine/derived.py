@@ -83,6 +83,18 @@ def _data_ops(window: list[dict]) -> list[dict]:
     return [m for m in window if m["operation"] not in _ROW_PRESERVING]
 
 
+def _save_props(engine, name: str, updates: dict) -> None:
+    """Persist view props through a FRESH config resolve. The cfg
+    snapshot a refresh resolved at entry is stale by save time — the
+    refresh's own upsert stored the view's pinned schema through its
+    own resolve, and saving the entry snapshot would clobber
+    schema_json back to None (the bug that broke chained views: the
+    downstream CDC read's empty before-image then had no schema)."""
+    cfg = engine._resolve(name)
+    cfg.props.update(updates)
+    cfg.save()
+
+
 def create_rollup(
     engine,
     source: str,
@@ -133,8 +145,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
     if not data_win:
         # services only (clean/cluster/compact/...): no row changed —
         # advance the offset without touching the rollup
-        cfg.props[_OFFSET_PROP] = end
-        cfg.save()
+        _save_props(engine, name, {_OFFSET_PROP: end})
         return None
     bad = [m["operation"] for m in data_win if m["operation"] not in _ALLOWED]
     if bad:
@@ -146,8 +157,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         out = _refresh_recompute(
             engine, name, source, group_cols, sum_cols, begin, end
         )
-        cfg.props[_OFFSET_PROP] = end
-        cfg.save()
+        _save_props(engine, name, {_OFFSET_PROP: end})
         return out
     delta = engine.read_incremental(source, begin=begin, end=end)
     partial = delta.groupBy(*group_cols).agg(
@@ -187,8 +197,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         combined = partial
     out = engine.upsert(combined, name)
     partial.unpersist()
-    cfg.props[_OFFSET_PROP] = end
-    cfg.save()
+    _save_props(engine, name, {_OFFSET_PROP: end})
     return out
 
 
@@ -291,11 +300,13 @@ def refresh_join_view(engine, name: str) -> dict | None:
         ]
 
     def _advance(le, re_):
+        upd = {}
         if le is not None:
-            cfg.props["derived.join.left_offset"] = le
+            upd["derived.join.left_offset"] = le
         if re_ is not None:
-            cfg.props["derived.join.right_offset"] = re_
-        cfg.save()
+            upd["derived.join.right_offset"] = re_
+        if upd:
+            _save_props(engine, name, upd)
 
     lb, le, lwin = window(lcfg, "derived.join.left_offset")
     rb, re_, rwin = window(rcfg, "derived.join.right_offset")

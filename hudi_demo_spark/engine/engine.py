@@ -2163,6 +2163,16 @@ class Engine:
         else:
             before = self.read(cfg, as_of=begin) if begin else self._empty(cfg)
             after = self.read(cfg, as_of=end)
+        # a side with no exclusive files reads as a schema-less empty
+        # frame when the table has no stored schema (meta columns only);
+        # conform it to the other side so the data-column projection
+        # below stays resolvable — e.g. begin=None (before side is
+        # nothing) or an insert-only window (no before-only files)
+        meta = set(META_COLS) | {DELETED_META}
+        if not (set(before.columns) - meta) and (set(after.columns) - meta):
+            before = after.limit(0)
+        elif not (set(after.columns) - meta) and (set(before.columns) - meta):
+            after = before.limit(0)
         for side_deleted in (DELETED_META,):
             if side_deleted in before.columns:
                 before = before.filter(
@@ -2172,7 +2182,6 @@ class Engine:
                 after = after.filter(
                     ~F.coalesce(F.col(side_deleted), F.lit(False))
                 )
-        meta = set(META_COLS) | {DELETED_META}
         data_cols = [c for c in after.columns if c not in meta]
         b = before.select(
             F.col(RECORD_KEY_META), F.struct(*data_cols).alias("__before")

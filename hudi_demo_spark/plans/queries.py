@@ -5529,6 +5529,69 @@ def engine_view_prune(spark, sf_dir):
 
 
 @q(
+    "engine_chained_rollup",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type IN ('click', 'view') THEN 'passive'
+                  ELSE 'active' END AS et_class,
+             CASE WHEN event_id = 8 THEN 999.5 ELSE value END AS value
+      FROM events WHERE event_id % 4 = 0
+    ), r1 AS (
+      SELECT et_class, event_type, count(*) AS n_rows,
+             sum(value) AS sum_value
+      FROM src GROUP BY et_class, event_type
+    )
+    SELECT et_class, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(sum_value), 2) AS sum_sum_value
+    FROM r1 GROUP BY et_class ORDER BY et_class
+    """,
+)
+def engine_chained_rollup(spark, sf_dir):
+    """CASCADING materialized views (rollup OVER a rollup): a derived
+    table is a full engine table — timeline, CDC, pinned schema — so a
+    second-level view maintains itself from the first level's upsert
+    commits through the same recompute machinery, and an upstream
+    UPDATE propagates through BOTH levels on refresh. Final level-2
+    state must equal the batch double aggregate."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_chained_rollup", sf_dir)
+    eng = Engine(spark, root)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_type").isin("click", "view"), "passive"
+            ).otherwise("active").alias("et_class"),
+            "value",
+        )
+    )
+    eng.create_table("src", record_key="event_id")
+    create_rollup(eng, "src", "r1", ["et_class", "event_type"], ["value"])
+    create_rollup(eng, "r1", "r2", ["et_class"], ["sum_value"])
+    eng.insert(e.filter(F.col("event_id") % 8 == 0), "src")
+    refresh_rollup(eng, "r1")
+    refresh_rollup(eng, "r2")
+    eng.insert(e.filter(F.col("event_id") % 8 == 4), "src")
+    eng.update("src", set={"value": F.lit(999.5)}, where="event_id = 8")
+    refresh_rollup(eng, "r1")
+    refresh_rollup(eng, "r2")
+    return (
+        eng.read("r2")
+        .select(
+            "et_class", "n_rows",
+            F.round("sum_sum_value", 2).alias("sum_sum_value"),
+        )
+        .orderBy("et_class")
+    )
+
+
+@q(
     "engine_rollup_mutations",
     """
     WITH cur AS (

@@ -1201,3 +1201,42 @@ def test_left_join_view_requires_right_key_in_on(engine, spark):
     with _pytest.raises(ValueError, match="record key"):
         create_join_view(engine, "ljv2", "ljf2", "ljd2", on=["d"],
                          how="left")
+
+
+def test_chained_rollup_cascades(engine, spark):
+    """Rollup OVER a rollup (cascading materialized views): a derived
+    table is a full engine table, so a second-level view maintains
+    itself from the first's upsert commits via the same CDC recompute
+    machinery. Regression for two bugs: (1) the refresh's stale cfg
+    snapshot clobbered the view's pinned schema on offset save; (2) the
+    CDC read's empty before-image (begin=None, or an insert-only
+    window's no-before-only-files case) lost its data columns."""
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    rows = "id int, g string, band string, v double"
+
+    def df(lo, g, band, v=1.0):
+        return spark.createDataFrame(
+            [(i, g, band, v) for i in range(lo, lo + 10)], rows
+        )
+
+    engine.create_table("csrc", record_key="id")
+    engine.insert(df(0, "a", "x"), "csrc")
+    engine.insert(df(10, "b", "x"), "csrc")
+    create_rollup(engine, "csrc", "cr1", ["g", "band"], ["v"])
+    assert refresh_rollup(engine, "cr1") is not None
+    # bug (1): the offset save must not clobber the pinned schema
+    assert engine._resolve("cr1").schema_json is not None
+    create_rollup(engine, "cr1", "cr2", ["band"], ["sum_v"])
+    # bug (2): first window is an upsert -> recompute with begin=None
+    assert refresh_rollup(engine, "cr2") is not None
+    engine.insert(df(20, "c", "y"), "csrc")
+    engine.update("csrc", set={"v": F.lit(5.0)}, where="id = 3")
+    assert refresh_rollup(engine, "cr1") is not None
+    assert refresh_rollup(engine, "cr2") is not None
+    got = {
+        r["band"]: (r["n_rows"], r["sum_sum_v"])
+        for r in engine.read("cr2").collect()
+    }
+    # x: groups (a,x)=9*1+5=14 and (b,x)=10 -> 2 groups, 24.0
+    assert got == {"x": (2, 24.0), "y": (1, 10.0)}

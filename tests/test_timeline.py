@@ -1240,3 +1240,43 @@ def test_chained_rollup_cascades(engine, spark):
     }
     # x: groups (a,x)=9*1+5=14 and (b,x)=10 -> 2 groups, 24.0
     assert got == {"x": (2, 24.0), "y": (1, 10.0)}
+
+
+def test_join_view_over_rollup_cascades(engine, spark):
+    """A join view whose LEFT source is itself a derived rollup — the
+    other cascading shape (enrich a maintained aggregate with a
+    dimension). Level-1 refresh commits are upserts, so the view's
+    refresh takes the CDC recompute path against a derived source."""
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, create_rollup, refresh_join_view, refresh_rollup,
+    )
+
+    rows = "id int, g string, v double"
+    engine.create_table("jcsrc", record_key="id")
+    engine.insert(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], 1.0) for i in range(20)], rows
+        ),
+        "jcsrc",
+    )
+    create_rollup(engine, "jcsrc", "jcr1", ["g"], ["v"])
+    assert refresh_rollup(engine, "jcr1") is not None
+    engine.create_table("jcdim", record_key="g")
+    engine.insert(
+        spark.createDataFrame(
+            [("a", "alpha"), ("b", "beta")], "g string, label string"
+        ),
+        "jcdim",
+    )
+    create_join_view(engine, "jcv", "jcr1", "jcdim", on=["g"])
+    assert refresh_join_view(engine, "jcv") is not None
+    got = {r["g"]: (r["sum_v"], r["label"])
+           for r in engine.read("jcv").collect()}
+    assert got == {"a": (10.0, "alpha"), "b": (10.0, "beta")}
+    # upstream update cascades: rollup recompute -> view recompute
+    engine.update("jcsrc", set={"v": F.lit(6.0)}, where="id = 0")
+    assert refresh_rollup(engine, "jcr1") is not None
+    assert refresh_join_view(engine, "jcv") is not None
+    got = {r["g"]: (r["sum_v"], r["label"])
+           for r in engine.read("jcv").collect()}
+    assert got == {"a": (15.0, "alpha"), "b": (10.0, "beta")}

@@ -503,6 +503,47 @@ def _recompute_left(
     return out
 
 
+def refresh_all(engine) -> dict[str, dict | None]:
+    """Refresh EVERY derived table in dependency order — the one-call
+    settle for cascading views (a rollup over a rollup, a join view over
+    a rollup): topological over the `derived.source` / `derived.join.*`
+    edges, so an upstream delta has propagated through level N before
+    level N+1 refreshes. Returns {view: commit meta | None} in refresh
+    order. Raises on a dependency cycle (impossible to settle)."""
+    deps: dict[str, list[str]] = {}
+    kinds: dict[str, str] = {}
+    for name in engine.list_tables():
+        props = engine._resolve(name).props
+        if "derived.source" in props:
+            deps[name] = [props["derived.source"]]
+            kinds[name] = "rollup"
+        elif "derived.join.left" in props:
+            deps[name] = [
+                props["derived.join.left"], props["derived.join.right"]
+            ]
+            kinds[name] = "join"
+    order: list[str] = []
+    pending = set(deps)
+    while pending:
+        ready = sorted(
+            n for n in pending if not any(d in pending for d in deps[n])
+        )
+        if not ready:
+            raise ValueError(
+                f"cyclic derived-table dependencies: {sorted(pending)}"
+            )
+        order.extend(ready)
+        pending.difference_update(ready)
+    out: dict[str, dict | None] = {}
+    for n in order:
+        out[n] = (
+            refresh_rollup(engine, n)
+            if kinds[n] == "rollup"
+            else refresh_join_view(engine, n)
+        )
+    return out
+
+
 def _refresh_recompute(
     engine, name, source, group_cols, sum_cols, begin, end
 ):

@@ -431,6 +431,19 @@ class SqlRouter:
             return self.engine.spark.createDataFrame(
                 [(n,) for n in names], "table string"
             )
+        if proc == "refresh_views":
+            # catalog-wide, no table arg: refresh every derived table in
+            # dependency order (cascading views settle in one call)
+            from hudi_demo_spark.engine.derived import refresh_all
+
+            out = refresh_all(self.engine)
+            return self.spark.createDataFrame(
+                [
+                    (n, meta is not None, (meta or {}).get("instant"))
+                    for n, meta in out.items()
+                ],
+                "view string, refreshed boolean, instant string",
+            )
         if table is None:
             raise ValueError(f"call {proc}(table => '<name>', ...)")
         if proc == "show_commits":

@@ -1280,3 +1280,41 @@ def test_join_view_over_rollup_cascades(engine, spark):
     got = {r["g"]: (r["sum_v"], r["label"])
            for r in engine.read("jcv").collect()}
     assert got == {"a": (15.0, "alpha"), "b": (10.0, "beta")}
+
+
+def test_refresh_all_topological(engine, spark):
+    """refresh_all settles a two-level cascade in ONE call regardless of
+    creation order, and the CALL surface exposes it catalog-wide."""
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_all
+
+    rows = "id int, g string, band string, v double"
+    engine.create_table("rasrc", record_key="id")
+    create_rollup(engine, "rasrc", "rar1", ["g", "band"], ["v"])
+    create_rollup(engine, "rar1", "rar2", ["band"], ["sum_v"])
+    engine.insert(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], "x", 1.0) for i in range(20)], rows
+        ),
+        "rasrc",
+    )
+    out = refresh_all(engine)
+    # level 1 refreshed before level 2 (topological order)
+    names = list(out)
+    assert names.index("rar1") < names.index("rar2")
+    assert out["rar1"] is not None and out["rar2"] is not None
+    got = {r["band"]: (r["n_rows"], r["sum_sum_v"])
+           for r in engine.read("rar2").collect()}
+    assert got == {"x": (2, 20.0)}
+    # idle second pass: nothing to do, still ordered, all None
+    out2 = refresh_all(engine)
+    assert set(out2) == set(out) and all(v is None for v in out2.values())
+    # SQL CALL surface
+    engine.insert(
+        spark.createDataFrame([(100, "a", "y", 2.0)], rows), "rasrc"
+    )
+    res = {r["view"]: r["refreshed"]
+           for r in engine.sql("call refresh_views()").collect()}
+    assert res["rar1"] and res["rar2"]
+    got = {r["band"]: r["sum_sum_v"]
+           for r in engine.read("rar2").collect()}
+    assert got == {"x": 20.0, "y": 2.0}

@@ -98,6 +98,10 @@ HEADLINE = [
     "engine_bloom_filegroup",
     "engine_view_prune",
     "engine_chained_rollup",
+    "dedup_substring_spans",
+    "dedup_substring_scrub",
+    "events_gap_fill_locf",
+    "events_gap_fill_linear",
 ]
 
 

@@ -403,3 +403,159 @@ def cross_corpus_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     return _jaccard_assemble(inter, na, nb, threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated-span detection — suffix-array style)
+# ---------------------------------------------------------------------------
+
+
+def _dup_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """(id, pos) of every token k-gram whose exact text occurs at least
+    `min_count` times corpus-wide (all occurrences count, including
+    repeats inside one document — the ExactSubstr notion). `pos` is the
+    1-based token index of the gram's first token.
+
+    One explode + ONE shuffle: the occurrence count is a window over the
+    gram's 64-bit hash, so the shuffle key is 8 bytes, not the gram
+    text. Skew is bounded by the hottest gram's corpus frequency —
+    boilerplate grams concentrate their own occurrences on one key but
+    never fan out (no join, no pair enumeration)."""
+    from hudi_demo_spark.functions.textfn import word_ngrams
+
+    grams = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(text_col, k)).alias("__p0", "__g"),
+        )
+        .select(
+            id_col,
+            (F.col("__p0") + 1).alias("pos"),
+            F.xxhash64("__g").alias("__gh"),
+        )
+    )
+    w = Window.partitionBy("__gh")
+    return (
+        grams.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") >= min_count)
+        .select(id_col, "pos")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: (id, span_start,
+    span_len), `span_start` 1-based, spans ≥ k tokens.
+
+    The exact-substring dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (2021), re-expressed for Spark:
+    instead of a monolithic suffix array, every token k-gram occurring
+    ≥ `min_count` times corpus-wide marks its k tokens as duplicated,
+    and overlapping/adjacent marked intervals merge into maximal spans
+    (any duplicated substring of length ≥ k is covered by its k-gram
+    windows, so span coverage equals the suffix-array answer at
+    granularity k). Merge is the classic gaps-and-islands: per doc,
+    sorted positions break into islands where the gap exceeds k.
+
+    Two shuffles total (gram hash, then doc id) — no pair enumeration,
+    no crossJoin; scales with corpus token count."""
+    hits = _dup_gram_positions(df, id_col, text_col, k, min_count)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    marked = hits.withColumn(
+        "__brk",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+        )
+        .drop("__isl")
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: (id, n_tokens, n_spans,
+    dup_tokens, dup_fraction) for documents with at least one span —
+    the corpus-health report that decides whether substring scrubbing
+    is worth running."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    nt = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    return nt.join(per_doc, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite `text_col` with every duplicated span's tokens removed
+    (all original columns preserved; `out_col` writes beside instead of
+    replacing). A document whose every token is covered — an exact
+    duplicate — scrubs to the empty string; untouched documents pass
+    through byte-identical.
+
+    The span table rides a per-doc array (collect_list — bounded by
+    spans-per-doc, not corpus size) and the token filter is a pure
+    higher-order-function expression: no Python UDF, no second pass
+    over the corpus text."""
+    out = out_col or text_col
+    spans = (
+        duplicate_spans(df, id_col, text_col, k, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_len").alias("n")
+                )
+            ).alias("__spans")
+        )
+    )
+    joined = df.join(spans, id_col, "left")
+    kept = F.filter(
+        tokens(text_col),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: ((i + 1) >= sp["s"]) & ((i + 1) < sp["s"] + sp["n"]),
+        ),
+    )
+    scrubbed = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    keep_cols = [c for c in df.columns if c != text_col or out != text_col]
+    return joined.select(*keep_cols, scrubbed.alias(out))

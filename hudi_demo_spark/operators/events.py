@@ -249,3 +249,83 @@ def sliding_window_agg(
         .withColumn("window_start", F.col("__w.start"))
         .drop("__w")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+    agg: str = "avg",
+    fill: str = "locf",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed `step_s`-second grid per
+    group — the hypertable `time_bucket_gapfill` shape: bucket-aggregate
+    the observed values (`agg` ∈ avg/sum/min/max/count), generate every
+    bucket between each group's first and last observation, and fill the
+    empty ones. Returns (*group_cols, bucket, <value_col>) with `bucket`
+    the epoch-second bucket start.
+
+    `fill`: 'locf' carries the last observation forward (leading gaps
+    stay NULL); 'linear' interpolates between the surrounding
+    observations (edge gaps fall back to the nearest observation);
+    'zero' fills 0; 'none' leaves gaps NULL.
+
+    Scale shape: one keyed aggregation shuffle for the buckets, a
+    per-group bounds aggregate (rows = groups), a grid explode whose
+    size is the OUTPUT size, and one window per group for the fill —
+    no crossJoin, no driver loop. Dense-grid windows over very long
+    ranges partition by group; salt the group key upstream if one
+    group's grid exceeds a partition."""
+    aggs = {
+        "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+        "count": F.count,
+    }
+    if agg not in aggs:
+        raise ValueError(f"gap_fill agg must be one of {sorted(aggs)}")
+    if fill not in ("locf", "linear", "zero", "none"):
+        raise ValueError("gap_fill fill must be locf|linear|zero|none")
+    step = int(step_s)
+    # NTZ timestamps can't cast straight to double; route through
+    # TIMESTAMP (session-tz interpretation — run under UTC for
+    # wall-clock bucket labels)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    bucket = (F.floor(epoch / step) * step).cast("long")
+    obs = (
+        df.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(aggs[agg](value_col).cast("double").alias("__v"))
+    )
+    bounds = obs.groupBy(*group_cols).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
+        ).alias("bucket"),
+    )
+    g = grid.join(obs, [*group_cols, "bucket"], "left")
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    if fill == "locf":
+        filled = F.last("__v", ignorenulls=True).over(wp)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0.0))
+    elif fill == "none":
+        filled = F.col("__v")
+    else:  # linear
+        pt = F.when(
+            F.col("__v").isNotNull(),
+            F.struct(F.col("bucket").alias("b"), F.col("__v").alias("v")),
+        )
+        prev = F.last(pt, ignorenulls=True).over(wp)
+        nxt = F.first(pt, ignorenulls=True).over(wf)
+        lerp = prev["v"] + (nxt["v"] - prev["v"]) * (
+            (F.col("bucket") - prev["b"]) / (nxt["b"] - prev["b"])
+        )
+        filled = F.coalesce(F.col("__v"), lerp, prev["v"], nxt["v"])
+    return g.select(
+        *group_cols, "bucket", filled.alias(value_col)
+    )

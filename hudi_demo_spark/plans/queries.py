@@ -1578,6 +1578,107 @@ def dedup_canonical_quality(spark, sf_dir):
     )
 
 
+# Duplicated-span CTEs (exact substring dedup, Lee et al. 2021 shape):
+# word 8-grams occurring ≥2 times corpus-wide mark their tokens, marked
+# positions merge gaps-and-islands style into maximal spans. Shared by
+# the span and scrub oracles so the gram/merge semantics cannot drift.
+SUBSTR_SPAN_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), kgrams AS (
+      SELECT doc_id, s AS pos, array_to_string(t[s:s+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(s)
+      WHERE len(t) >= 8
+    ), dupg AS (
+      SELECT g FROM kgrams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM kgrams WHERE g IN (SELECT g FROM dupg)
+    ), marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 8 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH {SUBSTR_SPAN_CTES}
+    SELECT doc_id, span_start, span_len
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    """Exact-substring duplicate spans (suffix-array-free ExactSubstr):
+    maximal token spans covered by any word 8-gram that occurs ≥2 times
+    corpus-wide. Two keyed shuffles (gram hash, doc id) — the 100 TB
+    shape of Lee et al.'s dedup without a distributed suffix array."""
+    from hudi_demo_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@q(
+    "dedup_substring_scrub",
+    f"""
+    WITH {SUBSTR_SPAN_CTES}, covered AS (
+      SELECT DISTINCT doc_id, u.p
+      FROM spans, UNNEST(generate_series(span_start,
+                                         span_start + span_len - 1)) AS u(p)
+    ), toksp AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM toksp tp
+      LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+      WHERE c.p IS NULL
+    ), scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, coalesce(sc.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM spans) s
+    LEFT JOIN scrub sc USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_substring_scrub_q(spark, sf_dir):
+    """Scrub duplicated spans out of the text (affected docs only): the
+    removal half of exact-substring dedup. A fully-covered document —
+    an exact duplicate — scrubs to the empty string. The token filter is
+    a pure higher-order-function expression over a per-doc span array;
+    no Python UDF, no second corpus pass."""
+    from hudi_demo_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    affected = duplicate_spans(d, "doc_id", "text", k=8).select(
+        "doc_id"
+    ).distinct()
+    return (
+        scrub_duplicate_spans(d, "doc_id", "text", k=8, out_col="clean_text")
+        .join(affected, "doc_id")
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
     """Full MinHash+LSH pipeline in DuckDB SQL: portable 60-bit shingle
     hash → 64 affine-mix mins → band-bucket candidates (joined on the raw
@@ -4572,6 +4673,88 @@ def events_sliding_window(spark, sf_dir):
         .select("window_start", "event_type", "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+# Shared 15-minute gap-fill grid CTEs (DuckDB dialect): bucket-avg the
+# observed values, per-group bounds, dense grid, observed LEFT-joined on.
+# Values stay UNROUNDED: the Spark fill expressions are arithmetic-order
+# aligned with these, so the doubles are bit-identical (verified at all
+# three SFs) and rounding would only add round()-boundary dialect risk.
+GAPFILL_GRID_CTES = """
+    obs AS (
+      SELECT event_type,
+             cast(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(bucket) mn, max(bucket) mx FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT event_type, u.b AS bucket
+      FROM bounds, UNNEST(generate_series(mn, mx, 900)) u(b)
+    ), g AS (
+      SELECT grid.event_type, grid.bucket, obs.v
+      FROM grid LEFT JOIN obs USING (event_type, bucket)
+    )"""
+
+
+@q(
+    "events_gap_fill_locf",
+    f"""
+    WITH {GAPFILL_GRID_CTES}
+    SELECT event_type, bucket,
+           coalesce(v, last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING)) AS value
+    FROM g ORDER BY event_type, bucket
+    """,
+)
+def events_gap_fill_locf(spark, sf_dir):
+    """Hypertable-style time_bucket_gapfill with last-observation-carried-
+    forward: 15-min buckets per event type, every gap between a group's
+    first and last observation filled from the latest earlier bucket.
+    Grid explode is output-sized; one window per group does the fill."""
+    from hudi_demo_spark.operators.events import gap_fill
+
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        e, ["event_type"], "ts", "value", 900, agg="avg", fill="locf"
+    ).orderBy("event_type", "bucket")
+
+
+@q(
+    "events_gap_fill_linear",
+    f"""
+    WITH {GAPFILL_GRID_CTES}, f AS (
+      SELECT event_type, bucket, v,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(b := bucket, v := v) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) AS p,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(b := bucket, v := v) END
+                    IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM g
+    )
+    SELECT event_type, bucket,
+           coalesce(v, p.v + (n.v - p.v) * ((bucket - p.b) / (n.b - p.b)),
+                    p.v, n.v) AS value
+    FROM f ORDER BY event_type, bucket
+    """,
+)
+def events_gap_fill_linear(spark, sf_dir):
+    """Gap-fill with linear interpolation between the surrounding
+    observations (edge gaps fall back to the nearest observation). The
+    lerp's operation order matches the oracle exactly, so the doubles
+    compare bit-for-bit unrounded."""
+    from hudi_demo_spark.operators.events import gap_fill
+
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        e, ["event_type"], "ts", "value", 900, agg="avg", fill="linear"
+    ).orderBy("event_type", "bucket")
 
 
 @q(

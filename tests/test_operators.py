@@ -806,3 +806,98 @@ def test_ivfpq_differential_vs_numpy(spark, sf_dir):
     for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
         got_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got_top == want_top
+
+
+def test_duplicate_spans_merge_and_scrub(spark):
+    from hudi_demo_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    # docs 1/2 share the 10-token run "a b c d e f g h i j" (k=4 grams
+    # of it repeat corpus-wide); doc 3 is clean; doc 4 duplicates a gram
+    # WITHIN itself (self-repetition also counts, ExactSubstr-style)
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, f"start {shared} end one"),
+        (2, f"other prefix {shared} tail"),
+        (3, "entirely unique words without repeats anywhere here"),
+        (4, "w x y z q w x y z q padding tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    # doc 1: shared run at tokens 2..11 → one merged span of 10
+    # doc 2: at tokens 3..12; doc 4: "w x y z q" twice at 1 and 6 →
+    # overlapping 4-gram windows merge into one span covering 1..10
+    assert spans == {(1, 2, 10), (2, 3, 10), (4, 1, 10)}
+    stats = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_fraction)
+        for r in duplicate_span_stats(df, "doc_id", "text", k=4).collect()
+    }
+    assert 3 not in stats
+    assert stats[1] == (13, 1, 10, round(10 / 13, 4))
+    assert stats[4] == (12, 1, 10, round(10 / 12, 4))
+    scrub = {
+        r.doc_id: r.text
+        for r in scrub_duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert scrub[1] == "start end one"
+    assert scrub[2] == "other prefix tail"
+    assert scrub[3] == rows[2][1]  # untouched doc passes through
+    assert scrub[4] == "padding tokens"
+
+
+def test_scrub_exact_duplicate_to_empty(spark):
+    from hudi_demo_spark.operators.dedup import scrub_duplicate_spans
+
+    rows = [(1, "one two three four five"), (2, "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in scrub_duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert out == {1: "", 2: ""}
+
+
+def test_gap_fill_modes(spark):
+    from hudi_demo_spark.operators.events import gap_fill
+
+    rows = [
+        ("a", "2024-01-01 00:00:30", 10.0),
+        ("a", "2024-01-01 00:03:10", 40.0),   # buckets 1 and 2 empty
+        ("b", "2024-01-01 00:00:10", 5.0),
+        ("b", "2024-01-01 00:00:50", 7.0),    # same bucket → avg 6.0
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = 1704067200  # 2024-01-01 UTC
+
+    def got(fill):
+        out = gap_fill(df, ["g"], "ts", "value", 60, fill=fill)
+        return {
+            (r.g, r.bucket): r.value
+            for r in out.collect()
+        }
+
+    locf = got("locf")
+    assert locf[("a", base)] == 10.0
+    assert locf[("a", base + 60)] == 10.0      # carried forward
+    assert locf[("a", base + 120)] == 10.0
+    assert locf[("a", base + 180)] == 40.0
+    assert locf[("b", base)] == 6.0            # in-bucket avg
+    linear = got("linear")
+    assert linear[("a", base + 60)] == 10.0 + (40.0 - 10.0) * (1 / 3)
+    assert linear[("a", base + 120)] == 10.0 + (40.0 - 10.0) * (2 / 3)
+    zero = got("zero")
+    assert zero[("a", base + 60)] == 0.0
+    none = got("none")
+    assert none[("a", base + 60)] is None
+    with pytest.raises(ValueError):
+        gap_fill(df, ["g"], "ts", "value", 60, fill="spline")
+    with pytest.raises(ValueError):
+        gap_fill(df, ["g"], "ts", "value", 60, agg="median")

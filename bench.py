@@ -98,6 +98,7 @@ HEADLINE = [
     "engine_bloom_filegroup",
     "engine_view_prune",
     "engine_chained_rollup",
+    "engine_continuous_aggregate",
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "events_gap_fill_locf",

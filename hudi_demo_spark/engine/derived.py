@@ -101,20 +101,47 @@ def create_rollup(
     name: str,
     group_cols: list[str],
     sum_cols: list[str],
+    expr_cols: dict[str, str] | None = None,
 ):
     """Define `name` as an incrementally-maintained rollup of `source`:
     per group, a row count and one sum per `sum_cols` entry. Returns the
-    rollup's TableConfig; call `refresh_rollup` to fold in new commits."""
+    rollup's TableConfig; call `refresh_rollup` to fold in new commits.
+
+    `expr_cols` maps derived column names to SQL expressions over the
+    source's columns, evaluated before grouping — `group_cols` may name
+    them. The hypertable continuous-aggregate shape: a time-bucket
+    rollup is `expr_cols={'bucket': 'cast(floor(cast(ts as double) /
+    900) * 900 as bigint)'}, group_cols=['bucket', ...]` and stays
+    incrementally maintained (an expression column is just a projection
+    on the delta — the fold/recompute algebra is unchanged)."""
+    import json
+
+    props = {
+        "derived.source": source,
+        "derived.group_cols": ",".join(group_cols),
+        "derived.sum_cols": ",".join(sum_cols),
+    }
+    if expr_cols:
+        props["derived.expr_cols"] = json.dumps(expr_cols)
     return engine.create_table(
         name,
         record_key=group_cols,
         partition_by=None,
-        props={
-            "derived.source": source,
-            "derived.group_cols": ",".join(group_cols),
-            "derived.sum_cols": ",".join(sum_cols),
-        },
+        props=props,
     )
+
+
+def _expr_cols(cfg) -> dict[str, str]:
+    import json
+
+    raw = cfg.props.get("derived.expr_cols")
+    return json.loads(raw) if raw else {}
+
+
+def _project(df: DataFrame, expr_cols: dict[str, str]) -> DataFrame:
+    for c, ex in expr_cols.items():
+        df = df.withColumn(c, F.expr(ex))
+    return df
 
 
 def refresh_rollup(engine, name: str) -> dict | None:
@@ -155,11 +182,15 @@ def refresh_rollup(engine, name: str) -> dict | None:
         # located via the CDC read; cost scales with changed groups,
         # not table size)
         out = _refresh_recompute(
-            engine, name, source, group_cols, sum_cols, begin, end
+            engine, name, source, group_cols, sum_cols, begin, end,
+            expr_cols=_expr_cols(cfg),
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
-    delta = engine.read_incremental(source, begin=begin, end=end)
+    delta = _project(
+        engine.read_incremental(source, begin=begin, end=end),
+        _expr_cols(cfg),
+    )
     partial = delta.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
@@ -545,7 +576,8 @@ def refresh_all(engine) -> dict[str, dict | None]:
 
 
 def _refresh_recompute(
-    engine, name, source, group_cols, sum_cols, begin, end
+    engine, name, source, group_cols, sum_cols, begin, end,
+    expr_cols: dict[str, str] | None = None,
 ):
     """View maintenance under arbitrary source DML: the CDC read names
     every changed row identity in (begin, end]; the affected GROUPS are
@@ -556,30 +588,41 @@ def _refresh_recompute(
     from the rollup. Both snapshot scans are key-pruned: the changed-key
     probe rides the record-key ranges / record index, the group
     re-aggregation rides col-stats or a secondary index on the first
-    group column. Group columns are assumed non-null (they are the
-    rollup's record key)."""
+    group column that exists in the SOURCE (expression-derived group
+    columns can't prune a physical scan — continuous aggregates keyed
+    only by a bucket expression fall back to stored, unpruned columns).
+    Group columns are assumed non-null (they are the rollup's record
+    key)."""
+    expr_cols = expr_cols or {}
     cdc = engine.read_cdc(source, begin=begin, end=end)
     keys = cdc.select(RECORD_KEY_META).distinct().persist()
     key_vals = _bounded_vals(keys, RECORD_KEY_META)
-    snap_k = (
+    snap_k = _project(
         engine.read(source, point_prune=(RECORD_KEY_META, key_vals))
-        if key_vals is not None else engine.read(source)
+        if key_vals is not None else engine.read(source),
+        expr_cols,
     )
     affected = snap_k.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
     if begin is not None:
-        prev = (
+        prev = _project(
             engine.read(
                 source, as_of=begin,
                 point_prune=(RECORD_KEY_META, key_vals),
             )
-            if key_vals is not None else engine.read(source, as_of=begin)
+            if key_vals is not None else engine.read(source, as_of=begin),
+            expr_cols,
         )
         affected = affected.union(
             prev.join(keys, RECORD_KEY_META, "left_semi").select(*group_cols)
         )
     groups = affected.distinct().persist()  # group collect + 2 joins
-    snap_g = _pruned_read(
-        engine, source, group_cols[0], _bounded_vals(groups, group_cols[0]), []
+    prune_col = next((c for c in group_cols if c not in expr_cols), None)
+    snap_g = _project(
+        _pruned_read(
+            engine, source, prune_col,
+            _bounded_vals(groups, prune_col) if prune_col else None, [],
+        ),
+        expr_cols,
     )
     fresh = (
         snap_g.join(groups, group_cols, "left_semi")

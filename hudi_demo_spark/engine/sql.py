@@ -631,7 +631,12 @@ class SqlRouter:
         if proc == "create_rollup":
             # derived-table surface (DeltaStreamer-style runnable jobs):
             # CALL create_rollup(table => 'src', name => 'roll',
-            #                    group_cols => 'a,b', sum_cols => 'v')
+            #                    group_cols => 'a,b', sum_cols => 'v'
+            #                    [, expr_cols => '{"bucket": "<sql>"}'])
+            # expr_cols (JSON) makes it a continuous aggregate: derived
+            # columns (time buckets) usable in group_cols
+            import json as _json
+
             from hudi_demo_spark.engine.derived import create_rollup
 
             name = args.get("name")
@@ -644,7 +649,11 @@ class SqlRouter:
                     "call create_rollup(table => 'src', name => 'roll', "
                     "group_cols => 'a,b', sum_cols => 'v')"
                 )
-            create_rollup(self.engine, table, name, groups, sums)
+            exprs = args.get("expr_cols")
+            create_rollup(
+                self.engine, table, name, groups, sums,
+                expr_cols=_json.loads(exprs) if exprs else None,
+            )
             return None
         if proc == "refresh_rollup":
             from hudi_demo_spark.engine.derived import refresh_rollup

@@ -5317,6 +5317,61 @@ def engine_incremental_rollup(spark, sf_dir):
 
 
 @q(
+    "engine_continuous_aggregate",
+    """
+    SELECT event_type,
+           cast(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 2 = 0 AND NOT event_id % 10 = 4
+    GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+)
+def engine_continuous_aggregate(spark, sf_dir):
+    """Continuous aggregate (hypertable shape): a rollup whose group key
+    includes an EXPRESSION column — a daily time bucket — maintained
+    incrementally. Two insert commits fold additively; a DELETE forces
+    the CDC partial-recompute path, which must re-derive exactly the
+    touched (event_type, bucket) groups through the same bucket
+    expression. Final state must equal the batch aggregate minus the
+    deleted rows."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_continuous_aggregate", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).filter(F.col("event_id") % 2 == 0)
+    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    create_rollup(
+        eng, "src", "roll",
+        ["event_type", "bucket"], ["value"],
+        expr_cols={
+            "bucket": (
+                "cast(floor(cast(cast(ts as timestamp) as double) / 86400)"
+                " * 86400 as bigint)"
+            )
+        },
+    )
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.delete("src", "event_id % 10 = 4")
+    refresh_rollup(eng, "roll")
+    return (
+        eng.read("roll")
+        .select(
+            "event_type", "bucket", "n_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@q(
     "engine_join_view",
     """
     WITH dim AS (

@@ -605,3 +605,37 @@ def test_call_left_join_view_procedure(engine, spark):
     assert len(got) == 10
     assert got[0] == "zero" and got[4] == "zero"
     assert got[1] is None and got[2] is None
+
+
+def test_call_continuous_aggregate_procedure(engine, spark):
+    """CALL create_rollup(..., expr_cols => '{...}') routes the
+    continuous-aggregate shape (expression group columns) through the
+    SQL surface."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("casrc", record_key="k")
+    engine.insert(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7).alias("ts"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+        "casrc",
+    )
+    engine.sql(
+        "call create_rollup(table => 'casrc', name => 'caroll', "
+        "group_cols => 'bucket', sum_cols => 'v', "
+        "expr_cols => '{\"bucket\": \"cast(floor(ts / 100) * 100 as bigint)\"}')"
+    )
+    assert engine.sql(
+        "call refresh_rollup(table => 'caroll')"
+    ).collect()[0]["refreshed"] is True
+    got = {r["bucket"]: r["n_rows"] for r in engine.read("caroll").collect()}
+    want = {
+        r["bucket"]: r["n"]
+        for r in engine.read("casrc")
+        .groupBy(F.expr("cast(floor(ts / 100) * 100 as bigint)").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

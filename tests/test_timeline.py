@@ -1318,3 +1318,50 @@ def test_refresh_all_topological(engine, spark):
     got = {r["band"]: r["sum_sum_v"]
            for r in engine.read("rar2").collect()}
     assert got == {"x": 20.0, "y": 2.0}
+
+
+def test_continuous_aggregate_bucket_moves(engine, spark):
+    """Continuous aggregate (expression group column): an UPDATE that
+    moves a row's timestamp ACROSS buckets must repair both the old and
+    new bucket through the partial-recompute path — the bucket is
+    derived per refresh, never stored in the source."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("ca_t", record_key="k")
+    create_rollup(
+        engine, "ca_t", "ca_roll",
+        ["g", "bucket"], ["v"],
+        expr_cols={"bucket": "cast(floor(ts / 100) * 100 as bigint)"},
+    )
+    d = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") * 3).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    engine.insert(d.filter("k < 100"), "ca_t")
+    assert refresh_rollup(engine, "ca_roll") is not None  # additive
+    engine.insert(d.filter("k >= 100"), "ca_t")
+    # move k=10 (ts=30, bucket 0) far away AND change its value
+    engine.update("ca_t", set={"ts": "ts + 10000", "v": "v + 5"},
+                  where="k = 10")
+    engine.delete("ca_t", "k % 50 = 3")
+    assert refresh_rollup(engine, "ca_roll") is not None  # recompute
+    got = {
+        (r["g"], r["bucket"]): (r["n_rows"], r["sum_v"])
+        for r in engine.read("ca_roll").collect()
+    }
+    want = {
+        (r["g"], r["bucket"]): (r["n"], r["s"])
+        for r in engine.read("ca_t")
+        .withColumn("bucket", F.expr("cast(floor(ts / 100) * 100 as bigint)"))
+        .groupBy("g", "bucket")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # the moved row's NEW bucket exists and the old one lost it
+    assert ("0", 10000 + 0) in got or any(b >= 10000 for (_, b) in got)
+    assert refresh_rollup(engine, "ca_roll") is None

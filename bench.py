@@ -101,6 +101,7 @@ HEADLINE = [
     "engine_continuous_aggregate",
     "dedup_substring_spans",
     "dedup_substring_scrub",
+    "dedup_contaminated_scrub",
     "events_gap_fill_locf",
     "events_gap_fill_linear",
 ]

@@ -423,9 +423,24 @@ def _dup_gram_positions(
     text. Skew is bounded by the hottest gram's corpus frequency —
     boilerplate grams concentrate their own occurrences on one key but
     never fan out (no join, no pair enumeration)."""
+    grams = _gram_positions(df, id_col, text_col, k)
+    w = Window.partitionBy("__gh")
+    return (
+        grams.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") >= min_count)
+        .select(id_col, "pos")
+    )
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, __gh): every token k-gram as (1-based start position,
+    64-bit hash) — the shared explode under span detection; shuffles
+    downstream carry the 8-byte hash, never the gram text."""
     from hudi_demo_spark.functions.textfn import word_ngrams
 
-    grams = (
+    return (
         _spread(df)
         .select(
             F.col(id_col),
@@ -437,12 +452,65 @@ def _dup_gram_positions(
             F.xxhash64("__g").alias("__gh"),
         )
     )
-    w = Window.partitionBy("__gh")
-    return (
-        grams.withColumn("__n", F.count("*").over(w))
-        .filter(F.col("__n") >= min_count)
-        .select(id_col, "pos")
+
+
+def _positions_to_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge marked k-gram start positions into maximal spans per doc —
+    gaps-and-islands: sorted positions break where the gap exceeds k.
+    Returns (id, span_start, span_len); one doc-keyed shuffle."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    marked = hits.withColumn(
+        "__brk",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0),
     )
+    isl = marked.withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+        )
+        .drop("__isl")
+    )
+
+
+def _scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Rewrite `text_col` with every span's tokens removed. The span
+    table rides a per-doc array (collect_list — bounded by spans per
+    doc) and the token filter is a pure higher-order-function
+    expression: no Python UDF, no second pass over the corpus text.
+    Documents without spans pass through byte-identical; fully-covered
+    documents scrub to the empty string."""
+    packed = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_len").alias("n")
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(packed, id_col, "left")
+    kept = F.filter(
+        tokens(text_col),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: ((i + 1) >= sp["s"]) & ((i + 1) < sp["s"] + sp["n"]),
+        ),
+    )
+    scrubbed = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    keep_cols = [c for c in df.columns if c != text_col or out_col != text_col]
+    return joined.select(*keep_cols, scrubbed.alias(out_col))
 
 
 def duplicate_spans(
@@ -468,24 +536,7 @@ def duplicate_spans(
     Two shuffles total (gram hash, then doc id) — no pair enumeration,
     no crossJoin; scales with corpus token count."""
     hits = _dup_gram_positions(df, id_col, text_col, k, min_count)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev = F.lag("pos").over(w)
-    marked = hits.withColumn(
-        "__brk",
-        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0),
-    )
-    isl = marked.withColumn(
-        "__isl",
-        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        isl.groupBy(id_col, "__isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
-        )
-        .drop("__isl")
-    )
+    return _positions_to_spans(hits, id_col, k)
 
 
 def duplicate_span_stats(
@@ -534,28 +585,47 @@ def scrub_duplicate_spans(
     spans-per-doc, not corpus size) and the token filter is a pure
     higher-order-function expression: no Python UDF, no second pass
     over the corpus text."""
-    out = out_col or text_col
-    spans = (
-        duplicate_spans(df, id_col, text_col, k, min_count)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"), F.col("span_len").alias("n")
-                )
-            ).alias("__spans")
-        )
-    )
-    joined = df.join(spans, id_col, "left")
-    kept = F.filter(
-        tokens(text_col),
-        lambda x, i: ~F.exists(
-            F.col("__spans"),
-            lambda sp: ((i + 1) >= sp["s"]) & ((i + 1) < sp["s"] + sp["n"]),
-        ),
-    )
-    scrubbed = F.when(
-        F.col("__spans").isNull(), F.col(text_col)
-    ).otherwise(F.array_join(kept, " "))
-    keep_cols = [c for c in df.columns if c != text_col or out != text_col]
-    return joined.select(*keep_cols, scrubbed.alias(out))
+    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    return _scrub_spans(df, spans, id_col, text_col, out_col or text_col)
+
+
+def contaminated_spans(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal TRAIN token spans verbatim-shared with the TEST corpus:
+    (id, span_start, span_len) — the span-granular eval-decontamination
+    complement of `corpus.decontaminate` (which drops whole documents).
+    A train k-gram is marked when its exact text occurs anywhere in the
+    test set; marked windows merge into maximal spans exactly like
+    `duplicate_spans`.
+
+    Scale shape: the test gram set is distinct'd and BROADCAST (eval
+    sets are small); train grams stream through map-side — the 100 TB
+    side is never shuffled for the marking, only the marked positions
+    shuffle by doc for the merge."""
+    tg = _gram_positions(train, id_col, text_col, k)
+    eg = _gram_positions(test, id_col, text_col, k).select("__gh").distinct()
+    hits = tg.join(F.broadcast(eg), "__gh", "left_semi").select(id_col, "pos")
+    return _positions_to_spans(hits, id_col, k)
+
+
+def scrub_contaminated_spans(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Surgical eval decontamination: remove from each TRAIN document
+    exactly the token spans shared verbatim with the TEST corpus,
+    keeping the rest of the document (Lee et al. 2021's alternative to
+    dropping contaminated documents wholesale — at 100 TB, dropping a
+    whole web page for one quoted benchmark question wastes data).
+    Untouched documents pass through byte-identical."""
+    spans = contaminated_spans(train, test, id_col, text_col, k)
+    return _scrub_spans(train, spans, id_col, text_col, out_col or text_col)

@@ -1679,6 +1679,91 @@ def dedup_substring_scrub_q(spark, sf_dir):
     )
 
 
+# Span-granular decontamination CTEs: TRAIN (doc_id%3≠0) positions whose
+# word 8-gram occurs verbatim anywhere in EVAL (doc_id%3=0), merged into
+# maximal spans (same gaps-and-islands as SUBSTR_SPAN_CTES).
+CONTAM_SPAN_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), kgrams AS (
+      SELECT doc_id, s AS pos, array_to_string(t[s:s+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(s)
+      WHERE len(t) >= 8
+    ), evg AS (
+      SELECT DISTINCT g FROM kgrams WHERE doc_id % 3 = 0
+    ), hits AS (
+      SELECT doc_id, pos FROM kgrams
+      WHERE doc_id % 3 <> 0 AND g IN (SELECT g FROM evg)
+    ), marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 8 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+
+@q(
+    "dedup_contaminated_scrub",
+    f"""
+    WITH {CONTAM_SPAN_CTES}, covered AS (
+      SELECT DISTINCT doc_id, u.p
+      FROM spans, UNNEST(generate_series(span_start,
+                                         span_start + span_len - 1)) AS u(p)
+    ), toksp AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE doc_id % 3 <> 0
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM toksp tp
+      LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+      WHERE c.p IS NULL
+    ), scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, coalesce(sc.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM spans) s
+    LEFT JOIN scrub sc USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_contaminated_scrub_q(spark, sf_dir):
+    """Span-granular eval decontamination (affected train docs only):
+    every train token span verbatim-shared with the eval corpus is cut
+    out, the rest of the document survives — the data-preserving
+    alternative to dropping contaminated documents wholesale. Eval grams
+    broadcast; the train side is never shuffled for the marking."""
+    from hudi_demo_spark.operators.dedup import (
+        contaminated_spans,
+        scrub_contaminated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 3 != 0)
+    ev = d.filter(F.col("doc_id") % 3 == 0)
+    affected = contaminated_spans(train, ev, "doc_id", "text", k=8).select(
+        "doc_id"
+    ).distinct()
+    return (
+        scrub_contaminated_spans(
+            train, ev, "doc_id", "text", k=8, out_col="clean_text"
+        )
+        .join(affected, "doc_id")
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
     """Full MinHash+LSH pipeline in DuckDB SQL: portable 60-bit shingle
     hash → 64 affine-mix mins → band-bucket candidates (joined on the raw

@@ -901,3 +901,37 @@ def test_gap_fill_modes(spark):
         gap_fill(df, ["g"], "ts", "value", 60, fill="spline")
     with pytest.raises(ValueError):
         gap_fill(df, ["g"], "ts", "value", 60, agg="median")
+
+
+def test_contaminated_spans_scrub(spark):
+    from hudi_demo_spark.operators.dedup import (
+        contaminated_spans,
+        scrub_contaminated_spans,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta outro words"),   # hit at 2..5
+            (2, "no overlap with the benchmark at all here"),
+            (3, "alpha beta gamma delta epsilon zeta"),        # fully covered
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in contaminated_spans(train, ev, "doc_id", "text", k=4).collect()
+    }
+    assert spans == {(1, 2, 4), (3, 1, 6)}
+    out = {
+        r.doc_id: r.text
+        for r in scrub_contaminated_spans(
+            train, ev, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert out[1] == "intro outro words"
+    assert out[2] == "no overlap with the benchmark at all here"
+    assert out[3] == ""

@@ -1662,21 +1662,19 @@ def dedup_substring_scrub_q(spark, sf_dir):
     an exact duplicate — scrubs to the empty string. The token filter is
     a pure higher-order-function expression over a per-doc span array;
     no Python UDF, no second corpus pass."""
-    from hudi_demo_spark.operators.dedup import (
-        duplicate_spans,
-        scrub_duplicate_spans,
-    )
+    from hudi_demo_spark.operators.dedup import _scrub_spans, duplicate_spans
 
     d = load_table(spark, sf_dir, "documents")
-    affected = duplicate_spans(d, "doc_id", "text", k=8).select(
-        "doc_id"
-    ).distinct()
-    return (
-        scrub_duplicate_spans(d, "doc_id", "text", k=8, out_col="clean_text")
-        .join(affected, "doc_id")
+    # spans computed ONCE (persisted: consumed by the scrub join and the
+    # affected-doc filter — uncached, the gram explode would run twice)
+    spans = duplicate_spans(d, "doc_id", "text", k=8).persist()
+    out = (
+        _scrub_spans(d, spans, "doc_id", "text", "clean_text")
+        .join(spans.select("doc_id").distinct(), "doc_id")
         .select("doc_id", "clean_text")
         .orderBy("doc_id")
     )
+    return out
 
 
 # Span-granular decontamination CTEs: TRAIN (doc_id%3≠0) positions whose
@@ -1744,21 +1742,18 @@ def dedup_contaminated_scrub_q(spark, sf_dir):
     alternative to dropping contaminated documents wholesale. Eval grams
     broadcast; the train side is never shuffled for the marking."""
     from hudi_demo_spark.operators.dedup import (
+        _scrub_spans,
         contaminated_spans,
-        scrub_contaminated_spans,
     )
 
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 3 != 0)
     ev = d.filter(F.col("doc_id") % 3 == 0)
-    affected = contaminated_spans(train, ev, "doc_id", "text", k=8).select(
-        "doc_id"
-    ).distinct()
+    # spans computed ONCE (persisted: scrub join + affected-doc filter)
+    spans = contaminated_spans(train, ev, "doc_id", "text", k=8).persist()
     return (
-        scrub_contaminated_spans(
-            train, ev, "doc_id", "text", k=8, out_col="clean_text"
-        )
-        .join(affected, "doc_id")
+        _scrub_spans(train, spans, "doc_id", "text", "clean_text")
+        .join(spans.select("doc_id").distinct(), "doc_id")
         .select("doc_id", "clean_text")
         .orderBy("doc_id")
     )

@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "dedup_contaminated_scrub",
+    "dedup_substring_keep_first",
     "events_gap_fill_locf",
     "events_gap_fill_linear",
 ]

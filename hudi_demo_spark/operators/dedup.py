@@ -411,19 +411,34 @@ def cross_corpus_jaccard_pairs(
 
 
 def _dup_gram_positions(
-    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(id, pos) of every token k-gram whose exact text occurs at least
     `min_count` times corpus-wide (all occurrences count, including
     repeats inside one document — the ExactSubstr notion). `pos` is the
-    1-based token index of the gram's first token.
+    1-based token index of the gram's first token. With `keep_first`,
+    each gram's canonical occurrence — smallest (id, pos) — is NOT
+    marked, so one copy of every duplicated substring survives scrubbing
+    (Lee et al. remove all-but-one, not all).
 
-    One explode + ONE shuffle: the occurrence count is a window over the
-    gram's 64-bit hash, so the shuffle key is 8 bytes, not the gram
-    text. Skew is bounded by the hottest gram's corpus frequency —
+    One explode + ONE shuffle: the occurrence count / rank is a window
+    over the gram's 64-bit hash, so the shuffle key is 8 bytes, not the
+    gram text. Skew is bounded by the hottest gram's corpus frequency —
     boilerplate grams concentrate their own occurrences on one key but
     never fan out (no join, no pair enumeration)."""
     grams = _gram_positions(df, id_col, text_col, k)
+    if keep_first:
+        w = Window.partitionBy("__gh").orderBy(F.col(id_col), F.col("pos"))
+        return (
+            grams.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") >= min_count)
+            .select(id_col, "pos")
+        )
     w = Window.partitionBy("__gh")
     return (
         grams.withColumn("__n", F.count("*").over(w))
@@ -519,6 +534,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: (id, span_start,
     span_len), `span_start` 1-based, spans ≥ k tokens.
@@ -534,8 +550,12 @@ def duplicate_spans(
     sorted positions break into islands where the gap exceeds k.
 
     Two shuffles total (gram hash, then doc id) — no pair enumeration,
-    no crossJoin; scales with corpus token count."""
-    hits = _dup_gram_positions(df, id_col, text_col, k, min_count)
+    no crossJoin; scales with corpus token count. `keep_first` leaves
+    each substring's canonical (smallest id, pos) occurrence unmarked so
+    scrubbing preserves one copy — the Lee et al. removal policy."""
+    hits = _dup_gram_positions(
+        df, id_col, text_col, k, min_count, keep_first=keep_first
+    )
     return _positions_to_spans(hits, id_col, k)
 
 
@@ -574,6 +594,7 @@ def scrub_duplicate_spans(
     k: int = 8,
     min_count: int = 2,
     out_col: str | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Rewrite `text_col` with every duplicated span's tokens removed
     (all original columns preserved; `out_col` writes beside instead of
@@ -585,7 +606,9 @@ def scrub_duplicate_spans(
     spans-per-doc, not corpus size) and the token filter is a pure
     higher-order-function expression: no Python UDF, no second pass
     over the corpus text."""
-    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    spans = duplicate_spans(
+        df, id_col, text_col, k, min_count, keep_first=keep_first
+    )
     return _scrub_spans(df, spans, id_col, text_col, out_col or text_col)
 
 

@@ -1677,6 +1677,52 @@ def dedup_substring_scrub_q(spark, sf_dir):
     return out
 
 
+@q(
+    "dedup_substring_keep_first",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), kgrams AS (
+      SELECT doc_id, s AS pos, array_to_string(t[s:s+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(s)
+      WHERE len(t) >= 8
+    ), hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM kgrams) r WHERE rn >= 2
+    ), marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 8 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_keep_first_q(spark, sf_dir):
+    """Exact-substring duplicate spans under the keep-one policy: each
+    duplicated k-gram's canonical occurrence (smallest doc_id, pos) is
+    NOT marked, so scrubbing these spans preserves exactly one copy of
+    every duplicated substring — Lee et al.'s remove-all-but-one, where
+    `dedup_substring_spans` marks every occurrence."""
+    from hudi_demo_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(
+        d, "doc_id", "text", k=8, keep_first=True
+    ).orderBy("doc_id", "span_start")
+
+
 # Span-granular decontamination CTEs: TRAIN (doc_id%3≠0) positions whose
 # word 8-gram occurs verbatim anywhere in EVAL (doc_id%3=0), merged into
 # maximal spans (same gaps-and-islands as SUBSTR_SPAN_CTES).

@@ -935,3 +935,33 @@ def test_contaminated_spans_scrub(spark):
     assert out[1] == "intro outro words"
     assert out[2] == "no overlap with the benchmark at all here"
     assert out[3] == ""
+
+
+def test_duplicate_spans_keep_first(spark):
+    from hudi_demo_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, f"start {shared} end"),
+        (2, f"prefix {shared} tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(
+            df, "doc_id", "text", k=4, keep_first=True
+        ).collect()
+    }
+    # doc 1 holds the canonical occurrences → only doc 2 is marked
+    assert spans == {(2, 2, 8)}
+    out = {
+        r.doc_id: r.text
+        for r in scrub_duplicate_spans(
+            df, "doc_id", "text", k=4, keep_first=True
+        ).collect()
+    }
+    assert out[1] == rows[0][1]          # canonical copy untouched
+    assert out[2] == "prefix tail"

@@ -99,6 +99,7 @@ HEADLINE = [
     "engine_view_prune",
     "engine_chained_rollup",
     "engine_continuous_aggregate",
+    "engine_rollup_minmax",
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "dedup_contaminated_scrub",

@@ -102,10 +102,17 @@ def create_rollup(
     group_cols: list[str],
     sum_cols: list[str],
     expr_cols: dict[str, str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ):
     """Define `name` as an incrementally-maintained rollup of `source`:
-    per group, a row count and one sum per `sum_cols` entry. Returns the
-    rollup's TableConfig; call `refresh_rollup` to fold in new commits.
+    per group, a row count, one sum per `sum_cols` entry, and one
+    min/max per `min_cols`/`max_cols` entry. Returns the rollup's
+    TableConfig; call `refresh_rollup` to fold in new commits. min/max
+    fold as cheaply as sums on insert-only windows (least/greatest are
+    associative); windows containing deletes route through the same
+    exact partial recompute every aggregate already uses, so a group
+    losing its extreme row is repaired correctly.
 
     `expr_cols` maps derived column names to SQL expressions over the
     source's columns, evaluated before grouping — `group_cols` may name
@@ -121,6 +128,10 @@ def create_rollup(
         "derived.group_cols": ",".join(group_cols),
         "derived.sum_cols": ",".join(sum_cols),
     }
+    if min_cols:
+        props["derived.min_cols"] = ",".join(min_cols)
+    if max_cols:
+        props["derived.max_cols"] = ",".join(max_cols)
     if expr_cols:
         props["derived.expr_cols"] = json.dumps(expr_cols)
     return engine.create_table(
@@ -144,6 +155,24 @@ def _project(df: DataFrame, expr_cols: dict[str, str]) -> DataFrame:
     return df
 
 
+def _agg_cols(cfg) -> tuple[list[str], list[str], list[str]]:
+    def _get(prop):
+        return [c for c in cfg.props.get(prop, "").split(",") if c]
+
+    return _get("derived.sum_cols"), _get("derived.min_cols"), _get(
+        "derived.max_cols"
+    )
+
+
+def _agg_exprs(sum_cols, min_cols, max_cols) -> list:
+    return (
+        [F.count("*").alias("n_rows")]
+        + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        + [F.min(c).alias(f"min_{c}") for c in min_cols]
+        + [F.max(c).alias(f"max_{c}") for c in max_cols]
+    )
+
+
 def refresh_rollup(engine, name: str) -> dict | None:
     """Fold source commits since the last refresh into the rollup:
     incremental read → partial aggregate of JUST the new rows →
@@ -157,7 +186,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
     cfg = engine._resolve(name)
     source = cfg.props["derived.source"]
     group_cols = cfg.props["derived.group_cols"].split(",")
-    sum_cols = [c for c in cfg.props["derived.sum_cols"].split(",") if c]
+    sum_cols, min_cols, max_cols = _agg_cols(cfg)
     src_cfg = engine._resolve(source)
     tl = Timeline(src_cfg.path)
     begin = cfg.props.get(_OFFSET_PROP)
@@ -183,7 +212,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         # not table size)
         out = _refresh_recompute(
             engine, name, source, group_cols, sum_cols, begin, end,
-            expr_cols=_expr_cols(cfg),
+            expr_cols=_expr_cols(cfg), min_cols=min_cols, max_cols=max_cols,
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
@@ -192,8 +221,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         _expr_cols(cfg),
     )
     partial = delta.groupBy(*group_cols).agg(
-        F.count("*").alias("n_rows"),
-        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *_agg_exprs(sum_cols, min_cols, max_cols)
     ).persist()  # consumed by the key collect AND the combine below
     meta = {RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META}
     # the rollup's record key IS the group tuple — compute the touched
@@ -207,13 +235,18 @@ def refresh_rollup(engine, name: str) -> dict | None:
     except Exception:
         current = None
     if current is not None and current.take(1):
-        agg_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+        add_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+        lo_cols = [f"min_{c}" for c in min_cols]
+        hi_cols = [f"max_{c}" for c in max_cols]
+        agg_cols = add_cols + lo_cols + hi_cols
         cur = current.drop(*meta).select(
             *group_cols, *[F.col(c).alias(f"__old_{c}") for c in agg_cols]
         )
         # LEFT join: groups absent from the delta keep their stored row
         # untouched — upserting them back would rewrite the whole rollup
-        # every refresh
+        # every refresh. Sums/counts add; mins/maxes fold with
+        # least/greatest (both skip NULLs, so a one-sided group keeps
+        # its present value)
         combined = partial.join(cur, group_cols, "left").select(
             *group_cols,
             *[
@@ -221,7 +254,15 @@ def refresh_rollup(engine, name: str) -> dict | None:
                     F.coalesce(F.col(c), F.lit(0))
                     + F.coalesce(F.col(f"__old_{c}"), F.lit(0))
                 ).alias(c)
-                for c in agg_cols
+                for c in add_cols
+            ],
+            *[
+                F.least(F.col(c), F.col(f"__old_{c}")).alias(c)
+                for c in lo_cols
+            ],
+            *[
+                F.greatest(F.col(c), F.col(f"__old_{c}")).alias(c)
+                for c in hi_cols
             ],
         )
     else:
@@ -578,6 +619,8 @@ def refresh_all(engine) -> dict[str, dict | None]:
 def _refresh_recompute(
     engine, name, source, group_cols, sum_cols, begin, end,
     expr_cols: dict[str, str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ):
     """View maintenance under arbitrary source DML: the CDC read names
     every changed row identity in (begin, end]; the affected GROUPS are
@@ -627,10 +670,7 @@ def _refresh_recompute(
     fresh = (
         snap_g.join(groups, group_cols, "left_semi")
         .groupBy(*group_cols)
-        .agg(
-            F.count("*").alias("n_rows"),
-            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
-        )
+        .agg(*_agg_exprs(sum_cols, min_cols or [], max_cols or []))
     )
     meta = engine.upsert(fresh, name)
     gone = groups.join(fresh.select(*group_cols), group_cols, "left_anti")

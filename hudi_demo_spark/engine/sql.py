@@ -650,9 +650,15 @@ class SqlRouter:
                     "group_cols => 'a,b', sum_cols => 'v')"
                 )
             exprs = args.get("expr_cols")
+
+            def _cols(key):
+                return [c.strip() for c in args.get(key, "").split(",")
+                        if c.strip()] or None
+
             create_rollup(
                 self.engine, table, name, groups, sums,
                 expr_cols=_json.loads(exprs) if exprs else None,
+                min_cols=_cols("min_cols"), max_cols=_cols("max_cols"),
             )
             return None
         if proc == "refresh_rollup":

@@ -5443,6 +5443,56 @@ def engine_incremental_rollup(spark, sf_dir):
 
 
 @q(
+    "engine_rollup_minmax",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    WHERE event_id % 2 = 1 AND NOT event_id % 11 = 3
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def engine_rollup_minmax(spark, sf_dir):
+    """min/max rollup columns maintained incrementally: two insert
+    commits fold with least/greatest, then a DELETE (which can remove a
+    group's extreme row) routes through partial recompute and must
+    tighten the stored min/max. Final state equals the batch aggregate
+    over the surviving rows."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_rollup_minmax", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("event_id") % 2 == 1)
+    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    create_rollup(
+        eng, "src", "roll", ["event_type"], ["value"],
+        min_cols=["value"], max_cols=["value"],
+    )
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.delete("src", "event_id % 11 = 3")
+    refresh_rollup(eng, "roll")
+    return (
+        eng.read("roll")
+        .select(
+            "event_type", "n_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round("min_value", 2).alias("min_value"),
+            F.round("max_value", 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "engine_continuous_aggregate",
     """
     SELECT event_type,

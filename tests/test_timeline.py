@@ -1365,3 +1365,42 @@ def test_continuous_aggregate_bucket_moves(engine, spark):
     # the moved row's NEW bucket exists and the old one lost it
     assert ("0", 10000 + 0) in got or any(b >= 10000 for (_, b) in got)
     assert refresh_rollup(engine, "ca_roll") is None
+
+
+def test_rollup_minmax_aggregates(engine, spark):
+    """min/max rollup columns: insert-only windows fold with
+    least/greatest; a DELETE of a group's extreme row routes through
+    partial recompute and the stored min/max tightens correctly."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("mm_t", record_key="k")
+    create_rollup(
+        engine, "mm_t", "mm_roll", ["g"], ["v"],
+        min_cols=["v"], max_cols=["v"],
+    )
+    d = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    engine.insert(d.filter("k < 50"), "mm_t")
+    assert refresh_rollup(engine, "mm_roll") is not None  # additive
+    engine.insert(d.filter("k >= 50"), "mm_t")
+    assert refresh_rollup(engine, "mm_roll") is not None  # least/greatest fold
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in engine.read("mm_roll").collect()
+    }
+    assert got["0"] == (50, sum(range(0, 100, 2)) * 1.0, 0.0, 98.0)
+    assert got["1"] == (50, sum(range(1, 100, 2)) * 1.0, 1.0, 99.0)
+    # delete group 1's extreme rows -> recompute must tighten min AND max
+    engine.delete("mm_t", "k in (1, 99)")
+    assert refresh_rollup(engine, "mm_roll") is not None
+    got = {
+        r["g"]: (r["n_rows"], r["min_v"], r["max_v"])
+        for r in engine.read("mm_roll").collect()
+    }
+    assert got["1"] == (48, 3.0, 97.0)
+    assert got["0"] == (50, 0.0, 98.0)

@@ -106,6 +106,8 @@ HEADLINE = [
     "dedup_substring_keep_first",
     "events_gap_fill_locf",
     "events_gap_fill_linear",
+    "events_trailing_window",
+    "streaming_continuous_aggregate",
 ]
 
 

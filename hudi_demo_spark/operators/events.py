@@ -340,3 +340,39 @@ def gap_fill(
     return g.select(
         *group_cols, "bucket", filled.alias(value_col)
     )
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    range_s: int,
+    aggs: tuple[str, ...] = ("count", "avg"),
+) -> DataFrame:
+    """Trailing time-range aggregates per key — the moving-average /
+    rolling-count shape (`RANGE BETWEEN range_s PRECEDING AND CURRENT
+    ROW` over event time): every row gains one column per requested agg
+    (count/avg/sum/min/max of `value_col`, named `<agg>_<value_col>`)
+    computed over the last `range_s` seconds of its group.
+
+    One window (= one keyed shuffle + sort) computes every requested
+    aggregate; the RANGE frame slides with running state, never
+    re-scanning the trail per row. Groups are the parallelism unit —
+    a single giant group serializes; sessionize or sub-key first."""
+    allowed = {"count": F.count, "avg": F.avg, "sum": F.sum,
+               "min": F.min, "max": F.max}
+    bad = [a for a in aggs if a not in allowed]
+    if bad:
+        raise ValueError(f"trailing_window_agg aggs {bad} not in {sorted(allowed)}")
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(epoch)
+        .rangeBetween(-int(range_s), 0)
+    )
+    out = df
+    for a in aggs:
+        col = allowed[a]("*" if a == "count" else value_col).over(w)
+        out = out.withColumn(f"{a}_{value_col}", col)
+    return out

@@ -4801,6 +4801,51 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
+@q(
+    "events_trailing_window",
+    """
+    WITH e AS (
+      SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS count_value,
+           min(value) OVER w AS min_value,
+           max(value) OVER w AS max_value,
+           CAST(sum(cents) OVER w AS BIGINT) AS sum_cents
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_trailing_window(spark, sf_dir):
+    """Trailing 1-hour moving aggregates per event type (rolling count /
+    min / max / sum over event time) — the RANGE-frame time-series
+    shape; one keyed window computes all four. The sum rides an
+    integer-cents column: a windowed double sum accumulates in
+    engine-specific order (Spark running state vs DuckDB segment tree)
+    and round() can't always absorb the last-ulp difference."""
+    from hudi_demo_spark.operators.events import trailing_window_agg
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = trailing_window_agg(
+        e, ["event_type"], "ts", "value", 3600,
+        aggs=("count", "min", "max"),
+    )
+    out = trailing_window_agg(
+        out, ["event_type"], "ts", "cents", 3600, aggs=("sum",)
+    )
+    return out.select(
+        "event_id",
+        "count_value",
+        "min_value",
+        "max_value",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    ).orderBy("event_id")
+
+
 # Shared 15-minute gap-fill grid CTEs (DuckDB dialect): bucket-avg the
 # observed values, per-group bounds, dense grid, observed LEFT-joined on.
 # Values stay UNROUNDED: the Spark fill expressions are arithmetic-order
@@ -5739,6 +5784,73 @@ def streaming_join_view(spark, sf_dir):
         .select("event_id", "g", F.round("value", 4).alias("value"),
                 "label")
         .orderBy("event_id")
+    )
+
+
+@q(
+    "streaming_continuous_aggregate",
+    """
+    SELECT user_id % 25 AS g,
+           cast(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY g, bucket ORDER BY g, bucket
+    """,
+)
+def streaming_continuous_aggregate(spark, sf_dir):
+    """Streaming continuous aggregate: a bounded file stream feeds the
+    source table via foreachBatch (insert + refresh per micro-batch),
+    and the time-bucket rollup — grouped by an EXPRESSION column —
+    tracks the stream incrementally. Final rollup equals the batch
+    aggregate over everything streamed."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("streaming_continuous_aggregate", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 25).alias("g"),
+        "ts",
+        "value",
+    ).filter(F.col("event_id") % 5 == 0)
+    src = f"{root}/src"
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    eng.create_table("casrc", record_key="event_id")
+    eng.insert(e.limit(0), "casrc")  # seed commit pins the schema
+    create_rollup(
+        eng, "casrc", "caroll", ["g", "bucket"], ["value"],
+        expr_cols={
+            "bucket": (
+                "cast(floor(cast(cast(ts as timestamp) as double) / 86400)"
+                " * 86400 as bigint)"
+            )
+        },
+    )
+    refresh_rollup(eng, "caroll")
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "casrc", batch_id=batch_id)
+        refresh_rollup(eng, "caroll")
+
+    q_ = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        eng.read("caroll")
+        .select(
+            "g", "bucket", "n_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("g", "bucket")
     )
 
 

@@ -306,3 +306,31 @@ def test_keyed_profile_stateful(spark, sf_dir, tmp_path, impl):
     assert [tuple(r) for r in latest.collect()] == [
         tuple(r) for r in expected.collect()
     ]
+
+
+def test_trailing_window_agg(spark):
+    from hudi_demo_spark.operators.events import trailing_window_agg
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:30:00", 20.0),
+        ("a", "2024-01-01 01:10:00", 30.0),   # 00:00 falls out of 1h trail
+        ("b", "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.g, str(r.ts)): (r.count_value, r.avg_value)
+        for r in trailing_window_agg(
+            df, ["g"], "ts", "value", 3600
+        ).collect()
+    }
+    assert out[("a", "2024-01-01 00:00:00")] == (1, 10.0)
+    assert out[("a", "2024-01-01 00:30:00")] == (2, 15.0)
+    assert out[("a", "2024-01-01 01:10:00")] == (2, 25.0)  # 10.0 aged out
+    assert out[("b", "2024-01-01 00:00:00")] == (1, 5.0)
+    with pytest.raises(ValueError):
+        trailing_window_agg(df, ["g"], "ts", "value", 3600, aggs=("median",))

@@ -1404,3 +1404,53 @@ def test_rollup_minmax_aggregates(engine, spark):
     }
     assert got["1"] == (48, 3.0, 97.0)
     assert got["0"] == (50, 0.0, 98.0)
+
+
+def test_hierarchical_continuous_aggregates(engine, spark):
+    """Hour→day continuous-aggregate hierarchy: the day rollup sources
+    the HOUR rollup (its bucket column is stored there), so a refresh
+    cascade propagates raw inserts through both levels — the classic
+    hypertable rollup tree, on the chained-view machinery."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_rollup,
+        refresh_all,
+        refresh_rollup,
+    )
+
+    engine.create_table("hraw", record_key="k")
+    create_rollup(
+        engine, "hraw", "h_hour", ["g", "hour_b"], ["v"],
+        expr_cols={"hour_b": "cast(floor(ts / 3600) * 3600 as bigint)"},
+    )
+    create_rollup(
+        engine, "h_hour", "h_day", ["g", "day_b"], ["sum_v"],
+        expr_cols={"day_b": "cast(floor(hour_b / 86400) * 86400 as bigint)"},
+    )
+    d = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") * 1000).alias("ts"),      # spans ~3.5 days
+        (F.col("id") * 1.0).alias("v"),
+    )
+    engine.insert(d.filter("k < 150"), "hraw")
+    refresh_all(engine)
+    engine.insert(d.filter("k >= 150"), "hraw")
+    engine.delete("hraw", "k % 30 = 7")
+    out = refresh_all(engine)
+    assert out["h_hour"] is not None and out["h_day"] is not None
+    got = {
+        (r["g"], r["day_b"]): (r["n_rows"], r["sum_sum_v"])
+        for r in engine.read("h_day").collect()
+    }
+    want = {
+        (r["g"], r["day_b"]): (r["n"], r["s"])
+        for r in engine.read("hraw")
+        .withColumn("hour_b", F.expr("cast(floor(ts / 3600) * 3600 as bigint)"))
+        .withColumn("day_b", F.expr("cast(floor(hour_b / 86400) * 86400 as bigint)"))
+        .groupBy("g", "day_b")
+        .agg(F.count_distinct("g", "hour_b").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want

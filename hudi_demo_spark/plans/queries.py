@@ -4802,6 +4802,116 @@ def events_sliding_window(spark, sf_dir):
 
 
 @q(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(n_name, '(all)') AS nation,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), '(all)') AS order_year,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (n_name), ())
+    ORDER BY nation, order_year
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS (nation×year, nation, grand total) in one pass —
+    Spark computes all three groupings in a single Expand + aggregate,
+    no union of three scans. NULL group labels are coalesced to '(all)'
+    on both sides so the set identity is hashable."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT coalesce(n_name, '(all)') AS nation,
+               coalesce(CAST(year(o_orderdate) AS STRING), '(all)')
+                 AS order_year,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (n_name), ())
+        ORDER BY nation, order_year
+        """
+    )
+
+
+@q(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id % 20 AS ub,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS view
+    FROM events
+    GROUP BY ub ORDER BY ub
+    """,
+)
+def pivot_event_type_counts(spark, sf_dir):
+    """PIVOT: event-type counts as columns per user bucket. Spark's
+    pivot with an explicit value list stays a single aggregate (no
+    second pass to discover the pivot values); the oracle states the
+    same table with FILTERed counts."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 20).alias("ub"))
+        .pivot(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        )
+        .count()
+        .orderBy("ub")
+    )
+    # pivot leaves missing combinations NULL; the oracle's FILTER count
+    # yields 0 — align
+    for c in ("click", "error", "purchase", "signup", "view"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+@q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_mod
+    ORDER BY event_type, k_mod
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """JSON scalar extraction over the event props column (semi-
+    structured payloads are the norm in telemetry tables): parse the
+    JSON path, cast, aggregate. get_json_object stays inside codegen —
+    no Python in the parse path."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy(
+            "event_type", (k % 10).alias("k_mod")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+        )
+        .orderBy("event_type", "k_mod")
+    )
+
+
+@q(
     "events_trailing_window",
     """
     WITH e AS (

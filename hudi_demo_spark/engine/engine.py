@@ -1039,6 +1039,7 @@ class Engine:
         point_filter: tuple | None = None,
         func_filter: tuple | None = None,
         point_prune: tuple | None = None,
+        where: str | Column | None = None,
     ) -> DataFrame:
         """Snapshot read (S1/S2); `as_of` time-travels; `read_optimized`
         skips MOR deltas; `partition_filter` prunes the file list at
@@ -1060,8 +1061,25 @@ class Engine:
         `lo <= expr <= hi` for a functional index's expression
         (`create_functional_index`), skipping base files whose recorded
         expression range cannot overlap (deltas/unindexed files always
-        scanned)."""
+        scanned). `where` applies an arbitrary row predicate AND
+        auto-routes its simple forms (`col = lit` / `col IN (...)` /
+        `col BETWEEN lo AND hi`) through whichever pruning the table
+        serves — partition-path matching for partition columns,
+        secondary-index point probes, col-stats range skipping — the
+        same auto-routing DML gets; complex predicates still filter
+        correctly, just unpruned."""
         cfg = self._resolve(table)
+        if where is not None:
+            if partition_filter is None:
+                partition_filter = self._auto_partition_filter(cfg, where)
+            if point_filter is None and partition_filter is None:
+                point_filter = self._auto_point_filter(cfg, where)
+            if (
+                range_filter is None
+                and partition_filter is None
+                and point_filter is None
+            ):
+                range_filter = self._auto_range_filter(cfg, where)
         tl = Timeline(cfg.path)
         files = tl.live_files(as_of)
         if query_type == "read_optimized":
@@ -1125,6 +1143,8 @@ class Engine:
                 df = df.filter(e >= F.lit(flo))
             if fhi is not None:
                 df = df.filter(e <= F.lit(fhi))
+        if where is not None:
+            df = df.filter(_as_cond(where))
         return df
 
     # types whose `cast(cast(x as string) as T)` round-trip is exact in
@@ -1524,6 +1544,70 @@ class Engine:
                     return None
                 vals.append(v)
             return (m.group(1), vals) if vals else None
+        return None
+
+    def _auto_partition_filter(self, cfg: TableConfig, condition):
+        """partition-path predicate (a Column over `_hoodie_partition_path`)
+        when `condition` is a simple ``col = lit`` / ``col IN (lits)`` on
+        a PARTITION column — lets reads and DML prune the file list to
+        the named partitions without the caller spelling the path
+        syntax. Same conservative literal-typing gate as
+        `_auto_point_filter`: partition paths store the cast-to-string
+        column value, so only quoted strings against string columns and
+        bare integers against integral columns are routed — a coerced
+        literal could stringify differently and silently prune matching
+        partitions (lost DML rows). Pruning matches the exact path
+        SEGMENT (`col=value` hive-style, positional otherwise), so a
+        value that prefixes another never over-matches."""
+        if not isinstance(condition, str) or not cfg.partition_fields:
+            return None
+        schema = self._stored_schema(cfg)
+        if schema is None:
+            return None
+
+        def lit_value(col: str, quoted, num):
+            try:
+                dt = schema[col].dataType
+            except KeyError:
+                return None
+            if quoted is not None:
+                return quoted if isinstance(dt, T.StringType) else None
+            if isinstance(
+                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+            ):
+                return num
+            return None
+
+        def seg_pred(col: str, vals: list[str]):
+            segs = F.split(F.col(PARTITION_PATH_META), "/")
+            if cfg.hive_style:
+                targets = [f"{col}={v}" for v in vals]
+            else:
+                idx = cfg.partition_fields.index(col) + 1
+                segs = F.array(F.element_at(segs, idx))
+                targets = list(vals)
+            pred = None
+            for t in targets:
+                p = F.array_contains(segs, t)
+                pred = p if pred is None else (pred | p)
+            return pred
+
+        m = self._EQ_COND.match(condition)
+        if m and m.group(1) in cfg.partition_fields:
+            v = lit_value(m.group(1), m.group(2), m.group(3))
+            return seg_pred(m.group(1), [v]) if v is not None else None
+        m = self._IN_COND.match(condition)
+        if m and m.group(1) in cfg.partition_fields:
+            vals = []
+            for part in m.group(2).split(","):
+                mm = self._LIT.match(part.strip())
+                if not mm:
+                    return None
+                v = lit_value(m.group(1), mm.group(1), mm.group(2))
+                if v is None:
+                    return None
+                vals.append(v)
+            return seg_pred(m.group(1), vals) if vals else None
         return None
 
     def _auto_range_filter(self, cfg: TableConfig, condition) -> tuple | None:
@@ -2817,7 +2901,11 @@ class Engine:
         tl = Timeline(cfg.path)
         snap = self.read(
             cfg,
-            partition_filter=partition_filter,
+            partition_filter=(
+                partition_filter
+                if partition_filter is not None
+                else self._auto_partition_filter(cfg, condition)
+            ),
             point_filter=self._auto_point_filter(cfg, condition),
             range_filter=self._auto_range_filter(cfg, condition),
         )
@@ -2946,6 +3034,8 @@ class Engine:
         assigns = {k: _as_cond(v) for k, v in set.items()}
         auto_pf = self._auto_point_filter(cfg, where)
         auto_rf = self._auto_range_filter(cfg, where)
+        if partition_filter is None:
+            partition_filter = self._auto_partition_filter(cfg, where)
         if cfg.table_type == MOR:
             snap = self.read(
                 cfg, partition_filter=partition_filter, point_filter=auto_pf,

@@ -391,3 +391,64 @@ def test_prune_to_matched_files_falls_back_when_partition_emptied(engine):
     }
     out = engine._prune_to_matched_files(cfg, affected, {"/no/such/file"})
     assert out == affected
+
+
+def test_read_where_auto_partition_prune(engine, spark):
+    """read(where="dt = '...'") must scan ONLY the named partition's
+    files (metadata-level prune), and the auto-routing must stay
+    conservative: a coercible-but-differently-stringified literal falls
+    back to a full scan rather than a wrong prune."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("wp_t", record_key="k", partition_by="dt")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string"))
+        .alias("dt"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    engine.insert(df, "wp_t")
+    all_files = set(engine.read("wp_t").inputFiles())
+    pruned = engine.read("wp_t", where="dt = '2024-01-02'")
+    sub = set(pruned.inputFiles())
+    assert sub and sub < all_files
+    assert all("dt=2024-01-02" in f for f in sub)
+    assert pruned.count() == 30
+    # IN list prunes to two partitions
+    two = engine.read("wp_t", where="dt IN ('2024-01-01', '2024-01-03')")
+    assert {f.split("dt=")[1].split("/")[0] for f in two.inputFiles()} == {
+        "2024-01-01", "2024-01-03"
+    }
+    assert two.count() == 60
+    # complex predicate: no prune, correct rows
+    c = engine.read("wp_t", where="dt = '2024-01-02' or v < 3")
+    assert set(c.inputFiles()) == all_files
+    assert c.count() == 32  # 30 in dt-02 plus ids 0,2 (id 1 overlaps)
+
+
+def test_dml_auto_partition_prune(engine, spark):
+    """DELETE/UPDATE with a partition-column predicate must scan (and
+    rewrite) only that partition's file groups."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("wd_t", record_key="k", partition_by="dt")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("dt"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    engine.insert(df, "wd_t")
+    meta = engine.delete("wd_t", "dt = 'a'")
+    # only partition a's files were replaced
+    assert len(meta["files_removed"]) >= 1
+    assert engine.read("wd_t").count() == 30
+    assert engine.read("wd_t").filter("dt = 'a'").count() == 0
+    # an update routed by partition predicate touches only partition b
+    before_b = {
+        f for f in engine.read("wd_t").inputFiles() if "dt=b" in f
+    }
+    engine.update("wd_t", set={"v": "v + 1"}, where="dt = 'b'")
+    after = set(engine.read("wd_t").inputFiles())
+    assert before_b.isdisjoint(after)  # b rewritten
+    got = engine.read("wd_t").agg(F.sum("v")).collect()[0][0]
+    assert got == sum(i for i in range(60) if i % 2 == 1) + 30

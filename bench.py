@@ -111,6 +111,7 @@ HEADLINE = [
     "events_json_extract",
     "grouping_sets_revenue",
     "pivot_event_type_counts",
+    "engine_partition_prune",
 ]
 
 

@@ -6011,6 +6011,52 @@ def engine_dml_filegroup(spark, sf_dir):
 
 
 @q(
+    "engine_partition_prune",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey % 4 AS VARCHAR) AS pt,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 8 < 4 AND o_orderkey % 4 IN (1, 2)
+    ORDER BY o_orderkey
+    """,
+)
+def engine_partition_prune(spark, sf_dir):
+    """Auto partition pruning from a WHERE predicate, SELF-ASSERTING: a
+    4-partition table is read with `where="pt IN ('1', '2')"` and the
+    scanned file set is asserted INSIDE the query to be a strict subset
+    containing only those partitions' files — the metadata-level prune
+    that turns a partition-scoped query over a 100 TB table into a scan
+    of the named partitions is re-proven on every driver run. Returns
+    the oracled filtered rows."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_partition_prune", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).cast("string").alias("pt"),
+        "o_totalprice",
+    ).filter(F.col("o_orderkey") % 8 < 4)
+    eng.create_table("t", record_key="o_orderkey", partition_by="pt")
+    eng.insert(o, "t")
+    full = set(eng.read("t").inputFiles())
+    pruned = eng.read("t", where="pt IN ('1', '2')")
+    sub = set(pruned.inputFiles())
+    if not sub or not sub < full:
+        raise AssertionError(
+            f"partition prune regression: scanned {len(sub)}/{len(full)}"
+        )
+    if not all(("pt=1" in f) or ("pt=2" in f) for f in sub):
+        raise AssertionError("partition prune scanned a foreign partition")
+    return (
+        pruned.select(
+            "o_orderkey", "pt", F.round("o_totalprice", 2).alias("o_totalprice")
+        ).orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_bloom_filegroup",
     """
     WITH t AS (

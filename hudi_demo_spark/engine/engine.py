@@ -1579,6 +1579,15 @@ class Engine:
             return None
 
         def seg_pred(col: str, vals: list[str]):
+            from hudi_demo_spark.engine.keys import DEFAULT_PARTITION
+
+            if any(v == "" or v == DEFAULT_PARTITION for v in vals):
+                # empty-string values are STORED under the 'default'
+                # partition sentinel (keys.partition_path_col), and a
+                # literal probe for the sentinel itself is ambiguous
+                # with NULL rows — pruning either would lose matching
+                # rows, so fall back to an unpruned scan
+                return None
             segs = F.split(F.col(PARTITION_PATH_META), "/")
             if cfg.hive_style:
                 targets = [f"{col}={v}" for v in vals]

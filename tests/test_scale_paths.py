@@ -452,3 +452,42 @@ def test_dml_auto_partition_prune(engine, spark):
     assert before_b.isdisjoint(after)  # b rewritten
     got = engine.read("wd_t").agg(F.sum("v")).collect()[0][0]
     assert got == sum(i for i in range(60) if i % 2 == 1) + 30
+
+
+def test_read_where_partition_prune_bare_style(engine, spark):
+    """Auto partition pruning must also match BARE (non-hive) partition
+    paths positionally — and never cross-match another partition
+    column's equal value in a multi-level layout."""
+    from pyspark.sql import functions as F
+
+    engine.create_table(
+        "bp_t", record_key="k", partition_by=["a", "b"], hive_style=False
+    )
+    df = spark.createDataFrame(
+        [(1, "x", "y", 1.0), (2, "y", "x", 2.0), (3, "x", "x", 3.0)],
+        "k long, a string, b string, v double",
+    )
+    engine.insert(df, "bp_t")
+    pruned = engine.read("bp_t", where="b = 'y'")
+    files = set(pruned.inputFiles())
+    assert files and all("/x/y/" in f for f in files)  # only (a=x, b=y)
+    assert [r.k for r in pruned.collect()] == [1]
+
+
+def test_partition_prune_empty_string_falls_back(engine, spark):
+    """Rows with an empty-string partition value live under the
+    'default' sentinel path; a where probe for '' must fall back to an
+    unpruned scan (pruning on the literal would lose those rows), and
+    DML through the same route must still delete them."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("ep_t", record_key="k", partition_by="dt")
+    df = spark.createDataFrame(
+        [(1, "", 1.0), (2, "a", 2.0), (3, "a", 3.0)],
+        "k long, dt string, v double",
+    )
+    engine.insert(df, "ep_t")
+    got = engine.read("ep_t", where="dt = ''")
+    assert [r.k for r in got.collect()] == [1]
+    engine.delete("ep_t", "dt = ''")
+    assert engine.read("ep_t").count() == 2

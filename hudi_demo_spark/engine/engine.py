@@ -1561,6 +1561,52 @@ class Engine:
         value that prefixes another never over-matches."""
         if not isinstance(condition, str) or not cfg.partition_fields:
             return None
+        # a TOP-LEVEL OR binds looser than AND — any conjunct-based
+        # prune would drop the other disjunct's rows (lost DML), so the
+        # whole condition is left unrouted; ORs inside parens/quotes
+        # are fine (their conjunct just fails to parse and is skipped)
+        depth, quote = 0, None
+        low = condition.lower()
+        for i, ch in enumerate(condition):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif (
+                depth == 0
+                and low.startswith("or", i)
+                and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+                and (
+                    i + 2 >= len(low)
+                    or not (low[i + 2].isalnum() or low[i + 2] == "_")
+                )
+            ):
+                return None
+        # conjunctions: pruning by any parsed conjunct keeps a superset
+        # of the full condition's matches, so unparsed conjuncts are
+        # simply skipped (sound). A split landing inside a quoted
+        # literal yields pieces that cannot fully match the anchored
+        # regexes, so it degrades to no pruning, never a wrong prune.
+        parts = re.split(r"\s+and\s+", condition, flags=re.I)
+        if len(parts) > 1:
+            preds = [
+                p
+                for p in (
+                    self._auto_partition_filter(cfg, c) for c in parts
+                )
+                if p is not None
+            ]
+            if not preds:
+                return None
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
         schema = self._stored_schema(cfg)
         if schema is None:
             return None

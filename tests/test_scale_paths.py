@@ -491,3 +491,36 @@ def test_partition_prune_empty_string_falls_back(engine, spark):
     assert [r.k for r in got.collect()] == [1]
     engine.delete("ep_t", "dt = ''")
     assert engine.read("ep_t").count() == 2
+
+
+def test_partition_prune_conjunctions_and_or_guard(engine, spark):
+    """AND-conjunctions route each parsed partition conjunct to the
+    prune (unparsed conjuncts skipped — sound superset); a TOP-LEVEL OR
+    disables routing entirely, because pruning on one disjunct would
+    drop the other's rows."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("cj_t", record_key="k", partition_by=["a", "b"])
+    df = spark.createDataFrame(
+        [(1, "x", "p", 1.0), (2, "x", "q", 2.0),
+         (3, "y", "p", 3.0), (4, "y", "q", 4.0)],
+        "k long, a string, b string, v double",
+    )
+    engine.insert(df, "cj_t")
+    full = set(engine.read("cj_t").inputFiles())
+    # both conjuncts parse -> prune to the single (x, q) partition
+    d = engine.read("cj_t", where="a = 'x' and b = 'q'")
+    assert all("a=x/b=q" in f for f in d.inputFiles())
+    assert [r.k for r in d.collect()] == [2]
+    # one conjunct parses, the other (row predicate) is skipped
+    d2 = engine.read("cj_t", where="a = 'y' and v > 3")
+    assert all("a=y" in f for f in d2.inputFiles())
+    assert [r.k for r in d2.collect()] == [4]
+    # top-level OR: no pruning, full correctness
+    d3 = engine.read("cj_t", where="a = 'x' and b = 'q' or a = 'y'")
+    assert set(d3.inputFiles()) == full
+    assert sorted(r.k for r in d3.collect()) == [2, 3, 4]
+    # parenthesized OR inside a conjunct: partition conjunct still prunes
+    d4 = engine.read("cj_t", where="a = 'x' and (v < 2 or b = 'q')")
+    assert all("a=x" in f for f in d4.inputFiles())
+    assert sorted(r.k for r in d4.collect()) == [1, 2]

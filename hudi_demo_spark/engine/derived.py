@@ -230,11 +230,19 @@ def refresh_rollup(engine, name: str) -> dict | None:
     touched = _bounded_vals(
         partial.select(record_key_col(group_cols).alias("__k")), "__k"
     )
-    try:
-        current = _pruned_read(engine, name, RECORD_KEY_META, touched, [])
-    except Exception:
-        current = None
-    if current is not None and current.take(1):
+    # emptiness comes from timeline METADATA (live_files), not a
+    # take(1) Spark action — an empty-relation probe costs ~0.5-1.5 s
+    # per refresh for an answer the commit log already holds; and a
+    # non-empty view joins unconditionally (a pruned-to-zero current
+    # side LEFT-joins to all-null olds, which the coalesce/least/
+    # greatest folds treat as absent — same result, one less job)
+    current = None
+    if Timeline(cfg.path).live_files():
+        try:
+            current = _pruned_read(engine, name, RECORD_KEY_META, touched, [])
+        except Exception:
+            current = None
+    if current is not None:
         add_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
         lo_cols = [f"min_{c}" for c in min_cols]
         hi_cols = [f"max_{c}" for c in max_cols]

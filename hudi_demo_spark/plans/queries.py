@@ -5606,7 +5606,7 @@ def engine_incremental_rollup(spark, sf_dir):
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events
-    WHERE event_id % 2 = 1 AND NOT event_id % 11 = 3
+    WHERE event_id % 4 = 1 AND NOT event_id % 11 = 3
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -5623,18 +5623,17 @@ def engine_rollup_minmax(spark, sf_dir):
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    ).filter(F.col("event_id") % 2 == 1)
-    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    ).filter(F.col("event_id") % 4 == 1)
+    eng.create_table("src", record_key="event_id")
     create_rollup(
         eng, "src", "roll", ["event_type"], ["value"],
         min_cols=["value"], max_cols=["value"],
     )
     eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
-    refresh_rollup(eng, "roll")
+    refresh_rollup(eng, "roll")  # insert-only: least/greatest fold
     eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
-    refresh_rollup(eng, "roll")
     eng.delete("src", "event_id % 11 = 3")
-    refresh_rollup(eng, "roll")
+    refresh_rollup(eng, "roll")  # mixed window: exact recompute
     return (
         eng.read("roll")
         .select(
@@ -5655,7 +5654,7 @@ def engine_rollup_minmax(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_rows,
            round(sum(value), 2) AS sum_value
     FROM events
-    WHERE event_id % 2 = 0 AND NOT event_id % 10 = 4
+    WHERE event_id % 4 = 0 AND NOT event_id % 20 = 8
     GROUP BY event_type, bucket ORDER BY event_type, bucket
     """,
 )
@@ -5674,8 +5673,11 @@ def engine_continuous_aggregate(spark, sf_dir):
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
-    ).filter(F.col("event_id") % 2 == 0)
-    eng.create_table("src", record_key="event_id", partition_by="event_type")
+    ).filter(F.col("event_id") % 4 == 0)
+    # unpartitioned source: the gate proves the maintenance algebra
+    # (fold vs recompute through the bucket expression); partition-write
+    # mechanics are engine_incremental_rollup's job
+    eng.create_table("src", record_key="event_id")
     create_rollup(
         eng, "src", "roll",
         ["event_type", "bucket"], ["value"],
@@ -5687,11 +5689,10 @@ def engine_continuous_aggregate(spark, sf_dir):
         },
     )
     eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
-    refresh_rollup(eng, "roll")
+    refresh_rollup(eng, "roll")  # insert-only window: additive fold
     eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
-    refresh_rollup(eng, "roll")
-    eng.delete("src", "event_id % 10 = 4")
-    refresh_rollup(eng, "roll")
+    eng.delete("src", "event_id % 20 = 8")
+    refresh_rollup(eng, "roll")  # mixed window: CDC partial recompute
     return (
         eng.read("roll")
         .select(

@@ -112,6 +112,7 @@ HEADLINE = [
     "grouping_sets_revenue",
     "pivot_event_type_counts",
     "engine_partition_prune",
+    "events_percentiles",
 ]
 
 

@@ -4878,6 +4878,39 @@ def pivot_event_type_counts(spark, sf_dir):
 
 
 @q(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (linear interpolation — matches
+    DuckDB's quantile_cont bit-for-bit, no rounding needed). The exact
+    form sorts within groups; the one-scan approximate alternative for
+    100 TB profiles is `profile_numeric(approx=True)`'s
+    approx_percentile sketch."""
+    e = load_table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.95, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(p.alias("__p"))
+        .select(
+            "event_type",
+            F.col("__p")[0].alias("p25"),
+            F.col("__p")[1].alias("p50"),
+            F.col("__p")[2].alias("p95"),
+            F.col("__p")[3].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "events_json_extract",
     """
     SELECT event_type,

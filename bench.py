@@ -113,6 +113,8 @@ HEADLINE = [
     "pivot_event_type_counts",
     "engine_partition_prune",
     "events_percentiles",
+    "web_url_canonicalize",
+    "web_url_dedup",
 ]
 
 

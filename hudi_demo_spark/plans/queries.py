@@ -4877,6 +4877,127 @@ def pivot_event_type_counts(spark, sf_dir):
     return out
 
 
+# Synthesized URL fixture (no URL column in the test tables): variants
+# exercising every canonicalization rule — scheme/host case, default
+# ports, trailing slash, tracking params, unsorted params, fragments —
+# built identically on both sides; each side then canonicalizes with
+# ITS OWN implementation (Spark Columns vs DuckDB SQL), so the rules
+# are differentially tested, not just the fixture.
+WEB_URL_FIXTURE_SQL = """
+    raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://WWW.Site' || CAST(doc_id % 10 AS VARCHAR) || '.COM'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                 WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+        || '/Docs/' || CAST(doc_id % 5 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 3 <> 0
+                 THEN '?b=2&utm_source=s' || CAST(doc_id AS VARCHAR) || '&a=1'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    )"""
+
+WEB_URL_CANON_SQL = """
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?', 1))
+          AS scheme,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?', 2))
+          AS host0,
+        coalesce(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?', 3),
+          '') AS path0,
+        coalesce(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?', 4),
+          '') AS query0
+      FROM raw
+    ), canon AS (
+      SELECT doc_id,
+        scheme || '://'
+        || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END)
+        || regexp_replace(path0, '/$', '')
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      FROM (
+        SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                 string_split(query0, '&'),
+                 p -> p != '' AND NOT regexp_matches(p,
+                   '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '')
+                 AS q
+        FROM parts) t
+    )"""
+
+
+def _web_url_fixture(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://WWW.Site"), (i % 10).cast("string"), F.lit(".COM"),
+            F.when(i % 4 == 0, F.lit(":80"))
+            .when(i % 4 == 1, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/Docs/"), (i % 5).cast("string"),
+            F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                i % 3 != 0,
+                F.concat(
+                    F.lit("?b=2&utm_source=s"), i.cast("string"), F.lit("&a=1")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ),
+    )
+
+
+@q(
+    "web_url_canonicalize",
+    f"""
+    WITH {WEB_URL_FIXTURE_SQL}, {WEB_URL_CANON_SQL}
+    SELECT doc_id, canonical_url FROM canon ORDER BY doc_id
+    """,
+)
+def web_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (the C4/CommonCrawl preamble): scheme/host
+    lowercased, default ports and fragments stripped, tracking params
+    dropped, remaining params sorted, trailing slash removed — the
+    Spark Column implementation vs an independent DuckDB SQL one."""
+    from hudi_demo_spark.operators.web import canonicalize_url
+
+    return (
+        _web_url_fixture(spark, sf_dir)
+        .select("doc_id", canonicalize_url("url").alias("canonical_url"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "web_url_dedup",
+    f"""
+    WITH {WEB_URL_FIXTURE_SQL}, {WEB_URL_CANON_SQL}
+    SELECT min(doc_id) AS doc_id FROM canon
+    GROUP BY canonical_url ORDER BY doc_id
+    """,
+)
+def web_url_dedup(spark, sf_dir):
+    """URL-keyed dedup: one surviving row per canonical URL (min doc_id
+    keeper); the shuffle key is a 64-bit hash of the canonical form."""
+    from hudi_demo_spark.operators.web import dedup_by_url
+
+    return (
+        dedup_by_url(_web_url_fixture(spark, sf_dir), "url", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "events_percentiles",
     """

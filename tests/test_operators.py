@@ -965,3 +965,51 @@ def test_duplicate_spans_keep_first(spark):
     }
     assert out[1] == rows[0][1]          # canonical copy untouched
     assert out[2] == "prefix tail"
+
+
+def test_canonicalize_url_rules(spark):
+    from hudi_demo_spark.operators.web import (
+        canonicalize_url,
+        url_host,
+        url_registered_domain,
+    )
+
+    rows = [
+        (1, "HTTPS://Sub.Example.COM:443/A/B/?utm_source=x&z=1&a=2#frag"),
+        (2, "http://example.com:80"),
+        (3, "http://example.com:8080/p"),     # non-default port kept
+        (4, "not a url at all "),             # passes through trimmed
+        (5, "https://example.com/p?fbclid=1&gclid=2&ref=3"),
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    out = {
+        r.k: (r.c, r.h, r.d)
+        for r in df.select(
+            "k",
+            canonicalize_url("url").alias("c"),
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+        ).collect()
+    }
+    assert out[1] == (
+        "https://sub.example.com/A/B?a=2&z=1",
+        "sub.example.com",
+        "example.com",
+    )
+    assert out[2][0] == "http://example.com"
+    assert out[3][0] == "http://example.com:8080/p"
+    assert out[4][0] == "not a url at all"
+    assert out[5][0] == "https://example.com/p"
+
+
+def test_dedup_by_url_collapses_variants(spark):
+    from hudi_demo_spark.operators.web import dedup_by_url
+
+    rows = [
+        (1, "https://a.com/x/?utm_source=1"),
+        (2, "HTTPS://A.COM:443/x"),            # same canonical as 1
+        (3, "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    kept = sorted(r.k for r in dedup_by_url(df, "url", "k").collect())
+    assert kept == [1, 3]

@@ -100,6 +100,7 @@ HEADLINE = [
     "engine_chained_rollup",
     "engine_continuous_aggregate",
     "engine_rollup_minmax",
+    "engine_filter_view",
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "dedup_contaminated_scrub",

@@ -583,6 +583,115 @@ def _recompute_left(
     return out
 
 
+def create_filter_view(
+    engine,
+    source: str,
+    name: str,
+    predicate: str,
+    columns: list[str] | None = None,
+):
+    """Define `name` as an incrementally-maintained FILTERED PROJECTION
+    of `source` — the third derived-table shape next to rollups and
+    join views, and the one an LLM-data pipeline materializes most: the
+    quality-filtered corpus (`quality >= t AND lang = 'en'`) kept fresh
+    as documents arrive, re-score, or get deleted. Keyed by the
+    source's record key; `columns` optionally projects (must include
+    the key fields). Refresh with `refresh_filter_view`: insert-only
+    windows append the delta's matching rows; windows with DML
+    re-derive exactly the CHANGED identities — a row edited out of the
+    predicate leaves the view, one edited in arrives."""
+    src_cfg = engine._resolve(source)
+    if not src_cfg.record_key_fields:
+        raise ValueError("filter view requires a keyed source")
+    if columns is not None:
+        missing = set(src_cfg.record_key_fields) - set(columns)
+        if missing:
+            raise ValueError(
+                f"filter view columns must include the key fields {sorted(missing)}"
+            )
+    props = {
+        "derived.filter.source": source,
+        "derived.filter.predicate": predicate,
+    }
+    if columns:
+        props["derived.filter.columns"] = ",".join(columns)
+    return engine.create_table(
+        name,
+        record_key=src_cfg.record_key_fields,
+        partition_by=None,
+        props=props,
+    )
+
+
+def refresh_filter_view(engine, name: str) -> dict | None:
+    """Fold source commits since the last refresh into the filter view.
+    Insert-only windows: upsert the delta's predicate-matching rows —
+    refresh cost scales with data arrived. Windows containing DML: the
+    CDC read names the changed identities; their CURRENT rows are
+    re-evaluated against the predicate (key-pruned snapshot read),
+    matches upserted, and changed identities without a surviving match
+    are deleted from the view. Returns the commit meta, or None when
+    the source has no new data commits."""
+    cfg = engine._resolve(name)
+    source = cfg.props["derived.filter.source"]
+    pred = cfg.props["derived.filter.predicate"]
+    cols = [
+        c for c in cfg.props.get("derived.filter.columns", "").split(",") if c
+    ] or None
+    src_cfg = engine._resolve(source)
+    key_fields = src_cfg.record_key_fields
+    meta_cols = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
+    tl = Timeline(src_cfg.path)
+    begin = cfg.props.get(_OFFSET_PROP)
+    end = tl.last_instant()
+    if end is None or begin == end:
+        return None
+    window = [
+        m for m in tl.instants()
+        if (begin is None or m["instant"] > begin) and m["instant"] <= end
+    ]
+    data_win = _data_ops(window)
+    if not data_win:
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return None
+    mutated = any(m["operation"] not in _ALLOWED for m in data_win)
+    if not mutated:
+        delta = engine.read_incremental(source, begin=begin, end=end)
+        fresh = delta.drop(*meta_cols).filter(pred)
+        out = engine.upsert(fresh.select(*cols) if cols else fresh, name)
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return out
+    changed = (
+        engine.read_cdc(source, begin=begin, end=end)
+        .select(RECORD_KEY_META).distinct().persist()
+    )
+    vals = _bounded_vals(changed, RECORD_KEY_META)
+    snap = (
+        engine.read(source, point_prune=(RECORD_KEY_META, vals))
+        if vals is not None else engine.read(source)
+    )
+    live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
+    # persisted: consumed by the upsert AND the survivors anti-join
+    fresh = live.filter(pred).drop(*meta_cols).persist()
+    out = engine.upsert(fresh.select(*cols) if cols else fresh, name)
+    survivors = fresh.select(
+        record_key_col(key_fields).alias(RECORD_KEY_META)
+    )
+    gone = changed.join(survivors, RECORD_KEY_META, "left_anti")
+    vview = _pruned_read(engine, name, RECORD_KEY_META, vals, [])
+    dead = (
+        vview.join(F.broadcast(gone), RECORD_KEY_META, "left_semi")
+        .select(*key_fields).distinct().persist()
+    )
+    if dead.take(1):
+        out = engine.delete_keys(name, dead)
+    dead.unpersist()
+    fresh.unpersist()
+    changed.unpersist()
+    _save_props(engine, name, {_OFFSET_PROP: end})
+    return out
+
+
 def refresh_all(engine) -> dict[str, dict | None]:
     """Refresh EVERY derived table in dependency order — the one-call
     settle for cascading views (a rollup over a rollup, a join view over
@@ -602,6 +711,9 @@ def refresh_all(engine) -> dict[str, dict | None]:
                 props["derived.join.left"], props["derived.join.right"]
             ]
             kinds[name] = "join"
+        elif "derived.filter.source" in props:
+            deps[name] = [props["derived.filter.source"]]
+            kinds[name] = "filter"
     order: list[str] = []
     pending = set(deps)
     while pending:
@@ -614,13 +726,14 @@ def refresh_all(engine) -> dict[str, dict | None]:
             )
         order.extend(ready)
         pending.difference_update(ready)
+    refreshers = {
+        "rollup": refresh_rollup,
+        "join": refresh_join_view,
+        "filter": refresh_filter_view,
+    }
     out: dict[str, dict | None] = {}
     for n in order:
-        out[n] = (
-            refresh_rollup(engine, n)
-            if kinds[n] == "rollup"
-            else refresh_join_view(engine, n)
-        )
+        out[n] = refreshers[kinds[n]](engine, n)
     return out
 
 

@@ -698,6 +698,35 @@ class SqlRouter:
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
             )
+        if proc == "create_filter_view":
+            # CALL create_filter_view(table => 'src', name => 'v',
+            #     predicate => 'lang = ''en''' [, columns => 'a,b'])
+            from hudi_demo_spark.engine.derived import create_filter_view
+
+            name = args.get("name")
+            predicate = args.get("predicate")
+            if not name or not predicate:
+                raise ValueError(
+                    "call create_filter_view(table => 'src', name => 'v', "
+                    "predicate => '<sql>' [, columns => 'a,b'])"
+                )
+            columns = [
+                c.strip() for c in args.get("columns", "").split(",")
+                if c.strip()
+            ] or None
+            create_filter_view(
+                self.engine, table, name, predicate, columns=columns
+            )
+            return None
+        if proc == "refresh_filter_view":
+            from hudi_demo_spark.engine.derived import refresh_filter_view
+
+            meta = refresh_filter_view(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
         raise ValueError(f"unknown procedure: {proc}")
 
     def _create(self, s: str) -> None:

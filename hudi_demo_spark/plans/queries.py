@@ -5752,6 +5752,56 @@ def engine_incremental_rollup(spark, sf_dir):
 
 
 @q(
+    "engine_filter_view",
+    """
+    WITH cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'en' ELSE lang END AS lang,
+             n_chars + (CASE WHEN doc_id % 13 = 0 THEN 5000 ELSE 0 END)
+               AS n_chars
+      FROM documents WHERE NOT doc_id % 7 = 3
+    )
+    SELECT doc_id, lang, n_chars FROM cur
+    WHERE lang = 'en' AND n_chars >= 400
+    ORDER BY doc_id
+    """,
+)
+def engine_filter_view(spark, sf_dir):
+    """Incrementally-maintained FILTERED PROJECTION (the materialized
+    quality-filtered corpus): insert-only windows append matching rows;
+    UPDATEs that move documents across the predicate boundary (re-tag
+    to 'en', boost length) add them; a DELETE removes them. Final view
+    equals the batch filter over the mutated source."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_filter_view,
+        refresh_filter_view,
+    )
+
+    root = _scratch("engine_filter_view", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    eng.create_table("src", record_key="doc_id")
+    create_filter_view(
+        eng, "src", "v", "lang = 'en' and n_chars >= 400"
+    )
+    eng.insert(d.filter(F.col("doc_id") % 2 == 0), "src")
+    refresh_filter_view(eng, "v")  # insert-only fold
+    eng.insert(d.filter(F.col("doc_id") % 2 == 1), "src")
+    eng.update("src", set={"lang": "'en'"}, where="doc_id % 11 = 0")
+    eng.update(
+        "src", set={"n_chars": "n_chars + 5000"}, where="doc_id % 13 = 0"
+    )
+    eng.delete("src", "doc_id % 7 = 3")
+    refresh_filter_view(eng, "v")  # CDC recompute of changed identities
+    return (
+        eng.read("v").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    )
+
+
+@q(
     "engine_rollup_minmax",
     """
     SELECT event_type,

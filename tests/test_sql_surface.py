@@ -639,3 +639,27 @@ def test_call_continuous_aggregate_procedure(engine, spark):
         .collect()
     }
     assert got == want
+
+
+def test_call_filter_view_procedure(engine, spark):
+    """CALL create_filter_view/refresh_filter_view — the materialized
+    filtered-corpus shape through the SQL surface."""
+    from pyspark.sql import functions as F
+
+    engine.create_table("fsrc", record_key="k")
+    engine.insert(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("q")
+        ),
+        "fsrc",
+    )
+    engine.sql(
+        "call create_filter_view(table => 'fsrc', name => 'fview', "
+        "predicate => 'q >= 8')"
+    )
+    r = engine.sql("call refresh_filter_view(table => 'fview')").collect()[0]
+    assert r["refreshed"] is True and r["instant"]
+    assert engine.read("fview").count() == 8  # q in {8,9} of each decade
+    assert engine.sql(
+        "call refresh_filter_view(table => 'fview')"
+    ).collect()[0]["refreshed"] is False

@@ -1454,3 +1454,49 @@ def test_hierarchical_continuous_aggregates(engine, spark):
         .collect()
     }
     assert got == want
+
+
+def test_filter_view_lifecycle(engine, spark):
+    """Incrementally-maintained filtered projection: insert-only windows
+    append matching rows; updates that move a row across the predicate
+    boundary add/remove it; source deletes remove it; refresh_all
+    routes the new kind."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_filter_view,
+        refresh_all,
+        refresh_filter_view,
+    )
+
+    engine.create_table("fv_t", record_key="k")
+    create_filter_view(
+        engine, "fv_t", "fv_v", "q >= 50 and lang = 'en'",
+        columns=["k", "q", "lang"],
+    )
+    d = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("q"),
+        F.when(F.col("id") % 4 == 0, "de").otherwise("en").alias("lang"),
+        (F.col("id") * 1.0).alias("extra"),
+    )
+    engine.insert(d.filter("k < 60"), "fv_t")
+    assert refresh_filter_view(engine, "fv_v") is not None  # insert fold
+    got = sorted(r.k for r in engine.read("fv_v").collect())
+    assert got == [k for k in range(50, 60) if k % 4 != 0]
+    engine.insert(d.filter("k >= 60"), "fv_t")
+    # move k=10 INTO the predicate, k=55 OUT of it; delete k=66
+    engine.update("fv_t", set={"q": "q + 100"}, where="k = 10")
+    engine.update("fv_t", set={"lang": "'fr'"}, where="k = 55")
+    engine.delete("fv_t", "k = 66")
+    assert refresh_all(engine)["fv_v"] is not None  # recompute path
+    got = sorted(r.k for r in engine.read("fv_v").collect())
+    want = sorted(
+        k for k in range(100)
+        if (k >= 50 or k == 10) and k % 4 != 0 and k not in (55, 66)
+    )
+    assert got == want
+    # projection: the extra column is not materialized
+    assert set(engine.read("fv_v").columns) >= {"k", "q", "lang"}
+    assert "extra" not in engine.read("fv_v").columns
+    assert refresh_filter_view(engine, "fv_v") is None  # idempotent

@@ -1500,3 +1500,46 @@ def test_filter_view_lifecycle(engine, spark):
     assert set(engine.read("fv_v").columns) >= {"k", "q", "lang"}
     assert "extra" not in engine.read("fv_v").columns
     assert refresh_filter_view(engine, "fv_v") is None  # idempotent
+
+
+def test_rollup_over_filter_view_cascades(engine, spark):
+    """Rollup OVER a filter view (quality-filtered corpus feeding a
+    per-language rollup): refresh_all settles the chain in dependency
+    order, and a source update that ejects rows from the filter view
+    propagates into the rollup's groups."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_filter_view,
+        create_rollup,
+        refresh_all,
+    )
+
+    engine.create_table("cf_t", record_key="k")
+    create_filter_view(engine, "cf_t", "cf_v", "q >= 5")
+    create_rollup(engine, "cf_v", "cf_roll", ["g"], ["q"])
+    d = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 10).alias("q"),
+    )
+    engine.insert(d, "cf_t")
+    refresh_all(engine)
+    got = {
+        r["g"]: r["n_rows"] for r in engine.read("cf_roll").collect()
+    }
+    assert got == {"0": 10, "1": 10, "2": 10}  # q in 5..9 per decade
+    # eject every q=5 row from the view; the rollup must shrink
+    engine.update("cf_t", set={"q": "0"}, where="q = 5")
+    refresh_all(engine)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_q"])
+        for r in engine.read("cf_roll").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in engine.read("cf_t").filter("q >= 5")
+        .groupBy("g").agg(F.count("*").alias("n"), F.sum("q").alias("s"))
+        .collect()
+    }
+    assert got == want

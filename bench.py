@@ -116,6 +116,8 @@ HEADLINE = [
     "events_percentiles",
     "web_url_canonicalize",
     "web_url_dedup",
+    "web_domain_stats",
+    "web_domain_cap",
 ]
 
 

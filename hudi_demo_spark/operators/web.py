@@ -53,6 +53,46 @@ def url_registered_domain(col: Column | str) -> Column:
     ).otherwise(F.element_at(labels, -1))
 
 
+# Multi-label public suffixes common enough to matter in a web corpus.
+# The heuristic eTLD+1 below treats 'a.b.MULTI' as registrable 'b.MULTI';
+# a production corpus should join the full Mozilla public-suffix list in
+# as a dimension table (it is data, not code) — this built-in set keeps
+# the common two-label country suffixes from collapsing a whole country
+# registry ('co.uk') into one "domain".
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "com.sg", "com.hk", "com.tw",
+)
+
+
+def url_etld1(col: Column | str) -> Column:
+    """Registrable domain (eTLD+1): one extra label in front of the
+    public suffix. 'a.b.site.co.uk' → 'site.co.uk';
+    'a.b.site.com' → 'site.com'; a bare suffix or single label passes
+    through unchanged. Pure codegen (no Python, no dimension join) —
+    the per-domain grouping key for domain caps/mixes at 100 TB is a
+    map-side projection."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical URL form:
 
@@ -111,3 +151,39 @@ def dedup_by_url(
         ["__curl"],
         keep_by=keep_by,
     ).drop("__curl")
+
+
+def domain_stats(
+    df: DataFrame, url_col: str, char_col: str | None = None
+) -> DataFrame:
+    """Per-registrable-domain corpus profile: document count, distinct
+    host count, and (optionally) total characters — the table a corpus
+    curator reads before setting domain caps/mix weights. One map-side
+    eTLD+1 projection + one hash aggregate; partial aggregation makes
+    the shuffle O(#domains), not O(#docs)."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.count_distinct(url_host(url_col)).alias("n_hosts"),
+    ]
+    if char_col is not None:
+        aggs.append(F.sum(char_col).cast("long").alias("sum_chars"))
+    return df.groupBy(url_etld1(url_col).alias("domain")).agg(*aggs)
+
+
+def cap_per_domain(
+    df: DataFrame, url_col: str, id_col: str, max_per_domain: int
+) -> DataFrame:
+    """C4/RefinedWeb max-pages-per-domain rule keyed on eTLD+1: at most
+    `max_per_domain` docs per registrable domain, kept in deterministic
+    portable-hash order (an unbiased sample of each domain, stable
+    across runs and engines). Delegates to `cap_per_group`'s keyed
+    window — parallel across domains; a hot domain costs O(its size)."""
+    from hudi_demo_spark.operators.corpus import cap_per_group
+
+    return (
+        df.withColumn("__dom", url_etld1(url_col))
+        .transform(
+            lambda d: cap_per_group(d, "__dom", id_col, max_per_domain)
+        )
+        .drop("__dom")
+    )

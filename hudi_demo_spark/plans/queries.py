@@ -4998,6 +4998,149 @@ def web_url_dedup(spark, sf_dir):
     )
 
 
+# Host fixture exercising every eTLD+1 branch: multi-label public
+# suffixes (subdomained and bare-registrable), plain .com/.org with and
+# without subdomains, a bare suffix (passes through), a single label.
+WEB_DOMAIN_FIXTURE_SQL = """
+    raw AS (
+      SELECT doc_id, n_chars,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN 'sub' || (doc_id % 3) || '.site'
+                      || (doc_id % 10) || '.co.uk'
+          WHEN 1 THEN 'www.site' || (doc_id % 10) || '.com.au'
+          WHEN 2 THEN 'site' || (doc_id % 10) || '.com'
+          WHEN 3 THEN 'a.b.site' || (doc_id % 10) || '.org'
+          WHEN 4 THEN 'co.uk'
+          ELSE 'x.site' || (doc_id % 10) || '.co.jp'
+        END AS host
+      FROM documents
+    )"""
+
+# Independent DuckDB eTLD+1: list-split the host, CASE on the last two
+# labels against the same public-suffix set (negative list indexes are
+# 1-based-from-the-end in DuckDB).
+WEB_ETLD1_SQL = """
+    dom AS (
+      SELECT doc_id, n_chars, host,
+        CASE
+          WHEN len(string_split(host, '.')) <= 2 THEN host
+          WHEN (string_split(host, '.')[-2] || '.'
+                || string_split(host, '.')[-1]) IN
+               ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                'org.au','co.jp','ne.jp','or.jp','ac.jp','com.br',
+                'com.cn','com.mx','com.tr','com.ar','co.in','co.kr',
+                'co.za','com.sg','com.hk','com.tw')
+            THEN string_split(host, '.')[-3] || '.'
+                 || string_split(host, '.')[-2] || '.'
+                 || string_split(host, '.')[-1]
+          ELSE string_split(host, '.')[-2] || '.'
+               || string_split(host, '.')[-1]
+        END AS domain
+      FROM raw
+    )"""
+
+
+def _web_domain_fixture(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    i = F.col("doc_id")
+    host = (
+        F.when(
+            i % 6 == 0,
+            F.concat(
+                F.lit("sub"), (i % 3).cast("string"), F.lit(".site"),
+                (i % 10).cast("string"), F.lit(".co.uk"),
+            ),
+        )
+        .when(
+            i % 6 == 1,
+            F.concat(
+                F.lit("www.site"), (i % 10).cast("string"),
+                F.lit(".com.au"),
+            ),
+        )
+        .when(
+            i % 6 == 2,
+            F.concat(
+                F.lit("site"), (i % 10).cast("string"), F.lit(".com")
+            ),
+        )
+        .when(
+            i % 6 == 3,
+            F.concat(
+                F.lit("a.b.site"), (i % 10).cast("string"), F.lit(".org")
+            ),
+        )
+        .when(i % 6 == 4, F.lit("co.uk"))
+        .otherwise(
+            F.concat(
+                F.lit("x.site"), (i % 10).cast("string"), F.lit(".co.jp")
+            )
+        )
+    )
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), (i % 5).cast("string")
+        ),
+    )
+
+
+@q(
+    "web_domain_stats",
+    f"""
+    WITH {WEB_DOMAIN_FIXTURE_SQL}, {WEB_ETLD1_SQL}
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM dom GROUP BY domain ORDER BY domain
+    """,
+)
+def web_domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus profile (eTLD+1 grouping — the key
+    domain caps and mix weights hang off): doc count, distinct hosts,
+    total chars. The Spark eTLD+1 is a pure-codegen label-array CASE;
+    the oracle reimplements it independently in DuckDB list SQL."""
+    from hudi_demo_spark.operators.web import domain_stats
+
+    return (
+        domain_stats(
+            _web_domain_fixture(spark, sf_dir), "url", char_col="n_chars"
+        )
+        .orderBy("domain")
+    )
+
+
+@q(
+    "web_domain_cap",
+    f"""
+    WITH {WEB_DOMAIN_FIXTURE_SQL}, {WEB_ETLD1_SQL}
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15) AS BIGINT), doc_id
+             ) AS rn
+      FROM dom
+    ) WHERE rn <= 5
+    ORDER BY doc_id
+    """,
+)
+def web_domain_cap(spark, sf_dir):
+    """Max-pages-per-domain rule keyed on eTLD+1 (C4/RefinedWeb): keep
+    at most 5 docs per registrable domain in deterministic portable-hash
+    order. One keyed window over the domain projection."""
+    from hudi_demo_spark.operators.web import cap_per_domain, url_etld1
+
+    d = _web_domain_fixture(spark, sf_dir)
+    return (
+        cap_per_domain(d, "url", "doc_id", 5)
+        .select("doc_id", url_etld1("url").alias("domain"))
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "events_percentiles",
     """

@@ -1013,3 +1013,38 @@ def test_dedup_by_url_collapses_variants(spark):
     df = spark.createDataFrame(rows, "k long, url string")
     kept = sorted(r.k for r in dedup_by_url(df, "url", "k").collect())
     assert kept == [1, 3]
+
+
+def test_url_etld1_branches(spark):
+    from hudi_demo_spark.operators.web import cap_per_domain, url_etld1
+
+    rows = [
+        (1, "https://a.b.site.co.uk/p"),   # multi-label suffix, deep host
+        (2, "https://site.co.uk/p"),       # bare registrable on multi
+        (3, "https://co.uk/p"),            # bare suffix → passthrough
+        (4, "https://www.site.com/p"),     # plain TLD, subdomain
+        (5, "https://site.com/p"),
+        (6, "https://localhost/p"),        # single label
+        (7, "https://WWW.Site.COM.AU:443/p"),  # case + port stripped first
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    out = {
+        r.k: r.d
+        for r in df.select("k", url_etld1("url").alias("d")).collect()
+    }
+    assert out[1] == "site.co.uk"
+    assert out[2] == "site.co.uk"
+    assert out[3] == "co.uk"
+    assert out[4] == "site.com"
+    assert out[5] == "site.com"
+    assert out[6] == "localhost"
+    assert out[7] == "site.com.au"
+
+    # cap groups by eTLD+1 — host variants of one domain share a budget
+    capped = cap_per_domain(df, "url", "k", 1)
+    doms = sorted(
+        r.d for r in capped.select(url_etld1("url").alias("d")).collect()
+    )
+    assert doms == sorted(
+        {"site.co.uk", "co.uk", "site.com", "localhost", "site.com.au"}
+    )

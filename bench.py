@@ -118,6 +118,7 @@ HEADLINE = [
     "web_url_dedup",
     "web_domain_stats",
     "web_domain_cap",
+    "text_bm25_relevance",
 ]
 
 

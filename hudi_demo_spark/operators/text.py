@@ -164,6 +164,65 @@ def unigram_logprob(
     return scored
 
 
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, n_tokens, bm25): Okapi BM25 relevance of every document to a
+    small query-term set (Lucene's idf variant,
+    ln((N - df + 0.5)/(df + 0.5) + 1)) — the retrieval-style signal a
+    curation pipeline uses to up-weight docs relevant to a target
+    domain. Docs with no query term score 0.0.
+
+    Scale shape: the `isin(query)` filter is a map-side prune, so the
+    only per-token shuffle is the per-(doc, matched-term) tf count —
+    O(docs × |query|) rows, not O(tokens). Corpus stats (N, avgdl) are
+    one scalar row cross-joined broadcast; the df(term) table is
+    |query|-sized and broadcast. Everything stays in codegen."""
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        raise ValueError("bm25_score needs at least one query term")
+    base = _spread(df).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
+        tokens(text_col).alias("__tk"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    terms = base.select(
+        id_col, "__dl", F.explode("__tk").alias("__t")
+    ).filter(F.col("__t").isin(q))
+    tf = terms.groupBy(id_col, "__dl", "__t").agg(
+        F.count("*").alias("__tf")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("__tf") * F.lit(k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    return (
+        base.select(id_col, F.col("__dl").cast("long").alias("n_tokens"))
+        .join(scored, id_col, "left")
+        .fillna({"bm25": 0.0})
+    )
+
+
 def top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -5395,6 +5395,54 @@ def text_classifier_score(spark, sf_dir):
 
 
 @q(
+    "text_bm25_relevance",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN ('vector', 'hash', 'stream') GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                    + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * tf.dl / stats.avgdl))) AS s
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats GROUP BY tf.doc_id
+    )
+    SELECT sized.doc_id, CAST(sized.dl AS BIGINT) AS n_tokens,
+           coalesce(round(s.s, 4), 0.0) AS bm25
+    FROM sized LEFT JOIN s USING (doc_id) ORDER BY doc_id
+    """,
+)
+def text_bm25_relevance(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a query-term set (the
+    retrieval-style curation signal for up-weighting target-domain
+    docs). Per-token work is a map-side isin prune; the only shuffles
+    are O(docs × |query|) tf counts — corpus stats and df(term) travel
+    broadcast. The oracle replays the exact Lucene-idf formula in SQL."""
+    from hudi_demo_spark.operators.text import bm25_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_score(d, "doc_id", "text", ["vector", "hash", "stream"])
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_temperature_mix",
     """
     WITH skewed AS (

@@ -1048,3 +1048,29 @@ def test_url_etld1_branches(spark):
     assert doms == sorted(
         {"site.co.uk", "co.uk", "site.com", "localhost", "site.com.au"}
     )
+
+
+def test_bm25_score_semantics(spark):
+    from hudi_demo_spark.operators.text import bm25_score
+
+    rows = [
+        (1, "spark spark spark join"),   # high tf on 'spark'
+        (2, "spark join"),               # one hit each
+        (3, "filter scan sort"),         # no query terms
+        (4, "join"),                     # rare-term only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.bm25)
+        for r in bm25_score(df, "doc_id", "text", ["spark", "join"]).collect()
+    }
+    assert out[3] == (3, 0.0)                  # no match scores zero
+    assert out[1][1] > out[2][1] > 0           # tf raises, saturating
+    assert out[4][1] > 0
+    # every doc present exactly once
+    assert sorted(out) == [1, 2, 3, 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_score(df, "doc_id", "text", [])

@@ -119,6 +119,7 @@ HEADLINE = [
     "web_domain_stats",
     "web_domain_cap",
     "text_bm25_relevance",
+    "text_inverted_index",
 ]
 
 

@@ -223,6 +223,38 @@ def bm25_score(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int | None = None,
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, df, postings): sorted doc-id posting list per term — the
+    retrieval-side complement of `bm25_score` (and the exact-match
+    decontamination lookup structure). `max_df` drops stop-terms whose
+    posting lists would be corpus-sized (the same frequency-cap idea as
+    the stop-shingle cap in n-gram dedup); `min_df` prunes the hapax
+    tail.
+
+    One explode + one per-(term, doc) distinct count + one per-term
+    collect. The collected array is bounded by max_df, so no single
+    term materializes an unbounded postings row; skew concentrates on
+    exactly the terms max_df exists to drop."""
+    terms = _spread(df).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    ).distinct()
+    out = terms.groupBy("__t").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_sort(F.collect_list("__id")).alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select(F.col("__t").alias("term"), "df", "postings")
+
+
 def top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

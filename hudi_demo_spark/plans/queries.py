@@ -5443,6 +5443,44 @@ def text_bm25_relevance(spark, sf_dir):
 
 
 @q(
+    "text_inverted_index",
+    """
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ), terms AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM sub)
+    )
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM terms GROUP BY t ORDER BY term
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build (term → sorted doc-id postings + document
+    frequency) — the retrieval complement of BM25 and the exact-match
+    decontamination lookup. Gate runs on a 1-in-20 doc sample so the
+    posting strings stay comparison-sized; postings serialize to CSV
+    for the hash compare."""
+    from hudi_demo_spark.operators.text import inverted_index
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    idx = inverted_index(d, "doc_id", "text")
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    ).orderBy("term")
+
+
+@q(
     "corpus_temperature_mix",
     """
     WITH skewed AS (

@@ -1074,3 +1074,27 @@ def test_bm25_score_semantics(spark):
 
     with _pytest.raises(ValueError):
         bm25_score(df, "doc_id", "text", [])
+
+
+def test_inverted_index_caps(spark):
+    from hudi_demo_spark.operators.text import inverted_index
+
+    rows = [
+        (1, "a b c"),
+        (2, "a b"),
+        (3, "a x x"),     # dup token within doc counts once
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        r.term: (r.df, list(r.postings))
+        for r in inverted_index(df, "doc_id", "text").collect()
+    }
+    assert full["a"] == (3, [1, 2, 3])
+    assert full["x"] == (1, [3])          # distinct within doc
+    capped = {
+        r.term
+        for r in inverted_index(
+            df, "doc_id", "text", max_df=2, min_df=2
+        ).collect()
+    }
+    assert capped == {"b"}                # 'a' over max_df, 'c'/'x' under min

@@ -255,15 +255,21 @@ def refresh_rollup(engine, name: str) -> dict | None:
         # every refresh. Sums/counts add; mins/maxes fold with
         # least/greatest (both skip NULLs, so a one-sided group keeps
         # its present value)
+        # SQL SUM semantics: a sum over only-NULL inputs is NULL, and
+        # NULL+NULL must stay NULL across refreshes — coalescing to 0
+        # only when at least one side carries a value keeps the fold
+        # bit-identical to a from-scratch re-aggregation
+        def _add(c):
+            new, old = F.col(c), F.col(f"__old_{c}")
+            return F.when(
+                new.isNull() & old.isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(new, F.lit(0)) + F.coalesce(old, F.lit(0))
+            ).alias(c)
+
         combined = partial.join(cur, group_cols, "left").select(
             *group_cols,
-            *[
-                (
-                    F.coalesce(F.col(c), F.lit(0))
-                    + F.coalesce(F.col(f"__old_{c}"), F.lit(0))
-                ).alias(c)
-                for c in add_cols
-            ],
+            *[_add(c) for c in add_cols],
             *[
                 F.least(F.col(c), F.col(f"__old_{c}")).alias(c)
                 for c in lo_cols

@@ -1543,3 +1543,40 @@ def test_rollup_over_filter_view_cascades(engine, spark):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_null_sum_semantics(engine, spark):
+    """SQL SUM over an only-NULL group is NULL, and the additive fold
+    must preserve that across refreshes (NULL+NULL stays NULL; a later
+    real value resurrects the sum) — bit-identical to a from-scratch
+    re-aggregation at every step."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("nsrc", record_key="k", partition_by=None)
+    create_rollup(engine, "nsrc", "nroll", ["g"], ["v"])
+
+    def rows(data):
+        return spark.createDataFrame(data, "k long, g string, v double")
+
+    # group 'a': only NULL values; group 'b': mixed
+    engine.insert(rows([(1, "a", None), (2, "b", 5.0), (3, "b", None)]), "nsrc")
+    refresh_rollup(engine, "nroll")
+    got = {r["g"]: (r["n_rows"], r["sum_v"])
+           for r in engine.read("nroll").collect()}
+    assert got == {"a": (1, None), "b": (2, 5.0)}
+
+    # second insert-only window: 'a' stays all-NULL, NULL folds with NULL
+    engine.insert(rows([(4, "a", None)]), "nsrc")
+    refresh_rollup(engine, "nroll")
+    got = {r["g"]: (r["n_rows"], r["sum_v"])
+           for r in engine.read("nroll").collect()}
+    assert got == {"a": (2, None), "b": (2, 5.0)}
+
+    # a real value arriving later resurrects the sum from NULL
+    engine.insert(rows([(5, "a", 7.0)]), "nsrc")
+    refresh_rollup(engine, "nroll")
+    got = {r["g"]: (r["n_rows"], r["sum_v"])
+           for r in engine.read("nroll").collect()}
+    assert got == {"a": (3, 7.0), "b": (2, 5.0)}

@@ -120,6 +120,7 @@ HEADLINE = [
     "web_domain_cap",
     "text_bm25_relevance",
     "text_inverted_index",
+    "engine_rollup_approx_distinct",
 ]
 
 

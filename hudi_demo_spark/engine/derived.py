@@ -104,6 +104,7 @@ def create_rollup(
     expr_cols: dict[str, str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    approx_distinct_cols: list[str] | None = None,
 ):
     """Define `name` as an incrementally-maintained rollup of `source`:
     per group, a row count, one sum per `sum_cols` entry, and one
@@ -120,7 +121,17 @@ def create_rollup(
     rollup is `expr_cols={'bucket': 'cast(floor(cast(ts as double) /
     900) * 900 as bigint)'}, group_cols=['bucket', ...]` and stays
     incrementally maintained (an expression column is just a projection
-    on the delta — the fold/recompute algebra is unchanged)."""
+    on the delta — the fold/recompute algebra is unchanged).
+
+    `approx_distinct_cols` maintains a mergeable HyperLogLog sketch per
+    group per column (stored as `hll_<col>` binary; read the estimate
+    with `F.hll_sketch_estimate`). COUNT(DISTINCT) is not additive, so
+    it cannot ride the exact fold — the sketch union IS associative,
+    which is the only formulation that keeps distinct counts
+    incrementally maintainable over a 100 TB stream (Datasketches HLL,
+    ~1.6% relative error at the default lgConfigK; exact while a group
+    is still in sparse mode). Delete windows route through the shared
+    partial recompute, which rebuilds the sketch exactly."""
     import json
 
     props = {
@@ -132,6 +143,8 @@ def create_rollup(
         props["derived.min_cols"] = ",".join(min_cols)
     if max_cols:
         props["derived.max_cols"] = ",".join(max_cols)
+    if approx_distinct_cols:
+        props["derived.approx_cols"] = ",".join(approx_distinct_cols)
     if expr_cols:
         props["derived.expr_cols"] = json.dumps(expr_cols)
     return engine.create_table(
@@ -155,21 +168,25 @@ def _project(df: DataFrame, expr_cols: dict[str, str]) -> DataFrame:
     return df
 
 
-def _agg_cols(cfg) -> tuple[list[str], list[str], list[str]]:
+def _agg_cols(cfg) -> tuple[list[str], list[str], list[str], list[str]]:
     def _get(prop):
         return [c for c in cfg.props.get(prop, "").split(",") if c]
 
-    return _get("derived.sum_cols"), _get("derived.min_cols"), _get(
-        "derived.max_cols"
+    return (
+        _get("derived.sum_cols"),
+        _get("derived.min_cols"),
+        _get("derived.max_cols"),
+        _get("derived.approx_cols"),
     )
 
 
-def _agg_exprs(sum_cols, min_cols, max_cols) -> list:
+def _agg_exprs(sum_cols, min_cols, max_cols, approx_cols=()) -> list:
     return (
         [F.count("*").alias("n_rows")]
         + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
         + [F.min(c).alias(f"min_{c}") for c in min_cols]
         + [F.max(c).alias(f"max_{c}") for c in max_cols]
+        + [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in approx_cols]
     )
 
 
@@ -186,7 +203,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
     cfg = engine._resolve(name)
     source = cfg.props["derived.source"]
     group_cols = cfg.props["derived.group_cols"].split(",")
-    sum_cols, min_cols, max_cols = _agg_cols(cfg)
+    sum_cols, min_cols, max_cols, approx_cols = _agg_cols(cfg)
     src_cfg = engine._resolve(source)
     tl = Timeline(src_cfg.path)
     begin = cfg.props.get(_OFFSET_PROP)
@@ -213,6 +230,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         out = _refresh_recompute(
             engine, name, source, group_cols, sum_cols, begin, end,
             expr_cols=_expr_cols(cfg), min_cols=min_cols, max_cols=max_cols,
+            approx_cols=approx_cols,
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
@@ -221,7 +239,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         _expr_cols(cfg),
     )
     partial = delta.groupBy(*group_cols).agg(
-        *_agg_exprs(sum_cols, min_cols, max_cols)
+        *_agg_exprs(sum_cols, min_cols, max_cols, approx_cols)
     ).persist()  # consumed by the key collect AND the combine below
     meta = {RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META}
     # the rollup's record key IS the group tuple — compute the touched
@@ -246,7 +264,8 @@ def refresh_rollup(engine, name: str) -> dict | None:
         add_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
         lo_cols = [f"min_{c}" for c in min_cols]
         hi_cols = [f"max_{c}" for c in max_cols]
-        agg_cols = add_cols + lo_cols + hi_cols
+        hll_cols = [f"hll_{c}" for c in approx_cols]
+        agg_cols = add_cols + lo_cols + hi_cols + hll_cols
         cur = current.drop(*meta).select(
             *group_cols, *[F.col(c).alias(f"__old_{c}") for c in agg_cols]
         )
@@ -277,6 +296,16 @@ def refresh_rollup(engine, name: str) -> dict | None:
             *[
                 F.greatest(F.col(c), F.col(f"__old_{c}")).alias(c)
                 for c in hi_cols
+            ],
+            # sketch union is the associative merge; a one-sided group
+            # (new group, or a delta group whose values were all NULL)
+            # keeps the present sketch
+            *[
+                F.when(F.col(f"__old_{c}").isNull(), F.col(c))
+                .when(F.col(c).isNull(), F.col(f"__old_{c}"))
+                .otherwise(F.hll_union(F.col(c), F.col(f"__old_{c}")))
+                .alias(c)
+                for c in hll_cols
             ],
         )
     else:
@@ -748,6 +777,7 @@ def _refresh_recompute(
     expr_cols: dict[str, str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    approx_cols: list[str] | None = None,
 ):
     """View maintenance under arbitrary source DML: the CDC read names
     every changed row identity in (begin, end]; the affected GROUPS are
@@ -797,7 +827,11 @@ def _refresh_recompute(
     fresh = (
         snap_g.join(groups, group_cols, "left_semi")
         .groupBy(*group_cols)
-        .agg(*_agg_exprs(sum_cols, min_cols or [], max_cols or []))
+        .agg(
+            *_agg_exprs(
+                sum_cols, min_cols or [], max_cols or [], approx_cols or []
+            )
+        )
     )
     meta = engine.upsert(fresh, name)
     gone = groups.join(fresh.select(*group_cols), group_cols, "left_anti")

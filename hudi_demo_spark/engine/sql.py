@@ -659,6 +659,7 @@ class SqlRouter:
                 self.engine, table, name, groups, sums,
                 expr_cols=_json.loads(exprs) if exprs else None,
                 min_cols=_cols("min_cols"), max_cols=_cols("max_cols"),
+                approx_distinct_cols=_cols("approx_distinct_cols"),
             )
             return None
         if proc == "refresh_rollup":

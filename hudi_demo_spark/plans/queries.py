@@ -6080,6 +6080,56 @@ def engine_rollup_minmax(spark, sf_dir):
 
 
 @q(
+    "engine_rollup_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id % 97) AS BIGINT) AS distinct_users
+    FROM events
+    WHERE event_id % 5 = 2 AND NOT event_id % 13 = 4
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def engine_rollup_approx_distinct(spark, sf_dir):
+    """Approx-distinct rollup columns (mergeable HLL sketch per group —
+    COUNT(DISTINCT) is not additive; the sketch union is, which is what
+    keeps distinct counts incrementally maintainable at 100 TB): two
+    insert commits whose value sets overlap must union-dedup across
+    refreshes, then a DELETE routes through partial recompute and must
+    rebuild the sketch without the dead rows. Cardinalities stay below
+    the sketch's sparse-mode bound, so the estimate is EXACT and the
+    DuckDB count(DISTINCT) oracle must match bit-for-bit."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_rollup_approx_distinct", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("user_id") % 97).alias("ubucket"),
+    ).filter(F.col("event_id") % 5 == 2)
+    eng.create_table("src", record_key="event_id")
+    create_rollup(
+        eng, "src", "roll", ["event_type"], [],
+        approx_distinct_cols=["ubucket"],
+    )
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")   # first fold: fresh sketches
+    eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
+    refresh_rollup(eng, "roll")   # insert-only: sketch union dedups
+    eng.delete("src", "event_id % 13 = 4")
+    refresh_rollup(eng, "roll")   # delete window: exact sketch rebuild
+    return (
+        eng.read("roll")
+        .select(
+            "event_type", "n_rows",
+            F.hll_sketch_estimate("hll_ubucket").alias("distinct_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "engine_continuous_aggregate",
     """
     SELECT event_type,

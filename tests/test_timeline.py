@@ -1580,3 +1580,51 @@ def test_rollup_null_sum_semantics(engine, spark):
     got = {r["g"]: (r["n_rows"], r["sum_v"])
            for r in engine.read("nroll").collect()}
     assert got == {"a": (3, 7.0), "b": (2, 5.0)}
+
+
+def test_rollup_approx_distinct_sketches(engine, spark):
+    """HLL approx-distinct rollup columns: sketch union across
+    insert-only refreshes dedups values repeated across commits
+    (count-distinct is not additive — the sketch merge is), and a
+    delete window's partial recompute rebuilds the sketch exactly.
+    Small cardinalities keep the sketch in sparse mode, so estimates
+    here are exact."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("hsrc", record_key="k", partition_by=None)
+    create_rollup(
+        engine, "hsrc", "hroll", ["g"], ["v"], approx_distinct_cols=["u"]
+    )
+
+    def rows(data):
+        return spark.createDataFrame(data, "k long, g string, v long, u string")
+
+    engine.insert(
+        rows([(1, "a", 1, "u1"), (2, "a", 1, "u2"), (3, "b", 1, "u1")]),
+        "hsrc",
+    )
+    refresh_rollup(engine, "hroll")
+
+    def estimates():
+        return {
+            r["g"]: (r["n_rows"], int(r["est"]))
+            for r in engine.read("hroll")
+            .select("g", "n_rows", F.hll_sketch_estimate("hll_u").alias("est"))
+            .collect()
+        }
+
+    assert estimates() == {"a": (2, 2), "b": (1, 1)}
+    # second commit repeats u1/u2 for 'a' (no new distincts) and adds a
+    # new distinct for 'b' — the union must dedup across commits
+    engine.insert(
+        rows([(4, "a", 1, "u1"), (5, "a", 1, "u2"), (6, "b", 1, "u9")]),
+        "hsrc",
+    )
+    refresh_rollup(engine, "hroll")
+    assert estimates() == {"a": (4, 2), "b": (2, 2)}
+    # delete the only row carrying b/u9: recompute rebuilds the sketch
+    engine.delete("hsrc", "k = 6")
+    refresh_rollup(engine, "hroll")
+    assert estimates() == {"a": (4, 2), "b": (1, 1)}

@@ -121,6 +121,7 @@ HEADLINE = [
     "text_bm25_relevance",
     "text_inverted_index",
     "engine_rollup_approx_distinct",
+    "engine_snapshot_export",
 ]
 
 

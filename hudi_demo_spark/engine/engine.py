@@ -4467,3 +4467,35 @@ class Engine:
         (HoodieJavaWriteClientExample.java:85)."""
         cfg = self._resolve(table)
         return Timeline(cfg.path).archive(keep)
+
+    def export_snapshot(
+        self,
+        table: str | TableConfig,
+        dest: str,
+        as_of: str | None = None,
+        fmt: str = "parquet",
+        keep_meta: bool = False,
+    ) -> str:
+        """Hudi snapshot-exporter shape (HoodieSnapshotExporter): write
+        the table's snapshot — optionally a time-travel snapshot — as a
+        PLAIN dataset at `dest` for consumers without the engine
+        (fmt ∈ parquet/orc/json/csv). Meta columns are stripped unless
+        `keep_meta`; the source's hive partitioning is preserved so
+        downstream scans keep partition pruning. One distributed write,
+        no driver materialization — export cost is a single pass over
+        the live file set at any table size."""
+        if fmt not in ("parquet", "orc", "json", "csv"):
+            raise ValueError(f"unsupported export format: {fmt}")
+        cfg = self._resolve(table)
+        df = self.read(cfg, as_of=as_of)
+        if not keep_meta:
+            df = df.drop(
+                RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META
+            )
+        writer = df.write.mode("overwrite").format(fmt)
+        if cfg.partition_fields:
+            writer = writer.partitionBy(*cfg.partition_fields)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(dest)
+        return dest

@@ -6080,6 +6080,49 @@ def engine_rollup_minmax(spark, sf_dir):
 
 
 @q(
+    "engine_snapshot_export",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 3 = 0 THEN 'patched'
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation WHERE NOT n_nationkey % 7 = 2
+    ORDER BY n_nationkey
+    """,
+)
+def engine_snapshot_export(spark, sf_dir):
+    """Snapshot exporter (HoodieSnapshotExporter shape): after an
+    insert + UPDATE + DELETE lifecycle, export the live snapshot as a
+    PLAIN parquet dataset (meta columns stripped, hive partitioning
+    preserved) and read it back with a stock parquet scan — the
+    engine-less consumer's view must equal the surviving rows."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_snapshot_export", sf_dir)
+    eng = Engine(spark, root)
+    n = load_table(spark, sf_dir, "nation")
+    eng.create_table(
+        "nat", record_key="n_nationkey", partition_by="n_regionkey"
+    )
+    eng.insert(n, "nat")
+    eng.update("nat", set={"n_name": "'patched'"},
+               where="n_nationkey % 3 = 0")
+    eng.delete("nat", "n_nationkey % 7 = 2")
+    dest = f"{root}/export"
+    eng.export_snapshot("nat", dest)
+    return (
+        spark.read.parquet(dest)
+        .select(
+            "n_nationkey", "n_name",
+            # hive partition dirs type-infer as int; restore the
+            # source's long so the schema matches the oracle
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@q(
     "engine_rollup_approx_distinct",
     """
     SELECT event_type,

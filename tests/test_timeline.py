@@ -1628,3 +1628,47 @@ def test_rollup_approx_distinct_sketches(engine, spark):
     engine.delete("hsrc", "k = 6")
     refresh_rollup(engine, "hroll")
     assert estimates() == {"a": (4, 2), "b": (1, 1)}
+
+
+def test_export_snapshot_time_travel_and_formats(engine, spark, tmp_path):
+    """export_snapshot writes a plain dataset an engine-less consumer
+    can scan: meta stripped by default (kept on request), as_of exports
+    the historical snapshot, partitioning is preserved, bad formats
+    refuse."""
+    import pytest as _pytest
+
+    engine.create_table("exp_t", record_key="k", partition_by="g")
+    df1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, g string, v double"
+    )
+    engine.insert(df1, "exp_t")
+    first = engine.show_commits("exp_t").collect()[-1]["commit_time"]
+    engine.upsert(
+        spark.createDataFrame([(2, "b", 99.0)], "k long, g string, v double"),
+        "exp_t",
+    )
+
+    cur = str(tmp_path / "cur")
+    engine.export_snapshot("exp_t", cur)
+    got = {(r.k, r.v) for r in spark.read.parquet(cur).collect()}
+    assert got == {(1, 10.0), (2, 99.0)}
+    assert not [
+        c for c in spark.read.parquet(cur).columns if c.startswith("_hoodie")
+    ]
+
+    old = str(tmp_path / "old")
+    engine.export_snapshot("exp_t", old, as_of=first)
+    assert {(r.k, r.v) for r in spark.read.parquet(old).collect()} == {
+        (1, 10.0), (2, 20.0),
+    }
+
+    meta = str(tmp_path / "meta")
+    engine.export_snapshot("exp_t", meta, keep_meta=True)
+    assert "_hoodie_record_key" in spark.read.parquet(meta).columns
+
+    csvd = str(tmp_path / "csv")
+    engine.export_snapshot("exp_t", csvd, fmt="csv")
+    assert spark.read.option("header", "true").csv(csvd).count() == 2
+
+    with _pytest.raises(ValueError):
+        engine.export_snapshot("exp_t", str(tmp_path / "x"), fmt="avro")

@@ -1672,3 +1672,45 @@ def test_export_snapshot_time_travel_and_formats(engine, spark, tmp_path):
 
     with _pytest.raises(ValueError):
         engine.export_snapshot("exp_t", str(tmp_path / "x"), fmt="avro")
+
+
+def test_rollup_over_join_view_cascades(engine, spark):
+    """A rollup whose source is a derived JOIN VIEW (aggregate an
+    enriched fact) — the remaining cascade shape. The view's refresh
+    commits are upserts, so the rollup's refresh must take the CDC
+    recompute path against the derived source; refresh_all settles both
+    levels in one call."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, create_rollup, refresh_all,
+    )
+
+    engine.create_table("rjf", record_key="id")
+    engine.insert(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], 2.0) for i in range(10)],
+            "id int, g string, v double",
+        ),
+        "rjf",
+    )
+    engine.create_table("rjd", record_key="g")
+    engine.insert(
+        spark.createDataFrame(
+            [("a", "east"), ("b", "west")], "g string, region string"
+        ),
+        "rjd",
+    )
+    create_join_view(engine, "rjv", "rjf", "rjd", on=["g"])
+    create_rollup(engine, "rjv", "rjf_by_region", ["region"], ["v"])
+    out = refresh_all(engine)
+    assert out["rjv"] is not None and out["rjf_by_region"] is not None
+    got = {r["region"]: (r["n_rows"], r["sum_v"])
+           for r in engine.read("rjf_by_region").collect()}
+    assert got == {"east": (5, 10.0), "west": (5, 10.0)}
+    # upstream update cascades through both levels in one settle
+    engine.update("rjf", set={"v": F.lit(7.0)}, where="id = 0")
+    refresh_all(engine)
+    got = {r["region"]: (r["n_rows"], r["sum_v"])
+           for r in engine.read("rjf_by_region").collect()}
+    assert got == {"east": (5, 15.0), "west": (5, 10.0)}

@@ -122,6 +122,7 @@ HEADLINE = [
     "text_inverted_index",
     "engine_rollup_approx_distinct",
     "engine_snapshot_export",
+    "multimodal_gif_decode",
 ]
 
 

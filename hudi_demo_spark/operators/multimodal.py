@@ -68,7 +68,7 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def sniff(payload: bytes | None) -> str | None:
     """Container type from magic bytes:
-    'ppm' | 'bmp' | 'wav' | 'jpeg' | 'png' | None."""
+    'ppm' | 'bmp' | 'wav' | 'jpeg' | 'png' | 'gif' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"P6":
@@ -81,6 +81,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -220,10 +222,14 @@ def decode_media(payload: bytes) -> dict:
         from hudi_demo_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if k == "gif":
+        from hudi_demo_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unknown container: only PPM/BMP/WAV/baseline-JPEG/PNG decode "
-        "without codec libraries; pass fake=True for the deterministic "
-        "test double"
+        "unknown container: only PPM/BMP/WAV/baseline-JPEG/PNG/GIF "
+        "decode without codec libraries; pass fake=True for the "
+        "deterministic test double"
     )
 
 

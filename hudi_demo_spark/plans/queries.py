@@ -2438,6 +2438,67 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_gif_decode",
+    """
+    SELECT d.doc_id,
+           CAST(sum(CASE WHEN d.doc_id % 3 = 0
+                          AND (d.doc_id * 7 + i.i * 5 + j.j * 3) % 16 = 5
+                         THEN 0
+                         ELSE ((d.doc_id * 7 + i.i * 5 + j.j * 3) % 16) * 17
+                    END) AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(16) i(i), range(24) j(j)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF decode (pure-Python LZW, numpy palette map), exactly
+    oracled: each doc_id synthesizes a 16×24 indexed image with pixel
+    (i,j) = (doc_id·7 + i·5 + j·3) mod 16 over a palette whose R
+    channel is index·17; doc_id % 2 toggles interlacing (de-pass path)
+    and doc_id % 3 == 0 marks index 5 transparent (composites to 0).
+    GIF is lossless over indices, so the decoded R-channel sum equals
+    the closed-form SQL sum bit-exactly; an LZW slip, interlace
+    misorder, or palette error breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.gif import encode_gif
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+    pal = [(k * 17, (k * 29) % 256, (k * 41) % 256) for k in range(16)]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                i, j = np.meshgrid(np.arange(16), np.arange(24),
+                                   indexing="ij")
+                idx = ((int(did) * 7 + i * 5 + j * 3) % 16).astype(np.uint8)
+                px = decode_media(
+                    encode_gif(
+                        idx, pal,
+                        interlace=bool(int(did) % 2),
+                        transparent=5 if int(did) % 3 == 0 else None,
+                    )
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_afp_dedup",
     """
     SELECT a.doc_id AS a, b.doc_id AS b

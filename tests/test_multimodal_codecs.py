@@ -424,3 +424,80 @@ def test_png_interlaced_rejected_and_dispatch():
     payload = encode_png(a)
     assert mm.sniff(payload) == "png"
     assert np.array_equal(mm.decode_media(payload)["pixels"], a)
+
+
+def _lzw_compress_ref(indices, bits):
+    """Reference GIF-LZW COMPRESSOR (dictionary-building, unlike
+    encode_gif's literal-code stream) — exercises the decoder's
+    dict-growth and KwKwK paths against real compressed output."""
+    clear, end = 1 << bits, (1 << bits) + 1
+    width = bits + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run = (int(indices[0]),)
+    for v in indices[1:]:
+        v = int(v)
+        if run + (v,) in table:
+            run = run + (v,)
+            continue
+        emit(table[run], width)
+        table[run + (v,)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        run = (v,)
+    emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_real_lzw():
+    import struct
+
+    from hudi_demo_spark.operators.gif import (
+        _lzw_decode, decode_gif, encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    for ncol, interlace in [(4, False), (16, True), (256, False)]:
+        pal = [tuple(int(x) for x in rng.integers(0, 256, 3))
+               for _ in range(ncol)]
+        idx = rng.integers(0, ncol, size=(13, 9)).astype(np.uint8)
+        m = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert np.array_equal(
+            m["pixels"], np.array(pal, np.uint8)[idx]
+        ), (ncol, interlace)
+
+    # decoder vs a REAL dictionary-building compressor (repetitive data
+    # forces multi-symbol entries and the KwKwK code == len(table) case)
+    seq = ([0, 0, 0, 1, 1, 0, 0, 1] * 40 + [2, 3] * 17 + [0] * 64)
+    blob = _lzw_compress_ref(seq, 2)
+    assert _lzw_decode(blob, 2) == seq
+
+    # transparency composites over black; dispatch sniffs gif
+    pal = [(255, 0, 0), (0, 255, 0)]
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    payload = encode_gif(idx, pal, transparent=1)
+    assert mm.sniff(payload) == "gif"
+    px = mm.decode_media(payload)["pixels"]
+    assert px[0, 1].tolist() == [0, 0, 0]
+    assert px[0, 0].tolist() == [255, 0, 0]
+
+    # malformed streams refuse loudly
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")

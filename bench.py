@@ -123,6 +123,8 @@ HEADLINE = [
     "engine_rollup_approx_distinct",
     "engine_snapshot_export",
     "multimodal_gif_decode",
+    "text_bm25_topk",
+    "text_bigram_logprob",
 ]
 
 

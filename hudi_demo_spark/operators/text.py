@@ -164,6 +164,62 @@ def unigram_logprob(
     return scored
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean log10 add-k-smoothed bigram
+    probability of each document under the corpus LM — the CCNet-style
+    perplexity quality filter one order up from `unigram_logprob`
+    (repetitive template junk scores high, incoherent token soup scores
+    low even when its unigrams are common). P(w2|w1) =
+    (c(w1,w2) + k) / (c(w1) + k·V), c(w1) the corpus unigram count and
+    V the vocabulary size. Docs with fewer than two tokens drop out
+    (they have no bigram evidence).
+
+    Scale shape: bigram extraction is a codegen zip_with projection
+    (no Python); the corpus bigram table aggregates map-side and joins
+    back by (w1, w2) hash — vocabulary-squared bounded, so it shuffles,
+    it does not broadcast; the unigram table and the (V, total) scalar
+    ride broadcast."""
+    bg = (
+        "zip_with(slice(__tk, 1, greatest(size(__tk) - 1, 0)), "
+        "slice(__tk, 2, greatest(size(__tk) - 1, 0)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    pairs = (
+        _spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .select(id_col, F.explode(F.expr(bg)).alias("__bg"))
+        .select(
+            id_col,
+            F.col("__bg.w1").alias("__w1"),
+            F.col("__bg.w2").alias("__w2"),
+        )
+    )
+    toks = _spread(df).select(F.explode(tokens(text_col)).alias("__w1"))
+    uni = toks.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    vocab = uni.agg(F.count("*").alias("__v"))
+    big = pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
+    logp = F.log10(
+        (F.col("__c2") + F.lit(k))
+        / (F.col("__c1") + F.lit(k) * F.col("__v"))
+    )
+    return (
+        pairs.join(big, ["__w1", "__w2"])
+        .join(F.broadcast(uni), "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(logp), round_to).alias("avg_logprob"),
+        )
+    )
+
+
 def bm25_score(
     df: DataFrame,
     id_col: str,
@@ -220,6 +276,76 @@ def bm25_score(
         base.select(id_col, F.col("__dl").cast("long").alias("n_tokens"))
         .join(scored, id_col, "left")
         .fillna({"bm25": 0.0})
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_terms_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """(query_id, doc_id, bm25, rank): top-k BM25 retrieval for a whole
+    TABLE of queries (query_id, array<string> terms) — the batch search
+    join a curation pipeline runs to mine target-domain documents for
+    many topics at once. Ties broken by doc id for determinism.
+
+    Scale shape: the query set is the small side — its exploded
+    (query_id, term) pairs broadcast into the per-(doc, term) tf table,
+    which is pre-pruned map-side to terms any query mentions
+    (broadcast semi-join, so the corpus tokens shuffle only
+    O(docs × matched terms) rows). Scores aggregate per
+    (query_id, doc), and top-k is one window partitioned by query —
+    parallel across queries. Corpus stats travel as one broadcast row."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(query_terms_col).alias("__t"),
+    ).distinct()
+    base = _spread(df).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
+        tokens(text_col).alias("__tk"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    terms = base.select(
+        id_col, "__dl", F.explode("__tk").alias("__t")
+    ).join(F.broadcast(qterms.select("__t").distinct()), "__t", "left_semi")
+    tf = terms.groupBy(id_col, "__dl", "__t").agg(
+        F.count("*").alias("__tf")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(F.broadcast(qterms), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("__tf") * F.lit(k1 + 1.0) / denom)
+        .groupBy("__qid", id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "bm25", "rank")
     )
 
 

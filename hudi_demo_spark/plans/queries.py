@@ -5504,6 +5504,110 @@ def text_bm25_relevance(spark, sf_dir):
 
 
 @q(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, unnest(
+        list_transform(range(1, greatest(len(tk), 1)),
+                       i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+      ) AS bg
+      FROM toks
+    ), p AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+    ), uni AS (
+      SELECT t AS w1, count(*) AS c1 FROM (
+        SELECT unnest(tk) AS t FROM toks) GROUP BY t
+    ), v AS (SELECT count(*) AS v FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2
+    )
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log10((big.c2 + 1.0)
+                           / (uni.c1 + 1.0 * v.v))), 4) AS avg_logprob
+    FROM p JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Add-1-smoothed bigram LM quality signal (CCNet-style perplexity
+    filter, one order above the unigram gate): mean log10 P(w2|w1)
+    under the corpus bigram distribution. Bigram extraction is a
+    codegen zip_with projection; the corpus bigram table shuffles by
+    (w1, w2) hash while unigrams and the vocab scalar broadcast."""
+    from hudi_demo_spark.operators.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "text_bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), q(qid, t) AS (
+      VALUES (1, 'vector'), (1, 'hash'), (2, 'stream'), (2, 'spark'),
+             (3, 'merge')
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN (SELECT t FROM q) GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT q.qid, tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) JOIN q ON q.t = tf.t CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ), r AS (
+      SELECT qid, doc_id, bm25,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY bm25 DESC, doc_id
+             ) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT qid AS query_id, doc_id, bm25, rank FROM r
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Batch BM25 retrieval: top-5 docs for a TABLE of queries in one
+    job — the query set broadcasts into a semi-join-pruned tf table, so
+    corpus tokens shuffle only O(docs × matched terms) rows; per-query
+    ranking is one keyed window. The oracle replays scoring AND ranking
+    in SQL (scores rounded before ranking so ties break identically)."""
+    from hudi_demo_spark.operators.text import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, ["vector", "hash"]), (2, ["stream", "spark"]), (3, ["merge"])],
+        "query_id int, terms array<string>",
+    )
+    return (
+        bm25_topk(d, qs, "doc_id", "text", "query_id", "terms", k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@q(
     "text_inverted_index",
     """
     WITH sub AS (

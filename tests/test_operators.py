@@ -1098,3 +1098,37 @@ def test_inverted_index_caps(spark):
         ).collect()
     }
     assert capped == {"b"}                # 'a' over max_df, 'c'/'x' under min
+
+
+def test_bm25_topk_and_bigram_logprob(spark):
+    from hudi_demo_spark.operators.text import bigram_logprob, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark join"),
+            (2, "spark join"),
+            (3, "filter scan sort"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, ["spark"]), (20, ["scan", "sort"])],
+        "query_id int, terms array<string>",
+    )
+    out = bm25_topk(docs, qs, "doc_id", "text", "query_id", "terms", k=2)
+    rows = {(r.query_id, r.rank): r.doc_id for r in out.collect()}
+    assert rows[(10, 1)] == 1          # tf=3 outranks tf=1
+    assert rows[(10, 2)] == 2
+    assert rows[(20, 1)] == 3          # only doc 3 matches q20
+    assert (20, 2) not in rows
+
+    lp = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_logprob(docs, "doc_id", "text").collect()
+    }
+    assert lp[1][0] == 5 and lp[2][0] == 1 and lp[3][0] == 2
+    # the dominant 'spark spark' bigram makes doc 1 most LM-probable
+    assert lp[1][1] > lp[3][1]
+    # single-token docs drop out entirely
+    one = spark.createDataFrame([(9, "lonely")], "doc_id long, text string")
+    assert bigram_logprob(one, "doc_id", "text").count() == 0

@@ -242,3 +242,40 @@ def test_secondary_range_probe_prunes_before_scan(spark, tmp_path):
     pruned_files = eng.read("t", range_filter=("ts", 1, 1)).inputFiles()
     assert len(full_files) > len(pruned_files) >= 1
     assert all("2022-01-02" in f for f in pruned_files)  # ts=1 partition
+
+
+def test_bm25_topk_broadcasts_query_side_only(spark, sf_dir):
+    """Size-independent plan properties of the retrieval join: the
+    corpus token explode is pruned by a broadcast SEMI-join before any
+    aggregation (so un-queried terms never reach a shuffle), the only
+    cross join is the single-row corpus-stats attach, per-query top-k
+    runs as a group-limited window, and no Python in the plan."""
+    plan = plan_of(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "LeftSemi" in plan                       # term prune pre-agg
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each node in tree AND detail — count headers
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1  # 1-row stats only
+    assert "WindowGroupLimit" in plan               # rank<=k pushed down
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_logprob_plan_is_codegen_joins(spark, sf_dir):
+    """Bigram extraction and scoring never leave the JVM (no Python
+    eval), and the only cross join is the single-row vocab scalar. The
+    big bigram-table join strategy is AQE's call (broadcast at fixture
+    scale, shuffle at corpus scale) — what must hold at every size is
+    the join-based shape, not a driver-side collect."""
+    plan = plan_of(QUERIES["text_bigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1  # 1-row vocab only
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inverted_index_single_term_shuffle(spark, sf_dir):
+    """term → postings is two keyed exchanges (per-doc distinct, then
+    per-term collect) and nothing else — no join, no Python."""
+    df = QUERIES["text_inverted_index"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

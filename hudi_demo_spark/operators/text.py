@@ -220,6 +220,31 @@ def bigram_logprob(
     )
 
 
+def _bm25_parts(df, id_col, text_col, k1, b):
+    """Shared BM25 plumbing: (base, stats, terms-exploder, idf, denom,
+    score columns) — `base` carries (id, __dl, __tk), `stats` is the
+    one-row (N, avgdl) broadcast, and the returned expressions assume
+    the caller built the per-(doc, term) tf table with columns
+    __tf/__df/__dl joined to stats."""
+    base = _spread(df).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
+        tokens(text_col).alias("__tk"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    score = idf * F.col("__tf") * F.lit(k1 + 1.0) / denom
+    return base, stats, score
+
+
 def bm25_score(
     df: DataFrame,
     id_col: str,
@@ -243,13 +268,7 @@ def bm25_score(
     q = sorted({t.lower() for t in query_terms})
     if not q:
         raise ValueError("bm25_score needs at least one query term")
-    base = _spread(df).select(
-        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
-        tokens(text_col).alias("__tk"),
-    )
-    stats = base.agg(
-        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
-    )
+    base, stats, score = _bm25_parts(df, id_col, text_col, k1, b)
     terms = base.select(
         id_col, "__dl", F.explode("__tk").alias("__t")
     ).filter(F.col("__t").isin(q))
@@ -257,18 +276,10 @@ def bm25_score(
         F.count("*").alias("__tf")
     )
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
-    idf = F.log(
-        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("__tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
-    )
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .crossJoin(F.broadcast(stats))
-        .withColumn("__s", idf * F.col("__tf") * F.lit(k1 + 1.0) / denom)
+        .withColumn("__s", score)
         .groupBy(id_col)
         .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
     )
@@ -307,13 +318,7 @@ def bm25_topk(
         F.col(query_id_col).alias("__qid"),
         F.explode(query_terms_col).alias("__t"),
     ).distinct()
-    base = _spread(df).select(
-        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
-        tokens(text_col).alias("__tk"),
-    )
-    stats = base.agg(
-        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
-    )
+    base, stats, score = _bm25_parts(df, id_col, text_col, k1, b)
     terms = base.select(
         id_col, "__dl", F.explode("__tk").alias("__t")
     ).join(F.broadcast(qterms.select("__t").distinct()), "__t", "left_semi")
@@ -321,19 +326,11 @@ def bm25_topk(
         F.count("*").alias("__tf")
     )
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
-    idf = F.log(
-        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("__tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
-    )
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .join(F.broadcast(qterms), "__t")
         .crossJoin(F.broadcast(stats))
-        .withColumn("__s", idf * F.col("__tf") * F.lit(k1 + 1.0) / denom)
+        .withColumn("__s", score)
         .groupBy("__qid", id_col)
         .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
     )

@@ -55,6 +55,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         if code == end:
             return out
         if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError(f"corrupt LZW stream: code {code}")
             entry = table[code]
         elif code < len(table) and table[code] is not None:
             entry = table[code]

@@ -260,12 +260,17 @@ def bm25_score(
     curation pipeline uses to up-weight docs relevant to a target
     domain. Docs with no query term score 0.0.
 
+    Query terms are matched VERBATIM against whitespace tokens (the
+    same policy as `bm25_topk` and the SQL oracle); pre-fold case on
+    both the text column and the query list if case-insensitive
+    retrieval is wanted.
+
     Scale shape: the `isin(query)` filter is a map-side prune, so the
     only per-token shuffle is the per-(doc, matched-term) tf count —
     O(docs × |query|) rows, not O(tokens). Corpus stats (N, avgdl) are
     one scalar row cross-joined broadcast; the df(term) table is
     |query|-sized and broadcast. Everything stays in codegen."""
-    q = sorted({t.lower() for t in query_terms})
+    q = sorted(set(query_terms))
     if not q:
         raise ValueError("bm25_score needs at least one query term")
     base, stats, score = _bm25_parts(df, id_col, text_col, k1, b)
@@ -360,21 +365,23 @@ def inverted_index(
     the stop-shingle cap in n-gram dedup); `min_df` prunes the hapax
     tail.
 
-    One explode + one per-(term, doc) distinct count + one per-term
-    collect. The collected array is bounded by max_df, so no single
-    term materializes an unbounded postings row; skew concentrates on
-    exactly the terms max_df exists to drop."""
+    Two passes so no stop-term posting list is ever materialized: pass
+    one aggregates per-term df only (a long per term — map-side
+    combinable, skew-safe even for corpus-sized terms); terms outside
+    [min_df, max_df] are dropped BEFORE pass two collects postings, so
+    the surviving-term set bounds every collected array at max_df and
+    the hot terms the cap exists for never reach a collect buffer."""
     terms = _spread(df).select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     ).distinct()
-    out = terms.groupBy("__t").agg(
-        F.count("*").cast("long").alias("df"),
-        F.array_sort(F.collect_list("__id")).alias("postings"),
-    )
+    dfreq = terms.groupBy("__t").agg(F.count("*").cast("long").alias("df"))
     if min_df > 1:
-        out = out.filter(F.col("df") >= min_df)
+        dfreq = dfreq.filter(F.col("df") >= min_df)
     if max_df is not None:
-        out = out.filter(F.col("df") <= max_df)
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    out = terms.join(dfreq, "__t").groupBy("__t", "df").agg(
+        F.array_sort(F.collect_list("__id")).alias("postings")
+    )
     return out.select(F.col("__t").alias("term"), "df", "postings")
 
 

@@ -501,3 +501,9 @@ def test_gif_roundtrip_and_real_lzw():
     # malformed streams refuse loudly
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+
+    # an out-of-range FIRST code after a clear is a contract ValueError,
+    # not an IndexError: min_code_size=2 → clear=4, end=5, so code 7 is
+    # out of range as the first emitted code (3-bit codes: 7 = 0b111)
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        _lzw_decode(bytes([0b111]), 2)

@@ -4117,28 +4117,6 @@ class Engine:
         )
         return clone
 
-    def export_snapshot(
-        self,
-        table: str | TableConfig,
-        dest: str,
-        as_of: str | None = None,
-        partitioned: bool = True,
-    ) -> int:
-        """Snapshot export (the HoodieSnapshotExporter / `CALL
-        export_snapshot` analog): materialize a consistent snapshot —
-        optionally time-traveled — as PLAIN parquet at `dest`, meta
-        columns dropped, hive-partitioned by the table's partition
-        fields when `partitioned`. One distributed write; downstream
-        consumers need no engine. Returns the exported row count."""
-        cfg = self._resolve(table)
-        df = self.read(cfg, as_of=as_of)
-        out = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-        w = out.write.mode("overwrite")
-        if partitioned and cfg.partition_fields:
-            w = w.partitionBy(*cfg.partition_fields)
-        w.parquet(dest)
-        return self.spark.read.parquet(dest).count()
-
     def resize_buckets(
         self,
         table: str | TableConfig,
@@ -4475,27 +4453,32 @@ class Engine:
         as_of: str | None = None,
         fmt: str = "parquet",
         keep_meta: bool = False,
-    ) -> str:
-        """Hudi snapshot-exporter shape (HoodieSnapshotExporter): write
-        the table's snapshot — optionally a time-travel snapshot — as a
-        PLAIN dataset at `dest` for consumers without the engine
-        (fmt ∈ parquet/orc/json/csv). Meta columns are stripped unless
-        `keep_meta`; the source's hive partitioning is preserved so
-        downstream scans keep partition pruning. One distributed write,
-        no driver materialization — export cost is a single pass over
-        the live file set at any table size."""
+        partitioned: bool = True,
+    ) -> int:
+        """Hudi snapshot-exporter shape (HoodieSnapshotExporter / `CALL
+        export_snapshot`): write the table's snapshot — optionally a
+        time-travel snapshot — as a PLAIN dataset at `dest` for
+        consumers without the engine (fmt ∈ parquet/orc/json/csv).
+        Meta columns are stripped unless `keep_meta`; the source's hive
+        partitioning is preserved (disable with `partitioned=False`)
+        so downstream scans keep partition pruning. One distributed
+        write, no driver materialization; the returned row count rides
+        the write itself via an Observation, so export cost stays a
+        single pass over the live file set at any table size."""
         if fmt not in ("parquet", "orc", "json", "csv"):
             raise ValueError(f"unsupported export format: {fmt}")
+        from pyspark.sql import Observation
+
         cfg = self._resolve(table)
         df = self.read(cfg, as_of=as_of)
         if not keep_meta:
-            df = df.drop(
-                RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META
-            )
+            df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode("overwrite").format(fmt)
-        if cfg.partition_fields:
+        if partitioned and cfg.partition_fields:
             writer = writer.partitionBy(*cfg.partition_fields)
         if fmt == "csv":
             writer = writer.option("header", "true")
         writer.save(dest)
-        return dest
+        return int(obs.get["n"])

@@ -125,6 +125,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "text_bm25_topk",
     "text_bigram_logprob",
+    "web_html_extract",
 ]
 
 

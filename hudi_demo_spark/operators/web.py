@@ -135,6 +135,53 @@ def canonicalize_url(col: Column | str) -> Column:
     return F.when(scheme != "", rebuilt).otherwise(u)
 
 
+# Block-level elements whose tags imply a line break in the visible text.
+_BLOCK_TAGS = (
+    "p|div|br|h[1-6]|li|ul|ol|tr|table|thead|tbody|td|th|section|article"
+    "|header|footer|nav|aside|blockquote|pre|hr|form|figure|figcaption"
+)
+
+
+def extract_html_text(col: Column | str) -> Column:
+    """Visible text of an HTML document (the C4/CCNet text-extraction
+    step that precedes every text-level filter): head, script, style
+    and comment content dropped; block-level tags become newlines;
+    remaining tags stripped; the common named entities decoded; each
+    line whitespace-collapsed and blank lines removed.
+
+    Pure chained `regexp_replace` — map-side codegen, no Python — and
+    every pattern stays in the RE2-safe subset (no lookaround, no
+    backreferences) so the same rules replay verbatim in the DuckDB
+    oracle. At 100 TB this is a projection: no shuffle, no UDF."""
+    t = _c(col)
+    # containers whose CONTENT is invisible (head swallows title/meta
+    # plus any head-side script/style in one pass; body-side script,
+    # style and comments dropped separately)
+    for pat in (
+        r"(?is)<head\b[^>]*>.*?</head>",
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        t = F.regexp_replace(t, pat, "")
+    # block boundaries → newline, everything else tag-shaped → ''
+    t = F.regexp_replace(t, r"(?i)</?(" + _BLOCK_TAGS + r")\b[^>]*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", "")
+    # entities: specific ones first, &amp; LAST so '&amp;lt;' decodes to
+    # the literal text '&lt;' (single-level decode, the standard rule)
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    # collapse each line, drop blanks, re-join
+    lines = F.transform(
+        F.split(t, r"\n"),
+        lambda x: F.trim(F.regexp_replace(x, r"\s+", " ")),
+    )
+    return F.array_join(F.filter(lines, lambda x: x != ""), "\n")
+
+
 def dedup_by_url(
     df: DataFrame, url_col: str, keep_by: str
 ) -> DataFrame:

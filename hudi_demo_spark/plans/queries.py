@@ -5202,6 +5202,56 @@ def web_domain_cap(spark, sf_dir):
     )
 
 
+# HTML wrapper exercising every extraction rule: head content (title +
+# head-side script), body script whose STRING contains tags, style,
+# a comment containing a tag, block tags (h1/p/div/li), inline tags that
+# must NOT break lines, entity decoding incl. the double-encoded case,
+# and whitespace collapse. The oracle does NOT replay the regexes — it
+# states the expected visible text in closed form from (lang, text).
+_HTML_WRAP_PREFIX = (
+    '<html><head><title>T</title><script>var a = 1 < 2;</script></head>'
+    "<body><!-- note: <div>hidden</div> --><h1>"
+)
+_HTML_WRAP_MID = '</h1><p id="main">'
+_HTML_WRAP_SUFFIX = (
+    '</p><script type="text/javascript">document.write("<p>js</p>");'
+    "</script><style>p { color: red; }</style>"
+    "<div>A &amp; B &lt;tag&gt; it&#39;s&nbsp;ok &amp;lt;keep&gt;</div>"
+    "<p>spaced    <b>words</b>   <a href='#x'>here</a></p></body></html>"
+)
+
+
+@q(
+    "web_html_extract",
+    """
+    SELECT doc_id,
+           upper(lang) || chr(10) || text || chr(10)
+           || 'A & B <tag> it''s ok &lt;keep>' || chr(10)
+           || 'spaced words here' AS text_out
+    FROM documents ORDER BY doc_id
+    """,
+)
+def web_html_extract(spark, sf_dir):
+    """HTML visible-text extraction (the C4/CCNet step before every
+    text filter): head/script/style/comments dropped, block tags become
+    line breaks, inline tags stripped in place, entities single-level
+    decoded, lines whitespace-collapsed. The fixture wraps each doc in
+    markup exercising all of those; the oracle states the expected
+    output in closed form rather than replaying the regex chain, so an
+    extraction bug cannot hide on both sides."""
+    from hudi_demo_spark.operators.web import extract_html_text
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_WRAP_PREFIX), F.upper("lang"), F.lit(_HTML_WRAP_MID),
+        F.col("text"), F.lit(_HTML_WRAP_SUFFIX),
+    )
+    return (
+        d.select("doc_id", extract_html_text(html).alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "events_percentiles",
     """

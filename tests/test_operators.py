@@ -1050,6 +1050,41 @@ def test_url_etld1_branches(spark):
     )
 
 
+def test_extract_html_text_rules(spark):
+    from hudi_demo_spark.operators.web import extract_html_text
+
+    rows = [
+        # head swallows title+script; block tags break lines; inline
+        # tags strip in place; attrs with '>' -free values handled
+        (1, "<html><head><title>T</title><script>1<2</script></head>"
+            "<body><h1>A</h1><p>b <b>c</b> d</p></body></html>",
+         "A\nb c d"),
+        # body script whose string payload contains tags; style; comment
+        # containing a tag
+        (2, "<body><script>document.write('<p>x</p>');</script>"
+            "<style>p{}</style><!-- <div>hidden</div> --><p>keep</p>"
+            "</body>", "keep"),
+        # entities: single-level decode, &amp; last
+        (3, "<p>A &amp; B &lt;i&gt; it&#39;s&nbsp;ok &amp;lt;raw&gt;</p>",
+         "A & B <i> it's ok &lt;raw>"),
+        # whitespace collapse + blank-line drop; <br> is a break
+        (4, "<p>  a   b  </p><p>   </p><div>c<br>d</div>", "a b\nc\nd"),
+        # nested/unknown inline tags and multiline markup
+        (5, "<section>\n  <span>x</span> <em>y</em>\n</section>", "x y"),
+        # no markup at all passes through collapsed
+        (6, "plain   text", "plain text"),
+    ]
+    df = spark.createDataFrame(
+        [(k, h) for k, h, _ in rows], "k long, html string"
+    )
+    got = {
+        r.k: r.t
+        for r in df.select("k", extract_html_text("html").alias("t")).collect()
+    }
+    for k, _, want in rows:
+        assert got[k] == want, (k, got[k], want)
+
+
 def test_bm25_score_semantics(spark):
     from hudi_demo_spark.operators.text import bm25_score
 

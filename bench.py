@@ -126,6 +126,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bigram_logprob",
     "web_html_extract",
+    "text_heavy_hitters",
 ]
 
 

@@ -1,9 +1,73 @@
-"""Dataset profiling — the pre-training sanity pass over numeric columns."""
+"""Dataset profiling — the pre-training sanity pass over numeric columns,
+plus sketch-backed frequency profiling (heavy hitters)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, support: float
+) -> DataFrame:
+    """(key, freq): every key whose frequency is >= support × N, with
+    its EXACT count — the frequent-items profile (hot tokens, hot join
+    keys, hot domains) a pipeline reads before choosing salting keys or
+    stop lists.
+
+    Two passes, neither of which shuffles raw rows:
+
+    1. Candidate mining — a Misra-Gries summary with m = ceil(1/support)
+       counters per partition (Arrow-batched `mapInPandas`; each batch
+       folds in as a vectorized value_counts merge, the mergeable-
+       summaries rule of Agarwal et al. 2013: add, then subtract the
+       (m+1)-th largest and drop non-positives). MG undercounts any key
+       by at most n_p/(m+1) within a partition, and a key with global
+       frequency >= support × N has frequency >= support × n_p in at
+       least one partition (pigeonhole), so with 1/(m+1) < support the
+       candidate union PROVABLY contains every true heavy hitter.
+       Output is <= m keys per partition — broadcast-sized at any data
+       scale.
+    2. Exact recount — a broadcast left-semi join prunes the table to
+       candidate keys only, then one map-side-combinable count. The
+       final filter `freq >= support × N` makes the result exact: the
+       superset from pass 1 costs only recount width, never recall.
+
+    The full-vocabulary groupBy this replaces shuffles O(distinct keys);
+    this shuffles O(candidates) = O(partitions / support)."""
+    if not (0.0 < support < 1.0):
+        raise ValueError("heavy_hitters: support must be in (0, 1)")
+    m = math.ceil(1.0 / support)
+    key_field = df.schema[key_col]
+
+    def _mg(batches):
+        import pandas as pd
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            acc = acc.add(vc, fill_value=0)
+            if len(acc) > m:
+                cut = acc.nlargest(m + 1).iloc[-1]
+                acc = (acc - cut)[lambda s: s > 0]
+        yield pd.DataFrame({key_col: acc.index})
+
+    from pyspark.sql.types import StructType
+
+    cand = (
+        df.select(key_col)
+        .mapInPandas(_mg, StructType([key_field]))
+        .distinct()
+    )
+    n_total = df.count()
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") >= F.lit(support * n_total))
+    )
 
 
 def profile_numeric(

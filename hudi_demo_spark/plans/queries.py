@@ -5253,6 +5253,38 @@ def web_html_extract(spark, sf_dir):
 
 
 @q(
+    "text_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS term
+      FROM documents
+    ), n AS (SELECT count(*) AS n FROM t)
+    SELECT term, CAST(count(*) AS BIGINT) AS freq
+    FROM t CROSS JOIN n
+    GROUP BY term, n.n HAVING count(*) >= 0.02 * n.n
+    ORDER BY freq DESC, term
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Frequent-items profile: every token with frequency >= 2% of the
+    corpus token count, with exact counts. Candidates come from a
+    per-partition Misra-Gries sketch (bounded memory, provable
+    superset); a broadcast semi-join recount makes the final set exact
+    — so the oracle is the plain exact GROUP BY ... HAVING, and any
+    sketch recall bug shows up as a missing row."""
+    from hudi_demo_spark.functions.textfn import tokens
+    from hudi_demo_spark.operators.profile import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("term"))
+    return (
+        heavy_hitters(toks, "term", 0.02)
+        .orderBy(F.col("freq").desc(), "term")
+    )
+
+
+@q(
     "events_percentiles",
     """
     SELECT event_type,

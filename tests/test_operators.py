@@ -1085,6 +1085,32 @@ def test_extract_html_text_rules(spark):
         assert got[k] == want, (k, got[k], want)
 
 
+def test_heavy_hitters_skewed_exact(spark):
+    """MG candidates must contain every true heavy hitter even when the
+    hot keys are concentrated in few partitions; counts are exact."""
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.profile import heavy_hitters
+
+    # 1000 rows: 'hot' ×400, 'warm' ×100, long tail of 500 singletons;
+    # 8 partitions with the hot keys clumped (sorted layout = worst-case
+    # clustering for a per-partition sketch)
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 100
+        + [(f"tail{i:03d}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartitionByRange(8, "k")
+    got = {
+        r.k: r.freq for r in heavy_hitters(df, "k", 0.05).collect()
+    }
+    assert got == {"hot": 400, "warm": 100}
+    # threshold sits exactly on a key's frequency → key included (>=)
+    got2 = {r.k: r.freq for r in heavy_hitters(df, "k", 0.4).collect()}
+    assert got2 == {"hot": 400}
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.0)
+
+
 def test_bm25_score_semantics(spark):
     from hudi_demo_spark.operators.text import bm25_score
 

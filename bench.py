@@ -128,6 +128,7 @@ HEADLINE = [
     "web_html_extract",
     "text_heavy_hitters",
     "multimodal_video_dedup",
+    "streaming_stream_join",
 ]
 
 

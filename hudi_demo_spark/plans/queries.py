@@ -6804,6 +6804,75 @@ def streaming_continuous_aggregate(spark, sf_dir):
 
 
 @q(
+    "streaming_stream_join",
+    """
+    WITH l AS (
+      SELECT user_id, ts AS lts, event_id AS l_id
+      FROM events WHERE event_id % 3 = 0
+    ), r AS (
+      SELECT user_id, ts AS rts, event_id AS r_id
+      FROM events WHERE event_id % 3 = 1
+    )
+    SELECT l.user_id, l_id, r_id
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND r.rts BETWEEN l.lts - INTERVAL 30 MINUTE
+                    AND l.lts + INTERVAL 30 MINUTE
+    ORDER BY l_id, r_id
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-STREAM interval join (T7 extension): two
+    bounded file streams of events join where their event times sit
+    within ±30 minutes on the same user — the enrichment join a
+    clickstream pipeline runs between two live feeds. Each side streams
+    through multiple micro-batches (cross-batch matches exercise the
+    join state store); the watermark delay is set beyond the fixture's
+    time span so no row is late and the bounded result must equal the
+    batch interval join — state EVICTION under tight watermarks is
+    pinned separately by the streaming pytest."""
+    from hudi_demo_spark.streaming.stateful import stream_stream_join
+
+    root = _scratch("streaming_stream_join", sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", F.col("ts").alias("lts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = e.filter(F.col("event_id") % 3 == 1).select(
+        "user_id", F.col("ts").alias("rts"),
+        F.col("event_id").alias("r_id"),
+    )
+    l.repartition(3).write.mode("overwrite").parquet(f"{root}/l")
+    r.repartition(3).write.mode("overwrite").parquet(f"{root}/r")
+    ls = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", "1").parquet(f"{root}/l")
+    )
+    rs = (
+        spark.readStream.schema(r.schema)
+        .option("maxFilesPerTrigger", "1").parquet(f"{root}/r")
+    )
+    joined = stream_stream_join(
+        ls, rs, ["user_id"], "lts", "rts",
+        watermark_delay="400 days", max_gap="30 minutes",
+    )
+    q_ = (
+        joined.select("user_id", "l_id", "r_id")
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/out")
+        .select("user_id", "l_id", "r_id")
+        .orderBy("l_id", "r_id")
+    )
+
+
+@q(
     "engine_dml_filegroup",
     """
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice

@@ -129,6 +129,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "multimodal_video_dedup",
     "streaming_stream_join",
+    "dedup_fuzzy_titles",
 ]
 
 

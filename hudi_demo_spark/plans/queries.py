@@ -2610,6 +2610,72 @@ def multimodal_phash_dedup(spark, sf_dir):
     )
 
 
+# Short-string fixture for fuzzy-key dedup: 40 base titles, each doc
+# applies one of 4 deterministic mutations (none / delete 3rd char /
+# substitute 2nd char / insert after 4th) — same construction on both
+# engines; the ORACLE brute-forces all pairs with exact levenshtein,
+# so the SymSpell deletion-neighborhood blocking is differentially
+# proven complete, not just plausible.
+_FUZZY_TITLE_SQL = """
+    titles AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 1 THEN substr(t, 1, 2) || substr(t, 4)
+          WHEN 2 THEN substr(t, 1, 1) || 'x' || substr(t, 3)
+          WHEN 3 THEN substr(t, 1, 4) || 'q' || substr(t, 5)
+          ELSE t
+        END AS title
+      FROM (
+        SELECT doc_id,
+               'the quick record ' ||
+               substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 6) AS t
+        FROM documents WHERE doc_id < 1500
+      )
+    )"""
+
+
+@q(
+    "dedup_fuzzy_titles",
+    f"""
+    WITH {_FUZZY_TITLE_SQL}
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit
+    FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    ORDER BY a, b
+    """,
+)
+def dedup_fuzzy_titles(spark, sf_dir):
+    """Fuzzy-key (edit-distance) dedup over short strings: SymSpell
+    deletion-neighborhood blocking + exact levenshtein verify, complete
+    for distance ≤ 2 by the shared-deletion-variant guarantee. The
+    oracle brute-forces every pair, so a blocking recall bug surfaces
+    as a missing row — the differential proves completeness, not just
+    precision."""
+    from hudi_demo_spark.operators.dedup import edit_near_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 1500")
+    t = F.concat(
+        F.lit("the quick record "),
+        F.substring(F.md5((F.col("doc_id") % 40).cast("string")), 1, 6),
+    )
+    titles = d.withColumn("__t", t).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1,
+               F.expr("substr(__t, 1, 2) || substr(__t, 4)"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.expr("substr(__t, 1, 1) || 'x' || substr(__t, 3)"))
+        .when(F.col("doc_id") % 4 == 3,
+              F.expr("substr(__t, 1, 4) || 'q' || substr(__t, 5)"))
+        .otherwise(F.col("__t")).alias("title"),
+    )
+    return (
+        edit_near_pairs(titles, "doc_id", "title", max_edit=2)
+        .select("a", "b", F.col("edit").cast("int").alias("edit"))
+        .orderBy("a", "b")
+    )
+
+
 @q(
     "multimodal_video_dedup",
     """

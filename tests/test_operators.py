@@ -1085,6 +1085,33 @@ def test_extract_html_text_rules(spark):
         assert got[k] == want, (k, got[k], want)
 
 
+def test_edit_near_pairs_semantics(spark):
+    """SymSpell blocking finds exactly the pairs within the edit
+    budget: deletion, substitution, and insert+substitute combos in;
+    3-edit pairs out; d=1 excludes the 2-edit pairs."""
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.dedup import edit_near_pairs
+
+    rows = [
+        (1, "spark engine"), (2, "spark engin"), (3, "spork engine"),
+        (4, "zpark enginex"), (5, "totally different"), (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got1 = sorted(
+        (r.a, r.b, r.edit)
+        for r in edit_near_pairs(df, "id", "t", max_edit=1).collect()
+    )
+    assert got1 == [(1, 2, 1), (1, 3, 1)]
+    got2 = sorted(
+        (r.a, r.b, r.edit)
+        for r in edit_near_pairs(df, "id", "t", max_edit=2).collect()
+    )
+    assert got2 == [(1, 2, 1), (1, 3, 1), (1, 4, 2), (2, 3, 2)]
+    with _pytest.raises(ValueError):
+        edit_near_pairs(df, "id", "t", max_edit=3)
+
+
 def test_heavy_hitters_skewed_exact(spark):
     """MG candidates must contain every true heavy hitter even when the
     hot keys are concentrated in few partitions; counts are exact."""

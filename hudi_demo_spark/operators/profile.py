@@ -52,7 +52,10 @@ def heavy_hitters(
             if len(acc) > m:
                 cut = acc.nlargest(m + 1).iloc[-1]
                 acc = (acc - cut)[lambda s: s > 0]
-        yield pd.DataFrame({key_col: acc.index})
+        # list() keeps the key dtype object-typed so an EMPTY partition
+        # doesn't surface as an int64 RangeIndex that Arrow refuses to
+        # cast to the declared key type
+        yield pd.DataFrame({key_col: list(acc.index)})
 
     from pyspark.sql.types import StructType
 

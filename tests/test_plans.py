@@ -287,3 +287,58 @@ def test_inverted_index_single_term_shuffle(spark, sf_dir):
     # collect_list appears exactly once (the postings pass), and only
     # AFTER the df-filter side exists — two aggregate stages minimum
     assert plan.count("collect_list") >= 1
+
+
+def test_heavy_hitters_scale_shape(spark, sf_dir):
+    """The recount join must be a BROADCAST of the bounded candidate
+    set (never a corpus shuffle or cartesian), and the only Python
+    stage is the Arrow-batched Misra-Gries candidate miner."""
+    from hudi_demo_spark.functions.textfn import tokens
+    from hudi_demo_spark.operators.profile import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("term"))
+    plan = plan_of(heavy_hitters(toks, "term", 0.02))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # candidates are broadcast-sized
+    # exactly one Python stage: the MG miner (formatted plans print each
+    # node twice — once in the tree, once in the details)
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_edit_near_pairs_scale_shape(spark, sf_dir):
+    """Candidates come from an equi-join on variant hashes — never a
+    cartesian — and the whole neighborhood expansion is codegen (no
+    Python stage of any kind)."""
+    from hudi_demo_spark.operators.dedup import edit_near_pairs
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("t")
+    )
+    plan = plan_of(edit_near_pairs(d, "doc_id", "t", max_edit=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_near_dups_frame_aligned_blocking(spark):
+    """The Hamming miner's join key must include the frame index (the
+    group column shrinks buckets instead of growing candidates)."""
+    import numpy as np
+
+    from hudi_demo_spark.operators import multimodal as mm
+
+    base = np.random.default_rng(5).integers(
+        40, 200, size=(2, 16, 16)
+    ).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, mm.encode_y4m(base, colorspace="mono"))],
+        "media_id long, payload binary",
+    )
+    plan = plan_of(mm.video_near_dups(media))
+    # join keys: chunk, key, frame_idx — all three in one equi-join
+    assert "frame_idx" in plan
+    assert "CartesianProduct" not in plan

@@ -402,3 +402,74 @@ def test_salted_dedup_equivalent_to_plain(spark, tmp_path_factory, rows,
     assert {p[0] for p in got_a} == set(want)
     assert {(k, want[k]) for k in want} == {(k, t) for k, t in got_a}
     assert {(k, t) for k, t in got_a} == {(k, t) for k, t in got_b}
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Levenshtein (pure-Python model)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_words = st.lists(
+    st.text(alphabet="abcx ", min_size=0, max_size=12),
+    min_size=2, max_size=12,
+)
+
+
+@given(_words, st.integers(min_value=1, max_value=2))
+@settings(**_SETTINGS)
+def test_edit_near_pairs_complete_and_sound(spark, words, d):
+    """SymSpell blocking property: for ANY strings the mined pair set
+    equals the brute-force Levenshtein-≤d pair set — completeness (the
+    deletion-neighborhood guarantee) and soundness (the exact verify)
+    together, against an independent pure-Python model."""
+    from hudi_demo_spark.operators.dedup import edit_near_pairs
+
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r.a, r.b, r.edit)
+        for r in edit_near_pairs(df, "id", "t", max_edit=d).collect()
+    }
+    want = {
+        (i, j, _lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if _lev(words[i], words[j]) <= d
+    }
+    assert got == want
+
+
+_keys = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1, max_size=200,
+)
+
+
+@given(_keys, st.sampled_from([0.05, 0.2, 0.5]),
+       st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_heavy_hitters_exact_for_any_layout(spark, keys, support, parts):
+    """Misra-Gries mining property: for ANY key sequence, support and
+    partitioning, the result equals the exact 'freq >= support*N' set
+    with exact counts — the per-partition sketch never loses a true
+    heavy hitter."""
+    from collections import Counter
+
+    from hudi_demo_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k string"
+    ).repartition(parts)
+    got = {(r.k, r.freq) for r in heavy_hitters(df, "k", support).collect()}
+    c = Counter(keys)
+    want = {(k, n) for k, n in c.items() if n >= support * len(keys)}
+    assert got == want

@@ -105,6 +105,7 @@ def create_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     approx_distinct_cols: list[str] | None = None,
+    hist_cols: dict[str, list] | None = None,
 ):
     """Define `name` as an incrementally-maintained rollup of `source`:
     per group, a row count, one sum per `sum_cols` entry, and one
@@ -131,7 +132,19 @@ def create_rollup(
     incrementally maintainable over a 100 TB stream (Datasketches HLL,
     ~1.6% relative error at the default lgConfigK; exact while a group
     is still in sparse mode). Delete windows route through the shared
-    partial recompute, which rebuilds the sketch exactly."""
+    partial recompute, which rebuilds the sketch exactly.
+
+    `hist_cols` maintains a fixed-boundary histogram per group per
+    column: `{col: [lo, hi, n_bins]}` stores `hist_<col>` as an
+    array<bigint> of per-bin counts (bin = clamp(floor((x-lo)/width),
+    0, n_bins-1) — out-of-range values land in the edge bins, NULLs
+    are uncounted). Per-bin counts are ADDITIVE, so histograms ride the
+    same insert-only fold as sums (element-wise zip_with add) and are
+    EXACT at any scale — the mergeable-histogram formulation that keeps
+    distribution tracking (p50/p99 read-off, drift monitoring)
+    incrementally maintainable over a 100 TB stream in O(n_bins) state
+    per group. Delete windows rebuild exactly via the shared partial
+    recompute."""
     import json
 
     props = {
@@ -145,6 +158,11 @@ def create_rollup(
         props["derived.max_cols"] = ",".join(max_cols)
     if approx_distinct_cols:
         props["derived.approx_cols"] = ",".join(approx_distinct_cols)
+    if hist_cols:
+        props["derived.hist_cols"] = json.dumps(
+            {c: [float(lo), float(hi), int(nb)]
+             for c, (lo, hi, nb) in hist_cols.items()}
+        )
     if expr_cols:
         props["derived.expr_cols"] = json.dumps(expr_cols)
     return engine.create_table(
@@ -168,25 +186,59 @@ def _project(df: DataFrame, expr_cols: dict[str, str]) -> DataFrame:
     return df
 
 
-def _agg_cols(cfg) -> tuple[list[str], list[str], list[str], list[str]]:
+def _agg_cols(
+    cfg,
+) -> tuple[list[str], list[str], list[str], list[str], dict[str, list]]:
+    import json
+
     def _get(prop):
         return [c for c in cfg.props.get(prop, "").split(",") if c]
 
+    raw = cfg.props.get("derived.hist_cols")
     return (
         _get("derived.sum_cols"),
         _get("derived.min_cols"),
         _get("derived.max_cols"),
         _get("derived.approx_cols"),
+        json.loads(raw) if raw else {},
     )
 
 
-def _agg_exprs(sum_cols, min_cols, max_cols, approx_cols=()) -> list:
+def _hist_expr(c: str, lo: float, hi: float, nbins: int):
+    """Per-group fixed-boundary histogram as ONE array of n_bins
+    conditional-sum aggregates — a single codegen pass over the group,
+    no explode, no shuffle beyond the enclosing groupBy."""
+    width = (float(hi) - float(lo)) / int(nbins)
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(c) - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(int(nbins) - 1),
+    )
+    return F.array(*[
+        F.sum(
+            F.when(F.col(c).isNotNull() & (b == i), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        for i in range(int(nbins))
+    ]).alias(f"hist_{c}")
+
+
+def _agg_exprs(
+    sum_cols, min_cols, max_cols, approx_cols=(), hist_cols=None
+) -> list:
     return (
         [F.count("*").alias("n_rows")]
         + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
         + [F.min(c).alias(f"min_{c}") for c in min_cols]
         + [F.max(c).alias(f"max_{c}") for c in max_cols]
         + [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in approx_cols]
+        + [
+            _hist_expr(c, lo, hi, nb)
+            for c, (lo, hi, nb) in (hist_cols or {}).items()
+        ]
     )
 
 
@@ -203,7 +255,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
     cfg = engine._resolve(name)
     source = cfg.props["derived.source"]
     group_cols = cfg.props["derived.group_cols"].split(",")
-    sum_cols, min_cols, max_cols, approx_cols = _agg_cols(cfg)
+    sum_cols, min_cols, max_cols, approx_cols, hist_cols = _agg_cols(cfg)
     src_cfg = engine._resolve(source)
     tl = Timeline(src_cfg.path)
     begin = cfg.props.get(_OFFSET_PROP)
@@ -230,7 +282,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         out = _refresh_recompute(
             engine, name, source, group_cols, sum_cols, begin, end,
             expr_cols=_expr_cols(cfg), min_cols=min_cols, max_cols=max_cols,
-            approx_cols=approx_cols,
+            approx_cols=approx_cols, hist_cols=hist_cols,
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
@@ -239,7 +291,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
         _expr_cols(cfg),
     )
     partial = delta.groupBy(*group_cols).agg(
-        *_agg_exprs(sum_cols, min_cols, max_cols, approx_cols)
+        *_agg_exprs(sum_cols, min_cols, max_cols, approx_cols, hist_cols)
     ).persist()  # consumed by the key collect AND the combine below
     meta = {RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META}
     # the rollup's record key IS the group tuple — compute the touched
@@ -265,7 +317,8 @@ def refresh_rollup(engine, name: str) -> dict | None:
         lo_cols = [f"min_{c}" for c in min_cols]
         hi_cols = [f"max_{c}" for c in max_cols]
         hll_cols = [f"hll_{c}" for c in approx_cols]
-        agg_cols = add_cols + lo_cols + hi_cols + hll_cols
+        hg_cols = [f"hist_{c}" for c in hist_cols]
+        agg_cols = add_cols + lo_cols + hi_cols + hll_cols + hg_cols
         cur = current.drop(*meta).select(
             *group_cols, *[F.col(c).alias(f"__old_{c}") for c in agg_cols]
         )
@@ -306,6 +359,20 @@ def refresh_rollup(engine, name: str) -> dict | None:
                 .otherwise(F.hll_union(F.col(c), F.col(f"__old_{c}")))
                 .alias(c)
                 for c in hll_cols
+            ],
+            # per-bin counts are additive: element-wise add is the
+            # histogram's associative merge (a group absent from one
+            # side keeps the present array)
+            *[
+                F.when(F.col(f"__old_{c}").isNull(), F.col(c))
+                .when(F.col(c).isNull(), F.col(f"__old_{c}"))
+                .otherwise(
+                    F.zip_with(
+                        F.col(c), F.col(f"__old_{c}"), lambda a, b: a + b
+                    )
+                )
+                .alias(c)
+                for c in hg_cols
             ],
         )
     else:
@@ -778,6 +845,7 @@ def _refresh_recompute(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     approx_cols: list[str] | None = None,
+    hist_cols: dict[str, list] | None = None,
 ):
     """View maintenance under arbitrary source DML: the CDC read names
     every changed row identity in (begin, end]; the affected GROUPS are
@@ -829,7 +897,8 @@ def _refresh_recompute(
         .groupBy(*group_cols)
         .agg(
             *_agg_exprs(
-                sum_cols, min_cols or [], max_cols or [], approx_cols or []
+                sum_cols, min_cols or [], max_cols or [], approx_cols or [],
+                hist_cols or {},
             )
         )
     )

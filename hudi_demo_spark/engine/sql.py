@@ -655,11 +655,13 @@ class SqlRouter:
                 return [c.strip() for c in args.get(key, "").split(",")
                         if c.strip()] or None
 
+            hists = args.get("hist_cols")  # JSON {col: [lo, hi, n_bins]}
             create_rollup(
                 self.engine, table, name, groups, sums,
                 expr_cols=_json.loads(exprs) if exprs else None,
                 min_cols=_cols("min_cols"), max_cols=_cols("max_cols"),
                 approx_distinct_cols=_cols("approx_distinct_cols"),
+                hist_cols=_json.loads(hists) if hists else None,
             )
             return None
         if proc == "refresh_rollup":

@@ -6608,6 +6608,60 @@ def engine_continuous_aggregate(spark, sf_dir):
 
 
 @q(
+    "engine_rollup_histogram",
+    """
+    SELECT e.event_type, r.bin,
+           CAST(count(*) FILTER (
+             WHERE least(greatest(CAST(floor(e.value / 50.0) AS INT), 0), 7)
+                   = r.bin
+           ) AS BIGINT) AS n
+    FROM events e CROSS JOIN range(0, 8) AS r(bin)
+    WHERE e.event_id % 4 = 2 AND NOT e.event_id % 9 = 5
+    GROUP BY e.event_type, r.bin
+    ORDER BY e.event_type, r.bin
+    """,
+)
+def engine_rollup_histogram(spark, sf_dir):
+    """Histogram rollup columns: per-group fixed-boundary bin counts
+    (array<bigint>) maintained incrementally — per-bin counts are
+    additive, so two insert commits fold element-wise (zip_with add);
+    a DELETE routes through the shared partial recompute, which must
+    rebuild the touched groups' arrays exactly. The final dense
+    (group, bin, count) expansion — including EMPTY bins and the
+    clamped overflow bin (values past hi land in the last bin) — must
+    equal DuckDB's batch per-bin counts bit-for-bit."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    root = _scratch("engine_rollup_histogram", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("event_id") % 4 == 2)
+    eng.create_table("src", record_key="event_id")
+    # hi=400 < max(value)≈490: the top bin must absorb clamped overflow
+    create_rollup(
+        eng, "src", "roll", ["event_type"], [],
+        hist_cols={"value": [0.0, 400.0, 8]},
+    )
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")  # first fold: fresh histograms
+    eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
+    refresh_rollup(eng, "roll")  # insert-only: element-wise add
+    eng.delete("src", "event_id % 9 = 5")
+    refresh_rollup(eng, "roll")  # delete window: exact rebuild
+    return (
+        eng.read("roll")
+        .select(
+            "event_type",
+            F.posexplode("hist_value").alias("bin", "n"),
+        )
+        .select("event_type", F.col("bin").cast("long").alias("bin"), "n")
+        .orderBy("event_type", "bin")
+    )
+
+
+@q(
     "engine_join_view",
     """
     WITH dim AS (

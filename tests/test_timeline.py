@@ -513,6 +513,73 @@ def test_incremental_rollup_handles_mutations(engine, spark):
     assert refresh_rollup(engine, "ms_roll") is None
 
 
+def test_rollup_histogram_fold_and_recompute(engine, spark):
+    """Histogram rollup columns: the element-wise insert fold and the
+    DML recompute both keep hist_<col> equal to a from-scratch batch
+    histogram — including NULLs (uncounted), below-lo and above-hi
+    values (clamped into the edge bins), and a group whose counts
+    shrink after a delete."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
+
+    engine.create_table("hg_t", record_key="k")
+    # 4 bins over [0, 40): width 10
+    create_rollup(
+        engine, "hg_t", "hg_roll", ["g"], [],
+        hist_cols={"v": [0.0, 40.0, 4]},
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("g"),
+            # id%11: -5 (below lo), NULL, and 95 (above hi) mixed in
+            F.when(F.col("id") % 11 == 0, F.lit(-5.0))
+            .when(F.col("id") % 11 == 1, F.lit(None))
+            .when(F.col("id") % 11 == 2, F.lit(95.0))
+            .otherwise((F.col("id") % 40).cast("double"))
+            .alias("v"),
+        )
+
+    def batch_hist():
+        b = F.least(
+            F.greatest(F.floor(F.col("v") / 10.0).cast("int"), F.lit(0)),
+            F.lit(3),
+        )
+        return {
+            r["g"]: tuple(r["h"])
+            for r in engine.read("hg_t")
+            .groupBy("g")
+            .agg(F.array(*[
+                F.sum(F.when(F.col("v").isNotNull() & (b == i), 1)
+                      .otherwise(0))
+                for i in range(4)
+            ]).alias("h"))
+            .collect()
+        }
+
+    def rolled():
+        return {
+            r["g"]: tuple(r["hist_v"])
+            for r in engine.read("hg_roll").collect()
+        }
+
+    engine.insert(batch(0, 200), "hg_t")
+    refresh_rollup(engine, "hg_roll")
+    assert rolled() == batch_hist()  # fresh histograms
+    engine.insert(batch(200, 350), "hg_t")
+    refresh_rollup(engine, "hg_roll")
+    assert rolled() == batch_hist()  # insert-only zip_with fold
+    # clamped edges actually exercised: both groups saw -5 and 95
+    assert all(h[0] > 0 and h[3] > 0 for h in rolled().values())
+    engine.delete("hg_t", "k % 3 = 0")
+    engine.update("hg_t", set={"v": "v + 7"}, where="k % 5 = 1")
+    refresh_rollup(engine, "hg_roll")
+    assert rolled() == batch_hist()  # DML window: exact rebuild
+    assert refresh_rollup(engine, "hg_roll") is None
+
+
 def test_inline_clustering_trigger(engine, spark):
     """cluster.inline: after N write commits since the last clustering,
     an insert triggers a sort-order rewrite automatically."""

@@ -2647,6 +2647,51 @@ class Engine:
             )
         return self.delete_partition(cfg, parts)
 
+    def ttl_partitions(
+        self,
+        table: str | TableConfig,
+        older_than: str | None = None,
+        retain_hours: float | None = None,
+    ) -> dict:
+        """Time-based partition TTL (Hudi 0.14 partition-TTL KEEP_BY_TIME
+        strategy, `hoodie.partition.ttl.*`): expire every partition whose
+        LAST data commit — the newest commit instant among its live
+        files — is <= the cutoff. A partition stays alive as long as any
+        write keeps touching it; cold partitions age out. Cutoff is
+        `older_than` (an instant string) or now minus `retain_hours`.
+        Last-touch times come from the timeline's live-file replay
+        (metadata only — no data scan), and the expiry itself is the
+        metadata-only delete_partition replacecommit, so aging a year of
+        dailies out of a 100 TB table is driver-side JSON; `clean`
+        reclaims the bytes later. Expired partitions stay time-travel
+        readable until then."""
+        if (older_than is None) == (retain_hours is None):
+            raise ValueError("pass exactly one of older_than / retain_hours")
+        if older_than is None:
+            from datetime import datetime, timedelta, timezone
+
+            cutoff = (
+                datetime.now(timezone.utc) - timedelta(hours=retain_hours)
+            ).strftime("%Y%m%d%H%M%S%f")
+        else:
+            cutoff = older_than
+        cfg = self._resolve(table)
+        tl = Timeline(cfg.path)
+        last: dict[str, str] = {}
+        for m in tl.live_files().values():
+            p = m.get("partition", "")
+            c = m.get("commit", "")
+            if c > last.get(p, ""):
+                last[p] = c
+        parts = sorted(p for p, c in last.items() if p and c <= cutoff)
+        if not parts:
+            instant = new_instant()
+            return Timeline(cfg.path).commit(
+                instant, tlmod.REPLACECOMMIT, "delete_partition", [], [],
+                {"partitions_deleted": [], "files_removed": 0},
+            )
+        return self.delete_partition(cfg, parts)
+
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
         """preCombine dedup within the incoming batch (W6).
 

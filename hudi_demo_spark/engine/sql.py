@@ -578,6 +578,31 @@ class SqlRouter:
                 )
             self.engine.delete_partition(table, parts)
             return None
+        if proc == "run_ttl":
+            # partition lifecycle: time-based (older_than instant /
+            # retain_hours — Hudi KEEP_BY_TIME) or predicate-based
+            # (condition over _hoodie_partition_path, RFC-65 shape)
+            cond = args.get("condition")
+            if cond:
+                meta = self.engine.expire_partitions(table, cond)
+            else:
+                older = args.get("older_than")
+                hours = args.get("retain_hours")
+                if not older and not hours:
+                    raise ValueError(
+                        "call run_ttl(table => 't', older_than => '<instant>'"
+                        " | retain_hours => h | condition => '<pred>')"
+                    )
+                meta = self.engine.ttl_partitions(
+                    table,
+                    older_than=older,
+                    retain_hours=float(hours) if hours else None,
+                )
+            gone = meta.get("stats", {}).get("partitions_deleted", [])
+            return self.spark.createDataFrame(
+                [(p,) for p in gone] or [(None,)],
+                "expired_partition string",
+            ).filter("expired_partition is not null")
         if proc == "copy_to_table":
             new = args.get("new_table")
             if not new:

@@ -7671,6 +7671,51 @@ def engine_delete_partition(spark, sf_dir):
 
 
 @q(
+    "engine_partition_ttl",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey NOT IN (0, 2)
+    ORDER BY n_nationkey
+    """,
+)
+def engine_partition_ttl(spark, sf_dir):
+    """Time-based partition TTL (Hudi KEEP_BY_TIME): partitions whose
+    LAST data commit predates the cutoff expire as one metadata-only
+    replacecommit. Regions 0/1/2 land in an old commit and 3/4 in a
+    newer one; an upsert then touches region 1, so with the cutoff at
+    the old commit's instant exactly regions 0 and 2 expire — region 1
+    is protected by its recent write (last-TOUCH semantics, not
+    creation time). Self-asserting: raises unless the TTL commit lists
+    exactly those two partitions."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_partition_ttl", sf_dir)
+    eng = Engine(spark, root)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    eng.create_table(
+        "nat", record_key="n_nationkey", partition_by="n_regionkey"
+    )
+    meta_old = eng.insert(n.filter(F.col("n_regionkey") < 3), "nat")
+    eng.insert(n.filter(F.col("n_regionkey") >= 3), "nat")
+    # region 1 stays warm: one row rewritten after the cutoff instant
+    eng.upsert(
+        n.filter((F.col("n_regionkey") == 1)).limit(1), "nat"
+    )
+    ttl_meta = eng.ttl_partitions("nat", older_than=meta_old["instant"])
+    gone = ttl_meta["stats"]["partitions_deleted"]
+    if gone != ["n_regionkey=0", "n_regionkey=2"]:
+        raise AssertionError(f"TTL expired wrong partitions: {gone}")
+    return (
+        eng.read("nat")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@q(
     "engine_secondary_index",
     """
     SELECT c_custkey, c_name, c_nationkey, c_mktsegment

@@ -572,6 +572,69 @@ def test_expire_partitions_ttl(engine, spark):
     assert meta2["stats"]["files_removed"] == 0
 
 
+def test_ttl_partitions_by_last_touch(engine, spark):
+    """Time-based partition TTL (KEEP_BY_TIME): a partition expires when
+    its newest live-file commit is <= the cutoff; any later write to the
+    partition — including an upsert of one row — keeps it alive."""
+    engine.create_table("tt", record_key="id", precombine="ts",
+                        partition_by="dt")
+    old = engine.insert(_mkdf(spark, [
+        (1, "a", 1.0, 100, "2022-09-05"),
+        (2, "b", 2.0, 100, "2022-09-06"),
+    ]), "tt")
+    engine.insert(
+        _mkdf(spark, [(3, "c", 3.0, 100, "2022-09-07")]), "tt"
+    )
+    # rewrite one dt=2022-09-05 row after the cutoff: partition stays
+    engine.upsert(
+        _mkdf(spark, [(1, "warm", 1.0, 999, "2022-09-05")]), "tt"
+    )
+    meta = engine.ttl_partitions("tt", older_than=old["instant"])
+    assert meta["stats"]["partitions_deleted"] == ["dt=2022-09-06"]
+    assert sorted(r[4] for r in _state(engine, "tt")) == [
+        "2022-09-05", "2022-09-07"
+    ]
+    # retain_hours path: nothing is older than now-1h
+    meta2 = engine.ttl_partitions("tt", retain_hours=1.0)
+    assert meta2["stats"]["files_removed"] == 0
+    # everything is older than now+1h — the rest expires
+    meta3 = engine.ttl_partitions("tt", retain_hours=-1.0)
+    assert sorted(meta3["stats"]["partitions_deleted"]) == [
+        "dt=2022-09-05", "dt=2022-09-07"
+    ]
+    with pytest.raises(ValueError):
+        engine.ttl_partitions("tt")
+
+
+def test_call_run_ttl(engine, spark):
+    """CALL run_ttl routes both strategies: older_than instant and a
+    partition-path condition; returns the expired partition list."""
+    from hudi_demo_spark.engine.sql import SqlRouter
+
+    engine.create_table("rt", record_key="id", precombine="ts",
+                        partition_by="dt")
+    old = engine.insert(_mkdf(spark, [
+        (1, "a", 1.0, 100, "2022-09-05"),
+        (2, "b", 2.0, 100, "2022-09-06"),
+    ]), "rt")
+    engine.insert(
+        _mkdf(spark, [(3, "c", 3.0, 100, "2022-09-07")]), "rt"
+    )
+    router = SqlRouter(engine)
+    got = router.sql(
+        f"CALL run_ttl(table => 'rt', older_than => '{old['instant']}')"
+    )
+    assert sorted(r[0] for r in got.collect()) == [
+        "dt=2022-09-05", "dt=2022-09-06"
+    ]
+    got2 = router.sql(
+        "CALL run_ttl(table => 'rt', "
+        "condition => '_hoodie_partition_path >= \"dt=2022-09-07\"')"
+    )
+    assert [r[0] for r in got2.collect()] == ["dt=2022-09-07"]
+    assert _state(engine, "rt") == []
+
+
 def test_merge_global_index_moves_partition(engine, spark):
     """MERGE on a global-index table: a matched source row with a new
     partition value MOVES the record (one copy, new partition) instead

@@ -816,6 +816,9 @@ def refresh_all(engine) -> dict[str, dict | None]:
         elif "derived.filter.source" in props:
             deps[name] = [props["derived.filter.source"]]
             kinds[name] = "filter"
+        elif "vecindex.source" in props:
+            deps[name] = [props["vecindex.source"]]
+            kinds[name] = "vecindex"
     order: list[str] = []
     pending = set(deps)
     while pending:
@@ -828,10 +831,13 @@ def refresh_all(engine) -> dict[str, dict | None]:
             )
         order.extend(ready)
         pending.difference_update(ready)
+    from hudi_demo_spark.engine.vector_index import refresh_vector_index
+
     refreshers = {
         "rollup": refresh_rollup,
         "join": refresh_join_view,
         "filter": refresh_filter_view,
+        "vecindex": refresh_vector_index,
     }
     out: dict[str, dict | None] = {}
     for n in order:

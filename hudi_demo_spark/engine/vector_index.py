@@ -1,0 +1,228 @@
+"""Incrementally-maintained VECTOR INDEX — an IVF index as a derived
+table.
+
+The ANN operators (`operators/similarity.py`) index a corpus per query
+batch: fine for one-shot jobs, wrong for a serving table that ingests
+continuously. This module materializes the IVF cell assignment as an
+engine table so the index lives WITH the data and is maintained by the
+same incremental machinery as rollups/filter views:
+
+- the index table is keyed by the source's vector id and PARTITIONED BY
+  CELL, so an ANN query that probes `n_probe` of `n_centroids` cells
+  prunes to those partitions' files — search cost is
+  n_probe/n_centroids of the corpus at any table size;
+- insert-only source windows fold by assigning JUST the delta map-side
+  against the literal centroids (no shuffle of the corpus, no re-read);
+- source DML routes through the CDC read: changed ids are re-assigned
+  from a key-pruned snapshot (a re-embedded vector MOVES cells via the
+  index table's global index) and deleted ids leave the index;
+- centroids are trained ONCE at create time and pinned in the table
+  props (n_centroids × dim floats — bounded metadata). Retraining is a
+  new index, as in any IVF deployment (Faiss IndexIVF shape).
+
+This is the 100 TB serving shape: Spark maintains the cells
+transactionally; queries read only probed partitions.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from hudi_demo_spark.engine.config import (
+    COMMIT_TIME_META,
+    PARTITION_PATH_META,
+    RECORD_KEY_META,
+)
+from hudi_demo_spark.engine.derived import (
+    _ALLOWED,
+    _OFFSET_PROP,
+    _bounded_vals,
+    _data_ops,
+    _pruned_read,
+    _save_props,
+)
+from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.operators.similarity import (
+    cosine_similarity,
+    ivf_assign,
+    seed_centroids,
+)
+
+_CELL_COL = "cell"
+
+
+def create_vector_index(
+    engine,
+    source: str,
+    name: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+):
+    """Define `name` as an incrementally-maintained IVF index over
+    `source`.`vec_col`. Centroids default to the deterministic seed
+    sample of the CURRENT source snapshot (swap in `kmeans_fit`
+    centroids via the `centroids` arg for production recall). The index
+    table is partitioned by cell and keeps a GLOBAL index so a
+    re-embedded vector moves cells instead of duplicating."""
+    src_cfg = engine._resolve(source)
+    if not src_cfg.record_key_fields:
+        raise ValueError("vector index requires a keyed source")
+    if centroids is None:
+        centroids = seed_centroids(
+            engine.read(source), id_col, vec_col, n_centroids
+        )
+        if not centroids:
+            raise ValueError(
+                "no rows to seed centroids from — pass centroids explicitly"
+            )
+    props = {
+        "vecindex.source": source,
+        "vecindex.id_col": id_col,
+        "vecindex.vec_col": vec_col,
+        "vecindex.centroids": json.dumps(
+            [[cid, list(map(float, v))] for cid, v in centroids]
+        ),
+        # a vector whose embedding changes must MOVE cell partitions
+        "index.global": "true",
+    }
+    return engine.create_table(
+        name,
+        record_key=id_col,
+        partition_by=_CELL_COL,
+        props=props,
+    )
+
+
+def _centroids(cfg) -> list[tuple[int, list[float]]]:
+    return [
+        (int(cid), [float(x) for x in v])
+        for cid, v in json.loads(cfg.props["vecindex.centroids"])
+    ]
+
+
+def _assign_cells(df: DataFrame, cfg) -> DataFrame:
+    """(id, vec, cell) for every row of `df` — pure map-side expression
+    work against the literal centroid array (no join, no shuffle)."""
+    id_col = cfg.props["vecindex.id_col"]
+    vec_col = cfg.props["vecindex.vec_col"]
+    return ivf_assign(df, _centroids(cfg), id_col, vec_col, n_probe=1).select(
+        id_col,
+        F.col("__v").alias(vec_col),
+        F.col("centroid_id").alias(_CELL_COL),
+    )
+
+
+def refresh_vector_index(engine, name: str) -> dict | None:
+    """Fold source commits since the last refresh into the index.
+    Insert-only windows assign just the delta; windows with DML
+    re-assign exactly the changed ids (key-pruned snapshot read) and
+    delete ids that left the source. Returns the commit meta, or None
+    when the source has no new data commits."""
+    cfg = engine._resolve(name)
+    source = cfg.props["vecindex.source"]
+    meta_cols = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
+    src_cfg = engine._resolve(source)
+    tl = Timeline(src_cfg.path)
+    begin = cfg.props.get(_OFFSET_PROP)
+    end = tl.last_instant()
+    if end is None or begin == end:
+        return None
+    window = [
+        m for m in tl.instants()
+        if (begin is None or m["instant"] > begin) and m["instant"] <= end
+    ]
+    data_win = _data_ops(window)
+    if not data_win:
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return None
+    mutated = any(m["operation"] not in _ALLOWED for m in data_win)
+    if not mutated:
+        delta = engine.read_incremental(source, begin=begin, end=end)
+        out = engine.upsert(_assign_cells(delta.drop(*meta_cols), cfg), name)
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return out
+    changed = (
+        engine.read_cdc(source, begin=begin, end=end)
+        .select(RECORD_KEY_META).distinct().persist()
+    )
+    vals = _bounded_vals(changed, RECORD_KEY_META)
+    snap = (
+        engine.read(source, point_prune=(RECORD_KEY_META, vals))
+        if vals is not None else engine.read(source)
+    )
+    live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
+    fresh = _assign_cells(live.drop(*meta_cols), cfg).persist()
+    out = engine.upsert(fresh, name)
+    id_col = cfg.props["vecindex.id_col"]
+    survivors = fresh.select(F.col(id_col).cast("string").alias("__sk"))
+    # the source and index share the record key (= id_col), so changed
+    # source keys map 1:1 onto index keys
+    gone = changed.join(
+        survivors, changed[RECORD_KEY_META] == survivors["__sk"], "left_anti"
+    )
+    idx_view = _pruned_read(
+        engine, name, RECORD_KEY_META,
+        _bounded_vals(gone, RECORD_KEY_META), [],
+    )
+    dead = (
+        idx_view.join(F.broadcast(gone), RECORD_KEY_META, "left_semi")
+        .select(id_col).distinct().persist()
+    )
+    if dead.take(1):
+        out = engine.delete_keys(name, dead)
+    dead.unpersist()
+    fresh.unpersist()
+    changed.unpersist()
+    _save_props(engine, name, {_OFFSET_PROP: end})
+    return out
+
+
+def vector_index_topk(
+    engine,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k served FROM the maintained index: each query probes its
+    `n_probe` nearest cells and the index is read pruned to those
+    cells' PARTITIONS (file-list pruning — the scan touches
+    n_probe/n_centroids of the table's files, the property that makes
+    the index an index at 100 TB). Exact cosine re-rank inside probed
+    cells; ties break (score desc, id asc) like `ivf_topk`."""
+    cfg = engine._resolve(name)
+    id_col = cfg.props["vecindex.id_col"]
+    vec_col = cfg.props["vecindex.vec_col"]
+    q = ivf_assign(
+        queries, _centroids(cfg), id_col, vec_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("centroid_id").alias(_CELL_COL),
+    )
+    cells = sorted(r[0] for r in q.select(_CELL_COL).distinct().collect())
+    idx = engine.read(
+        name, where=f"{_CELL_COL} IN ({','.join(str(c) for c in cells)})"
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        _CELL_COL,
+    )
+    scored = (
+        idx.join(F.broadcast(q), _CELL_COL)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine_similarity("__qv", "__nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

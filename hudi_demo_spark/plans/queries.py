@@ -3464,6 +3464,108 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
+def _indexed_topk_oracle(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4, n_queries: int = 20
+) -> str:
+    """The MAINTAINED IVF index's end state in SQL: centroids seeded
+    from the FIRST ingest batch only (vec_id % 3 = 0 — they are pinned
+    at create time), the index holds the SURVIVING rows after the
+    second insert and the delete (NOT vec_id % 17 = 2), queries probe
+    n_probe cells and re-rank exactly inside them."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH alive AS (
+      SELECT vec_id, embedding FROM embeddings WHERE NOT vec_id % 17 = 2
+    ), seeds AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+      ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             embedding::DOUBLE[] AS cv,
+             coalesce(nullif(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])), 0), 1) AS cnorm
+      FROM seeds
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / c.cnorm DESC,
+                        c.cid) AS crank
+      FROM alive e CROSS JOIN cents c
+    ), corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM assign WHERE crank = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM assign WHERE vec_id < {n_queries} AND crank <= {n_probe}
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv::DOUBLE[], nv::DOUBLE[])
+             / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                * sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[]))) AS score
+      FROM probes JOIN corpus USING (cid)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@q("ann_indexed_topk", _indexed_topk_oracle())
+def ann_indexed_topk(spark, sf_dir):
+    """IVF index MAINTAINED as a derived engine table: centroids pinned
+    at create time (first batch), a second insert folds map-side, a
+    DELETE routes through CDC maintenance and must evict the dead ids.
+    ANN queries are served from the index with the probed cells'
+    PARTITIONS file-pruned — self-asserting: raises unless the probe
+    scan reads a strict subset of the index's files. Results must
+    equal DuckDB's full replay of seed → assign → probe → re-rank over
+    the surviving rows."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.vector_index import (
+        create_vector_index,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+
+    root = _scratch("ann_indexed_topk", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eng.create_table("emb", record_key="vec_id")
+    eng.insert(e.filter(F.col("vec_id") % 3 == 0), "emb")
+    create_vector_index(eng, "emb", "vix", "vec_id", "embedding",
+                        n_centroids=16)
+    refresh_vector_index(eng, "vix")            # initial build
+    eng.insert(e.filter(F.col("vec_id") % 3 != 0), "emb")
+    refresh_vector_index(eng, "vix")            # insert-only fold
+    eng.delete("emb", "vec_id % 17 = 2")
+    refresh_vector_index(eng, "vix")            # CDC eviction
+    queries = eng.read("emb").filter(F.col("vec_id") < 20).select(
+        "vec_id", "embedding"
+    )
+    res = vector_index_topk(eng, "vix", queries, k=5, n_probe=4)
+    # the scale property IS the contract: probing 4/16 cells must scan
+    # a strict subset of the index's files
+    n_all = len(eng.read("vix").inputFiles())
+    n_probed = len(
+        eng.read("vix", where="cell IN (1,2,3,4)").inputFiles()
+    )
+    if not 0 < n_probed < n_all:
+        raise AssertionError(
+            f"probe scan not partition-pruned: {n_probed}/{n_all} files"
+        )
+    return (
+        res.select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @q(
     "events_range_join",
     """

@@ -580,6 +580,76 @@ def test_rollup_histogram_fold_and_recompute(engine, spark):
     assert refresh_rollup(engine, "hg_roll") is None
 
 
+def test_vector_index_maintenance_and_cell_moves(engine, spark):
+    """Derived IVF vector index: the index state always equals the
+    assignment of the source's CURRENT rows — across an insert-only
+    fold, a delete (eviction), and an UPSERT that re-embeds a vector
+    (which must MOVE it to its new cell partition, not duplicate it).
+    refresh_all picks the index up as a derived table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import refresh_all
+    from hudi_demo_spark.engine.vector_index import (
+        _assign_cells, create_vector_index, refresh_vector_index,
+        vector_index_topk,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def batch(ids, shift=0.0):
+        return spark.createDataFrame(
+            [(int(i),
+              [float(x) + shift for x in rng.standard_normal(8)])
+             for i in ids],
+            "vec_id int, embedding array<float>",
+        )
+
+    engine.create_table("vsrc", record_key="vec_id")
+    engine.insert(batch(range(0, 40)), "vsrc")
+    create_vector_index(engine, "vsrc", "vidx", "vec_id", "embedding",
+                        n_centroids=4)
+    refresh_vector_index(engine, "vidx")
+
+    def expected():
+        cfg = engine._resolve("vidx")
+        snap = engine.read("vsrc").select("vec_id", "embedding")
+        return {
+            (r["vec_id"], r["cell"])
+            for r in _assign_cells(snap, cfg).collect()
+        }
+
+    def actual():
+        return {
+            (r["vec_id"], r["cell"])
+            for r in engine.read("vidx").select("vec_id", "cell").collect()
+        }
+
+    assert actual() == expected()
+    engine.insert(batch(range(40, 70)), "vsrc")
+    assert refresh_vector_index(engine, "vidx") is not None
+    assert actual() == expected()
+    # delete evicts; a re-embedded vector moves cells (global index)
+    engine.delete("vsrc", "vec_id % 5 = 0")
+    moved = batch([1, 2, 3], shift=25.0)  # far shift: new nearest cell
+    engine.upsert(moved, "vsrc")
+    assert refresh_vector_index(engine, "vidx") is not None
+    assert actual() == expected()
+    ids = [r["vec_id"] for r in engine.read("vidx").select("vec_id").collect()]
+    assert len(ids) == len(set(ids))  # moves never duplicate
+    assert not {i for i in ids if i % 5 == 0}  # evicted
+    # served top-k: neighbors come only from live rows
+    res = vector_index_topk(
+        engine, "vidx", batch(range(1000, 1003)), k=3, n_probe=2
+    )
+    rows = res.collect()
+    assert {r["query_id"] for r in rows} == {1000, 1001, 1002}
+    assert all(r["neighbor_id"] % 5 != 0 for r in rows)
+    # refresh_all treats the index as a derived table (no-op here)
+    out = refresh_all(engine)
+    assert "vidx" in out and out["vidx"] is None
+
+
 def test_inline_clustering_trigger(engine, spark):
     """cluster.inline: after N write commits since the last clustering,
     an insert triggers a sort-order rewrite automatically."""

@@ -66,6 +66,83 @@ def weighted_mix(
     return df.filter(b < rate)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Token-BUDGET mixture planner: build a training mix of exactly
+    ~`budget` tokens honoring `weights` (the DoReMi/Llama-style "60%
+    web, 20% code, 20% books" recipe stated in tokens, not rows), from
+    per-doc token counts. Each group g gets target = floor(w_g·budget
+    + 0.5) tokens: `target // available` FULL EPOCHS of every doc
+    (upsampling domains smaller than their share — the standard
+    practice for high-quality sources) plus a deterministic
+    hash-ordered prefix of docs covering the remainder (the doc
+    crossing the boundary is included, so the budget is met, never
+    undershot). Emits selected docs with an `epochs` count; groups
+    outside `weights` drop.
+
+    Deterministic and engine-portable: the prefix order is
+    (md5(key), key), so the same docs are chosen on every engine and
+    every rerun — no RNG. One shuffle keyed by group for the prefix
+    window; the per-group token totals are a bounded driver collect
+    (#groups rows). At 100 TB the hottest group's window is a single
+    ordered pass over that group — if one domain dominates, pre-split
+    it into shards and weight the shards."""
+    import math
+
+    stats = {
+        r[0]: int(r[1])
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(F.sum(token_col))
+        .collect()
+    }
+    plans = []
+    for g, w in weights.items():
+        avail = stats.get(g, 0)
+        if avail <= 0:
+            continue
+        target = int(math.floor(float(w) * budget + 0.5))
+        full = target // avail
+        rem = target - full * avail
+        plans.append((g, full, rem))
+    if not plans:
+        return df.limit(0).withColumn("epochs", F.lit(0).cast("long"))
+    spark = df.sparkSession
+    plan_df = F.broadcast(
+        spark.createDataFrame(
+            plans, f"{group_col} string, __full long, __rem long"
+        )
+    )
+    w_ord = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    cum_before = F.coalesce(
+        F.sum(token_col).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.join(plan_df, group_col)
+        .withColumn("__cb", cum_before)
+        .withColumn(
+            "epochs",
+            (
+                F.col("__full")
+                + F.when(F.col("__cb") < F.col("__rem"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .filter(F.col("epochs") > 0)
+        .drop("__full", "__rem", "__cb")
+    )
+
+
 def seeded_shuffle(
     df: DataFrame,
     key: str,

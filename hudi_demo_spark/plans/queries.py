@@ -1286,6 +1286,70 @@ def csv_source_roundtrip(spark, sf_dir):
 
 
 @q(
+    "json_source_roundtrip",
+    """
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def json_source_roundtrip(spark, sf_dir):
+    """JSON-lines source with a PINNED schema (no inference scan —
+    at 100 TB schema inference is a full extra pass): parquet → JSON →
+    schema-pinned read → aggregate must round-trip losslessly."""
+    from hudi_demo_spark.sources.readers import json_source
+
+    root = _scratch("json_source_roundtrip", sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = f"{root}/supplier_json"
+    s.write.mode("overwrite").json(path)
+    back = json_source(
+        spark, path, "s_suppkey bigint, s_nationkey bigint, s_acctbal double"
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@q(
+    "orc_source_roundtrip",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part WHERE p_size <= 25 GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def orc_source_roundtrip(spark, sf_dir):
+    """ORC source (native vectorized reader, parquet-equivalent
+    pushdown): parquet → ORC → filtered aggregate; the p_size predicate
+    rides ORC's stripe indexes."""
+    from hudi_demo_spark.sources.readers import orc_source
+
+    root = _scratch("orc_source_roundtrip", sf_dir)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    path = f"{root}/part_orc"
+    p.write.mode("overwrite").orc(path)
+    back = orc_source(spark, path).filter(F.col("p_size") <= 25)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
     "streaming_ingest_mor",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value
@@ -6012,6 +6076,58 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_token_budget_mix",
+    """
+    WITH w(source, wt) AS (
+      VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)
+    ), plan AS (
+      SELECT d.source,
+             CAST(floor(w.wt * 30000 + 0.5) AS BIGINT)
+               // CAST(sum(d.n_chars) AS BIGINT) AS n_full,
+             CAST(floor(w.wt * 30000 + 0.5) AS BIGINT)
+               % CAST(sum(d.n_chars) AS BIGINT) AS n_rem
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source, w.wt
+    ), cum AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             coalesce(sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM documents d JOIN w ON d.source = w.source
+    )
+    SELECT c.doc_id, c.source, c.n_chars,
+           CAST(p.n_full + CASE WHEN c.cb < p.n_rem THEN 1 ELSE 0 END
+                AS BIGINT) AS epochs
+    FROM cum c JOIN plan p USING (source)
+    WHERE p.n_full + CASE WHEN c.cb < p.n_rem THEN 1 ELSE 0 END > 0
+    ORDER BY c.doc_id
+    """,
+)
+def corpus_token_budget_mix(spark, sf_dir):
+    """Token-BUDGET mixture (weights stated in tokens, not rows): a
+    30k-token mix at 50/30/20 over three sources. At sf0.001 each
+    source holds ~8k tokens, so src1's 15k-token share UPSAMPLES
+    (epochs ≥ 1 for every doc + a remainder prefix); at sf0.1 each
+    holds ~800k, so all three DOWNSAMPLE to a hash-ordered prefix —
+    the same operator exercises both regimes across the sweep. The
+    epoch counts are replayed in SQL bit-for-bit."""
+    from hudi_demo_spark.operators.sampling import token_budget_mix
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        token_budget_mix(
+            d, "doc_id", "source", "n_chars",
+            {"src1": 0.5, "src2": 0.3, "src3": 0.2}, 30_000,
+        )
+        .select("doc_id", "source", "n_chars", "epochs")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_dedup_lines",
     """
     WITH injected AS (
@@ -7022,6 +7138,62 @@ def streaming_continuous_aggregate(spark, sf_dir):
             F.round("sum_value", 2).alias("sum_value"),
         )
         .orderBy("g", "bucket")
+    )
+
+
+@q(
+    "streaming_filter_view",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id % 4 = 1 AND lang = 'en' AND n_chars >= 200
+    ORDER BY doc_id
+    """,
+)
+def streaming_filter_view(spark, sf_dir):
+    """Streaming filter view: a bounded file stream feeds the corpus
+    table via foreachBatch (insert + refresh per micro-batch) and the
+    materialized quality-filtered view tracks it — each micro-batch
+    folds only ITS matching rows (insert-only maintenance, no snapshot
+    re-read). Final view equals the batch predicate over everything
+    streamed."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_filter_view,
+        refresh_filter_view,
+    )
+
+    root = _scratch("streaming_filter_view", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") % 4 == 1)
+    src = f"{root}/src"
+    d.repartition(3).write.mode("overwrite").parquet(src)
+    eng.create_table("fvsrc", record_key="doc_id")
+    eng.insert(d.limit(0), "fvsrc")  # seed commit pins the schema
+    create_filter_view(
+        eng, "fvsrc", "fview", "lang = 'en' AND n_chars >= 200"
+    )
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "fvsrc", batch_id=batch_id)
+        refresh_filter_view(eng, "fview")
+
+    q_ = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        eng.read("fview")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     )
 
 

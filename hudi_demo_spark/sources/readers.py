@@ -95,3 +95,20 @@ def csv_source(
 ) -> DataFrame:
     """S17 — explicit-schema CSV (no inference scan)."""
     return spark.read.schema(schema).options(**options).csv(path)
+
+
+def json_source(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options
+) -> DataFrame:
+    """JSON-lines source with a pinned schema — inference would scan the
+    whole dataset once before the real read, which at 100 TB doubles the
+    IO; with the schema given, Jackson parses straight into the pinned
+    columns and unmentioned fields are never materialized."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def orc_source(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (native vectorized reader — same pushdown/pruning
+    machinery as parquet: predicate pushdown into stripe/row-group
+    indexes, column projection)."""
+    return spark.read.options(**options).orc(path)

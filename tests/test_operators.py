@@ -362,6 +362,43 @@ def test_stratified_sample_exact_counts(spark):
     assert ids1 == ids2
 
 
+def test_token_budget_mix_meets_budget(spark):
+    """Every group's delivered tokens (sum of n_tokens * epochs) land in
+    [target, target + max_doc): the budget is met, never undershot, and
+    overshoot is bounded by one document. Upsampled groups get full
+    epochs for every doc; unweighted groups drop; reruns are
+    deterministic."""
+    from hudi_demo_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "g%d" % (i % 3), 10 + i % 7) for i in range(120)]
+    df = spark.createDataFrame(rows, "id int, g string, n int")
+    weights = {"g0": 0.7, "g1": 0.3}  # g2 unweighted -> dropped
+    budget = 2000
+    out = token_budget_mix(df, "id", "g", "n", weights, budget).persist()
+    got = {
+        r["g"]: (r["tok"], r["mx"])
+        for r in out.groupBy("g").agg(
+            F.sum(F.col("n") * F.col("epochs")).alias("tok"),
+            F.max("n").alias("mx"),
+        ).collect()
+    }
+    assert set(got) == {"g0", "g1"}
+    for g, w in weights.items():
+        target = int(w * budget + 0.5)
+        tok, mx = got[g]
+        assert target <= tok < target + mx, (g, target, tok)
+    # g0's 1400-token share over ~520 available tokens: >=2 full epochs
+    assert out.filter("g = 'g0'").agg(F.min("epochs")).first()[0] >= 2
+    a = sorted((r["id"], r["epochs"]) for r in out.collect())
+    b = sorted(
+        (r["id"], r["epochs"])
+        for r in token_budget_mix(df, "id", "g", "n", weights, budget)
+        .collect()
+    )
+    assert a == b
+    out.unpersist()
+
+
 def test_classifier_score_bounds_and_empty(spark):
     from hudi_demo_spark.operators.text import classifier_score
 

@@ -78,6 +78,52 @@ def test_concurrent_contended_upserts_converge_with_retries(engine, spark):
     assert conflicts[0] > 0
 
 
+def test_mor_delta_writers_commit_without_conflict(engine, spark):
+    """Non-blocking concurrency for MOR delta appends (Hudi 1.0 NBCC
+    shape): concurrent upserts to the SAME file group of a MOR table
+    append delta files and replace nothing, so the file-group OCC has
+    nothing to conflict on — every writer commits first try, no
+    retries, no lock. The snapshot read then merges all deltas, and
+    concurrent versions of the SAME key resolve deterministically by
+    preCombine, not commit order. Compaction folds the concurrent
+    deltas into one base with the same answer."""
+    engine.create_table("nb", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.insert(
+        _mkdf(spark, [(i, 0, 1, "x") for i in range(8)]).coalesce(1), "nb"
+    )
+    errors = []
+
+    def writer(i):
+        try:
+            # writers 0-5: distinct keys; 6 and 7: BOTH write key 6
+            # with different preCombine versions
+            if i < 6:
+                rows = [(i, 1000 + i, 2, "x")]
+            else:
+                rows = [(6, 2000 + i, 10 + i, "x")]
+            engine.upsert(_mkdf(spark, rows), "nb")
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the NBCC property: zero conflicts, zero failures, no retries
+    assert errors == []
+
+    def state():
+        return {r["id"]: r["v"] for r in engine.read("nb").collect()}
+
+    want = {i: 1000 + i for i in range(6)} | {6: 2007, 7: 0}
+    assert state() == want  # key 6: ts=17 beats ts=16, not commit order
+    meta = engine.compact("nb")
+    assert meta is not None
+    assert state() == want  # compaction folds the concurrent deltas
+
+
 def test_pessimistic_lock_serializes_writers(engine, spark):
     """Timeline.lock(): writers that take the table lock never see an
     OCC conflict — fully serialized."""

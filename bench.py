@@ -130,6 +130,14 @@ HEADLINE = [
     "multimodal_video_dedup",
     "streaming_stream_join",
     "dedup_fuzzy_titles",
+    # round 5 additions
+    "engine_rollup_histogram",
+    "engine_partition_ttl",
+    "ann_indexed_topk",
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    "streaming_filter_view",
+    "corpus_token_budget_mix",
 ]
 
 

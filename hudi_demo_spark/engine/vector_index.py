@@ -41,7 +41,6 @@ from hudi_demo_spark.engine.derived import (
     _OFFSET_PROP,
     _bounded_vals,
     _data_ops,
-    _pruned_read,
     _save_props,
 )
 from hudi_demo_spark.engine.timeline import Timeline
@@ -157,21 +156,25 @@ def refresh_vector_index(engine, name: str) -> dict | None:
     )
     live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
     fresh = _assign_cells(live.drop(*meta_cols), cfg).persist()
-    out = engine.upsert(fresh, name)
+    out = None
+    if fresh.take(1):  # a pure-delete window re-assigns nothing
+        out = engine.upsert(fresh, name)
     id_col = cfg.props["vecindex.id_col"]
     survivors = fresh.select(F.col(id_col).cast("string").alias("__sk"))
-    # the source and index share the record key (= id_col), so changed
-    # source keys map 1:1 onto index keys
-    gone = changed.join(
-        survivors, changed[RECORD_KEY_META] == survivors["__sk"], "left_anti"
-    )
-    idx_view = _pruned_read(
-        engine, name, RECORD_KEY_META,
-        _bounded_vals(gone, RECORD_KEY_META), [],
-    )
+    # the source and index share the record key (= id_col, a single
+    # string-round-trippable column), so changed keys without a
+    # surviving source row ARE the dead index keys — cast the key
+    # string back to the id type instead of scanning the index to
+    # rediscover them
+    id_type = fresh.schema[id_col].dataType
     dead = (
-        idx_view.join(F.broadcast(gone), RECORD_KEY_META, "left_semi")
-        .select(id_col).distinct().persist()
+        changed.join(
+            survivors,
+            changed[RECORD_KEY_META] == survivors["__sk"],
+            "left_anti",
+        )
+        .select(F.col(RECORD_KEY_META).cast(id_type).alias(id_col))
+        .persist()
     )
     if dead.take(1):
         out = engine.delete_keys(name, dead)

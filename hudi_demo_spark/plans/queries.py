@@ -3540,10 +3540,12 @@ def _indexed_topk_oracle(
 
     seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
     return f"""
-    WITH alive AS (
-      SELECT vec_id, embedding FROM embeddings WHERE NOT vec_id % 17 = 2
+    WITH half AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), alive AS (
+      SELECT vec_id, embedding FROM half WHERE NOT vec_id % 17 = 2
     ), seeds AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+      SELECT vec_id, embedding FROM half WHERE vec_id % 3 = 0
       ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
     ), cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cid,
@@ -3581,7 +3583,7 @@ def _indexed_topk_oracle(
     """
 
 
-@q("ann_indexed_topk", _indexed_topk_oracle())
+@q("ann_indexed_topk", _indexed_topk_oracle(n_centroids=8))
 def ann_indexed_topk(spark, sf_dir):
     """IVF index MAINTAINED as a derived engine table: centroids pinned
     at create time (first batch), a second insert folds map-side, a
@@ -3600,11 +3602,13 @@ def ann_indexed_topk(spark, sf_dir):
 
     root = _scratch("ann_indexed_topk", sf_dir)
     eng = Engine(spark, root)
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 2 == 0)
     eng.create_table("emb", record_key="vec_id")
     eng.insert(e.filter(F.col("vec_id") % 3 == 0), "emb")
     create_vector_index(eng, "emb", "vix", "vec_id", "embedding",
-                        n_centroids=16)
+                        n_centroids=8)
     refresh_vector_index(eng, "vix")            # initial build
     eng.insert(e.filter(F.col("vec_id") % 3 != 0), "emb")
     refresh_vector_index(eng, "vix")            # insert-only fold
@@ -3614,7 +3618,7 @@ def ann_indexed_topk(spark, sf_dir):
         "vec_id", "embedding"
     )
     res = vector_index_topk(eng, "vix", queries, k=5, n_probe=4)
-    # the scale property IS the contract: probing 4/16 cells must scan
+    # the scale property IS the contract: probing 4/8 cells must scan
     # a strict subset of the index's files
     n_all = len(eng.read("vix").inputFiles())
     n_probed = len(
@@ -6834,7 +6838,7 @@ def engine_continuous_aggregate(spark, sf_dir):
                    = r.bin
            ) AS BIGINT) AS n
     FROM events e CROSS JOIN range(0, 8) AS r(bin)
-    WHERE e.event_id % 4 = 2 AND NOT e.event_id % 9 = 5
+    WHERE e.event_id % 8 = 2 AND NOT e.event_id % 9 = 5
     GROUP BY e.event_type, r.bin
     ORDER BY e.event_type, r.bin
     """,
@@ -6855,7 +6859,7 @@ def engine_rollup_histogram(spark, sf_dir):
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    ).filter(F.col("event_id") % 4 == 2)
+    ).filter(F.col("event_id") % 8 == 2)
     eng.create_table("src", record_key="event_id")
     # hi=400 < max(value)≈490: the top bin must absorb clamped overflow
     create_rollup(

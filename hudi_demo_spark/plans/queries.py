@@ -6890,10 +6890,10 @@ def engine_rollup_histogram(spark, sf_dir):
       SELECT c_custkey, c_name,
              CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE c_mktsegment END
                AS c_mktsegment
-      FROM customer WHERE NOT c_custkey % 7 = 0
+      FROM customer WHERE NOT c_custkey % 7 = 0 AND c_custkey % 2 = 0
     ), fact AS (
       SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
-      FROM orders WHERE o_orderkey % 16 IN (0, 1)
+      FROM orders WHERE o_orderkey % 32 IN (0, 1)
     )
     SELECT f.o_orderkey, f.c_custkey, f.o_totalprice, d.c_name,
            d.c_mktsegment
@@ -6921,11 +6921,11 @@ def engine_join_view(spark, sf_dir):
     )
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
-    )
+    ).filter(F.col("c_custkey") % 2 == 0)
     eng.create_table("dim", record_key="c_custkey")
     eng.insert(c, "dim")
     eng.create_table("fact", record_key="o_orderkey")
-    eng.insert(o.filter(F.col("o_orderkey") % 16 <= 1), "fact")
+    eng.insert(o.filter(F.col("o_orderkey") % 32 <= 1), "fact")
     create_join_view(eng, "jv", "fact", "dim", on=["c_custkey"])
     refresh_join_view(eng, "jv")  # insert-only incremental fold
     eng.update("dim", set={"c_mktsegment": F.lit("X")},
@@ -6946,12 +6946,13 @@ def engine_join_view(spark, sf_dir):
     "engine_join_view_left",
     """
     WITH dim AS (
-      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 <> 0
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey % 5 <> 0 AND c_custkey % 2 = 1
     ), fact AS (
       SELECT o_orderkey, o_custkey AS c_custkey,
              CASE WHEN o_orderkey % 32 = 0 THEN o_totalprice + 1
                   ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 16 IN (0, 1)
+      FROM orders WHERE o_orderkey % 32 IN (0, 1)
     )
     SELECT f.o_orderkey, f.c_custkey, round(f.o_totalprice, 2)
              AS o_totalprice, d.c_name
@@ -6975,8 +6976,10 @@ def engine_join_view_left(spark, sf_dir):
     eng = Engine(spark, root)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-    ).filter(F.col("o_orderkey") % 16 <= 1)
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ).filter(F.col("o_orderkey") % 32 <= 1)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).filter(F.col("c_custkey") % 2 == 1)
     eng.create_table("dim", record_key="c_custkey")
     eng.insert(c.filter(F.col("c_custkey") % 3 != 0), "dim")
     eng.create_table("fact", record_key="o_orderkey")

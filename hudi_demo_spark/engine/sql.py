@@ -698,6 +698,38 @@ class SqlRouter:
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
             )
+        if proc == "create_vector_index":
+            # CALL create_vector_index(table => 'src', name => 'vix',
+            #   id_col => 'vec_id', vec_col => 'embedding'
+            #   [, n_centroids => '16'])
+            from hudi_demo_spark.engine.vector_index import (
+                create_vector_index,
+            )
+
+            name = args.get("name")
+            id_col = args.get("id_col")
+            vec_col = args.get("vec_col")
+            if not name or not id_col or not vec_col:
+                raise ValueError(
+                    "call create_vector_index(table => 'src', name => 'v', "
+                    "id_col => 'id', vec_col => 'vec')"
+                )
+            create_vector_index(
+                self.engine, table, name, id_col, vec_col,
+                n_centroids=int(args.get("n_centroids", 16)),
+            )
+            return None
+        if proc == "refresh_vector_index":
+            from hudi_demo_spark.engine.vector_index import (
+                refresh_vector_index,
+            )
+
+            meta = refresh_vector_index(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
         if proc == "create_join_view":
             # CALL create_join_view(table => 'fact', name => 'view',
             #                       right_table => 'dim', on => 'k1,k2'

@@ -377,6 +377,41 @@ def cap_per_group(
     )
 
 
+def retention_filter(
+    df: DataFrame,
+    score_col: str,
+    retention: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quality-threshold CALIBRATION: keep the top `retention` fraction
+    of rows by `score_col`, per group — the standard way a pipeline
+    turns a quality signal (classifier margin, Gopher score, logprob)
+    into a filter without hand-picking a cutoff ("keep the best 40% of
+    every domain"). The cutoff is the exact interpolated quantile at
+    q = 1 - retention, so ties at the boundary are kept (retention is
+    a floor, never undershot).
+
+    With `group_cols`, one keyed shuffle computes each group's cutoff
+    via a window aggregate — per-domain calibration at corpus scale.
+    Without groups the window is global (single-partition reduce over
+    scores only): fine to ~10^8 rows; past that use
+    `profile_numeric(approx=True)`'s quantile sketch and filter by the
+    approximate cutoff instead."""
+    if not 0.0 < retention <= 1.0:
+        raise ValueError("retention must be in (0, 1]")
+    w = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy()
+    )
+    cutoff = F.percentile(F.col(score_col), F.lit(1.0 - retention)).over(w)
+    return (
+        df.withColumn("__cut", cutoff)
+        .filter(F.col(score_col) >= F.col("__cut"))
+        .drop("__cut")
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     id_col: str,

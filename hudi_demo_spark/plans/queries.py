@@ -6132,6 +6132,37 @@ def corpus_token_budget_mix(spark, sf_dir):
 
 
 @q(
+    "corpus_quality_retention",
+    """
+    WITH cut AS (
+      SELECT source, quantile_cont(n_chars, 0.6) AS c
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN cut USING (source)
+    WHERE d.n_chars >= cut.c
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_quality_retention(spark, sf_dir):
+    """Per-domain quality-threshold calibration: keep the best 40% of
+    every source by score (here n_chars as the SQL-replayable signal).
+    The cutoff is the exact interpolated quantile at q=0.6 computed per
+    group in one keyed window — DuckDB's quantile_cont must agree on
+    the cutoff AND the surviving row set bit-for-bit."""
+    from hudi_demo_spark.operators.corpus import retention_filter
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        retention_filter(d, "n_chars", 0.4, group_cols=["source"])
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_dedup_lines",
     """
     WITH injected AS (
@@ -7199,6 +7230,55 @@ def streaming_filter_view(spark, sf_dir):
     q_.awaitTermination()
     return (
         eng.read("fview")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "streaming_dedup_exact",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 3 = 2
+    ORDER BY doc_id
+    """,
+)
+def streaming_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (the ingest guard in front of an
+    append-only sink): a bounded stream delivers every document TWICE —
+    the copies land in different micro-batches — and
+    `stream_dedup_exact`'s keyed state must emit each key exactly once
+    across batches. The appended sink equals the distinct corpus.
+    Duplicates are bit-identical rows, so first-wins is
+    value-deterministic."""
+    from hudi_demo_spark.streaming.stateful import stream_dedup_exact
+
+    root = _scratch("streaming_dedup_exact", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") % 3 == 2)
+    src = f"{root}/src"
+    # two interleaved copies across several files -> the duplicate of a
+    # row usually arrives in a LATER micro-batch (cross-batch state)
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    d.repartition(3).write.mode("append").parquet(src)
+    sink = f"{root}/sink"
+    q_ = (
+        stream_dedup_exact(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src),
+            ["doc_id"],
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(sink)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )

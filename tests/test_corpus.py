@@ -133,3 +133,29 @@ def test_dsir_weights_prefer_target_like_docs(spark):
           for r in dsir_weights(df, "doc_id", "text",
                                 "src = 'target'").collect()}
     assert w == w2  # deterministic
+
+
+def test_retention_filter_floor_and_groups(spark):
+    """retention is a FLOOR: ties at the cutoff are kept; per-group
+    calibration picks each group's own cutoff; the global path works;
+    bad retention raises."""
+    from hudi_demo_spark.operators.corpus import retention_filter
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", float(100)) for i in range(10)  # all-ties group
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    out = retention_filter(df, "s", 0.4, group_cols=["g"])
+    by_g = {
+        r["g"]: sorted(x["id"] for x in out.filter(F.col("g") == r["g"]).collect())
+        for r in out.select("g").distinct().collect()
+    }
+    # group a: top 40% of 0..9 -> cutoff q(0.6)=5.4 -> ids 6..9
+    assert by_g["a"] == [6, 7, 8, 9]
+    # group b: every score ties the cutoff -> ALL kept (floor, not cap)
+    assert by_g["b"] == list(range(100, 110))
+    # global: one cutoff across both groups
+    n_glob = retention_filter(df, "s", 0.5).count()
+    assert n_glob == 10  # top half = the 100-valued rows
+    with pytest.raises(ValueError):
+        retention_filter(df, "s", 0.0)

@@ -577,6 +577,38 @@ def test_call_derived_table_procedures(engine, spark):
     assert engine.read("dview").count() == 50  # g in {0,1} only
 
 
+def test_call_vector_index_procedures(engine, spark):
+    """CALL create_vector_index/refresh_vector_index — the runnable-job
+    SQL surface over engine/vector_index.py."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = np.random.default_rng(3)
+    engine.create_table("vsrc2", record_key="vec_id")
+    engine.insert(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.standard_normal(6)])
+             for i in range(50)],
+            "vec_id int, embedding array<float>",
+        ),
+        "vsrc2",
+    )
+    engine.sql(
+        "call create_vector_index(table => 'vsrc2', name => 'vix2', "
+        "id_col => 'vec_id', vec_col => 'embedding', n_centroids => '4')"
+    )
+    r = engine.sql(
+        "call refresh_vector_index(table => 'vix2')"
+    ).collect()[0]
+    assert r["refreshed"] is True and r["instant"]
+    idx = engine.read("vix2")
+    assert idx.count() == 50
+    assert set(idx.columns) >= {"vec_id", "embedding", "cell"}
+    assert engine.sql(
+        "call refresh_vector_index(table => 'vix2')"
+    ).collect()[0]["refreshed"] is False
+
+
 def test_call_left_join_view_procedure(engine, spark):
     """CALL create_join_view(..., how => 'left') routes the LEFT OUTER
     derived-table shape through the SQL surface."""

@@ -3931,16 +3931,13 @@ class Engine:
         return int(float(mb) * 1024 * 1024) if mb else None
 
     @staticmethod
-    def _zorder_col(df: DataFrame, cols: list[str]) -> Column:
-        """Z-value (Morton code) of up to 4 numeric columns: min-max
-        normalize each to a 16-bit code (one tiny agg for the bounds,
-        shipped as literals — no join), then interleave bits so sorting
-        by the single z-value clusters locality in EVERY dimension at
-        once. Nulls code to 0 (sort first). Used by
-        cluster(strategy='zorder'); stats-based file skipping then works
-        for range predicates on ANY of the z-ordered columns."""
+    def _normalized_codes(df: DataFrame, cols: list[str]) -> list[Column]:
+        """Min-max normalize up to 4 numeric/temporal columns to 16-bit
+        integer codes (one tiny agg for the bounds, shipped as literals
+        — no join). Nulls code to 0 (sort first). Shared by the z-order
+        and Hilbert clustering strategies."""
         if not 1 <= len(cols) <= 4:
-            raise ValueError("zorder supports 1-4 columns")
+            raise ValueError("space-filling curves support 1-4 columns")
         for c in cols:
             if not isinstance(
                 df.schema[c].dataType,
@@ -3950,7 +3947,7 @@ class Engine:
                     T.TimestampType,
                 ),
             ):
-                raise ValueError(f"zorder column {c!r} must be numeric/temporal")
+                raise ValueError(f"curve column {c!r} must be numeric/temporal")
         bounds = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
             *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -3964,6 +3961,16 @@ class Engine:
                 F.greatest(F.floor(norm * 65535), F.lit(0)), F.lit(65535)
             )
             codes.append(F.coalesce(code, F.lit(0)).cast("long"))
+        return codes
+
+    @classmethod
+    def _zorder_col(cls, df: DataFrame, cols: list[str]) -> Column:
+        """Z-value (Morton code) of up to 4 numeric columns: interleave
+        the normalized 16-bit codes so sorting by the single z-value
+        clusters locality in EVERY dimension at once. Used by
+        cluster(strategy='zorder'); stats-based file skipping then works
+        for range predicates on ANY of the z-ordered columns."""
+        codes = cls._normalized_codes(df, cols)
         z = F.lit(0).cast("long")
         for bit in range(16):
             for i, code in enumerate(codes):
@@ -3972,6 +3979,77 @@ class Engine:
                     bit * len(codes) + i,
                 )
         return z
+
+    @staticmethod
+    def _attach_hilbert(
+        df: DataFrame, codes: list[Column], bits: int,
+        out: str = "__hilbert",
+    ) -> DataFrame:
+        """Append the Hilbert index of n integer code columns in
+        [0, 2^bits) as column `out` (plus `__hx*` work columns) —
+        Skilling's AxesToTranspose (public-domain bit transform), STAGED
+        as one projection per exchange step. A single nested Column
+        expression would be exponential: each round references X[0]
+        several times and Column trees share nothing, so bits=16 blows
+        the driver; named-column staging keeps the plan linear in
+        bits×n while whole-stage codegen still fuses every projection
+        into one pass — no UDF, no shuffle."""
+        n = len(codes)
+        names = [f"__hx{i}" for i in range(n)]
+        df = df.withColumns(
+            {nm: c.cast("long") for nm, c in zip(names, codes)}
+        )
+        X = [F.col(nm) for nm in names]
+        Q = 1 << (bits - 1)
+        while Q > 1:
+            P = Q - 1
+            for i in range(n):
+                cond = X[i].bitwiseAND(F.lit(Q)) != F.lit(0)
+                t = X[0].bitwiseXOR(X[i]).bitwiseAND(F.lit(P))
+                upd = {
+                    names[0]: F.when(cond, X[0].bitwiseXOR(F.lit(P)))
+                    .otherwise(X[0].bitwiseXOR(t))
+                }
+                if i:
+                    upd[names[i]] = F.when(cond, X[i]).otherwise(
+                        X[i].bitwiseXOR(t)
+                    )
+                df = df.withColumns(upd)
+            Q >>= 1
+        for i in range(1, n):  # Gray encode, ascending in-place
+            df = df.withColumns(
+                {names[i]: F.col(names[i]).bitwiseXOR(F.col(names[i - 1]))}
+            )
+        # XOR is associative: fold the per-bit correction terms linearly
+        # (a self-referencing `t = when(c, t^k).otherwise(t)` chain
+        # doubles the tree per bit — 2^15 nodes at bits=16)
+        t = F.lit(0).cast("long")
+        Q = 1 << (bits - 1)
+        while Q > 1:
+            term = F.when(
+                F.col(names[n - 1]).bitwiseAND(F.lit(Q)) != F.lit(0),
+                F.lit(Q - 1),
+            ).otherwise(F.lit(0)).cast("long")
+            t = t.bitwiseXOR(term)
+            Q >>= 1
+        df = df.withColumn("__ht", t).withColumns(
+            {nm: F.col(nm).bitwiseXOR(F.col("__ht")) for nm in names}
+        )
+        # transpose -> index: bit k of X[i] lands at k*n + (n-1-i)
+        # (X[0] carries the most significant bit of each group)
+        h = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i in range(n):
+                h = h + F.shiftleft(
+                    F.shiftright(F.col(names[i]), bit).bitwiseAND(F.lit(1)),
+                    bit * n + (n - 1 - i),
+                )
+        return df.withColumn(out, h)
+
+    # work columns _attach_hilbert leaves behind (dropped post-sort)
+    @staticmethod
+    def _hilbert_helper_cols(n: int, out: str = "__hilbert") -> list[str]:
+        return [out, "__ht"] + [f"__hx{i}" for i in range(n)]
 
     def cluster(
         self,
@@ -4022,11 +4100,22 @@ class Engine:
         if DELETED_META in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
         range_keys = [F.col(PARTITION_PATH_META)] if cfg.partition_fields else []
+        drop_helpers: list[str] = []
         if strategy == "zorder":
             # multi-dimensional clustering: one interleaved sort key
             # instead of lexicographic (which only skips on the leading
             # column); per-file stats still recorded per ORIGINAL column
             range_keys += [self._zorder_col(df, sort_cols)]
+        elif strategy == "hilbert":
+            # same layout contract as zorder under the better-locality
+            # curve (every unit step on the curve is a unit step in
+            # space — no z-shaped jumps), Hudi's
+            # `hoodie.layout.optimize.curve.build.method=hilbert` analog
+            df = self._attach_hilbert(
+                df, self._normalized_codes(df, sort_cols), 16
+            )
+            range_keys += [F.col("__hilbert")]
+            drop_helpers = self._hilbert_helper_cols(len(sort_cols))
         elif strategy == "linear":
             range_keys += [F.col(c) for c in sort_cols]
         else:
@@ -4034,6 +4123,9 @@ class Engine:
         arranged = df.repartitionByRange(*range_keys).sortWithinPartitions(
             *range_keys
         )
+        if drop_helpers:
+            # projection preserves the range partitioning + sort order
+            arranged = arranged.drop(*drop_helpers)
         with self._file_sizing(cfg):
             added = self._materialize(
                 arranged, cfg, instant, "base", pre_arranged=True

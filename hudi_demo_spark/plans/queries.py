@@ -1152,6 +1152,61 @@ def engine_zorder_clustering(spark, sf_dir):
 
 
 @q(
+    "engine_hilbert_clustering",
+    """
+    SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+           round(e.value, 4) AS value
+    FROM events e WHERE e.event_id % 3 = 0
+    ORDER BY e.event_id
+    """,
+)
+def engine_hilbert_clustering(spark, sf_dir):
+    """Hilbert-curve clustering via CALL (Hudi's
+    layout.optimize.curve=hilbert analog): the layout rewrite must be
+    content-neutral, and — the reason to pay for it — a range slice in
+    EACH curve dimension must skip files. Self-asserting: raises unless
+    both single-dimension range probes scan strict file subsets (on a
+    multi-file table)."""
+    from hudi_demo_spark.engine import Engine
+
+    root = _scratch("engine_hilbert_clustering", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "value",
+    ).filter(F.col("event_id") % 3 == 0)
+    eng.create_table(
+        "t", record_key="event_id", props={"write.target_file_mb": "1"}
+    )
+    eng.insert(e, "t")
+    eng.sql(
+        "call run_clustering(table => 't', order => 'user_id,ts_s', "
+        "strategy => 'hilbert')"
+    )
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    live = Timeline(eng._resolve("t").path).live_files()
+    if len(live) > 2:
+        lo_u = eng._prune_by_stats(live, "user_id", 0.0, 50.0)
+        mid_t = sorted(
+            m["col_stats"]["ts_s"][0] for m in live.values()
+        )[len(live) // 2]
+        lo_t = eng._prune_by_stats(live, "ts_s", mid_t, mid_t + 3600.0)
+        if not (len(lo_u) < len(live) and len(lo_t) < len(live)):
+            raise AssertionError(
+                f"hilbert layout skipped nothing: "
+                f"{len(lo_u)}/{len(lo_t)} of {len(live)} files"
+            )
+    return (
+        eng.read("t")
+        .select("event_id", "user_id", "ts_s",
+                F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@q(
     "engine_incremental_glob",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value

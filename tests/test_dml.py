@@ -377,7 +377,70 @@ def test_cluster_zorder_two_dim_locality(engine, spark):
         want = df.filter((F.col(col) >= lo) & (F.col(col) <= hi)).count()
         assert engine.read("zc", range_filter=(col, lo, hi)).count() == want
     with pytest.raises(ValueError, match="strategy"):
-        engine.cluster("zc", ["x"], strategy="hilbert")
+        engine.cluster("zc", ["x"], strategy="bogus")
+
+
+def test_hilbert_curve_property(spark):
+    """_attach_hilbert IS a Hilbert curve: on full grids (2-D 3-bit and
+    3-D 2-bit) the mapping is a bijection onto 0..2^(n*b)-1 and every
+    consecutive pair of curve positions is a UNIT step in space — the
+    locality property that beats z-order's diagonal jumps."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.engine import Engine
+
+    for n, bits in ((2, 3), (3, 2)):
+        side = 1 << bits
+        if n == 2:
+            pts = [(x, y) for x in range(side) for y in range(side)]
+            df = spark.createDataFrame(pts, "c0 long, c1 long")
+        else:
+            pts = [(x, y, z) for x in range(side)
+                   for y in range(side) for z in range(side)]
+            df = spark.createDataFrame(pts, "c0 long, c1 long, c2 long")
+        cols = [F.col(f"c{i}") for i in range(n)]
+        rows = Engine._attach_hilbert(df, cols, bits, out="h").collect()
+        by_h = {r["h"]: tuple(r[f"c{i}"] for i in range(n)) for r in rows}
+        assert sorted(by_h) == list(range(side ** n))  # bijection
+        for k in range(1, side ** n):
+            a, b = by_h[k - 1], by_h[k]
+            assert sum(abs(x - y) for x, y in zip(a, b)) == 1  # unit step
+
+
+def test_cluster_hilbert_two_dim_locality(engine, spark):
+    """Hilbert clustering: results exact, per-file stats on both
+    dimensions, metadata skipping prunes on each column, and
+    range_filter reads stay exact — the zorder contract under the
+    better-locality curve."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.floor(F.col("id") / 64)).cast("double").alias("y"),
+    )
+    engine.create_table("hc", record_key="k",
+                        props={"write.target_file_mb": "1"})
+    engine.insert(df, "hc")
+    meta = engine.cluster("hc", ["x", "y"], strategy="hilbert")
+    assert meta["operation"] == "cluster"
+    got = engine.read("hc")
+    assert got.count() == 4096
+    assert got.agg(F.sum("x"), F.sum("y")).first() == \
+        df.agg(F.sum("x"), F.sum("y")).first()
+    cfg = engine._resolve("hc")
+    live = Timeline(cfg.path).live_files()
+    assert all(
+        "x" in m.get("col_stats", {}) and "y" in m.get("col_stats", {})
+        for m in live.values()
+    )
+    if len(live) > 2:
+        px = engine._prune_by_stats(live, "x", 0.0, 3.0)
+        py = engine._prune_by_stats(live, "y", 0.0, 3.0)
+        assert len(px) < len(live) and len(py) < len(live)
+    for col, lo, hi in [("x", 0.0, 3.0), ("y", 60.0, 63.0)]:
+        want = df.filter((F.col(col) >= lo) & (F.col(col) <= hi)).count()
+        assert engine.read("hc", range_filter=(col, lo, hi)).count() == want
 
 
 def test_partition_sort_write_bounds_file_count(spark, tmp_path):

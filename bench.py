@@ -138,6 +138,11 @@ HEADLINE = [
     "orc_source_roundtrip",
     "streaming_filter_view",
     "corpus_token_budget_mix",
+    "streaming_dedup_exact",
+    "corpus_quality_retention",
+    "engine_hilbert_clustering",
+    "dedup_semantic_cross_corpus",
+    "corpus_cluster_balanced",
 ]
 
 

@@ -261,6 +261,39 @@ def lsh_bucket(vec_col: str, dims: list[int]) -> F.Column:
     return out.alias("bucket")
 
 
+def _lsh_tables(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idalias: str,
+    num_tables: int,
+    bits_per_table: int,
+) -> DataFrame:
+    """Explode each row into its (table, bucket) memberships across
+    `num_tables` sign-pattern LSH tables (disjoint sampled dims) —
+    shared by lsh_topk and the cross-corpus contamination screen."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    vec_col,
+                    [
+                        (t * bits_per_table + j) % 64
+                        for j in range(bits_per_table)
+                    ],
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(idalias),
+        F.col(vec_col).alias(f"__{idalias}_v"),
+        F.explode(buckets).alias("tb"),
+    ).select(idalias, f"__{idalias}_v", "tb.tbl", "tb.bucket")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -276,28 +309,13 @@ def lsh_topk(
     deduped candidate set. Recall grows with num_tables at the cost of
     candidate volume; the keyed join replaces the crossJoin (the 100 TB
     path — corpus partitions by (table, bucket), queries broadcast)."""
-
-    def tables(df, idalias):
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(
-                        vec_col,
-                        [ (t * bits_per_table + j) % 64 for j in range(bits_per_table) ],
-                    ),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(idalias),
-            F.col(vec_col).alias(f"__{idalias}_v"),
-            F.explode(buckets).alias("tb"),
-        ).select(idalias, f"__{idalias}_v", "tb.tbl", "tb.bucket")
-
-    c = tables(_spread(corpus), "neighbor_id")
-    q = tables(queries, "query_id")
+    c = _lsh_tables(
+        _spread(corpus), id_col, vec_col, "neighbor_id",
+        num_tables, bits_per_table,
+    )
+    q = _lsh_tables(
+        queries, id_col, vec_col, "query_id", num_tables, bits_per_table
+    )
     cands = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -314,6 +332,82 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cross_corpus_cosine_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    num_tables: int = 8,
+    bits_per_table: int = 4,
+) -> DataFrame:
+    """SEMANTIC contamination screen across corpora — the
+    embedding-space counterpart of the shingle-based
+    `dedup.cross_corpus_jaccard_pairs`: flag every (train, eval) pair
+    whose cosine clears `threshold`, as a paraphrased or re-rendered
+    eval document slips past verbatim n-gram screens but not past its
+    embedding. Candidates are pairs colliding in ANY of the
+    deterministic sign-pattern LSH tables (so the whole screen is
+    SQL-replayable), scored exactly. The train side shuffles once keyed
+    by (table, bucket); the eval side — benchmarks are small — is
+    broadcast. Never a train×eval cross product."""
+    t = _lsh_tables(
+        _spread(train), id_col, vec_col, "train_id",
+        num_tables, bits_per_table,
+    )
+    e = _lsh_tables(
+        eval_df, id_col, vec_col, "eval_id", num_tables, bits_per_table
+    )
+    cands = (
+        t.join(F.broadcast(e), ["tbl", "bucket"])
+        .select("train_id", "eval_id", "__train_id_v", "__eval_id_v")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    return (
+        cands.withColumn(
+            "score", cosine_similarity("__train_id_v", "__eval_id_v")
+        )
+        .filter(F.col("score") >= threshold)
+        .select("train_id", "eval_id", "score")
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    cap: int = 100,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Cluster-BALANCED data selection (the D4/SemDeDup-adjacent
+    diversity pass): assign every embedding to its nearest cluster and
+    keep at most `cap` docs per cluster, chosen in deterministic hash
+    order — over-represented modes thin out, rare modes survive whole.
+    Returns (id, cluster_id) for the kept docs.
+
+    The assignment is map-side against literal centroids (no shuffle of
+    the corpus); the cap is one window keyed by cluster. The hash order
+    makes the kept set identical on every engine and every rerun, and
+    — unlike `df.limit` per group — independent of partitioning."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, id_col, vec_col, n_clusters)
+    )
+    a = ivf_assign(_spread(corpus), cents, id_col, vec_col, n_probe=1).select(
+        id_col, F.col("centroid_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        a.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
     )
 
 

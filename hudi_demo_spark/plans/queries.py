@@ -2167,6 +2167,126 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
+def _cross_cosine_oracle(
+    threshold: float = 0.3, num_tables: int = 8, bits_per_table: int = 4
+) -> str:
+    """The semantic contamination screen in SQL: train = vec_id%5!=0,
+    eval = vec_id%5=0; a pair is a candidate iff ANY sign-pattern table
+    bucket matches (deterministic coordinate hyperplanes), then exact
+    cosine, keep >= threshold."""
+
+    def bucket(t: int, side: str) -> str:
+        return " + ".join(
+            "(CASE WHEN {s}.embedding[{d}] >= 0 THEN {v} ELSE 0 END)".format(
+                s=side, d=(t * bits_per_table + j) % 64 + 1, v=1 << j
+            )
+            for j in range(bits_per_table)
+        )
+
+    collide = "\n           OR ".join(
+        f"({bucket(t, 'tr')}) = ({bucket(t, 'ev')})"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH cand AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+             tr.embedding AS tv, ev.embedding AS ev_v
+      FROM embeddings tr JOIN embeddings ev
+        ON tr.vec_id % 5 != 0 AND ev.vec_id % 5 = 0
+       AND ({collide})
+    )
+    SELECT train_id, eval_id,
+           round(list_dot_product(tv::DOUBLE[], ev_v::DOUBLE[])
+             / (sqrt(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))
+                * sqrt(list_dot_product(ev_v::DOUBLE[], ev_v::DOUBLE[]))), 4)
+             AS score
+    FROM cand
+    WHERE list_dot_product(tv::DOUBLE[], ev_v::DOUBLE[])
+          / (sqrt(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))
+             * sqrt(list_dot_product(ev_v::DOUBLE[], ev_v::DOUBLE[])))
+          >= {threshold}
+    ORDER BY train_id, eval_id
+    """
+
+
+@q("dedup_semantic_cross_corpus", _cross_cosine_oracle())
+def dedup_semantic_cross_corpus(spark, sf_dir):
+    """Embedding-space contamination screen (train vs eval): LSH-bucketed
+    candidate join + exact cosine, replayed bit-for-bit in SQL — the
+    semantic counterpart of the shingle-based dedup_cross_corpus."""
+    from hudi_demo_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        cross_corpus_cosine_pairs(
+            e.filter(F.col("vec_id") % 5 != 0),
+            e.filter(F.col("vec_id") % 5 == 0),
+            "vec_id", "embedding", threshold=0.3,
+        )
+        .select(
+            "train_id", "eval_id", F.round("score", 4).alias("score")
+        )
+        .orderBy("train_id", "eval_id")
+    )
+
+
+def _cluster_balanced_oracle(
+    n_clusters: int = 16, cap: int = 20
+) -> str:
+    """Cluster-balanced sampling in SQL: hash-ordered seed centroids,
+    nearest-cell assignment (ties on cid), per-cluster hash-ordered cap."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY {seed_h}, vec_id LIMIT {n_clusters}
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             embedding::DOUBLE[] AS cv,
+             coalesce(nullif(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])), 0), 1) AS cnorm
+      FROM seeds
+    ), assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / c.cnorm DESC,
+                        c.cid) AS crank
+      FROM embeddings e CROSS JOIN cents c
+    ), capped AS (
+      SELECT vec_id, cid AS cluster_id,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM assign WHERE crank = 1
+    )
+    SELECT vec_id, cluster_id FROM capped WHERE rn <= {cap}
+    ORDER BY vec_id
+    """
+
+
+@q("corpus_cluster_balanced", _cluster_balanced_oracle())
+def corpus_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced diversity sampling: at most 20 docs per
+    embedding cluster, kept in deterministic hash order — assignment,
+    cap, and membership replayed in SQL bit-for-bit."""
+    from hudi_demo_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        cluster_balanced_sample(
+            e, "vec_id", "embedding", n_clusters=16, cap=20
+        )
+        .orderBy("vec_id")
+    )
+
+
 @q(
     "text_token_stats",
     """

@@ -342,3 +342,64 @@ def test_video_near_dups_frame_aligned_blocking(spark):
     # join keys: chunk, key, frame_idx — all three in one equi-join
     assert "frame_idx" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_plan_shape(spark, sf_dir):
+    """The mixture planner's only heavy operation is the per-group
+    prefix window: the plan carries exactly one window over the corpus,
+    joins the tiny plan table by broadcast, and stays JVM-side (the
+    per-group totals are a bounded driver collect, not a plan node)."""
+    from hudi_demo_spark.operators.sampling import token_budget_mix
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = token_budget_mix(
+        d, "doc_id", "source", "n_chars",
+        {"src1": 0.5, "src2": 0.5}, 10_000,
+    )
+    plan = plan_of(out)
+    assert plan.count(") Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_balanced_sample_plan_shape(spark, sf_dir):
+    """Cluster-balanced sampling never joins the corpus: the assignment
+    is a map-side projection against literal centroids, and the cap is
+    one keyed window with the rank<=cap limit pushed into the shuffle
+    (WindowGroupLimit)."""
+    from hudi_demo_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(e, "vec_id", "embedding",
+                                  n_clusters=8, cap=10)
+    plan = plan_of(out)
+    assert ") Window" in plan and "WindowGroupLimit" in plan
+    for bad in ("Join", "CartesianProduct", "BatchEvalPython",
+                "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_cross_corpus_cosine_broadcasts_eval_only(spark, sf_dir):
+    """The semantic contamination screen joins train (table, bucket)
+    memberships against a BROADCAST eval side — never a cross product,
+    no Python, and candidate dedup is a keyed aggregate."""
+    from hudi_demo_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cross_corpus_cosine_pairs(
+        e.filter(F.col("vec_id") % 5 != 0),
+        e.filter(F.col("vec_id") % 5 == 0),
+        "vec_id", "embedding", threshold=0.3,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2184,6 +2184,7 @@ class Engine:
         end: str | None = None,
         path_glob: str | None = None,
         allow_cleaned: bool = False,
+        fallback_full_scan: bool = False,
     ) -> DataFrame:
         """Incremental query (S3/S4) — IncrementalQuery.scala:48-53:
         latest state of rows changed in `(begin, end]`. File set comes from
@@ -2195,7 +2196,13 @@ class Engine:
         be silently incomplete — raise `IncrementalRangeCleanedError`
         (Hudi throws here too) unless `allow_cleaned=True`, which skips
         the gone files and records the skip count in
-        `self.last_incremental_stats["cleaned_files_skipped"]`."""
+        `self.last_incremental_stats["cleaned_files_skipped"]`, or
+        `fallback_full_scan=True` (Hudi's
+        `read.incr.fallback.fulltablescan.enable`), which answers from
+        the CURRENT snapshot filtered by `_hoodie_commit_time` in range
+        — complete for every row still live (a row whose change was
+        cleaned AND later overwritten reports its surviving version),
+        at full-scan cost instead of commit-pruned IO."""
         import fnmatch
 
         cfg = self._resolve(table)
@@ -2224,6 +2231,26 @@ class Engine:
             if m.get("kind") != "external" and not (data / p).is_file()
         )
         if gone:
+            if fallback_full_scan:
+                if path_glob:
+                    raise ValueError(
+                        "path_glob is not supported with "
+                        "fallback_full_scan (the fallback reads the "
+                        "whole snapshot)"
+                    )
+                # Hudi's fulltablescan fallback: the snapshot always
+                # holds every LIVE row, so filtering it on commit time
+                # recovers the changeset without the cleaned files
+                self.last_incremental_stats = {
+                    "cleaned_files_skipped": len(gone),
+                    "full_scan_fallback": True,
+                }
+                snap = self.read(cfg)
+                if begin is not None:
+                    snap = snap.filter(F.col(COMMIT_TIME_META) > begin)
+                if end is not None:
+                    snap = snap.filter(F.col(COMMIT_TIME_META) <= end)
+                return snap
             if not allow_cleaned:
                 # don't leave a previous call's stats lying around for a
                 # caller that catches this and reads the counter

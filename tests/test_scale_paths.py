@@ -155,6 +155,31 @@ def test_incremental_cleaned_range_raises(engine, spark):
     assert engine.last_incremental_stats["cleaned_files_skipped"] >= 1
 
 
+def test_incremental_cleaned_range_full_scan_fallback(engine, spark):
+    """fallback_full_scan (Hudi's read.incr.fallback.fulltablescan):
+    a cleaned range answers from the snapshot filtered on commit time —
+    every LIVE changed row is returned (here all 4 keys, at their
+    latest version), the stats record the fallback, and path_glob is
+    refused (the fallback cannot prune paths)."""
+    engine.create_table("t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    m1 = engine.insert(_mkdf(spark, _batch("v1", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v2", 1, 5)), "t")
+    engine.upsert(_mkdf(spark, _batch("v3", 1, 5)), "t")
+    engine.clean("t", retain_commits=1, stale_staging_s=0.0)
+    df = engine.read_incremental("t", begin=m1["instant"],
+                                 fallback_full_scan=True)
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {i: "v3" for i in range(1, 5)}
+    assert engine.last_incremental_stats["full_scan_fallback"] is True
+    assert engine.last_incremental_stats["cleaned_files_skipped"] >= 1
+    with pytest.raises(ValueError, match="path_glob"):
+        engine.read_incremental(
+            "t", begin=m1["instant"], path_glob="dt=*/*",
+            fallback_full_scan=True,
+        )
+
+
 def test_incremental_unclean_range_records_zero_skips(engine, spark):
     engine.create_table("t", record_key="id", precombine="ts",
                         partition_by="dt")

@@ -143,6 +143,7 @@ HEADLINE = [
     "engine_hilbert_clustering",
     "dedup_semantic_cross_corpus",
     "corpus_cluster_balanced",
+    "streaming_vector_index",
 ]
 
 

@@ -3704,23 +3704,26 @@ def similarity_topk_ivf(spark, sf_dir):
 
 
 def _indexed_topk_oracle(
-    k: int = 5, n_centroids: int = 16, n_probe: int = 4, n_queries: int = 20
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4, n_queries: int = 20,
+    corpus_where: str = "vec_id % 2 = 0",
+    alive_where: str = "NOT vec_id % 17 = 2",
+    seed_where: str = "vec_id % 3 = 0",
 ) -> str:
     """The MAINTAINED IVF index's end state in SQL: centroids seeded
-    from the FIRST ingest batch only (vec_id % 3 = 0 — they are pinned
-    at create time), the index holds the SURVIVING rows after the
-    second insert and the delete (NOT vec_id % 17 = 2), queries probe
-    n_probe cells and re-rank exactly inside them."""
+    from the FIRST ingest batch only (`seed_where` — they are pinned
+    at create time), the index holds the SURVIVING rows
+    (`alive_where`), queries probe n_probe cells and re-rank exactly
+    inside them."""
     from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
 
     seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
     return f"""
     WITH half AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+      SELECT vec_id, embedding FROM embeddings WHERE {corpus_where}
     ), alive AS (
-      SELECT vec_id, embedding FROM half WHERE NOT vec_id % 17 = 2
+      SELECT vec_id, embedding FROM half WHERE {alive_where}
     ), seeds AS (
-      SELECT vec_id, embedding FROM half WHERE vec_id % 3 = 0
+      SELECT vec_id, embedding FROM half WHERE {seed_where}
       ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
     ), cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cid,
@@ -7456,6 +7459,66 @@ def streaming_dedup_exact(spark, sf_dir):
         spark.read.parquet(sink)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+@q(
+    "streaming_vector_index",
+    _indexed_topk_oracle(
+        n_centroids=8,
+        corpus_where="vec_id % 2 = 1",
+        alive_where="1 = 1",
+        seed_where="vec_id % 4 = 1",
+    ),
+)
+def streaming_vector_index(spark, sf_dir):
+    """Streaming-maintained vector index: a bootstrap batch trains the
+    centroids, then the rest of the corpus STREAMS in via foreachBatch
+    (insert + index refresh per micro-batch — each refresh assigns only
+    its delta map-side). The final served top-k must equal DuckDB's
+    replay of seed → assign-over-everything → probe → re-rank."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.vector_index import (
+        create_vector_index,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+
+    root = _scratch("streaming_vector_index", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 2 == 1)
+    eng.create_table("emb", record_key="vec_id")
+    eng.insert(e.filter(F.col("vec_id") % 4 == 1), "emb")  # bootstrap
+    create_vector_index(eng, "emb", "vix", "vec_id", "embedding",
+                        n_centroids=8)
+    refresh_vector_index(eng, "vix")
+    rest = e.filter(F.col("vec_id") % 4 != 1)
+    src = f"{root}/src"
+    rest.repartition(3).write.mode("overwrite").parquet(src)
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "emb", batch_id=batch_id)
+        refresh_vector_index(eng, "vix")
+
+    q_ = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    queries = eng.read("emb").filter(F.col("vec_id") < 20).select(
+        "vec_id", "embedding"
+    )
+    return (
+        vector_index_topk(eng, "vix", queries, k=5, n_probe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
     )
 
 

@@ -412,7 +412,16 @@ class Engine:
             if cfg.record_key_fields:
                 keys.append(F.col(RECORD_KEY_META))
             df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-        tmp = Path(cfg.path) / "_tmp" / instant
+        # staging dir carries the instant as its name PREFIX (clean()'s
+        # live-writer protection parses it back) plus a random token:
+        # even a cross-process instant collision (caught later at commit
+        # publish) must not let one writer's mode("overwrite") staging
+        # clobber another's in-flight files
+        import uuid as _uuid
+
+        tmp = (
+            Path(cfg.path) / "_tmp" / f"{instant}-{_uuid.uuid4().hex[:8]}"
+        )
         prefix = {"base": "b", "delta": "d"}[kind]
         # announce the write before any data lands (Hudi marker analog):
         # clean() protects this instant's staged/unreferenced files while
@@ -1860,17 +1869,62 @@ class Engine:
         property-tested for COW and MOR). With out-of-order orderings
         the merged value is inherently fold-order dependent — COW folds
         per commit (an absorbed column rides the winner's rank), while
-        an uncompacted MOR merge sees the flat history."""
+        an uncompacted MOR merge sees the flat history.
+
+        Delete-era fencing: a DELETE tombstone ends the key's history
+        (Hudi log semantics — delete blocks apply in log order), so
+        versions written AFTER the latest tombstone's commit compete
+        only among themselves and always beat the tombstone, EVEN with
+        a lower preCombine value (the tombstone copies the dead row's
+        ordering value; without the fence a delete-then-reinsert with
+        a lower ts would stay deleted on MOR while COW — which
+        physically removed the row — resurrects it; snapshot semantics
+        must not depend on table type). Versions from before the
+        tombstone are discarded so they can neither win nor leak into
+        partial-update fills."""
         keys = self._merge_key_cols(cfg)
         order = self._order_cols(cfg)
+        drop_cols = ["__rn"]
+        if DELETED_META in df.columns:
+            is_del = F.coalesce(F.col(DELETED_META), F.lit(False))
+            era = F.max(
+                F.when(is_del, F.col(COMMIT_TIME_META))
+            ).over(Window.partitionBy(*keys))
+            df = (
+                df.withColumn("__era", era)
+                .filter(
+                    F.col("__era").isNull()
+                    | (F.col(COMMIT_TIME_META) >= F.col("__era"))
+                )
+                .withColumn(
+                    "__post",
+                    F.when(
+                        F.col("__era").isNull()
+                        | (F.col(COMMIT_TIME_META) > F.col("__era")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                )
+            )
+            order = [F.col("__post").desc()] + list(order)
+            drop_cols += ["__era", "__post"]
         w = Window.partitionBy(*keys).orderBy(*order)
         if cfg.payload == PAYLOAD_PARTIAL:
             wf = w.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
-            skip = set(META_COLS) | {DELETED_META}
+            skip = set(META_COLS) | {DELETED_META, "__era", "__post"}
+            # a tombstone's data columns are the DEAD row's values —
+            # they must not fill a re-inserted row's nulls
+            masked = (
+                (lambda c: F.when(
+                    F.coalesce(F.col(DELETED_META), F.lit(False)),
+                    F.lit(None),
+                ).otherwise(F.col(c)))
+                if DELETED_META in df.columns
+                else (lambda c: F.col(c))
+            )
             sel = [
-                F.first(F.col(c), ignorenulls=True).over(wf).alias(c)
+                F.first(masked(c), ignorenulls=True).over(wf).alias(c)
                 if c not in skip
                 else F.col(c)
                 for c in df.columns
@@ -1878,12 +1932,12 @@ class Engine:
             return (
                 df.select(*sel, F.row_number().over(w).alias("__rn"))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop(*drop_cols)
             )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop(*drop_cols)
         )
 
     def show_fsview(self, table: str | TableConfig) -> DataFrame:
@@ -4377,11 +4431,13 @@ class Engine:
 
             now = _time.time()
             for sub in staging.iterdir():
-                if sub.name in live_writers:
+                # staging dirs are named {instant}-{token}
+                inst = sub.name.split("-", 1)[0]
+                if inst in live_writers:
                     continue
                 try:
                     if (
-                        sub.name in dead_writers
+                        inst in dead_writers
                         or now - sub.stat().st_mtime >= stale_staging_s
                     ):
                         shutil.rmtree(sub, ignore_errors=True)

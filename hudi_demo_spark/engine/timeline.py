@@ -24,6 +24,7 @@ pessimistic per-table writer lock for serialized-writer deployments.
 from __future__ import annotations
 
 import json
+import threading
 import time
 from contextlib import contextmanager
 from datetime import datetime, timezone
@@ -42,6 +43,7 @@ COMPACTION = "compaction"  # MOR deltas merged into base
 CLEAN = "clean"
 
 _last_instant = [""]
+_instant_lock = threading.Lock()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -49,12 +51,18 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def new_instant() -> str:
-    """Monotonically increasing yyyyMMddHHmmssSSSSSS instant string."""
+    """Monotonically increasing yyyyMMddHHmmssSSSSSS instant string.
+    Locked: the check-then-set must be atomic or two concurrent writers
+    in one process can draw the SAME instant (observed under load as a
+    vanished commit — the second writer's staging clobbered the
+    first's); cross-process collisions are still caught at commit
+    publish."""
     while True:
-        now = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
-        if now > _last_instant[0]:
-            _last_instant[0] = now
-            return now
+        with _instant_lock:
+            now = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
+            if now > _last_instant[0]:
+                _last_instant[0] = now
+                return now
         time.sleep(0.000_5)
 
 

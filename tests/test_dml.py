@@ -380,6 +380,42 @@ def test_cluster_zorder_two_dim_locality(engine, spark):
         engine.cluster("zc", ["x"], strategy="bogus")
 
 
+def test_mor_delete_then_lower_ts_reinsert(engine, spark):
+    """Delete-era fencing (hypothesis-found): a DELETE tombstone ends
+    the key's history, so a later re-insert with a LOWER preCombine
+    value than the dead row must still win — on MOR exactly as on COW
+    (which physically removed the row). Without the fence the tombstone
+    carries the dead row's ordering value and the re-insert stays
+    invisible. Also pinned through log compaction and compaction."""
+    for tt in ("mor", "cow"):
+        t = f"dz_{tt}"
+        engine.create_table(t, record_key="id", precombine="ts",
+                            table_type=tt, payload="default")
+        engine.upsert(_mkdf(spark, [(0, "hi", 1.0, 5, "x")]), t)
+        engine.delete_keys(
+            t, spark.createDataFrame([(0,)], "id int")
+        )
+        engine.upsert(_mkdf(spark, [(0, "back", 2.0, 0, "x")]), t)
+        got = {r["id"]: (r["name"], r["ts"]) for r in engine.read(t).collect()}
+        assert got == {0: ("back", 0)}, (tt, got)
+        # pre-delete versions must not resurface through services
+        if tt == "mor":
+            engine.log_compact(t)
+            got = {r["id"]: (r["name"], r["ts"])
+                   for r in engine.read(t).collect()}
+            assert got == {0: ("back", 0)}
+            engine.compact(t)
+            got = {r["id"]: (r["name"], r["ts"])
+                   for r in engine.read(t).collect()}
+            assert got == {0: ("back", 0)}
+    # a delete whose key never returns stays deleted
+    engine.create_table("dz2", record_key="id", precombine="ts",
+                        table_type="mor")
+    engine.upsert(_mkdf(spark, [(1, "a", 1.0, 9, "x")]), "dz2")
+    engine.delete_keys("dz2", spark.createDataFrame([(1,)], "id int"))
+    assert engine.read("dz2").count() == 0
+
+
 def test_hilbert_curve_property(spark):
     """_attach_hilbert IS a Hilbert curve: on full grids (2-D 3-bit and
     3-D 2-bit) the mapping is a bijection onto 0..2^(n*b)-1 and every

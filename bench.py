@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_semantic_cross_corpus",
     "corpus_cluster_balanced",
     "streaming_vector_index",
+    "text_winnow_fingerprints",
 ]
 
 

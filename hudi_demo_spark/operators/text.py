@@ -122,6 +122,70 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token k-gram, slide a window
+    of `w` consecutive hashes, select each window's MINIMUM (rightmost
+    position on ties), deduplicate selections. The winnowing guarantee:
+    any verbatim match of at least w+k-1 tokens between two documents
+    shares at least one selected fingerprint, while only ~2/(w+1) of
+    all k-gram hashes are kept — the local fingerprinting that makes
+    plagiarism/near-copy detection index-able at corpus scale (join
+    documents on `fp` instead of comparing texts).
+
+    Returns (id, pos, fp) — pos is the selected k-gram's token offset.
+    Plan shape: the k-gram hashing is one map-side higher-order
+    projection; the sliding min and the short-document tail guard share
+    ONE keyed window shuffle per document. Hashes are portable md5-60,
+    so a SQL oracle replays selection bit-for-bit."""
+    from pyspark.sql import Window
+
+    from hudi_demo_spark.functions.hashfn import portable_hash60
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: portable_hash60(
+                F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "fp")
+    )
+    byid = Window.partitionBy(id_col)
+    wmin = byid.orderBy("pos").rowsBetween(-(w - 1), 0)
+    # min of (fp, -pos): smallest hash, rightmost position on ties
+    sel = F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np"))).over(wmin)
+    return (
+        g.select(
+            F.col(id_col),
+            "pos",
+            sel.alias("s"),
+            F.max("pos").over(byid).alias("__mx"),
+        )
+        # full windows only — except the last position, which covers
+        # documents with fewer than w hashes (min over all of them)
+        .filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__mx")))
+        .select(
+            id_col,
+            (-F.col("s.np")).cast("int").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def term_frequencies(
     df: DataFrame, text_col: str, min_freq: int = 1
 ) -> DataFrame:

@@ -2288,6 +2288,52 @@ def corpus_cluster_balanced(spark, sf_dir):
 
 
 @q(
+    "text_winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x != '') AS t
+      FROM documents WHERE doc_id % 4 = 3
+    ), grams AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 3 + 1, 0))) AS pos
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(
+               md5(array_to_string(t[pos+1:pos+3], ' ')), 1, 15) AS BIGINT)
+               AS fp
+      FROM grams
+    ), sel AS (
+      SELECT doc_id, pos,
+             min(struct_pack(fp := fp, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s,
+             max(pos) OVER (PARTITION BY doc_id) AS mx
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, CAST(-(s.np) AS INT) AS pos, s.fp AS fp
+    FROM sel WHERE pos >= 3 OR pos = mx
+    ORDER BY doc_id, pos
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): sliding-window minimum over
+    portable k-gram hashes, rightmost tiebreak, short-document tail
+    guard — the selected (pos, fp) set replayed in SQL bit-for-bit."""
+    from hudi_demo_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    )
+    return (
+        winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+        .orderBy("doc_id", "pos")
+    )
+
+
+@q(
     "text_token_stats",
     """
     WITH toks AS (

@@ -1257,3 +1257,38 @@ def test_bm25_topk_and_bigram_logprob(spark):
     # single-token docs drop out entirely
     one = spark.createDataFrame([(9, "lonely")], "doc_id long, text string")
     assert bigram_logprob(one, "doc_id", "text").count() == 0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): any verbatim
+    match of >= w+k-1 tokens between two documents shares at least one
+    selected fingerprint — checked for every pair of constructed docs
+    embedding the same 6-token run (k=3, w=4 -> threshold 6) at
+    different offsets amid distinct noise. Also: selections are a
+    subset of each doc's k-gram hashes and sparser than the full set."""
+    from hudi_demo_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " seven eight nine ten eleven"),
+        (3, "twelve thirteen fourteen fifteen " + shared),
+        (4, "unrelated words only here nothing common at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a < b:
+                assert by_doc[a] & by_doc[b], (a, b)
+    assert not (by_doc[4] & (by_doc[1] | by_doc[2] | by_doc[3]))
+    # density: fewer selections than k-grams (11 tokens -> 9 grams)
+    assert all(len(v) < 9 for v in by_doc.values())
+    # short doc: fewer grams than w still yields its global minimum
+    tiny = spark.createDataFrame([(9, "just four words here")],
+                                 "doc_id long, text string")
+    trows = winnow_fingerprints(tiny, "doc_id", "text", k=3, w=4).collect()
+    assert len(trows) == 1

@@ -2532,7 +2532,29 @@ class Engine:
         self._index_append(cfg, out)
         self._maybe_compact(cfg)
         self._maybe_cluster(cfg)
+        self._maybe_ttl(cfg)
         return meta
+
+    def _maybe_ttl(self, cfg: TableConfig) -> None:
+        """Inline partition TTL (the Hudi partition-TTL table-service
+        shape: `hoodie.partition.ttl.*` run as part of the writer):
+        opt-in via `ttl.inline` with `ttl.retain_hours`; after each
+        write, partitions whose last data commit is older than the
+        retention expire as a metadata-only replacecommit. A no-op
+        expiry costs one timeline replay — driver-side metadata, no
+        Spark job — so running it per write is free at any table
+        size."""
+        if not self._truthy(cfg.props.get("ttl.inline")):
+            return
+        hours = cfg.props.get("ttl.retain_hours")
+        if not hours:
+            return
+        # pre-check so a write with nothing expired never pollutes the
+        # timeline with empty replacecommits (a manual run_ttl DOES
+        # record one, for auditability)
+        parts = self._ttl_expired_partitions(cfg, None, float(hours))
+        if parts:
+            self.delete_partition(cfg, parts)
 
     def _maybe_cluster(self, cfg: TableConfig) -> None:
         """Inline clustering (Hudi `hoodie.clustering.inline` +
@@ -2746,6 +2768,24 @@ class Engine:
         dailies out of a 100 TB table is driver-side JSON; `clean`
         reclaims the bytes later. Expired partitions stay time-travel
         readable until then."""
+        cfg = self._resolve(table)
+        parts = self._ttl_expired_partitions(cfg, older_than, retain_hours)
+        if not parts:
+            instant = new_instant()
+            return Timeline(cfg.path).commit(
+                instant, tlmod.REPLACECOMMIT, "delete_partition", [], [],
+                {"partitions_deleted": [], "files_removed": 0},
+            )
+        return self.delete_partition(cfg, parts)
+
+    def _ttl_expired_partitions(
+        self,
+        cfg: TableConfig,
+        older_than: str | None,
+        retain_hours: float | None,
+    ) -> list[str]:
+        """Partitions whose newest live-file commit is <= the cutoff —
+        a timeline replay, no data IO."""
         if (older_than is None) == (retain_hours is None):
             raise ValueError("pass exactly one of older_than / retain_hours")
         if older_than is None:
@@ -2756,22 +2796,13 @@ class Engine:
             ).strftime("%Y%m%d%H%M%S%f")
         else:
             cutoff = older_than
-        cfg = self._resolve(table)
-        tl = Timeline(cfg.path)
         last: dict[str, str] = {}
-        for m in tl.live_files().values():
+        for m in Timeline(cfg.path).live_files().values():
             p = m.get("partition", "")
             c = m.get("commit", "")
             if c > last.get(p, ""):
                 last[p] = c
-        parts = sorted(p for p, c in last.items() if p and c <= cutoff)
-        if not parts:
-            instant = new_instant()
-            return Timeline(cfg.path).commit(
-                instant, tlmod.REPLACECOMMIT, "delete_partition", [], [],
-                {"partitions_deleted": [], "files_removed": 0},
-            )
-        return self.delete_partition(cfg, parts)
+        return sorted(p for p, c in last.items() if p and c <= cutoff)
 
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
         """preCombine dedup within the incoming batch (W6).

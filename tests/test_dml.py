@@ -705,6 +705,40 @@ def test_ttl_partitions_by_last_touch(engine, spark):
         engine.ttl_partitions("tt")
 
 
+def test_inline_ttl_trigger(engine, spark):
+    """ttl.inline + ttl.retain_hours: every write sweeps cold
+    partitions automatically (the writer-embedded table service).
+    Writes with nothing expired add NO empty replacecommits."""
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    import time as _time
+
+    # 1-second retention: a partition untouched for >1s is cold
+    engine.create_table(
+        "it", record_key="id", precombine="ts", partition_by="dt",
+        props={"ttl.inline": "true",
+               "ttl.retain_hours": str(1.0 / 3600)},
+    )
+    engine.insert(_mkdf(spark, [(1, "a", 1.0, 1, "2022-09-05")]), "it")
+    _time.sleep(2.0)
+    # the write itself is inside the retention window; 09-05 is not
+    engine.insert(_mkdf(spark, [(2, "b", 2.0, 1, "2022-09-06")]), "it")
+    assert sorted(r[4] for r in _state(engine, "it")) == ["2022-09-06"]
+    tl = Timeline(engine._resolve("it").path)
+    ops = [m["operation"] for m in tl.instants()]
+    assert ops.count("delete_partition") == 1  # no empty TTL commits
+    # a warm table sweeps nothing and commits nothing extra
+    engine.create_table(
+        "it2", record_key="id", precombine="ts", partition_by="dt",
+        props={"ttl.inline": "true", "ttl.retain_hours": "48"},
+    )
+    engine.insert(_mkdf(spark, [(1, "a", 1.0, 1, "2022-09-05")]), "it2")
+    engine.insert(_mkdf(spark, [(2, "b", 2.0, 1, "2022-09-06")]), "it2")
+    tl2 = Timeline(engine._resolve("it2").path)
+    assert [m["operation"] for m in tl2.instants()] == ["insert", "insert"]
+    assert len(_state(engine, "it2")) == 2
+
+
 def test_call_run_ttl(engine, spark):
     """CALL run_ttl routes both strategies: older_than instant and a
     partition-path condition; returns the expired partition list."""

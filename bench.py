@@ -145,6 +145,7 @@ HEADLINE = [
     "corpus_cluster_balanced",
     "streaming_vector_index",
     "text_winnow_fingerprints",
+    "ann_indexed_pq_recall",
 ]
 
 

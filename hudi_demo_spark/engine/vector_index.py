@@ -61,13 +61,26 @@ def create_vector_index(
     vec_col: str,
     n_centroids: int = 16,
     centroids: list[tuple[int, list[float]]] | None = None,
+    pq_m: int | None = None,
+    pq_codes: int = 16,
+    pq_iters: int = 1,
+    pq_sample_mod: int | None = None,
 ):
     """Define `name` as an incrementally-maintained IVF index over
     `source`.`vec_col`. Centroids default to the deterministic seed
     sample of the CURRENT source snapshot (swap in `kmeans_fit`
     centroids via the `centroids` arg for production recall). The index
     table is partitioned by cell and keeps a GLOBAL index so a
-    re-embedded vector moves cells instead of duplicating."""
+    re-embedded vector moves cells instead of duplicating.
+
+    With `pq_m`, the index ALSO stores each vector's product-
+    quantization codes (`codes` array<int>, trained once at create
+    time like the centroids) — the maintained-table form of Faiss
+    IVFPQ: queries ADC-scan the probed cells over m small ints per
+    vector and refine the shortlist at full precision, so serving IO
+    is compressed AND partition-pruned."""
+    from hudi_demo_spark.operators.similarity import pq_train
+
     src_cfg = engine._resolve(source)
     if not src_cfg.record_key_fields:
         raise ValueError("vector index requires a keyed source")
@@ -89,6 +102,13 @@ def create_vector_index(
         # a vector whose embedding changes must MOVE cell partitions
         "index.global": "true",
     }
+    if pq_m:
+        books = pq_train(
+            engine.read(source), id_col, vec_col,
+            m=pq_m, codes=pq_codes, iters=pq_iters,
+            sample_mod=pq_sample_mod,
+        )
+        props["vecindex.codebooks"] = json.dumps(books)
     return engine.create_table(
         name,
         record_key=id_col,
@@ -104,16 +124,57 @@ def _centroids(cfg) -> list[tuple[int, list[float]]]:
     ]
 
 
+def _codebooks(cfg) -> list | None:
+    raw = cfg.props.get("vecindex.codebooks")
+    return json.loads(raw) if raw else None
+
+
+def _pq_codes_expr(books: list, unit_col: str) -> F.Column:
+    """Per-subspace nearest-code ids of a PRE-NORMALIZED double-array
+    column (PQ trains/scores on unit vectors so squared-L2 ADC ordering
+    is cosine ordering). The normalization must be materialized as its
+    own column FIRST — inlined it would re-evaluate per code comparison
+    (m×codes× per row). Pure map-side higher-order expression."""
+    from hudi_demo_spark.operators.similarity import (
+        _codebooks_lit,
+        _pq_subdists,
+    )
+
+    m = len(books)
+    sub = len(books[0][0])
+    B = _codebooks_lit(books)
+
+    def code_j(j):
+        d = _pq_subdists(B, F.col(unit_col), j, sub)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_j)
+
+
 def _assign_cells(df: DataFrame, cfg) -> DataFrame:
-    """(id, vec, cell) for every row of `df` — pure map-side expression
-    work against the literal centroid array (no join, no shuffle)."""
+    """(id, vec, cell[, codes]) for every row of `df` — pure map-side
+    expression work against the literal centroid/codebook arrays (no
+    join, no shuffle)."""
+    from hudi_demo_spark.operators.similarity import _unit_vectors
+
     id_col = cfg.props["vecindex.id_col"]
     vec_col = cfg.props["vecindex.vec_col"]
-    return ivf_assign(df, _centroids(cfg), id_col, vec_col, n_probe=1).select(
+    out = ivf_assign(
+        df, _centroids(cfg), id_col, vec_col, n_probe=1
+    ).select(
         id_col,
         F.col("__v").alias(vec_col),
         F.col("centroid_id").alias(_CELL_COL),
     )
+    books = _codebooks(cfg)
+    if books:
+        out = _unit_vectors(
+            out.withColumn("__uv", F.col(vec_col)), id_col, "__uv"
+        )
+        out = out.withColumn(
+            "codes", _pq_codes_expr(books, "__uv")
+        ).drop("__uv")
+    return out
 
 
 def refresh_vector_index(engine, name: str) -> dict | None:
@@ -191,41 +252,120 @@ def vector_index_topk(
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    rerank: int = 4,
 ) -> DataFrame:
     """ANN top-k served FROM the maintained index: each query probes its
     `n_probe` nearest cells and the index is read pruned to those
     cells' PARTITIONS (file-list pruning — the scan touches
     n_probe/n_centroids of the table's files, the property that makes
     the index an index at 100 TB). Exact cosine re-rank inside probed
-    cells; ties break (score desc, id asc) like `ivf_topk`."""
+    cells; ties break (score desc, id asc) like `ivf_topk`.
+
+    On a PQ-augmented index (create_vector_index(pq_m=…)) the probed
+    cells are scanned by ADC over the STORED codes — m small ints per
+    candidate instead of the full vector — and only the k·`rerank`
+    shortlist re-ranks at full precision against the index's vectors
+    (the maintained-table Faiss IVFPQ serving shape)."""
+    from hudi_demo_spark.operators.similarity import (
+        _codebooks_lit,
+        _pq_subdists,
+        _unit_vectors,
+    )
+
     cfg = engine._resolve(name)
     id_col = cfg.props["vecindex.id_col"]
     vec_col = cfg.props["vecindex.vec_col"]
+    books = _codebooks(cfg)
     q = ivf_assign(
-        queries, _centroids(cfg), id_col, vec_col, n_probe=n_probe
+        _unit_vectors(queries, id_col, vec_col)
+        if books else queries,
+        _centroids(cfg), id_col, vec_col, n_probe=n_probe,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("centroid_id").alias(_CELL_COL),
     )
     cells = sorted(r[0] for r in q.select(_CELL_COL).distinct().collect())
-    idx = engine.read(
+    probed = engine.read(
         name, where=f"{_CELL_COL} IN ({','.join(str(c) for c in cells)})"
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__nv"),
-        _CELL_COL,
     )
+    if books is None:
+        idx = probed.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv"),
+            _CELL_COL,
+        )
+        scored = (
+            idx.join(F.broadcast(q), _CELL_COL)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", cosine_similarity("__qv", "__nv"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+    m, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    B = _codebooks_lit(books)
+    qvd = F.transform(F.col("__qv"), lambda x: x.cast("double"))
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: _pq_subdists(B, qvd, j, sub),
+        )
+    )
+    ql = q.select("query_id", _CELL_COL, lut.alias("__lut"))
+    # ADC scan: ONLY (id, codes) from the probed partitions ride the
+    # candidate join + top-k window — full vectors stay columnar-pruned
+    # until the shortlist refine
     scored = (
-        idx.join(F.broadcast(q), _CELL_COL)
+        probed.select(
+            F.col(id_col).alias("neighbor_id"), _CELL_COL, "codes"
+        )
+        .join(F.broadcast(ql), _CELL_COL)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_similarity("__qv", "__nv"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(
+                        F.col("__lut"),
+                        (i * F.lit(n_codes) + c + F.lit(1)).cast("int"),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank))
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = probed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    refined = (
+        cvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score", cosine_similarity("__qv", "__nv"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )

@@ -650,6 +650,58 @@ def test_vector_index_maintenance_and_cell_moves(engine, spark):
     assert "vidx" in out and out["vidx"] is None
 
 
+def test_vector_index_pq_codes_maintained(engine, spark):
+    """PQ-augmented vector index: stored codes always equal the
+    assignment expression over the source's current rows — across the
+    insert fold and a delete/re-embed CDC window — and the PQ serving
+    path returns only live neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.vector_index import (
+        _assign_cells, create_vector_index, refresh_vector_index,
+        vector_index_topk,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def batch(ids, shift=0.0):
+        return spark.createDataFrame(
+            [(int(i), [float(x) + shift for x in rng.standard_normal(8)])
+             for i in ids],
+            "vec_id int, embedding array<float>",
+        )
+
+    engine.create_table("pqsrc", record_key="vec_id")
+    engine.insert(batch(range(0, 40)), "pqsrc")
+    create_vector_index(engine, "pqsrc", "pqidx", "vec_id", "embedding",
+                        n_centroids=4, pq_m=4, pq_codes=4, pq_iters=1)
+    refresh_vector_index(engine, "pqidx")
+    engine.insert(batch(range(40, 60)), "pqsrc")
+    refresh_vector_index(engine, "pqidx")
+    engine.delete("pqsrc", "vec_id % 4 = 0")
+    engine.upsert(batch([1, 2], shift=10.0), "pqsrc")
+    refresh_vector_index(engine, "pqidx")
+
+    cfg = engine._resolve("pqidx")
+    snap = engine.read("pqsrc").select("vec_id", "embedding")
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in _assign_cells(snap, cfg).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in engine.read("pqidx")
+        .select("vec_id", "cell", "codes").collect()
+    }
+    assert got == want
+    res = vector_index_topk(
+        engine, "pqidx", batch(range(500, 503)), k=3, n_probe=3, rerank=4
+    ).collect()
+    assert {r["query_id"] for r in res} == {500, 501, 502}
+    assert all(r["neighbor_id"] % 4 != 0 for r in res)
+
+
 def test_inline_clustering_trigger(engine, spark):
     """cluster.inline: after N write commits since the last clustering,
     an insert triggers a sort-order rewrite automatically."""

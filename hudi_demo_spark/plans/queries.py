@@ -2914,7 +2914,7 @@ _FUZZY_TITLE_SQL = """
         SELECT doc_id,
                'the quick record ' ||
                substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 6) AS t
-        FROM documents WHERE doc_id < 1500
+        FROM documents WHERE doc_id < 400
       )
     )"""
 
@@ -2939,7 +2939,7 @@ def dedup_fuzzy_titles(spark, sf_dir):
     precision."""
     from hudi_demo_spark.operators.dedup import edit_near_pairs
 
-    d = load_table(spark, sf_dir, "documents").filter("doc_id < 1500")
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 400")
     t = F.concat(
         F.lit("the quick record "),
         F.substring(F.md5((F.col("doc_id") % 40).cast("string")), 1, 6),
@@ -7573,10 +7573,10 @@ def streaming_vector_index(spark, sf_dir):
     """
     WITH l AS (
       SELECT user_id, ts AS lts, event_id AS l_id
-      FROM events WHERE event_id % 3 = 0
+      FROM events WHERE event_id % 9 = 0
     ), r AS (
       SELECT user_id, ts AS rts, event_id AS r_id
-      FROM events WHERE event_id % 3 = 1
+      FROM events WHERE event_id % 9 = 1
     )
     SELECT l.user_id, l_id, r_id
     FROM l JOIN r ON l.user_id = r.user_id
@@ -7599,16 +7599,18 @@ def streaming_stream_join(spark, sf_dir):
 
     root = _scratch("streaming_stream_join", sf_dir)
     e = load_table(spark, sf_dir, "events")
-    l = e.filter(F.col("event_id") % 3 == 0).select(
+    l = e.filter(F.col("event_id") % 9 == 0).select(
         "user_id", F.col("ts").alias("lts"),
         F.col("event_id").alias("l_id"),
     )
-    r = e.filter(F.col("event_id") % 3 == 1).select(
+    r = e.filter(F.col("event_id") % 9 == 1).select(
         "user_id", F.col("ts").alias("rts"),
         F.col("event_id").alias("r_id"),
     )
-    l.repartition(3).write.mode("overwrite").parquet(f"{root}/l")
-    r.repartition(3).write.mode("overwrite").parquet(f"{root}/r")
+    # 2 files per side x maxFilesPerTrigger=1: cross-batch state still
+    # exercised, one fewer stateful micro-batch per side
+    l.repartition(2).write.mode("overwrite").parquet(f"{root}/l")
+    r.repartition(2).write.mode("overwrite").parquet(f"{root}/r")
     ls = (
         spark.readStream.schema(l.schema)
         .option("maxFilesPerTrigger", "1").parquet(f"{root}/l")

@@ -701,7 +701,9 @@ class SqlRouter:
         if proc == "create_vector_index":
             # CALL create_vector_index(table => 'src', name => 'vix',
             #   id_col => 'vec_id', vec_col => 'embedding'
-            #   [, n_centroids => '16'])
+            #   [, n_centroids => '16']
+            #   [, pq_m => '16', pq_codes => '16', pq_iters => '1',
+            #      pq_sample_mod => '4'])  -- PQ-augmented (IVFPQ)
             from hudi_demo_spark.engine.vector_index import (
                 create_vector_index,
             )
@@ -714,9 +716,14 @@ class SqlRouter:
                     "call create_vector_index(table => 'src', name => 'v', "
                     "id_col => 'id', vec_col => 'vec')"
                 )
+            smod = args.get("pq_sample_mod")
             create_vector_index(
                 self.engine, table, name, id_col, vec_col,
                 n_centroids=int(args.get("n_centroids", 16)),
+                pq_m=int(args["pq_m"]) if args.get("pq_m") else None,
+                pq_codes=int(args.get("pq_codes", 16)),
+                pq_iters=int(args.get("pq_iters", 1)),
+                pq_sample_mod=int(smod) if smod else None,
             )
             return None
         if proc == "refresh_vector_index":

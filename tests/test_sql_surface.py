@@ -607,6 +607,15 @@ def test_call_vector_index_procedures(engine, spark):
     assert engine.sql(
         "call refresh_vector_index(table => 'vix2')"
     ).collect()[0]["refreshed"] is False
+    # PQ-augmented form via CALL: codes column materializes
+    engine.sql(
+        "call create_vector_index(table => 'vsrc2', name => 'vix2pq', "
+        "id_col => 'vec_id', vec_col => 'embedding', n_centroids => '4', "
+        "pq_m => '2', pq_codes => '4', pq_iters => '1')"
+    )
+    engine.sql("call refresh_vector_index(table => 'vix2pq')")
+    pq = engine.read("vix2pq")
+    assert pq.count() == 50 and "codes" in pq.columns
 
 
 def test_call_left_join_view_procedure(engine, spark):

@@ -3048,6 +3048,7 @@ class Engine:
             )
             self._index_append(cfg, batch)
             self._maybe_compact(cfg)
+            self._maybe_ttl(cfg)
             return meta
         batch = batch.persist()
         try:
@@ -3123,6 +3124,7 @@ class Engine:
                 self._commit_stats(added, None), batch_id=batch_id,
             )
             self._index_append(cfg, batch)
+            self._maybe_ttl(cfg)
             return meta
         finally:
             batch.unpersist()

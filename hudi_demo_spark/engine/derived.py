@@ -159,6 +159,14 @@ def create_rollup(
     if approx_distinct_cols:
         props["derived.approx_cols"] = ",".join(approx_distinct_cols)
     if hist_cols:
+        for c, (lo, hi, nb) in hist_cols.items():
+            # hi == lo would make the bin width 0: the bin expression
+            # divides by zero to null and every row silently vanishes
+            # from the histogram — fail at definition time instead
+            if int(nb) < 1:
+                raise ValueError(f"hist_cols[{c!r}]: n_bins must be >= 1")
+            if not float(hi) > float(lo):
+                raise ValueError(f"hist_cols[{c!r}]: hi must be > lo")
         props["derived.hist_cols"] = json.dumps(
             {c: [float(lo), float(hi), int(nb)]
              for c, (lo, hi, nb) in hist_cols.items()}

@@ -168,8 +168,17 @@ class Engine:
             precombine_field=precombine,
             partition_fields=parts,
             table_type=table_type,
+            # Payload selection mirrors JavaClientHive2Hudi.java:145-148:
+            # an ordering (preCombine) field selects the ordering-aware
+            # DefaultHoodieRecordPayload analog, so concurrent same-key
+            # versions resolve by the ordering value — deterministic
+            # under NBCC — not by whichever writer got the later instant.
             payload=payload
-            or TableConfig.__dataclass_fields__["payload"].default,
+            or (
+                PAYLOAD_DEFAULT
+                if precombine and precombine != COMMIT_TIME_META
+                else TableConfig.__dataclass_fields__["payload"].default
+            ),
             hive_style=hive_style,
             schema_json=schema_json,
             props=props or {},
@@ -2784,8 +2793,12 @@ class Engine:
         older_than: str | None,
         retain_hours: float | None,
     ) -> list[str]:
-        """Partitions whose newest live-file commit is <= the cutoff —
-        a timeline replay, no data IO."""
+        """Partitions whose newest DATA commit is <= the cutoff — a
+        timeline replay, no data IO. Table services (compaction, log
+        compaction, clustering) rewrite files under fresh instants but
+        are not writes: a cold partition that merely got clustered must
+        still expire, so last-touch is the max over data commits'
+        files_added, not over live-file commit stamps."""
         if (older_than is None) == (retain_hours is None):
             raise ValueError("pass exactly one of older_than / retain_hours")
         if older_than is None:
@@ -2796,13 +2809,30 @@ class Engine:
             ).strftime("%Y%m%d%H%M%S%f")
         else:
             cutoff = older_than
+        tl = Timeline(cfg.path)
+        service_ops = {"compact", "log_compact", "cluster"}
         last: dict[str, str] = {}
-        for m in Timeline(cfg.path).live_files().values():
-            p = m.get("partition", "")
-            c = m.get("commit", "")
-            if c > last.get(p, ""):
-                last[p] = c
-        return sorted(p for p, c in last.items() if p and c <= cutoff)
+        for m in tl.instants(include_archived=True):
+            if m.get("operation") in service_ops:
+                continue
+            for f in m.get("files_added", []):
+                p = f.get("partition", "")
+                if m["instant"] > last.get(p, ""):
+                    last[p] = m["instant"]
+        # only currently-live partitions are candidates; a live partition
+        # with no replayed data commit (fully service-rewritten history
+        # past a pruned archive) falls back to its live-file stamp
+        live_last: dict[str, str] = {}
+        for fm in tl.live_files().values():
+            p = fm.get("partition", "")
+            c = fm.get("commit", "")
+            if c > live_last.get(p, ""):
+                live_last[p] = c
+        return sorted(
+            p
+            for p in live_last
+            if p and last.get(p, live_last[p]) <= cutoff
+        )
 
     def _dedup_batch(self, batch: DataFrame, cfg: TableConfig) -> DataFrame:
         """preCombine dedup within the incoming batch (W6).
@@ -4085,8 +4115,14 @@ class Engine:
         cluster(strategy='zorder'); stats-based file skipping then works
         for range predicates on ANY of the z-ordered columns."""
         codes = cls._normalized_codes(df, cols)
+        # n*bits must stay <= 63: at 4 cols × 16 bits the top curve bit
+        # would land on long bit 63 (the sign), splitting the key space
+        # negative-first and corrupting the curve order
+        bits = min(16, 63 // len(codes))
+        if bits < 16:  # keep the MOST significant bits of each code
+            codes = [F.shiftright(c, 16 - bits) for c in codes]
         z = F.lit(0).cast("long")
-        for bit in range(16):
+        for bit in range(bits):
             for i, code in enumerate(codes):
                 z = z + F.shiftleft(
                     F.shiftright(code, bit).bitwiseAND(F.lit(1)),
@@ -4225,9 +4261,13 @@ class Engine:
             # curve (every unit step on the curve is a unit step in
             # space — no z-shaped jumps), Hudi's
             # `hoodie.layout.optimize.curve.build.method=hilbert` analog
-            df = self._attach_hilbert(
-                df, self._normalized_codes(df, sort_cols), 16
-            )
+            # same sign-bit cap as _zorder_col: n*bits <= 63 (4-D drops
+            # to 15 bits/axis, keeping each code's MOST significant bits)
+            hbits = min(16, 63 // max(1, len(sort_cols)))
+            hcodes = self._normalized_codes(df, sort_cols)
+            if hbits < 16:
+                hcodes = [F.shiftright(c, 16 - hbits) for c in hcodes]
+            df = self._attach_hilbert(df, hcodes, hbits)
             range_keys += [F.col("__hilbert")]
             drop_helpers = self._hilbert_helper_cols(len(sort_cols))
         elif strategy == "linear":

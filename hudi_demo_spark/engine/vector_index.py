@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 from hudi_demo_spark.engine.config import (
@@ -65,6 +65,7 @@ def create_vector_index(
     pq_codes: int = 16,
     pq_iters: int = 1,
     pq_sample_mod: int | None = None,
+    codebooks: list | None = None,
 ):
     """Define `name` as an incrementally-maintained IVF index over
     `source`.`vec_col`. Centroids default to the deterministic seed
@@ -82,8 +83,15 @@ def create_vector_index(
     from hudi_demo_spark.operators.similarity import pq_train
 
     src_cfg = engine._resolve(source)
-    if not src_cfg.record_key_fields:
-        raise ValueError("vector index requires a keyed source")
+    # refresh_vector_index derives dead ids by casting the source's
+    # _hoodie_record_key back to id_col's type — only sound when the
+    # record key IS exactly [id_col] (composite or different keys would
+    # cast to null/wrong ids and silently diverge the index)
+    if src_cfg.record_key_fields != [id_col]:
+        raise ValueError(
+            "vector index requires the source record key to be exactly "
+            f"[{id_col!r}]; got {src_cfg.record_key_fields!r}"
+        )
     if centroids is None:
         centroids = seed_centroids(
             engine.read(source), id_col, vec_col, n_centroids
@@ -103,7 +111,10 @@ def create_vector_index(
         "index.global": "true",
     }
     if pq_m:
-        books = pq_train(
+        # like Faiss, a quantizer trained elsewhere (e.g. on a larger
+        # representative corpus) can be installed directly via
+        # `codebooks` instead of retraining here
+        books = codebooks or pq_train(
             engine.read(source), id_col, vec_col,
             m=pq_m, codes=pq_codes, iters=pq_iters,
             sample_mod=pq_sample_mod,
@@ -286,6 +297,18 @@ def vector_index_topk(
         F.col("centroid_id").alias(_CELL_COL),
     )
     cells = sorted(r[0] for r in q.select(_CELL_COL).distinct().collect())
+    if not cells:  # empty queries: 'cell IN ()' would be a parse error
+        return engine.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", q.schema["query_id"].dataType),
+                    T.StructField("neighbor_id", q.schema["query_id"].dataType),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     probed = engine.read(
         name, where=f"{_CELL_COL} IN ({','.join(str(c) for c in cells)})"
     )

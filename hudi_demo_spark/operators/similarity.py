@@ -509,11 +509,21 @@ def _codebooks_lit(codebooks: list) -> F.Column:
     m×codes, so codegen compiles in milliseconds instead of tens of
     seconds per distinct codebook (measured: 25 s → sub-second plan
     setup at m=16, codes=16)."""
-    return F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in cv]) for cv in book
-        ]) for book in codebooks
-    ])
+    # built as ONE SQL expression string parsed JVM-side: the
+    # Column-builder form (m×codes×sub nested F.lit/F.array calls) is
+    # ~4,500 py4j round trips ≈ 1.5 s of driver latency per call —
+    # pure fixed overhead on every PQ plan build
+    # float literals use repr() (exact round-trip) + the D suffix, the
+    # same idiom as ivf_assign — the plan is bit-identical to the
+    # composed form
+    inner = ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            for cv in book
+        ) + ")"
+        for book in codebooks
+    )
+    return F.expr(f"array({inner})")
 
 
 def _pq_subdists(B: F.Column, vec_d, j, sub: int) -> F.Column:

@@ -830,14 +830,20 @@ class LakehouseWriter(DataSourceWriter):
             ttype = options.get(
                 "hoodie.datasource.write.table.type", "COPY_ON_WRITE"
             ).upper()
+            pc = options.get("hoodie.datasource.write.precombine.field")
             cfg = TableConfig(
                 name=Path(path).name,
                 path=str(path),
                 record_key_fields=(
                     [k.strip() for k in keys.split(",")] if keys else None
                 ),
-                precombine_field=options.get(
-                    "hoodie.datasource.write.precombine.field"
+                precombine_field=pc,
+                # ordering field => ordering-aware payload, matching
+                # Engine.create_table (JavaClientHive2Hudi.java:145-148)
+                payload=(
+                    PAYLOAD_DEFAULT
+                    if pc and pc != COMMIT_TIME_META
+                    else TableConfig.__dataclass_fields__["payload"].default
                 ),
                 partition_fields=(
                     [p.strip() for p in parts.split(",")] if parts else []

@@ -835,3 +835,119 @@ def test_update_swap_assignments_simultaneous(engine, spark):
         engine.update(t, set={"a": "b", "b": "a"}, where="id = 1")
         row = engine.read(t).collect()[0]
         assert (row["a"], row["b"]) == ("B", "A"), tt
+
+
+def test_precombine_defaults_to_ordering_payload(engine, spark):
+    """W6/NBCC determinism: declaring a preCombine field selects the
+    ordering-aware payload by default (JavaClientHive2Hudi.java:145-148
+    picks DefaultHoodieRecordPayload when an ordering field exists), so
+    a LATER commit with a LOWER ordering value loses to the stored row —
+    resolution is by ts, not commit order. Without precombine the
+    default stays overwrite-latest (commit order wins)."""
+    for tt in ("cow", "mor"):
+        t = f"pcd_{tt}"
+        engine.create_table(t, record_key="id", precombine="ts",
+                            table_type=tt)
+        assert engine._resolve(t).payload == "default"
+        engine.upsert(_mkdf(spark, [(1, "new", 1.0, 20, "x")]), t)
+        # later commit, lower ts: must NOT win
+        engine.upsert(_mkdf(spark, [(1, "stale", 9.0, 10, "x")]), t)
+        st = _state(engine, t)
+        assert st == [(1, "new", 1.0, 20, "x")], st
+        # higher ts wins as always
+        engine.upsert(_mkdf(spark, [(1, "newer", 2.0, 30, "x")]), t)
+        assert _state(engine, t) == [(1, "newer", 2.0, 30, "x")]
+    # no preCombine field: commit order wins (overwrite-latest default)
+    engine.create_table("pcd_nopc", record_key="id")
+    engine.upsert(_mkdf(spark, [(1, "first", 1.0, 20, "x")]), "pcd_nopc")
+    engine.upsert(_mkdf(spark, [(1, "second", 1.0, 10, "x")]), "pcd_nopc")
+    assert engine._resolve("pcd_nopc").payload == "overwrite_latest"
+    assert _state(engine, "pcd_nopc") == [(1, "second", 1.0, 10, "x")]
+
+
+def test_ttl_ignores_table_service_touches(engine, spark):
+    """Partition TTL counts DATA commits only as last-touch: a cold
+    partition that merely got clustered or compacted must still expire
+    (the rewrite stamps a fresh instant on its files but is not a
+    write)."""
+    engine.create_table("tsvc", record_key="id", precombine="ts",
+                        partition_by="dt")
+    old = engine.insert(_mkdf(spark, [
+        (1, "a", 1.0, 100, "2022-09-05"),
+        (2, "b", 2.0, 100, "2022-09-06"),
+    ]), "tsvc")
+    engine.insert(_mkdf(spark, [(3, "c", 3.0, 100, "2022-09-07")]), "tsvc")
+    # table service AFTER the cutoff rewrites every file
+    assert engine.cluster("tsvc", ["id"]) is not None
+    meta = engine.ttl_partitions("tsvc", older_than=old["instant"])
+    assert sorted(meta["stats"]["partitions_deleted"]) == [
+        "dt=2022-09-05", "dt=2022-09-06"
+    ]
+    assert [r[0] for r in _state(engine, "tsvc")] == [3]
+    # MOR: compaction is not a touch either
+    engine.create_table("tsvm", record_key="id", precombine="ts",
+                        partition_by="dt", table_type="mor")
+    old2 = engine.insert(_mkdf(spark, [
+        (1, "a", 1.0, 100, "2022-09-05"),
+    ]), "tsvm")
+    engine.upsert(_mkdf(spark, [(1, "a2", 1.5, 200, "2022-09-05")]), "tsvm")
+    engine.insert(_mkdf(spark, [(2, "b", 2.0, 100, "2022-09-06")]), "tsvm")
+    assert engine.compact("tsvm") is not None
+    # cutoff after the dt=09-05 upsert but before the 09-06 insert:
+    # 09-05's last DATA touch is the upsert, not the compaction
+    tl_instants = [m["instant"] for m in __import__(
+        "hudi_demo_spark.engine.timeline", fromlist=["Timeline"]
+    ).Timeline(engine._resolve("tsvm").path).instants()]
+    meta2 = engine.ttl_partitions("tsvm", older_than=tl_instants[1])
+    assert meta2["stats"]["partitions_deleted"] == ["dt=2022-09-05"]
+    assert [r[0] for r in _state(engine, "tsvm")] == [2]
+
+
+def test_curve_sign_bit_four_dims(engine, spark):
+    """4-D curves must not spill into long bit 63 (the sign bit): the
+    code budget caps at n*bits <= 63, so every z-value / Hilbert index
+    is non-negative and extreme corners still order correctly. With the
+    uncapped 4x16 layout half the key space sorted negative-first."""
+    from hudi_demo_spark.engine.engine import Engine
+
+    corners = [
+        (0, 0.0, 0.0, 0.0, 0.0),
+        (1, 1e6, 1e6, 1e6, 1e6),
+        (2, 1e6, 0.0, 1e6, 0.0),
+        (3, 5e5, 5e5, 5e5, 5e5),
+    ]
+    df = spark.createDataFrame(
+        corners, "k int, a double, b double, c double, d double"
+    )
+    z = df.select(
+        "k", Engine._zorder_col(df, ["a", "b", "c", "d"]).alias("z")
+    ).collect()
+    zs = {r["k"]: r["z"] for r in z}
+    assert all(v >= 0 for v in zs.values()), zs
+    assert zs[1] > zs[0]  # max corner sorts after min corner
+    # 4-D Hilbert property on a full 2-bit grid: bijection + unit steps
+    side = 4
+    pts = [(x, y, zz, w) for x in range(side) for y in range(side)
+           for zz in range(side) for w in range(side)]
+    gdf = spark.createDataFrame(pts, "c0 long, c1 long, c2 long, c3 long")
+    cols = [F.col(f"c{i}") for i in range(4)]
+    rows = Engine._attach_hilbert(gdf, cols, 2, out="h").collect()
+    by_h = {r["h"]: tuple(r[f"c{i}"] for i in range(4)) for r in rows}
+    assert sorted(by_h) == list(range(side ** 4))
+    for i in range(1, side ** 4):
+        assert sum(abs(x - y) for x, y in zip(by_h[i - 1], by_h[i])) == 1
+    # end-to-end: 4-D hilbert clustering stays exact under the cap
+    df4 = spark.range(0, 512).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).cast("double").alias("a"),
+        (F.floor(F.col("id") / 8) % 8).cast("double").alias("b"),
+        (F.floor(F.col("id") / 64) % 8).cast("double").alias("c"),
+        (F.col("id") % 5).cast("double").alias("d"),
+    )
+    engine.create_table("h4", record_key="k")
+    engine.insert(df4, "h4")
+    meta = engine.cluster("h4", ["a", "b", "c", "d"], strategy="hilbert")
+    assert meta["operation"] == "cluster"
+    assert engine.read("h4").count() == 512
+    assert engine.read("h4").agg(F.sum("a"), F.sum("d")).first() == \
+        df4.agg(F.sum("a"), F.sum("d")).first()

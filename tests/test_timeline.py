@@ -1903,3 +1903,62 @@ def test_rollup_over_join_view_cascades(engine, spark):
     got = {r["region"]: (r["n_rows"], r["sum_v"])
            for r in engine.read("rjf_by_region").collect()}
     assert got == {"east": (5, 15.0), "west": (5, 10.0)}
+
+
+def test_vector_index_guards(engine, spark):
+    """create_vector_index requires the source record key to be exactly
+    [id_col] (eviction casts _hoodie_record_key back to id_col's type —
+    composite or mismatched keys would silently diverge the index);
+    vector_index_topk with an EMPTY query set returns an empty result
+    instead of a malformed 'cell IN ()' predicate."""
+    import pytest
+
+    from hudi_demo_spark.engine.vector_index import (
+        create_vector_index, refresh_vector_index, vector_index_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, i, [float(i), float(i % 3)]) for i in range(12)],
+        "vec_id int, other int, embedding array<float>",
+    )
+    # composite key: rejected
+    engine.create_table("gk2", record_key=["vec_id", "other"])
+    engine.insert(vecs, "gk2")
+    with pytest.raises(ValueError, match="record key"):
+        create_vector_index(engine, "gk2", "gi2", "vec_id", "embedding",
+                            n_centroids=2)
+    # key != id_col: rejected
+    engine.create_table("gk3", record_key="other")
+    engine.insert(vecs, "gk3")
+    with pytest.raises(ValueError, match="record key"):
+        create_vector_index(engine, "gk3", "gi3", "vec_id", "embedding",
+                            n_centroids=2)
+    # happy path + empty-queries short-circuit
+    engine.create_table("gk1", record_key="vec_id")
+    engine.insert(vecs, "gk1")
+    create_vector_index(engine, "gk1", "gi1", "vec_id", "embedding",
+                        n_centroids=2)
+    refresh_vector_index(engine, "gi1")
+    empty = spark.createDataFrame(
+        [], "vec_id int, embedding array<float>"
+    )
+    out = vector_index_topk(engine, "gi1", empty, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert out.count() == 0
+
+
+def test_rollup_histogram_validation(engine, spark):
+    """create_rollup rejects degenerate histogram specs at definition
+    time (hi == lo would divide to null and silently uncount every
+    row; n_bins < 1 is meaningless)."""
+    import pytest
+
+    from hudi_demo_spark.engine.derived import create_rollup
+
+    engine.create_table("hv_t", record_key="k")
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        create_rollup(engine, "hv_t", "hv_r1", ["g"], [],
+                      hist_cols={"v": [5.0, 5.0, 4]})
+    with pytest.raises(ValueError, match="n_bins"):
+        create_rollup(engine, "hv_t", "hv_r2", ["g"], [],
+                      hist_cols={"v": [0.0, 10.0, 0]})

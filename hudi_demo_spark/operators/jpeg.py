@@ -119,72 +119,129 @@ def _canonical_codes(bits, huffval):
     return out
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
-    stops at markers, and resynchronizes on RSTn (restart markers)."""
+# decode-side Huffman tables as flat 16-bit-prefix LUTs (symbol + code
+# length per possible 16-bit lookahead), cached by table content — the
+# Annex K standard tables build once per process
+_LUT_CACHE: dict = {}
 
-    def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
 
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartPending()
-            else:
-                # marker (EOI / next segment): missing bits decode as 0
-                # padding per T.81 — but running off the scan is a
-                # corrupt stream for our purposes
-                raise ValueError("JPEG: hit marker inside entropy data")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+def _huff_lut(bits, huffval):
+    key = (tuple(bits), tuple(huffval))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        span = 1 << (16 - length)
+        for _ in range(bits[length]):
+            lo = code << (16 - length)
+            sym[lo:lo + span] = huffval[i]
+            ln[lo:lo + span] = length
+            i += 1
+            code += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) >= 16:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
-    def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
+
+def _entropy_segments(payload: bytes, pos: int):
+    """Un-stuff the entropy-coded stream starting at `pos` in one pass:
+    returns (segments, end_pos) — one bytes object per restart
+    interval (0xFF00 un-stuffed, RSTn markers split, 0xFF fill bytes
+    dropped per B.1.1.2) and the offset of the terminating marker's
+    0xFF. The whole scan is sliced with bytes.find instead of walking
+    byte-per-byte in Python."""
+    parts: list[bytes] = []
+    segs: list[bytes] = []
+    start = i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            parts.append(payload[start:n])
+            segs.append(b"".join(parts))
+            return segs, n
+        nxt = payload[j + 1]
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF, drop the 00
+            parts.append(payload[start:j + 1])
+            start = i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker closes a segment
+            parts.append(payload[start:j])
+            segs.append(b"".join(parts))
+            parts = []
+            start = i = j + 2
+        elif nxt == 0xFF:  # fill byte before a marker
+            parts.append(payload[start:j])
+            start = i = j + 1
+        else:  # a real marker terminates the scan
+            parts.append(payload[start:j])
+            segs.append(b"".join(parts))
+            return segs, j
+
+
+class _Bits:
+    """Entropy reader over ONE un-stuffed restart segment. The segment's
+    bits are unpacked once (numpy) and every bit index gets a
+    precomputed 16-bit lookahead window, so a Huffman symbol decode is
+    a single LUT index and `receive` a single shift — no per-bit Python
+    loop (the round-5 scale note's fix: ~20× over the per-bit reader).
+    Windows live in a compact array('H') (2 bytes per bit position);
+    indexing it yields plain Python ints."""
+
+    __slots__ = ("w", "nbits", "p")
+
+    def __init__(self, seg: bytes):
+        import numpy as np
+        from array import array
+
+        bits = np.unpackbits(np.frombuffer(seg, np.uint8))
+        nb = int(bits.shape[0])
+        # pad with 1s (the encoder's flush padding) so windows near the
+        # end stay well-formed; overruns are caught via nbits
+        ext = np.concatenate(
+            [bits, np.ones(16, np.uint8)]
+        ).astype(np.uint16)
+        w = np.zeros(nb + 1, dtype=np.uint16)
+        for k in range(16):
+            w |= ext[k:k + nb + 1] << (15 - k)
+        self.w = array("H", w.tobytes())
+        self.nbits = nb
+        self.p = 0
+
+    def huff(self, lut) -> int:
+        sym, ln = lut
+        v = self.w[self.p]
+        length = ln[v]
+        if not length:
+            raise ValueError("JPEG: invalid Huffman code")
+        self.p += length
+        if self.p > self.nbits:
+            raise ValueError("JPEG: truncated entropy segment")
+        return sym[v]
+
+    def receive(self, r: int) -> int:
+        if not r:
+            return 0
+        v = self.w[self.p] >> (16 - r)
+        self.p += r
+        if self.p > self.nbits:
+            raise ValueError("JPEG: truncated entropy segment")
         return v
 
-    def restart(self) -> None:
-        """Byte-align and consume the RSTn marker: drop buffered bits,
-        then skip the ≤1 pad byte (possibly 0xFF with a stuffed 0x00,
-        or 0xFF fill bytes per T.81 B.1.1.2) in front of it. Bounded
-        scan — a marker not found within a few bytes is corruption."""
-        self.acc = 0
-        self.n = 0
-        for _ in range(4):
-            if (
-                self.buf[self.pos] == 0xFF
-                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
-            ):
-                self.pos += 2
-                return
-            if (
-                self.buf[self.pos] == 0xFF
-                and self.buf[self.pos + 1] == 0x00
-            ):
-                self.pos += 2  # stuffed pad byte
-            else:
-                self.pos += 1  # plain pad/fill byte
-        raise ValueError("JPEG: expected restart marker")
-
-
-class _RestartPending(Exception):
-    pass
+    def bit(self) -> int:
+        v = self.w[self.p] >> 15
+        self.p += 1
+        if self.p > self.nbits:
+            raise ValueError("JPEG: truncated entropy segment")
+        return v
 
 
 def _extend(v: int, t: int) -> int:
@@ -192,15 +249,27 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _decode_huff(r: _BitReader, table) -> int:
-    length, code = 0, 0
-    while True:
-        code = (code << 1) | r.bit()
-        length += 1
-        if (length, code) in table:
-            return table[(length, code)]
-        if length > 16:
-            raise ValueError("JPEG: invalid Huffman code")
+def _block_baseline(bits: _Bits, dc_lut, ac_lut, coef: list, pred: int) -> int:
+    """Decode one baseline 8×8 block into `coef` (64-list, natural
+    order); returns the updated DC predictor."""
+    t = bits.huff(dc_lut)
+    pred += _extend(bits.receive(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = bits.huff(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC run overflow")
+        coef[ZIGZAG[k]] = _extend(bits.receive(s), s)
+        k += 1
+    return pred
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -208,17 +277,22 @@ def decode_jpeg(payload: bytes) -> dict:
     'pixels': uint8 (h, w, 3)} — same contract as decode_ppm/decode_bmp
     (grayscale replicates to 3 channels). Raises NotImplementedError
     for progressive/arithmetic/12-bit streams, ValueError for corrupt
-    ones."""
+    ones. Entropy decode rides the vectorized _Bits reader; the IDCT
+    runs as ONE batched einsum per component over the accumulated
+    coefficient array instead of a per-block matmul."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
-    hufftabs: dict[tuple[int, int], dict] = {}
+    hufftabs: dict[tuple[int, int], tuple] = {}
     frame = None
     restart_interval = 0
     pos = 2
-    scan = None
+    coefs: list = []
+    preds: list = []
+    mcux = mcuy = 0
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -249,9 +323,9 @@ def decode_jpeg(payload: bytes) -> dict:
                 bits = [0] + list(body[i + 1 : i + 17])
                 n = sum(bits)
                 huffval = list(body[i + 17 : i + 17 + n])
-                hufftabs[(tc, th)] = _canonical_codes(bits, huffval)
+                hufftabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline/ext sequential)
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -262,6 +336,17 @@ def decode_jpeg(payload: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # quantized coefficients accumulate here (natural order per
+            # block) — the IDCT batches over the whole array at the end
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+            preds = [0] * nc
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -270,82 +355,117 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
             smap = {}
             for c in range(ns):
                 cs, tabs = body[1 + c * 2], body[2 + c * 2]
                 smap[cs] = (tabs >> 4, tabs & 0x0F)
-            scan = (smap, pos + 2 + size)
-            break
+            segs, end = _entropy_segments(payload, pos + 2 + size)
+            scan_comps = [
+                (ci, c) for ci, c in enumerate(frame["comps"])
+                if c["id"] in smap
+            ]
+            if len(scan_comps) != ns:
+                raise ValueError("JPEG: scan component not in frame")
+            _decode_scan_baseline(
+                segs, scan_comps, smap, hufftabs, coefs, preds,
+                restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            pos = end
+            continue
         pos += 2 + size
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF/SOS")
-    smap, data_pos = scan
+    return _reconstruct(frame, qt, coefs)
+
+
+def _decode_scan_baseline(
+    segs, scan_comps, smap, hufftabs, coefs, preds,
+    restart_interval, mcux, mcuy,
+):
+    """One baseline scan (interleaved when ns > 1, single-component
+    grid otherwise) over pre-split restart segments. Restart markers
+    reset DC predictors; segment boundaries are byte-aligned by
+    construction (each segment bit-unpacks independently)."""
+    luts = {
+        ci: (hufftabs[(0, smap[c["id"]][0])], hufftabs[(1, smap[c["id"]][1])])
+        for ci, c in scan_comps
+    }
+    if len(scan_comps) > 1:
+        seg_i = 0
+        bits = _Bits(segs[0])
+        for ci, _ in scan_comps:
+            preds[ci] = 0
+        n_done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_done and \
+                        n_done % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("JPEG: missing restart segment")
+                    bits = _Bits(segs[seg_i])
+                    for ci, _ in scan_comps:
+                        preds[ci] = 0
+                n_done += 1
+                for ci, c in scan_comps:
+                    dc_lut, ac_lut = luts[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = [0] * 64
+                            preds[ci] = _block_baseline(
+                                bits, dc_lut, ac_lut, blk, preds[ci]
+                            )
+                            coefs[ci][my * c["v"] + by, mx * c["h"] + bx] = blk
+    else:
+        ci, c = scan_comps[0]
+        dc_lut, ac_lut = luts[ci]
+        nby, nbx = coefs[ci].shape[:2]
+        seg_i = 0
+        bits = _Bits(segs[0])
+        preds[ci] = 0
+        n_done = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n_done and \
+                        n_done % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("JPEG: missing restart segment")
+                    bits = _Bits(segs[seg_i])
+                    preds[ci] = 0
+                n_done += 1
+                blk = [0] * 64
+                preds[ci] = _block_baseline(
+                    bits, dc_lut, ac_lut, blk, preds[ci]
+                )
+                coefs[ci][by, bx] = blk
+
+
+def _reconstruct(frame, qt, coefs) -> dict:
+    """Dequantize + batched IDCT + upsample + color convert the
+    accumulated coefficient arrays into the decode_media contract."""
+    import numpy as np
+
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     A = _idct_basis()
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
-    r = _BitReader(payload, data_pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                r.restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                dc_t = hufftabs[(0, smap[c["id"]][0])]
-                ac_t = hufftabs[(1, smap[c["id"]][1])]
-                q = np.array(qt[c["tq"]], dtype=np.float64)
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        try:
-                            coef = np.zeros(64)
-                            t = _decode_huff(r, dc_t)
-                            diff = _extend(r.receive(t), t)
-                            pred[ci] += diff
-                            coef[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huff(r, ac_t)
-                                rr, ss = rs >> 4, rs & 0x0F
-                                if ss == 0:
-                                    if rr == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += rr
-                                if k > 63:
-                                    raise ValueError("JPEG: AC overflow")
-                                coef[ZIGZAG[k]] = _extend(
-                                    r.receive(ss), ss
-                                )
-                                k += 1
-                        except _RestartPending as ex:
-                            raise ValueError(
-                                "JPEG: restart marker inside MCU"
-                            ) from ex
-                        block = (coef * q).reshape(8, 8)
-                        px = A.T @ block @ A + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-    # upsample + crop
     out = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                      hmax // c["h"], axis=1)
-        out.append(p[:h, :w])
+        q = np.asarray(qt[c["tq"]], dtype=np.float64)
+        arr = coefs[ci].astype(np.float64) * q
+        nby, nbx = arr.shape[:2]
+        blocks = arr.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", A.T, blocks, A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out.append(plane[:h, :w])
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         pixels = np.stack([g, g, g], axis=2)

@@ -146,6 +146,8 @@ HEADLINE = [
     "streaming_vector_index",
     "text_winnow_fingerprints",
     "ann_indexed_pq_recall",
+    # round 6 additions
+    "multimodal_jpeg_progressive",
 ]
 
 

@@ -2668,6 +2668,65 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT d.doc_id,
+           CAST(64 * sum((d.doc_id * 7 + i.i * 13 + j.j * 31) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(4) i(i), range(4) j(j)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode, algebraically oracled: the
+    SAME closed-form image as multimodal_jpeg_decode, but the stream is
+    encoded with spectral selection + successive approximation (the
+    default multi-scan script, restart markers every 3 MCUs) — most
+    real web-crawl JPEGs are progressive, so this is the decode path a
+    crawl corpus actually hits. At quality=100 a block-constant image
+    decodes EXACTLY, so the pixel sum must equal the closed form; a DC
+    refinement slip, EOB-run miscount, or band-accumulation bug breaks
+    the match."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.jpeg import encode_jpeg_progressive
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                i, j = np.meshgrid(np.arange(4), np.arange(4),
+                                   indexing="ij")
+                tiles = ((int(did) * 7 + i * 13 + j * 31) % 256).astype(
+                    np.uint8
+                )
+                g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                px = decode_media(
+                    encode_jpeg_progressive(
+                        g, quality=100, restart_interval=3
+                    )
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_png_decode",
     """
     SELECT d.doc_id,

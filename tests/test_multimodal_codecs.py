@@ -296,7 +296,7 @@ def test_jpeg_restart_markers_decode_identically():
     assert np.array_equal(x, y)
 
 
-def test_jpeg_dispatch_and_progressive_rejected():
+def test_jpeg_dispatch_and_invalid_frames_rejected():
     from hudi_demo_spark.operators import jpeg as J
 
     g = np.full((8, 8), 99, dtype=np.uint8)
@@ -304,12 +304,80 @@ def test_jpeg_dispatch_and_progressive_rejected():
     assert mm.sniff(payload) == "jpeg"
     m = mm.decode_media(payload)
     assert m["kind"] == "image" and m["pixels"][0, 0, 0] == 99
-    # flip SOF0 → SOF2 (progressive): loud NotImplementedError
+    # flip SOF0 → SOF2: the baseline-shaped scan header (Ss=0, Se=63)
+    # is not a legal progressive scan — loud ValueError, not garbage
     prog = bytearray(payload)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         J.decode_jpeg(bytes(prog))
+    # arithmetic coding (SOF9) stays an honest NotImplementedError
+    arith = bytearray(payload)
+    arith[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        J.decode_jpeg(bytes(arith))
+
+
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """Progressive (SOF2) decode: the fixture encoder emits the SAME
+    quantized coefficients as the baseline encoder under a multi-scan
+    script (spectral selection + successive approximation), so decoding
+    either stream must produce IDENTICAL pixels — pinning DC first/
+    refine, AC first/refine, EOB-run and ZRL-in-refinement paths."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    g = _rng(21).integers(0, 256, size=(24, 40), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=90))["pixels"]
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(g, quality=90))["pixels"]
+    assert np.array_equal(base, prog)
+    c = _rng(22).integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    bc = J.decode_jpeg(J.encode_jpeg_baseline(c, quality=85))["pixels"]
+    pc = J.decode_jpeg(J.encode_jpeg_progressive(c, quality=85))["pixels"]
+    assert np.array_equal(bc, pc)
+    # smooth content exercises multi-block EOB runs; spikes exercise
+    # ZRL inside refinement scans
+    xx, yy = np.meshgrid(np.arange(96), np.arange(64))
+    smooth = ((xx + yy) // 4).astype(np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_baseline(smooth, quality=85))["pixels"],
+        J.decode_jpeg(J.encode_jpeg_progressive(smooth, quality=85))["pixels"],
+    )
+    spike = np.full((48, 48), 128, np.uint8)
+    spike[::7, ::5] = 255
+    spike[3::11, 2::9] = 0
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_baseline(spike, quality=92))["pixels"],
+        J.decode_jpeg(J.encode_jpeg_progressive(spike, quality=92))["pixels"],
+    )
+
+
+def test_jpeg_progressive_restarts_and_custom_scripts():
+    """Progressive decode under restart markers and a deep
+    successive-approximation scan script (Al down from 3, narrow
+    bands, interleaved DC refinements) stays bit-exact vs baseline."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    g = _rng(23).integers(0, 256, size=(40, 56), dtype=np.uint8)
+    scans = [
+        ([0], 0, 0, 0, 3), ([0], 1, 2, 0, 3), ([0], 3, 63, 0, 3),
+        ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    base = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=70))["pixels"]
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(g, quality=70, scans=scans)
+    )["pixels"]
+    assert np.array_equal(base, prog)
+    c = _rng(24).integers(0, 256, size=(41, 29, 3), dtype=np.uint8)
+    bc = J.decode_jpeg(J.encode_jpeg_baseline(c, quality=60))["pixels"]
+    pc = J.decode_jpeg(
+        J.encode_jpeg_progressive(c, quality=60, restart_interval=3)
+    )["pixels"]
+    assert np.array_equal(bc, pc)
+    # progressive payloads flow through the decode_media dispatch too
+    m = mm.decode_media(J.encode_jpeg_progressive(c, quality=60))
+    assert m["kind"] == "image" and (m["width"], m["height"]) == (29, 41)
 
 
 def test_jpeg_feature_extraction_mapinpandas(spark):

@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_indexed_pq_recall",
     # round 6 additions
     "multimodal_jpeg_progressive",
+    "text_hybrid_rrf",
 ]
 
 

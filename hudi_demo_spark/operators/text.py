@@ -415,6 +415,64 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    retriever rankings — the standard hybrid-search combiner (BM25 +
+    dense ANN): score(q, d) = Σᵢ 1/(k + rankᵢ(q, d)), missing entries
+    contribute 0. Returns (query, doc, rrf, rank) top-`topk` per query,
+    ties broken by doc id.
+
+    Scale shape: each ranking is already top-m per query, so the fusion
+    joins/windows touch O(queries × m × N) rows regardless of corpus
+    size — the heavy lifting stays in the upstream retrievers. The
+    rankings full-outer-join on (query, doc) and the score is ONE fixed
+    left-to-right float expression, so results replay bit-identically
+    in any engine that evaluates IEEE division/addition in order (the
+    DuckDB oracle does)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        r.select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rank_col).alias(f"__r{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = reduce(lambda a, b: a.join(b, ["__q", "__d"], "outer"), tagged)
+    score = None
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{i}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("__q").orderBy(
+        F.col("__rrf").desc(), F.col("__d").asc()
+    )
+    return (
+        joined.withColumn("__rrf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(doc_col),
+            F.round("__rrf", round_to).alias("rrf"),
+            "rank",
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str,

@@ -6274,6 +6274,102 @@ def text_bm25_topk(spark, sf_dir):
 
 
 @q(
+    "text_hybrid_rrf",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), q(qid, t) AS (
+      VALUES (1, 'vector'), (1, 'hash'), (2, 'stream'), (2, 'spark'),
+             (3, 'merge')
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN (SELECT t FROM q) GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT q.qid, tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) JOIN q ON q.t = tf.t CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ), lex AS (
+      SELECT qid AS query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY bm25 DESC, doc_id
+             ) AS INTEGER) AS lrank
+      FROM s QUALIFY lrank <= 10
+    ), cscored AS (
+      SELECT cq.vec_id AS query_id, c.vec_id AS doc_id,
+             list_dot_product(cq.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(cq.embedding::DOUBLE[],
+                                      cq.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]))) AS score
+      FROM embeddings cq JOIN embeddings c ON cq.vec_id != c.vec_id
+      WHERE cq.vec_id IN (1, 2, 3)
+    ), sem AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INTEGER) AS srank
+      FROM cscored QUALIFY srank <= 10
+    ), fused AS (
+      SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+             coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             coalesce(1.0 / (60.0 + lex.lrank), 0.0)
+               + coalesce(1.0 / (60.0 + sem.srank), 0.0) AS rrf0
+      FROM lex FULL OUTER JOIN sem USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, round(rrf0, 6) AS rrf,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf0 DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def text_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 fused with dense-cosine
+    top-10 by reciprocal-rank fusion — the standard two-retriever
+    search stack of a curation/RAG pipeline. The fusion joins two
+    already-small rankings (O(queries × k) rows), so corpus-scale cost
+    lives entirely in the upstream retrievers; the RRF score is one
+    fixed-order float expression, replayed bit-identically by the
+    DuckDB oracle (scores rank UNROUNDED, display rounded)."""
+    from hudi_demo_spark.operators.similarity import brute_force_topk
+    from hudi_demo_spark.operators.text import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(
+        [(1, ["vector", "hash"]), (2, ["stream", "spark"]), (3, ["merge"])],
+        "query_id int, terms array<string>",
+    )
+    lex = bm25_topk(d, qs, "doc_id", "text", "query_id", "terms", k=10)
+    sem = brute_force_topk(
+        e, e.filter(F.col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
+        k=10,
+    ).select(
+        F.col("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [lex, sem], topk=5
+    ).orderBy("query_id", "rank")
+
+
+@q(
     "text_inverted_index",
     """
     WITH sub AS (

@@ -1292,3 +1292,50 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
                                  "doc_id long, text string")
     trows = winnow_fingerprints(tiny, "doc_id", "text", k=3, w=4).collect()
     assert len(trows) == 1
+
+
+def test_rrf_fuse_semantics(spark):
+    """Reciprocal-rank fusion: score = sum of 1/(k+rank) across
+    rankings with missing entries contributing 0, ties broken by doc
+    id, top-k enforced per query — checked against a hand-computed
+    fold."""
+    from hudi_demo_spark.operators.text import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 1)],
+        "query_id int, doc_id string, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, "b", 1), (1, "d", 2), (2, "x", 1), (2, "y", 2)],
+        "query_id int, doc_id string, rank int",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf"], r["rank"])
+        for r in rrf_fuse([lex, sem], k=60, topk=3).collect()
+    }
+    want_scores = {
+        (1, "a"): 1 / 61,
+        (1, "b"): 1 / 62 + 1 / 61,
+        (1, "c"): 1 / 63,
+        (1, "d"): 1 / 62,
+        (2, "x"): 1 / 61 + 1 / 61,
+        (2, "y"): 1 / 62,
+    }
+    # q1 ranking: b (both lists) > a > d > c — topk=3 drops c
+    assert set(got) == {(1, "b"), (1, "a"), (1, "d"), (2, "x"), (2, "y")}
+    assert got[(1, "b")][1] == 1 and got[(1, "a")][1] == 2
+    assert got[(1, "d")][1] == 3
+    assert got[(2, "x")][1] == 1 and got[(2, "y")][1] == 2
+    for key, (rrf, _) in got.items():
+        assert abs(rrf - want_scores[key]) < 1e-6, key
+    # deterministic tie-break: two docs with identical single-list
+    # ranks order by doc id
+    a = spark.createDataFrame(
+        [(1, "m", 1), (1, "n", 2)], "query_id int, doc_id string, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, "n", 1), (1, "m", 2)], "query_id int, doc_id string, rank int"
+    )
+    tied = {r["doc_id"]: r["rank"]
+            for r in rrf_fuse([a, b], topk=5).collect()}
+    assert tied == {"m": 1, "n": 2}

@@ -106,6 +106,26 @@ def _footer_minmax(path: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+class _SegPred:
+    """Engine-generated partition predicate evaluable ON THE DRIVER:
+    `fn(partition_path) -> bool` with exact-segment semantics (what
+    _auto_partition_filter's Column form expressed). Composes under
+    & / | like a Column, so the auto-routing conjunction code is
+    form-agnostic; _prune_files recognizes it and skips the per-read
+    Spark evaluation job."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __and__(self, other: "_SegPred") -> "_SegPred":
+        return _SegPred(lambda p, a=self.fn, b=other.fn: a(p) and b(p))
+
+    def __or__(self, other: "_SegPred") -> "_SegPred":
+        return _SegPred(lambda p, a=self.fn, b=other.fn: a(p) or b(p))
+
+
 class PreCommitValidationError(RuntimeError):
     """A pre-commit validator rejected a write; nothing was published."""
 
@@ -1316,19 +1336,30 @@ class Engine:
         return out
 
     def _prune_files(
-        self, files: dict[str, dict], partition_filter: str | Column
+        self, files: dict[str, dict], partition_filter
     ) -> dict[str, dict]:
-        """Metadata-level partition pruning: evaluate the predicate on the
-        distinct partition-path strings (a tiny local DataFrame), keep
-        matching files. At 100 TB this is the difference between scanning
-        the table and scanning one partition."""
+        """Metadata-level partition pruning: evaluate the predicate on
+        the distinct partition-path strings, keep matching files. At
+        100 TB this is the difference between scanning the table and
+        scanning one partition. Engine-generated predicates
+        (_auto_partition_filter) arrive as _SegPred and evaluate on the
+        driver — no Spark job for the common `col = lit` / `IN` DML and
+        index-probe reads (~0.3 s of fixed overhead each otherwise);
+        arbitrary user str/Column predicates keep the Spark evaluation."""
         pps = sorted({m.get("partition", "") for m in files.values()})
-        pdf = self.spark.createDataFrame(
-            [(p,) for p in pps], T.StructType([T.StructField(PARTITION_PATH_META, T.StringType())])
-        )
-        keep = {
-            r[0] for r in pdf.filter(_as_cond(partition_filter)).collect()
-        }
+        if isinstance(partition_filter, _SegPred):
+            keep = {p for p in pps if partition_filter.fn(p)}
+        else:
+            pdf = self.spark.createDataFrame(
+                [(p,) for p in pps],
+                T.StructType(
+                    [T.StructField(PARTITION_PATH_META, T.StringType())]
+                ),
+            )
+            keep = {
+                r[0]
+                for r in pdf.filter(_as_cond(partition_filter)).collect()
+            }
         return {p: m for p, m in files.items() if m.get("partition", "") in keep}
 
     @staticmethod
@@ -1672,18 +1703,21 @@ class Engine:
                 # with NULL rows — pruning either would lose matching
                 # rows, so fall back to an unpruned scan
                 return None
-            segs = F.split(F.col(PARTITION_PATH_META), "/")
             if cfg.hive_style:
-                targets = [f"{col}={v}" for v in vals]
-            else:
-                idx = cfg.partition_fields.index(col) + 1
-                segs = F.array(F.element_at(segs, idx))
-                targets = list(vals)
-            pred = None
-            for t in targets:
-                p = F.array_contains(segs, t)
-                pred = p if pred is None else (pred | p)
-            return pred
+                targets = frozenset(f"{col}={v}" for v in vals)
+                return _SegPred(
+                    lambda pp, t=targets: any(
+                        s in t for s in pp.split("/")
+                    )
+                )
+            idx = cfg.partition_fields.index(col)
+            targets = frozenset(str(v) for v in vals)
+
+            def match(pp, i=idx, t=targets):
+                segs = pp.split("/")
+                return i < len(segs) and segs[i] in t
+
+            return _SegPred(match)
 
         m = self._EQ_COND.match(condition)
         if m and m.group(1) in cfg.partition_fields:

@@ -7,12 +7,14 @@ markers, dequantize + de-zigzag, batched orthonormal 2-D IDCT, chroma
 upsampling for 4:4:4/4:2:2/4:2:0, JFIF YCbCr→RGB) PLUS progressive
 (SOF2) decode — spectral selection and successive approximation, DC
 and AC first/refinement passes, EOB runs, multi-scan accumulation —
-and matching test-fixture encoders (baseline 4:4:4/grayscale with
-ITU-T T.81 Annex K tables and libjpeg quality scaling; progressive
-with arbitrary scan scripts emitting the SAME quantized coefficients,
-so progressive decode is differentially pinned bit-exact against
-baseline decode). Lossless/arithmetic-coded JPEGs raise
-NotImplementedError — honest gaps, loudly.
+and matching test-fixture encoders (baseline 4:4:4/grayscale plus a
+4:2:0 interleaved-MCU encoder, ITU-T T.81 Annex K tables and libjpeg
+quality scaling; progressive with arbitrary scan scripts at 4:4:4 or
+4:2:0 emitting the SAME quantized coefficients, so progressive decode
+is differentially pinned bit-exact against baseline decode — including
+the A.2.2 geometry where a subsampled frame's non-interleaved scan
+grid is smaller than its MCU-padded array). Lossless/arithmetic-coded
+JPEGs raise NotImplementedError — honest gaps, loudly.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
 operators/multimodal.py) — per-payload Python cost, zero shuffle. The
@@ -877,11 +879,26 @@ _FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
 _FLAT_HUFF = list(range(256))
 
 
-def _quantized_zz(arr, quality: int):
-    """uint8 RGB/gray → (qts, per-comp [nby][nbx] zigzag 64-lists,
-    ncomp) with the SAME per-block math as encode_jpeg_baseline (4:4:4,
-    edge-replication padding), so a progressive stream carries exactly
-    the coefficients a baseline stream of the same image would."""
+def _edge_pad(p, th: int, tw: int):
+    """Edge-replication pad a 2-D plane to (th, tw)."""
+    import numpy as np
+
+    ph, pw = p.shape
+    if ph < th:
+        p = np.concatenate([p, np.repeat(p[-1:, :], th - ph, axis=0)], 0)
+    if pw < tw:
+        p = np.concatenate([p, np.repeat(p[:, -1:], tw - pw, axis=1)], 1)
+    return p
+
+
+def _quantized_zz(arr, quality: int, subsampling: str = "444"):
+    """uint8 RGB/gray → (qts, per-comp MCU-padded [nby][nbx] zigzag
+    64-lists, comps_hv, mcux, mcuy, h, w) with the SAME per-block math
+    as the legacy 4:4:4 encoder (FDCT → round(coef/q), edge-replication
+    padding). subsampling='420' downsamples chroma 2×2 (box average,
+    edge-padded to even dims first) and gives Y sampling factors (2,2) —
+    the common web-JPEG layout, whose MCU carries 4 Y blocks + 1 Cb +
+    1 Cr."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.float64)
@@ -893,37 +910,45 @@ def _quantized_zz(arr, quality: int):
     if gray:
         planes = [a - 128.0]
         qts = [ql]
+        comps_hv = [(1, 1)]
     else:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        if subsampling == "444":
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            comps_hv = [(1, 1)] * 3
+        elif subsampling == "420":
+            def down(p):
+                pp = _edge_pad(p, -(-h // 2) * 2, -(-w // 2) * 2)
+                return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y - 128.0, down(cb) - 128.0, down(cr) - 128.0]
+            comps_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
         qts = [ql, qc, qc]
-    ncomp = len(planes)
-    bw, bh = -(-w // 8), -(-h // 8)
+    hmax = max(hv[0] for hv in comps_hv)
+    vmax = max(hv[1] for hv in comps_hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     comps = []
-    for ci in range(ncomp):
-        p = planes[ci]
+    for ci, p in enumerate(planes):
+        ch, cv = comps_hv[ci]
+        p = _edge_pad(p, mcuy * cv * 8, mcux * ch * 8)
         q = np.array(qts[ci]).reshape(8, 8)
         rows = []
-        for by in range(bh):
+        for by in range(mcuy * cv):
             cols = []
-            for bx in range(bw):
-                blk = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                sub = p[ys:min(ys + 8, h), xs:min(xs + 8, w)]
-                blk[: sub.shape[0], : sub.shape[1]] = sub
-                if sub.shape[0] < 8:
-                    blk[sub.shape[0]:, :] = blk[sub.shape[0] - 1, :]
-                if sub.shape[1] < 8:
-                    blk[:, sub.shape[1]:] = blk[:, sub.shape[1] - 1][:, None]
+            for bx in range(mcux * ch):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                 qz = np.round((A @ blk @ A.T) / q).astype(int)
                 flat = qz.ravel()
                 cols.append([int(flat[ZIGZAG[z]]) for z in range(64)])
             rows.append(cols)
         comps.append(rows)
-    return qts, comps, ncomp, h, w
+    return qts, comps, comps_hv, mcux, mcuy, h, w
 
 
 def _pt(v: int, al: int) -> int:
@@ -1028,19 +1053,36 @@ def _enc_ac_refine_block(w: _ProgWriter, zz: list, ss: int, se: int,
         )
 
 
+def _true_grid(h: int, w: int, hv, hmax: int, vmax: int):
+    """(nby, nbx) of a component's OWN grid for non-interleaved scans —
+    the encoder twin of the decoder's _comp_grid."""
+    cw = -(-w * hv[0] // hmax)
+    ch = -(-h * hv[1] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
 def encode_jpeg_progressive(
     arr, quality: int = 85, scans: list | None = None,
-    restart_interval: int = 0,
+    restart_interval: int = 0, subsampling: str = "444",
 ) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w) grayscale → progressive (SOF2)
     JFIF bytes: spectral selection + successive approximation over the
-    SAME quantized coefficients encode_jpeg_baseline would emit — so
-    decode_jpeg(progressive) must equal decode_jpeg(baseline)
+    SAME quantized coefficients a baseline stream of the image would
+    carry — so decode_jpeg(progressive) must equal decode_jpeg(baseline)
     BIT-EXACTLY, which is the differential the tests pin. `scans` is a
     list of (comp_indices, Ss, Se, Ah, Al); the default script
     exercises DC first/refine, banded AC first passes, and AC
-    refinement. Test-fixture encoder (4:4:4 / grayscale)."""
-    qts, comps_zz, ncomp, h, w = _quantized_zz(arr, quality)
+    refinement. subsampling='420' emits 2×2-subsampled chroma:
+    interleaved DC scans walk the 4Y+Cb+Cr MCU geometry while AC scans
+    walk each component's OWN block grid (which for luma is SMALLER
+    than the MCU-padded array when dims aren't MCU multiples — the
+    geometry real progressive decoders must get right)."""
+    qts, comps_zz, comps_hv, mcux, mcuy, h, w = _quantized_zz(
+        arr, quality, subsampling
+    )
+    ncomp = len(comps_zz)
+    hmax = max(hv[0] for hv in comps_hv)
+    vmax = max(hv[1] for hv in comps_hv)
     if scans is None:
         if ncomp == 1:
             scans = [
@@ -1065,8 +1107,6 @@ def encode_jpeg_progressive(
                 ([0], 1, 63, 1, 0),
             ]
     enc = _enc_codes(_FLAT_BITS, _FLAT_HUFF)
-    nby = len(comps_zz[0])
-    nbx = len(comps_zz[0][0])
 
     def seg(marker: int, body: bytes) -> bytes:
         return (
@@ -1081,7 +1121,8 @@ def encode_jpeg_progressive(
         )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        ch, cv = comps_hv[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
     out += seg(0xC2, sof)
     for tc in (0, 1):
         out += seg(
@@ -1099,19 +1140,59 @@ def encode_jpeg_progressive(
         wtr = _ProgWriter(enc)
         rst = 0
         n_done = 0
-        if ss == 0:  # DC scan (interleaved over the scan's components)
+
+        def maybe_restart(reset_preds=None):
+            nonlocal rst
+            wtr.flush_eobrun()
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            if reset_preds is not None:
+                for ci in reset_preds:
+                    reset_preds[ci] = 0
+
+        if ss == 0 and len(comp_idx) > 1:
+            # interleaved DC scan over MCU geometry (v×h blocks/comp)
             preds = {ci: 0 for ci in comp_idx}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_done and \
+                            n_done % restart_interval == 0:
+                        maybe_restart(preds)
+                    n_done += 1
+                    for ci in comp_idx:
+                        ch, cv = comps_hv[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                v = comps_zz[ci][my * cv + by][
+                                    mx * ch + bx][0] >> al
+                                if ah == 0:
+                                    diff = v - preds[ci]
+                                    preds[ci] = v
+                                    t = _csize(diff)
+                                    wtr.sym(t)
+                                    if t:
+                                        wtr.write(
+                                            diff if diff >= 0
+                                            else diff + (1 << t) - 1,
+                                            t,
+                                        )
+                                else:
+                                    wtr.write(v & 1, 1)
+        else:
+            # single-component scan over the comp's OWN grid (DC or AC)
+            ci = comp_idx[0]
+            nby, nbx = _true_grid(h, w, comps_hv[ci], hmax, vmax)
+            preds = {ci: 0}
             for by in range(nby):
                 for bx in range(nbx):
                     if restart_interval and n_done and \
                             n_done % restart_interval == 0:
-                        wtr.flush()
-                        wtr.out += bytes([0xFF, 0xD0 + rst % 8])
-                        rst += 1
-                        preds = {ci: 0 for ci in comp_idx}
+                        maybe_restart(preds)
                     n_done += 1
-                    for ci in comp_idx:
-                        v = comps_zz[ci][by][bx][0] >> al
+                    zz = comps_zz[ci][by][bx]
+                    if ss == 0:
+                        v = zz[0] >> al
                         if ah == 0:
                             diff = v - preds[ci]
                             preds[ci] = v
@@ -1125,24 +1206,116 @@ def encode_jpeg_progressive(
                                 )
                         else:
                             wtr.write(v & 1, 1)
-        else:  # AC band scan (single component)
-            ci = comp_idx[0]
-            for by in range(nby):
-                for bx in range(nbx):
-                    if restart_interval and n_done and \
-                            n_done % restart_interval == 0:
-                        wtr.flush_eobrun()
-                        wtr.flush()
-                        wtr.out += bytes([0xFF, 0xD0 + rst % 8])
-                        rst += 1
-                    n_done += 1
-                    zz = comps_zz[ci][by][bx]
-                    if ah == 0:
+                    elif ah == 0:
                         _enc_ac_first_block(wtr, zz, ss, se, al)
                     else:
                         _enc_ac_refine_block(wtr, zz, ss, se, al)
             wtr.flush_eobrun()
         wtr.flush()
         out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_420(
+    arr, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w, 3) RGB → baseline JFIF with 4:2:0 chroma
+    subsampling: each MCU interleaves 4 Y blocks + 1 Cb + 1 Cr, the
+    layout the web's JPEGs overwhelmingly use. Test-fixture encoder
+    (standard Annex K tables), giving the decoder's subsampled-MCU
+    geometry and chroma-upsampling paths a real stream to chew on."""
+    qts, comps_zz, comps_hv, mcux, mcuy, h, w = _quantized_zz(
+        arr, quality, "420"
+    )
+    dc_tabs = [_enc_codes(*_DC_LUMA), _enc_codes(*_DC_CHROMA)]
+    ac_tabs = [_enc_codes(*_AC_LUMA), _enc_codes(*_AC_CHROMA)]
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    n_done = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0, 0, 0]
+            n_done += 1
+            for ci in range(3):
+                ch, cv = comps_hv[ci]
+                dct = dc_tabs[0 if ci == 0 else 1]
+                act = ac_tabs[0 if ci == 0 else 1]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comps_zz[ci][my * cv + by][mx * ch + bx]
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        t = _csize(diff)
+                        code, length = dct[t]
+                        wtr.write(code, length)
+                        if t:
+                            wtr.write(
+                                diff if diff >= 0
+                                else diff + (1 << t) - 1,
+                                t,
+                            )
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = act[0xF0]
+                                wtr.write(code, length)
+                                run -= 16
+                            s = _csize(v)
+                            code, length = act[(run << 4) | s]
+                            wtr.write(code, length)
+                            wtr.write(
+                                v if v >= 0 else v + (1 << s) - 1, s
+                            )
+                            run = 0
+                        if last < 63:
+                            code, length = act[0x00]
+                            wtr.write(code, length)
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, tbl in enumerate(qts[:2]):
+        out += seg(
+            0xDB, bytes([tid]) + bytes(tbl[ZIGZAG[z]] for z in range(64))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        ch, cv = comps_hv[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for tc, th, (bits, hv) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    ):
+        out += seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(hv)
+        )
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -659,3 +659,93 @@ def test_video_phash_brightness_invariant_and_sampling(spark):
     assert np.array_equal(
         px["pixels"], np.repeat(base[3][..., None], 3, 2)
     )
+
+
+def test_jpeg_420_baseline_matches_independent_reconstruction():
+    """4:2:0 baseline: the fixture encoder interleaves 4Y+Cb+Cr MCUs and
+    the decoder must reproduce an INDEPENDENT numpy reconstruction
+    (downsample → FDCT → quantize → dequant → IDCT → repeat-upsample →
+    color matrix) BIT-EXACTLY — pinning the subsampled MCU geometry and
+    chroma upsampling with a real stream, which 4:4:4 tests never
+    touch."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    def reference_420(img, q):
+        A = J._idct_basis()
+        ql = np.array(J._quality_scale(J._K1_LUMA, q), float).reshape(8, 8)
+        qc = np.array(J._quality_scale(J._K2_CHROMA, q), float).reshape(8, 8)
+        a = img.astype(float)
+        h, w = a.shape[:2]
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = .299 * r + .587 * g + .114 * b
+        cb = -.168736 * r - .331264 * g + .5 * b + 128.
+        cr = .5 * r - .418688 * g - .081312 * b + 128.
+
+        def pad(p, th, tw):
+            ph, pw = p.shape
+            if ph < th:
+                p = np.concatenate(
+                    [p, np.repeat(p[-1:, :], th - ph, 0)], 0)
+            if pw < tw:
+                p = np.concatenate(
+                    [p, np.repeat(p[:, -1:], tw - pw, 1)], 1)
+            return p
+
+        def down(p):
+            pp = pad(p, -(-h // 2) * 2, -(-w // 2) * 2)
+            return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.
+
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+
+        def codec(p, qt, bh, bw):
+            p = pad(p, bh * 8, bw * 8) - 128.
+            out = np.zeros_like(p)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    qz = np.round((A @ blk @ A.T) / qt)
+                    out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        A.T @ (qz * qt) @ A + 128.)
+            return out
+
+        yy = codec(y, ql, mcuy * 2, mcux * 2)[:h, :w]
+        cbb = np.repeat(np.repeat(
+            codec(down(cb), qc, mcuy, mcux), 2, 0), 2, 1)[:h, :w] - 128.
+        crr = np.repeat(np.repeat(
+            codec(down(cr), qc, mcuy, mcux), 2, 0), 2, 1)[:h, :w] - 128.
+        rgb = np.stack([yy + 1.402 * crr,
+                        yy - 0.344136 * cbb - 0.714136 * crr,
+                        yy + 1.772 * cbb], 2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    rng = _rng(31)
+    for shape, q, ri in [((32, 32, 3), 90, 0), ((17, 23, 3), 85, 0),
+                         ((20, 36, 3), 75, 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = J.decode_jpeg(
+            J.encode_jpeg_420(img, quality=q, restart_interval=ri)
+        )
+        assert np.array_equal(dec["pixels"], reference_420(img, q)), (
+            shape, q, ri)
+
+
+def test_jpeg_420_progressive_matches_baseline():
+    """Progressive 4:2:0 == baseline 4:2:0 bit-exact: interleaved DC
+    scans walk the 4Y+Cb+Cr MCU geometry while AC scans walk each
+    component's OWN grid — at (20, 36) the luma AC grid (5 block
+    columns) is SMALLER than the MCU-padded DC grid (6), the exact
+    T.81 A.2.2 geometry distinction real progressive files depend on."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    rng = _rng(32)
+    for shape, q, ri in [((17, 23, 3), 85, 0), ((20, 36, 3), 75, 0),
+                         ((20, 36, 3), 75, 2), ((41, 29, 3), 60, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg_420(img, quality=q))["pixels"]
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(
+                img, quality=q, restart_interval=ri, subsampling="420"
+            )
+        )["pixels"]
+        assert np.array_equal(base, prog), (shape, q, ri)

@@ -149,6 +149,7 @@ HEADLINE = [
     # round 6 additions
     "multimodal_jpeg_progressive",
     "text_hybrid_rrf",
+    "multimodal_jpeg_throughput",
 ]
 
 

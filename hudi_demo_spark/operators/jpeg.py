@@ -707,21 +707,23 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # per-BYTE spill (identical stream to the per-bit form): the
+        # accumulator stays < 24 bits, so shifts are cheap small-int ops
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
-            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            b = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(b)
+            if b == 0xFF:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0

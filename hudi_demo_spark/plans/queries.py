@@ -2726,6 +2726,65 @@ def multimodal_jpeg_progressive(spark, sf_dir):
     )
 
 
+@q("multimodal_jpeg_throughput")
+def multimodal_jpeg_throughput(spark, sf_dir):
+    """Entropy-dense JPEG decode throughput gate: 16 pseudo-noise
+    128×128 grayscale images (deterministic per-doc LCG pattern — the
+    WORST case for Huffman decoding, ~1 symbol/pixel) round-trip
+    encode→decode inside the Arrow-batched mapInPandas stage and report
+    byte/pixel tallies. Rows-only by design (quality-85 decode is not
+    SQL-expressible) but self-checking: the decoded pixel sum is a
+    deterministic function of the fixture, and a mean-absolute-error
+    bound vs the source pattern is asserted in-stage (a broken decode
+    path fails loudly, not silently). Its BENCH time IS the per-round
+    decode-throughput row (round-5 verdict Next #6)."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline,
+    )
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 16"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                # deterministic per-doc pseudo-noise (LCG), no RNG state
+                n = 128 * 128
+                seq = (
+                    np.arange(n, dtype=np.int64) * 1103515245
+                    + int(did) * 12345 + 6789
+                ) % 256
+                g = seq.reshape(128, 128).astype(np.uint8)
+                payload = encode_jpeg_baseline(g, quality=85)
+                px = decode_jpeg(payload)["pixels"][:, :, 0]
+                mae = float(
+                    np.abs(px.astype(np.int64) - g.astype(np.int64)).mean()
+                )
+                if mae > 40.0:  # quality-85 noise decodes well under this
+                    raise AssertionError(
+                        f"JPEG decode drift: doc {did} MAE {mae}"
+                    )
+                rows.append(
+                    (int(did), len(payload),
+                     int(px.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "pixel_sum"]
+            )
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, n_bytes long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "multimodal_png_decode",
     """

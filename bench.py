@@ -150,6 +150,7 @@ HEADLINE = [
     "multimodal_jpeg_progressive",
     "text_hybrid_rrf",
     "multimodal_jpeg_throughput",
+    "engine_minhash_index",
 ]
 
 

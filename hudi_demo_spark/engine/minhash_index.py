@@ -1,0 +1,259 @@
+"""Incrementally-maintained MINHASH-LSH INDEX — near-dup candidate
+generation as a derived table.
+
+The batch dedup operators (`operators/dedup.py`) re-shingle the whole
+corpus per run: fine for one-shot curation, wrong for a corpus that
+ingests continuously — at 100 TB, re-hashing petabytes of text to ask
+"is this new batch a duplicate of anything we already have?" is the
+cost this module removes. The LSH band/bucket rows are materialized as
+an engine table maintained by the same incremental machinery as
+rollups/filter views/vector indexes:
+
+- the index holds ONE ROW PER (doc, band): (id, band, bucket) where
+  `bucket` is the ':'-joined band-slice of the portable MinHash
+  signature — bucket equality IS band-slice equality, and every value
+  is replayable bit-for-bit by a DuckDB oracle (portable 60-bit shingle
+  hash, seeded affine-mix coefficients);
+- insert-only source windows fold by signing JUST the delta (one
+  shingle explode + one groupBy over new docs — never the corpus);
+- source DML routes through the CDC read: changed ids re-sign from a
+  key-pruned snapshot and upsert over their (id, band) keys; deleted
+  ids leave the index via a keyed delete;
+- probing an incoming batch computes its band rows map-side and joins
+  them against the index on (band, bucket). After `cluster_index`
+  (range-layout on (band, bucket)), the probe read point-prunes by
+  bucket through per-file col-stats — candidate generation reads the
+  files that could hold colliding buckets, not the index, and never
+  the raw text.
+
+Reference parity note: this composes the engine's derived-table
+maintenance (engine/derived.py) with the MinHash family
+(operators/dedup.py:83,122) — the serving-shape counterpart of
+`dedup_minhash_lsh`, as vector_index.py is for `similarity_topk_ivf`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hudi_demo_spark.engine.config import (
+    COMMIT_TIME_META,
+    PARTITION_PATH_META,
+    RECORD_KEY_META,
+)
+from hudi_demo_spark.engine.derived import (
+    _ALLOWED,
+    _OFFSET_PROP,
+    _bounded_vals,
+    _data_ops,
+    _save_props,
+)
+from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.operators.dedup import minhash_signatures
+
+_BAND_COL = "band"
+_BUCKET_COL = "bucket"
+
+
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bucket) for every row of `df`: portable MinHash
+    signature → per-band ':'-joined slice string. One shingle explode +
+    one groupBy(id) shuffle for the signatures; the banding itself is a
+    map-side explode of `bands` structs."""
+    rpb = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, portable=True
+    )
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', concat_ws(':', {cols}))".format(
+            b=b,
+            cols=",".join(
+                f"element_at(sig, {b * rpb + r + 1})" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({band_structs})")).alias("__bb"),
+    ).select(
+        id_col,
+        F.col(f"__bb.{_BAND_COL}").alias(_BAND_COL),
+        F.col(f"__bb.{_BUCKET_COL}").alias(_BUCKET_COL),
+    )
+
+
+def create_minhash_index(
+    engine,
+    source: str,
+    name: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Define `name` as an incrementally-maintained LSH index over
+    `source`.`text_col`. Keyed (id, band) and partitioned by band;
+    `bands × rows_per_band` is pinned in table props at create time
+    (changing the banding is a new index, as with any LSH deployment)."""
+    src_cfg = engine._resolve(source)
+    # refresh derives changed/dead ids by casting the source's
+    # _hoodie_record_key back to id_col's type — same soundness
+    # requirement as the vector index
+    if src_cfg.record_key_fields != [id_col]:
+        raise ValueError(
+            "minhash index requires the source record key to be exactly "
+            f"[{id_col!r}]; got {src_cfg.record_key_fields!r}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    return engine.create_table(
+        name,
+        record_key=[id_col, _BAND_COL],
+        partition_by=_BAND_COL,
+        props={
+            "mhindex.source": source,
+            "mhindex.id_col": id_col,
+            "mhindex.text_col": text_col,
+            "mhindex.num_hashes": str(num_hashes),
+            "mhindex.bands": str(bands),
+        },
+    )
+
+
+def _params(cfg) -> tuple[str, str, int, int]:
+    return (
+        cfg.props["mhindex.id_col"],
+        cfg.props["mhindex.text_col"],
+        int(cfg.props["mhindex.num_hashes"]),
+        int(cfg.props["mhindex.bands"]),
+    )
+
+
+def refresh_minhash_index(engine, name: str) -> dict | None:
+    """Fold source commits since the last refresh into the index.
+    Insert-only windows sign just the delta; windows with DML re-sign
+    exactly the changed ids (key-pruned snapshot read) and delete the
+    (id, band) rows of ids that left the source. Returns the last
+    commit meta, or None when the source has no new data commits."""
+    cfg = engine._resolve(name)
+    source = cfg.props["mhindex.source"]
+    id_col, text_col, num_hashes, bands = _params(cfg)
+    meta_cols = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
+    tl = Timeline(engine._resolve(source).path)
+    begin = cfg.props.get(_OFFSET_PROP)
+    end = tl.last_instant()
+    if end is None or begin == end:
+        return None
+    window = [
+        m for m in tl.instants()
+        if (begin is None or m["instant"] > begin) and m["instant"] <= end
+    ]
+    data_win = _data_ops(window)
+    if not data_win:
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return None
+    mutated = any(m["operation"] not in _ALLOWED for m in data_win)
+    if not mutated:
+        delta = engine.read_incremental(source, begin=begin, end=end)
+        out = engine.upsert(
+            lsh_band_rows(
+                delta.drop(*meta_cols), id_col, text_col, num_hashes, bands
+            ),
+            name,
+        )
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return out
+    changed = (
+        engine.read_cdc(source, begin=begin, end=end)
+        .select(RECORD_KEY_META).distinct().persist()
+    )
+    vals = _bounded_vals(changed, RECORD_KEY_META)
+    snap = (
+        engine.read(source, point_prune=(RECORD_KEY_META, vals))
+        if vals is not None else engine.read(source)
+    )
+    live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
+    fresh = lsh_band_rows(
+        live.drop(*meta_cols), id_col, text_col, num_hashes, bands
+    ).persist()
+    out = None
+    if fresh.take(1):
+        out = engine.upsert(fresh, name)
+    # dead ids: changed keys with no surviving source row — their
+    # (id, band) rows leave the index for every band
+    id_type = fresh.schema[id_col].dataType
+    survivors = fresh.select(
+        F.col(id_col).cast("string").alias("__sk")
+    ).distinct()
+    dead = (
+        changed.join(
+            survivors,
+            changed[RECORD_KEY_META] == survivors["__sk"],
+            "left_anti",
+        )
+        .select(F.col(RECORD_KEY_META).cast(id_type).alias(id_col))
+        .crossJoin(
+            engine.spark.range(bands).select(
+                F.col("id").cast("int").alias(_BAND_COL)
+            )
+        )
+        .persist()
+    )
+    if dead.take(1):
+        out = engine.delete_keys(name, dead)
+    dead.unpersist()
+    fresh.unpersist()
+    changed.unpersist()
+    _save_props(engine, name, {_OFFSET_PROP: end})
+    return out
+
+
+def cluster_index(engine, name: str) -> dict | None:
+    """Range-layout the index on (band, bucket) and record per-file
+    col-stats, so probes point-prune files by bucket value — the step
+    that turns 'scan the index' into 'read the colliding files'."""
+    return engine.cluster(name, [_BUCKET_COL])
+
+
+def minhash_probe(
+    engine,
+    name: str,
+    batch: DataFrame,
+    prune: bool = True,
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against the indexed
+    corpus: (query_id, match_id) pairs sharing ≥1 LSH band bucket.
+    The batch signs map-side (one shuffle over batch shingles — never
+    the corpus); with `prune` (default) the index read point-prunes by
+    the batch's distinct bucket values through per-file col-stats (see
+    cluster_index). Self-id matches are excluded so a batch containing
+    already-indexed docs reports only genuine cross-candidates."""
+    cfg = engine._resolve(name)
+    id_col, text_col, num_hashes, bands = _params(cfg)
+    q = lsh_band_rows(batch, id_col, text_col, num_hashes, bands).select(
+        F.col(id_col).alias("query_id"), _BAND_COL, _BUCKET_COL
+    ).persist()
+    point = None
+    if prune:
+        vals = _bounded_vals(q, _BUCKET_COL)
+        if vals is not None:
+            point = (_BUCKET_COL, vals)
+    idx = engine.read(name, point_prune=point) if point else engine.read(name)
+    out = (
+        idx.select(
+            F.col(id_col).alias("match_id"), _BAND_COL, _BUCKET_COL
+        )
+        .join(q, [_BAND_COL, _BUCKET_COL])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    q.unpersist()
+    return out

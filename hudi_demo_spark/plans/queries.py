@@ -1971,6 +1971,121 @@ def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> 
     """
 
 
+def _minhash_index_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    """End-state replay of the MAINTAINED MinHash-LSH index gate: the
+    simulated corpus (two inserts, a text-appending UPDATE, a DELETE)
+    and the probe batch both sign with the portable pipeline, and the
+    probe is the (band, bucket) equi-join — bucket equality IS raw
+    band-slice equality, exactly what the index stores."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+    from hudi_demo_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    p = MINHASH_P
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, p))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT side, doc_id, {b} AS band, {vs} FROM sigs".format(
+            b=b,
+            vs=", ".join(f"h{b * rpb + r} AS v{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    band_eq = " AND ".join(f"q.v{r} = c.v{r}" for r in range(rpb))
+    h = PORTABLE_HASH60_SQL.format(x="sh")
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 12 = 0 THEN text || ' zq zq zq'
+                  ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0 AND doc_id < 900
+    ), qry AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id < 300
+    ), allr AS (
+      SELECT 'c' AS side, doc_id, text FROM src
+      UNION ALL
+      SELECT 'q' AS side, doc_id, text FROM qry
+    ), toks AS (
+      SELECT side, doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS t
+      FROM allr
+    ), grams AS (
+      SELECT side, doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+      FROM toks
+    ), dgrams AS (
+      SELECT DISTINCT side, doc_id, sh FROM grams
+    ), hashed AS (
+      SELECT side, doc_id, {h} % {p} AS h FROM dgrams
+    ), sigs AS (
+      SELECT side, doc_id, {mins}
+      FROM hashed GROUP BY side, doc_id
+    ), band_rows AS (
+      {band_rows}
+    )
+    SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS match_id
+    FROM band_rows q JOIN band_rows c
+      ON q.band = c.band AND {band_eq}
+    WHERE q.side = 'q' AND c.side = 'c' AND q.doc_id <> c.doc_id
+    ORDER BY query_id, match_id
+    """
+
+
+@q("engine_minhash_index", _minhash_index_oracle())
+def engine_minhash_index(spark, sf_dir):
+    """Incrementally-MAINTAINED MinHash-LSH index (the serving-shape
+    counterpart of dedup_minhash_lsh): corpus docs ingest in two
+    batches (insert-only folds sign just the delta), a text-appending
+    UPDATE re-signs exactly the changed ids through the CDC window, a
+    DELETE evicts ids from every band, the index range-clusters on
+    (band, bucket) for col-stats probe pruning, and an INCOMING batch
+    probes for near-dup candidates by signing map-side and joining on
+    (band, bucket) — at 100 TB the probe never re-shingles or even
+    reads the historical corpus, only the index. The oracle replays the
+    END STATE: portable signatures of the post-DML corpus and the
+    batch, banded and equi-joined."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.minhash_index import (
+        cluster_index,
+        create_minhash_index,
+        minhash_probe,
+        refresh_minhash_index,
+    )
+
+    root = _scratch("engine_minhash_index", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus bounded at 900 ids (oracle carries the same filter): the
+    # gate's cost is the 4-refresh lifecycle, which this caps at any sf
+    corpus = d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 900))
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
+    create_minhash_index(eng, "docs", "mh", "doc_id", "text")
+    refresh_minhash_index(eng, "mh")  # insert-only delta fold
+    # one mutated window: a second ingest, a text-appending UPDATE and
+    # a DELETE — the refresh must re-sign exactly the changed ids and
+    # evict the dead ones from every band
+    eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
+    eng.update(
+        "docs",
+        set={"text": F.concat(F.col("text"), F.lit(" zq zq zq"))},
+        where="doc_id % 12 = 0",
+    )
+    eng.delete("docs", "doc_id % 15 = 0")
+    refresh_minhash_index(eng, "mh")  # CDC re-sign + eviction
+    cluster_index(eng, "mh")
+    batch = d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 300))
+    return minhash_probe(eng, "mh", batch).orderBy("query_id", "match_id")
+
+
 @q("dedup_minhash_lsh", _minhash_oracle(threshold=0.10))
 def dedup_minhash_lsh_q(spark, sf_dir):
     """MinHash signatures + banded LSH blocking, portable-hash variant —

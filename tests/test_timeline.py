@@ -1962,3 +1962,86 @@ def test_rollup_histogram_validation(engine, spark):
     with pytest.raises(ValueError, match="n_bins"):
         create_rollup(engine, "hv_t", "hv_r2", ["g"], [],
                       hist_cols={"v": [0.0, 10.0, 0]})
+
+
+def test_minhash_index_lifecycle(engine, spark):
+    """Maintained MinHash-LSH index: the index state always equals the
+    direct banding of the source's CURRENT rows — across an insert-only
+    fold, a mutated window (second ingest + text UPDATE + DELETE), and
+    the probe finds a planted near-duplicate while ignoring novel text.
+    Guards: source key must be exactly [id_col]; banding must divide."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.minhash_index import (
+        cluster_index, create_minhash_index, lsh_band_rows,
+        minhash_probe, refresh_minhash_index,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a completely different document about spark shuffle behavior",
+        3: "yet another unrelated text mentioning compaction and cleaning",
+        4: "the quick brown fox jumps over the lazy dog again and again",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    engine.create_table("mhd", record_key="doc_id")
+    engine.insert(df.filter("doc_id <= 2"), "mhd")
+    create_minhash_index(engine, "mhd", "mhx", "doc_id", "text")
+    assert refresh_minhash_index(engine, "mhx") is not None
+    # idempotent: nothing new
+    assert refresh_minhash_index(engine, "mhx") is None
+
+    def state():
+        return {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in engine.read("mhx")
+            .select("doc_id", "band", "bucket").collect()
+        }
+
+    def expected():
+        return {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in lsh_band_rows(
+                engine.read("mhd"), "doc_id", "text"
+            ).collect()
+        }
+
+    assert state() == expected()
+    # mutated window: ingest + update + delete in one refresh
+    engine.insert(df.filter("doc_id > 2"), "mhd")
+    engine.update(
+        "mhd", set={"text": F.lit(texts[1])}, where="doc_id = 2"
+    )
+    engine.delete("mhd", "doc_id = 3")
+    assert refresh_minhash_index(engine, "mhx") is not None
+    assert state() == expected()
+    ids = [r["doc_id"] for r in engine.read("mhx").select("doc_id").collect()]
+    assert ids.count(3) == 0  # evicted from every band
+    # probe: near-dup of doc 1 collides; novel text does not
+    batch = spark.createDataFrame(
+        [(100, texts[1] + " extra"), (101, "wholly novel words here xyz")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["query_id"], r["match_id"])
+        for r in minhash_probe(engine, "mhx", batch).collect()
+    }
+    assert (100, 1) in pairs and (100, 4) in pairs and (100, 2) in pairs
+    assert not any(q == 101 for q, _ in pairs)
+    # clustering preserves probe results (layout-only service)
+    assert cluster_index(engine, "mhx") is not None
+    pairs2 = {
+        (r["query_id"], r["match_id"])
+        for r in minhash_probe(engine, "mhx", batch).collect()
+    }
+    assert pairs2 == pairs
+    # guards
+    engine.create_table("mhg", record_key=["doc_id", "text"])
+    with pytest.raises(ValueError, match="record key"):
+        create_minhash_index(engine, "mhg", "mhgx", "doc_id", "text")
+    with pytest.raises(ValueError, match="divisible"):
+        create_minhash_index(engine, "mhd", "mhbad", "doc_id", "text",
+                             num_hashes=64, bands=15)

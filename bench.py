@@ -151,6 +151,7 @@ HEADLINE = [
     "text_hybrid_rrf",
     "multimodal_jpeg_throughput",
     "engine_minhash_index",
+    "streaming_minhash_index",
 ]
 
 

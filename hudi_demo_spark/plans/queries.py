@@ -1971,12 +1971,14 @@ def _minhash_oracle(threshold: float, num_hashes: int = 64, bands: int = 16) -> 
     """
 
 
-def _minhash_index_oracle(num_hashes: int = 64, bands: int = 16) -> str:
-    """End-state replay of the MAINTAINED MinHash-LSH index gate: the
-    simulated corpus (two inserts, a text-appending UPDATE, a DELETE)
-    and the probe batch both sign with the portable pipeline, and the
-    probe is the (band, bucket) equi-join — bucket equality IS raw
-    band-slice equality, exactly what the index stores."""
+def _minhash_index_oracle(
+    src_sql: str, qry_sql: str, num_hashes: int = 64, bands: int = 16
+) -> str:
+    """End-state replay of a MAINTAINED MinHash-LSH index gate: the
+    simulated corpus end state (`src_sql`) and the probe batch
+    (`qry_sql`) both sign with the portable pipeline, and the probe is
+    the (band, bucket) equi-join — bucket equality IS raw band-slice
+    equality, exactly what the index stores."""
     from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
     from hudi_demo_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
@@ -1996,16 +1998,7 @@ def _minhash_index_oracle(num_hashes: int = 64, bands: int = 16) -> str:
     band_eq = " AND ".join(f"q.v{r} = c.v{r}" for r in range(rpb))
     h = PORTABLE_HASH60_SQL.format(x="sh")
     return f"""
-    WITH src AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 12 = 0 THEN text || ' zq zq zq'
-                  ELSE text END AS text
-      FROM documents
-      WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0 AND doc_id < 900
-    ), qry AS (
-      SELECT doc_id, text FROM documents
-      WHERE doc_id % 3 <> 0 AND doc_id < 300
-    ), allr AS (
+    WITH src AS ({src_sql}), qry AS ({qry_sql}), allr AS (
       SELECT 'c' AS side, doc_id, text FROM src
       UNION ALL
       SELECT 'q' AS side, doc_id, text FROM qry
@@ -2039,7 +2032,20 @@ def _minhash_index_oracle(num_hashes: int = 64, bands: int = 16) -> str:
     """
 
 
-@q("engine_minhash_index", _minhash_index_oracle())
+_MH_ENGINE_SRC = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 12 = 0 THEN text || ' zq zq zq'
+                  ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0 AND doc_id < 900
+"""
+_MH_ENGINE_QRY = """
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id < 300
+"""
+
+
+@q("engine_minhash_index", _minhash_index_oracle(_MH_ENGINE_SRC, _MH_ENGINE_QRY))
 def engine_minhash_index(spark, sf_dir):
     """Incrementally-MAINTAINED MinHash-LSH index (the serving-shape
     counterpart of dedup_minhash_lsh): corpus docs ingest in two
@@ -7895,6 +7901,63 @@ def streaming_vector_index(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@q(
+    "streaming_minhash_index",
+    _minhash_index_oracle(
+        """
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id < 900
+        """,
+        """
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 <> 2 AND doc_id < 300
+        """,
+    ),
+)
+def streaming_minhash_index(spark, sf_dir):
+    """Streaming-maintained MinHash-LSH index: a bootstrap batch seeds
+    the corpus, then the rest STREAMS in via foreachBatch (insert +
+    index refresh per micro-batch — each refresh signs only its delta).
+    The final probe against an incoming batch must equal DuckDB's
+    replay of sign-everything → band → equi-join: the dedup index keeps
+    pace with ingest without ever re-shingling what already landed."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.minhash_index import (
+        create_minhash_index,
+        minhash_probe,
+        refresh_minhash_index,
+    )
+
+    root = _scratch("streaming_minhash_index", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 900))
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")  # bootstrap
+    create_minhash_index(eng, "docs", "mh", "doc_id", "text")
+    refresh_minhash_index(eng, "mh")
+    rest = corpus.filter(F.col("doc_id") % 2 != 0)
+    src = f"{root}/src"
+    rest.repartition(2).write.mode("overwrite").parquet(src)
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "docs", batch_id=batch_id)
+        refresh_minhash_index(eng, "mh")
+
+    q_ = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    batch = d.filter((F.col("doc_id") % 3 != 2) & (F.col("doc_id") < 300))
+    return minhash_probe(eng, "mh", batch).orderBy("query_id", "match_id")
 
 
 @q(

@@ -152,6 +152,7 @@ HEADLINE = [
     "multimodal_jpeg_throughput",
     "engine_minhash_index",
     "streaming_minhash_index",
+    "similarity_hard_negatives",
 ]
 
 

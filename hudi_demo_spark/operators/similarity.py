@@ -126,6 +126,7 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each vector to its `n_probe` nearest centroids:
     (id, vec, centroid_id, centroid_rank). The centroids are a plan-level
@@ -162,13 +163,16 @@ def ivf_assign(
     probes = F.expr(
         f"slice(sort_array(array({','.join(terms)}), false), 1, {n_probe})"
     )
+    extras = list(extra_cols or [])
     return df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        *[F.col(c) for c in extras],
         F.posexplode(probes).alias("__p", "__c"),
     ).select(
         id_col,
         "__v",
+        *extras,
         (-F.col("__c.negid")).cast("int").alias("centroid_id"),
         (F.col("__p") + 1).alias("centroid_rank"),
     )
@@ -1006,3 +1010,89 @@ def kmeans_fit(
         id_col, "centroid_id"
     )
     return cents, assigned
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    anchors: DataFrame | None = None,
+    method: str = "exact",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-k most-similar vectors whose label DIFFERS — the negatives
+    that sit closest to the decision boundary, the standard pair-mining
+    step for embedding/reranker training (e.g. DPR/Contriever recipes).
+    Returns (anchor_id, negative_id, score, rank); ties break by
+    negative id.
+
+    `anchors` defaults to the whole table (every row mines its own
+    negatives). method='exact' broadcasts the anchors over one corpus
+    scan — right when the anchor set is bounded (a training batch).
+    method='ivf' blocks both sides by IVF cell first, so each anchor
+    scores only its n_probe/n_centroids slice of the corpus — the scale
+    path when anchors ARE the corpus (full-dataset mining), with the
+    same recall/probe trade as ivf_topk."""
+    if anchors is None:
+        anchors = df
+    if method == "exact":
+        q = anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+        c = _spread(df).select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("__nv"),
+            F.col(label_col).alias("__nl"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(
+                (F.col("anchor_id") != F.col("negative_id"))
+                & (~F.col("__nl").eqNullSafe(F.col("__ql")))
+            )
+            .withColumn("score", cosine_similarity("__qv", "__nv"))
+        )
+    elif method == "ivf":
+        cents = seed_centroids(df, id_col, vec_col, n_centroids)
+        c = ivf_assign(
+            _spread(df), cents, id_col, vec_col, n_probe=1,
+            extra_cols=[label_col],
+        ).select(
+            F.col(id_col).alias("negative_id"),
+            F.col("__v").alias("__nv"),
+            F.col(label_col).alias("__nl"),
+            "centroid_id",
+        )
+        q = ivf_assign(
+            anchors, cents, id_col, vec_col, n_probe=n_probe,
+            extra_cols=[label_col],
+        ).select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("__v").alias("__qv"),
+            F.col(label_col).alias("__ql"),
+            "centroid_id",
+        )
+        scored = (
+            c.join(q, "centroid_id")
+            .filter(
+                (F.col("anchor_id") != F.col("negative_id"))
+                & (~F.col("__nl").eqNullSafe(F.col("__ql")))
+            )
+            .withColumn("score", cosine_similarity("__qv", "__nv"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "score", "rank")
+    )

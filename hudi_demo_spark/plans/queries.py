@@ -8386,6 +8386,52 @@ def engine_rollup_mutations(spark, sf_dir):
     )
 
 
+@q(
+    "similarity_hard_negatives",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))),
+               6) AS score
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label IS DISTINCT FROM c.label
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT anchor_id, negative_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY score DESC, negative_id
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, score, rank FROM ranked
+    WHERE rank <= 5 ORDER BY anchor_id, rank
+    """,
+)
+def similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training pair assembly): for
+    each anchor the top-5 most-cosine-similar vectors with a DIFFERENT
+    label — the near-boundary negatives DPR/Contriever-style recipes
+    train on. Exact variant oracled end-to-end (ranked on the unrounded
+    score, displayed rounded); the IVF-blocked scale variant is
+    recall-floor-tested in pytest against this exact baseline."""
+    from hudi_demo_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        hard_negatives(
+            e, "vec_id", "embedding", "label", k=5,
+            anchors=e.filter(F.col("vec_id") < 20),
+        )
+        .withColumn("score", F.round("score", 6))
+        .orderBy("anchor_id", "rank")
+    )
+
+
 _BF_TOPK_SQL = """
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1339,3 +1339,43 @@ def test_rrf_fuse_semantics(spark):
     tied = {r["doc_id"]: r["rank"]
             for r in rrf_fuse([a, b], topk=5).collect()}
     assert tied == {"m": 1, "n": 2}
+
+
+def test_hard_negatives_semantics_and_ivf_recall(spark, sf_dir):
+    """Hard-negative mining: no same-label or self pairs ever, exact
+    top-k ordering, and the IVF-blocked scale variant clears a recall
+    floor vs the exact baseline (deterministic seeds → a fixed measured
+    recall, so the floor fails loudly on any blocking regression)."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.operators.similarity import hard_negatives
+    from hudi_demo_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20)
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    exact = hard_negatives(e, anchors=anchors, k=5).collect()
+    assert all(r["anchor_id"] != r["negative_id"] for r in exact)
+    assert all(
+        labels[r["anchor_id"]] != labels[r["negative_id"]] for r in exact
+    )
+    per = {}
+    for r in exact:
+        per.setdefault(r["anchor_id"], []).append((r["rank"], r["score"]))
+    for a, rs in per.items():
+        rs.sort()
+        assert [k for k, _ in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+    ex_pairs = {(r["anchor_id"], r["negative_id"]) for r in exact}
+    ivf = {
+        (r["anchor_id"], r["negative_id"])
+        for r in hard_negatives(
+            e, anchors=anchors, k=5, method="ivf", n_probe=12
+        ).collect()
+    }
+    recall = len(ivf & ex_pairs) / len(ex_pairs)
+    assert recall >= 0.8, recall
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        hard_negatives(e, method="bogus")

@@ -153,6 +153,7 @@ HEADLINE = [
     "engine_minhash_index",
     "streaming_minhash_index",
     "similarity_hard_negatives",
+    "sample_leakage_safe_split",
 ]
 
 

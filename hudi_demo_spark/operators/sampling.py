@@ -238,6 +238,42 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    val_16ths: int = 2,
+    test_16ths: int = 2,
+) -> DataFrame:
+    """Train/val/test split that keeps near-duplicate CLUSTERS atomic:
+    rows split by the hash of their near-dup connected-component
+    canonical id (min member id), so a near-duplicate of a training
+    document can never land in val/test — the contamination channel a
+    plain per-doc hash split leaves open (near-dups of train docs in
+    the eval split inflate benchmarks exactly like verbatim leakage).
+    `pairs` is near-dup edge evidence (a, b) from any miner (n-gram
+    Jaccard, MinHash, SimHash, embedding cosine); rows with no edge
+    split by their own id, which reduces to train_val_test_split.
+    Adds `split_key` (the component canonical) and `split`.
+
+    Scale shape: components run on the PAIR set (edges, not the
+    corpus), the component map joins back broadcast-or-shuffle on the
+    id, and the bucket hash is map-side — no new corpus-sized state."""
+    from hudi_demo_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs).select(
+        F.col("node"), F.col("component")
+    )
+    keyed = df.join(
+        comp, df[id_col] == comp["node"], "left"
+    ).withColumn(
+        "split_key", F.coalesce(F.col("component"), df[id_col])
+    ).drop("node", "component")
+    return train_val_test_split(
+        keyed, "split_key", val_16ths=val_16ths, test_16ths=test_16ths
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str,

@@ -4525,6 +4525,56 @@ def sample_split_hash(spark, sf_dir):
 
 
 @q(
+    "sample_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {NGRAM_PAIR_CTES}, edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS r FROM edges
+      UNION
+      SELECT e.s AS node, reach.r FROM edges e JOIN reach ON e.d = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id,
+             CAST(coalesce(comp.component, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN b < 12 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, split_key,
+             CAST(('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 1))
+                  AS INTEGER) % 16 AS b
+      FROM keyed
+    )
+    ORDER BY doc_id
+    """,
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup clusters (n-gram
+    Jaccard evidence → connected components) are assigned to splits
+    ATOMICALLY by hashing the component canonical id — a near-duplicate
+    of a training document can never land in the eval splits. The
+    oracle replays pairs → transitive closure → canonical → md5 bucket
+    row-by-row."""
+    from hudi_demo_spark.operators.dedup import ngram_jaccard_pairs
+    from hudi_demo_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12).select(
+        "a", "b"
+    )
+    return (
+        leakage_safe_split(d.select("doc_id"), "doc_id", pairs)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_seeded_shuffle",
     """
     SELECT doc_id,

@@ -1379,3 +1379,36 @@ def test_hard_negatives_semantics_and_ivf_recall(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError, match="method"):
         hard_negatives(e, method="bogus")
+
+
+def test_leakage_safe_split_atomic_clusters(spark):
+    """leakage_safe_split: all members of a near-dup component get ONE
+    split (the leakage guarantee); edge-free docs reduce to the plain
+    per-id hash split; NULL ids keep the NULL-split contract."""
+    from hudi_demo_spark.operators.sampling import (
+        leakage_safe_split, train_val_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)] + [(None,)], "doc_id int"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a int, b int"
+    )
+    rows = leakage_safe_split(docs, "doc_id", pairs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # clusters atomic, keyed by min member
+    assert {by_id[i]["split_key"] for i in (1, 2, 3)} == {1}
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+    assert by_id[10]["split_key"] == by_id[11]["split_key"] == 10
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # edge-free docs match the plain hash split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, "doc_id").collect()
+        if r["doc_id"] is not None
+    }
+    for i in range(30, 41):
+        assert by_id[i]["split"] == plain[i]
+        assert by_id[i]["split_key"] == i
+    assert by_id[None]["split"] is None

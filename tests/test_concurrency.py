@@ -4,6 +4,7 @@ loudly and retries converge with NO lost updates (the property OCC
 exists to guarantee)."""
 
 import threading
+import time
 
 from hudi_demo_spark.engine.timeline import ConcurrentWriteError
 
@@ -51,14 +52,26 @@ def test_concurrent_contended_upserts_converge_with_retries(engine, spark):
     )
     conflicts = [0]
     errors = []
+    # all writers release together so their first snapshot reads
+    # overlap — at most one can win, so contention is guaranteed, not
+    # a scheduling accident (under a bursty-load box, staggered thread
+    # starts can otherwise serialize the writers by luck)
+    barrier = threading.Barrier(8)
 
     def writer(i):
-        for attempt in range(12):
+        barrier.wait()
+        # generous retry budget + per-writer jittered backoff: worst
+        # case the 8 writers fully serialize, but a loser that retries
+        # in lockstep with another loser can collide repeatedly — the
+        # backoff is what real OCC clients do, and starvation here must
+        # mean a liveness BUG, not an unlucky scheduler
+        for attempt in range(30):
             try:
                 engine.upsert(_mkdf(spark, [(i, 1000 + i, 2, "x")]), "c")
                 return
             except ConcurrentWriteError:
                 conflicts[0] += 1
+                time.sleep(0.05 * ((i % 4) + 1))
                 continue
             except Exception as e:  # pragma: no cover
                 errors.append(e)

@@ -2844,7 +2844,12 @@ class Engine:
         else:
             cutoff = older_than
         tl = Timeline(cfg.path)
-        service_ops = {"compact", "log_compact", "cluster"}
+        # every row-preserving table service (incl. bucket_resize, clean,
+        # archive) is a non-write for TTL purposes — shared set with the
+        # derived-table refresher so the two can't drift
+        from hudi_demo_spark.engine.derived import _ROW_PRESERVING
+
+        service_ops = _ROW_PRESERVING
         last: dict[str, str] = {}
         for m in tl.instants(include_archived=True):
             if m.get("operation") in service_ops:

@@ -113,12 +113,19 @@ def create_vector_index(
     if pq_m:
         # like Faiss, a quantizer trained elsewhere (e.g. on a larger
         # representative corpus) can be installed directly via
-        # `codebooks` instead of retraining here
-        books = codebooks or pq_train(
-            engine.read(source), id_col, vec_col,
-            m=pq_m, codes=pq_codes, iters=pq_iters,
-            sample_mod=pq_sample_mod,
-        )
+        # `codebooks` instead of retraining here; `is not None` so an
+        # explicitly-empty list errors instead of silently retraining
+        if codebooks is not None:
+            _validate_codebooks(
+                codebooks, pq_m, len(centroids[0][1])
+            )
+            books = codebooks
+        else:
+            books = pq_train(
+                engine.read(source), id_col, vec_col,
+                m=pq_m, codes=pq_codes, iters=pq_iters,
+                sample_mod=pq_sample_mod,
+            )
         props["vecindex.codebooks"] = json.dumps(books)
     return engine.create_table(
         name,
@@ -126,6 +133,34 @@ def create_vector_index(
         partition_by=_CELL_COL,
         props=props,
     )
+
+
+def _validate_codebooks(books: list, pq_m: int, dim: int) -> None:
+    """Pre-trained codebooks are persisted to table props at create time
+    and only exercised at refresh/query — a shape mismatch there would
+    mis-encode silently. Validate the Faiss-style invariants up front:
+    codebooks[m][codes][dim/m] with m == pq_m, a uniform non-empty code
+    count, and sub-vector width dividing the source vector dimension."""
+    if len(books) != pq_m:
+        raise ValueError(
+            f"codebooks has {len(books)} subspaces, expected pq_m={pq_m}"
+        )
+    if dim % pq_m:
+        raise ValueError(
+            f"vector dim {dim} not divisible by pq_m={pq_m}"
+        )
+    sub = dim // pq_m
+    n_codes = {len(b) for b in books}
+    if len(n_codes) != 1 or 0 in n_codes:
+        raise ValueError(
+            f"codebooks must have one uniform non-empty code count per "
+            f"subspace; got sizes {sorted(n_codes)}"
+        )
+    widths = {len(c) for b in books for c in b}
+    if widths != {sub}:
+        raise ValueError(
+            f"codebook sub-vector widths {sorted(widths)} != dim/pq_m={sub}"
+        )
 
 
 def _centroids(cfg) -> list[tuple[int, list[float]]]:

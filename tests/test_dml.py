@@ -903,6 +903,29 @@ def test_ttl_ignores_table_service_touches(engine, spark):
     assert [r[0] for r in _state(engine, "tsvm")] == [2]
 
 
+def test_ttl_ignores_bucket_resize_touch(engine, spark):
+    """bucket_resize is a row-preserving table service like cluster /
+    compact: it commits files_added under a fresh instant, but it must
+    NOT bump a partition's TTL last-touch — a cold partition that merely
+    got bucket-resized still expires."""
+    engine.create_table(
+        "tsbr", record_key="id", precombine="ts", partition_by="dt",
+        props={"bucket.num": 2},
+    )
+    old = engine.insert(_mkdf(spark, [
+        (1, "a", 1.0, 100, "2022-09-05"),
+        (2, "b", 2.0, 100, "2022-09-06"),
+    ]), "tsbr")
+    engine.insert(_mkdf(spark, [(3, "c", 3.0, 100, "2022-09-07")]), "tsbr")
+    # rescale AFTER the cutoff: rewrites placement under a fresh instant
+    engine.sql("call resize_bucket_index(table => 'tsbr', buckets => 4)")
+    meta = engine.ttl_partitions("tsbr", older_than=old["instant"])
+    assert sorted(meta["stats"]["partitions_deleted"]) == [
+        "dt=2022-09-05", "dt=2022-09-06"
+    ]
+    assert [r[0] for r in _state(engine, "tsbr")] == [3]
+
+
 def test_curve_sign_bit_four_dims(engine, spark):
     """4-D curves must not spill into long bit 63 (the sign bit): the
     code budget caps at n*bits <= 63, so every z-value / Hilbert index

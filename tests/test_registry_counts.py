@@ -1,0 +1,32 @@
+"""Pin the documented query counts to the registry so README can't
+drift from `plans/queries.py` again (it said 214 while the registry had
+216). The README line is the single place the counts appear in prose."""
+
+import re
+from pathlib import Path
+
+from hudi_demo_spark.plans import ORACLES, QUERIES
+
+README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def test_readme_query_counts_match_registry():
+    text = README.read_text()
+    m = re.search(r"(\d+) named queries, (\d+) with", text)
+    assert m, "README no longer states the query counts"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries; registry has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README says {m.group(2)} oracled; registry has {len(ORACLES)}"
+    )
+
+
+def test_rotation_head_is_well_formed():
+    """The driver samples the first 50 registry entries: the rotated
+    head must be 50 distinct registered names, every one oracled."""
+    names = list(QUERIES)
+    head = names[:50]
+    assert len(set(head)) == 50
+    missing = [n for n in head if n not in ORACLES]
+    assert not missing, f"head queries without oracle SQL: {missing}"

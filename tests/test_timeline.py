@@ -1947,6 +1947,53 @@ def test_vector_index_guards(engine, spark):
     assert out.count() == 0
 
 
+def test_vector_index_codebook_validation(engine, spark):
+    """Pre-trained PQ codebooks are validated at CREATE time (they are
+    persisted to props and otherwise only fail — or silently mis-encode —
+    at refresh/query): subspace count must equal pq_m, code counts must
+    be uniform and non-empty, sub-vector widths must be dim/pq_m, and an
+    explicitly-empty list errors instead of silently retraining."""
+    import pytest
+
+    from hudi_demo_spark.engine.vector_index import create_vector_index
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(12)],
+        "vec_id int, embedding array<float>",
+    )
+    engine.create_table("cbv", record_key="vec_id")
+    engine.insert(vecs, "cbv")
+    good = [  # 2 subspaces x 2 codes x width 2 (dim=4, pq_m=2)
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.5, 0.5], [2.0, 2.0]],
+    ]
+    with pytest.raises(ValueError, match="subspaces"):
+        create_vector_index(engine, "cbv", "cbi1", "vec_id", "embedding",
+                            n_centroids=2, pq_m=4, codebooks=good)
+    with pytest.raises(ValueError, match="subspaces"):
+        create_vector_index(engine, "cbv", "cbi2", "vec_id", "embedding",
+                            n_centroids=2, pq_m=2, codebooks=[])
+    with pytest.raises(ValueError, match="code count"):
+        create_vector_index(
+            engine, "cbv", "cbi3", "vec_id", "embedding", n_centroids=2,
+            pq_m=2, codebooks=[good[0], [[0.5, 0.5]]],
+        )
+    with pytest.raises(ValueError, match="widths"):
+        create_vector_index(
+            engine, "cbv", "cbi4", "vec_id", "embedding", n_centroids=2,
+            pq_m=2, codebooks=[[[0.0], [1.0]], [[0.5], [2.0]]],
+        )
+    # well-shaped pre-trained codebooks install without retraining
+    create_vector_index(engine, "cbv", "cbi5", "vec_id", "embedding",
+                        n_centroids=2, pq_m=2, codebooks=good)
+    import json as _json
+
+    stored = _json.loads(
+        engine._resolve("cbi5").props["vecindex.codebooks"]
+    )
+    assert stored == good
+
+
 def test_rollup_histogram_validation(engine, spark):
     """create_rollup rejects degenerate histogram specs at definition
     time (hi == lo would divide to null and silently uncount every

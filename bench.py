@@ -162,6 +162,14 @@ def main() -> None:
     from hudi_demo_spark.plans import QUERIES
     from hudi_demo_spark.session import get_spark
 
+    # local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    # headline rows (driver runs leave it unset → full list, output shape
+    # unchanged)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
+
     spark = get_spark("hudi_demo_spark_bench")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     # warmup: JIT/codegen + parquet reader + OS page cache for every input
@@ -179,7 +187,7 @@ def main() -> None:
     # driver cost that vanishes over any real workload's lifetime).
     # Disable with SPARK_GRAFT_BENCH_WARM=0.
     if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
-        for name in HEADLINE:
+        for name in headline:
             try:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -195,7 +203,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     errors: list[str] = []
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES[name]
         best = None
         try:

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hudi_demo_spark.engine.config import (
     COMMIT_TIME_META,
+    DELETED_META,
     PARTITION_PATH_META,
     RECORD_KEY_META,
 )
@@ -81,6 +82,14 @@ def _pruned_read(engine, table: str, col: str | None, vals, meta_cols):
 
 def _data_ops(window: list[dict]) -> list[dict]:
     return [m for m in window if m["operation"] not in _ROW_PRESERVING]
+
+
+def _view_has_data(engine, name: str) -> bool:
+    """True once the view has any commit. A never-written view has no
+    stored schema, so reading it yields a zero-column frame — the
+    stale/gone probes (which join the view on its key) must be skipped
+    on the first refresh: nothing can be stale before the first write."""
+    return Timeline(engine._resolve(name).path).last_instant() is not None
 
 
 def _save_props(engine, name: str, updates: dict) -> None:
@@ -611,24 +620,30 @@ def _recompute_inner(
     # persisted: consumed by the upsert AND the orphan anti-join —
     # uncached, the recompute join would run twice
     fresh = fresh.dropDuplicates(vkey).persist()
-    out = engine.upsert(fresh, name)
-    # view rows built from a changed identity that did not re-derive
-    # no longer join — delete them by view key
+    # view rows built from a changed identity that did not re-derive no
+    # longer join — they leave as SOFT-DELETE tombstones in the SAME
+    # upsert (one atomic commit). The pre-upsert view read names the
+    # same gone set a post-upsert read would: the upsert never touches
+    # a key absent from `fresh`, and keys in `fresh` are excluded by
+    # the anti-join either way.
     stale = None
-    if changed_l is not None:
-        v = _pruned_read(engine, name, lkey[0], vals_l, meta_cols)
-        stale = v.join(F.broadcast(changed_l), lkey, "left_semi")
-    if changed_r is not None:
-        v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
-        sr = v.join(F.broadcast(changed_r), rkey, "left_semi")
-        stale = sr if stale is None else stale.unionByName(sr)
+    if _view_has_data(engine, name):
+        if changed_l is not None:
+            v = _pruned_read(engine, name, lkey[0], vals_l, meta_cols)
+            stale = v.join(F.broadcast(changed_l), lkey, "left_semi")
+        if changed_r is not None:
+            v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
+            sr = v.join(F.broadcast(changed_r), rkey, "left_semi")
+            stale = sr if stale is None else stale.unionByName(sr)
+    payload = fresh
     if stale is not None:
-        gone = stale.select(*vkey).distinct().join(
-            fresh.select(*vkey), vkey, "left_anti"
-        ).persist()  # take(1) probe + delete both consume it
-        if gone.take(1):
-            engine.delete_keys(name, gone)
-        gone.unpersist()
+        gone = (
+            stale.select(*vkey).distinct()
+            .join(fresh.select(*vkey), vkey, "left_anti")
+            .withColumn(DELETED_META, F.lit(True))
+        )
+        payload = fresh.unionByName(gone, allowMissingColumns=True)
+    out = engine.upsert(payload, name)
     fresh.unpersist()
     return out
 
@@ -664,9 +679,13 @@ def _recompute_left(
         )
         _fold(lsnap.join(cr.select(*on), on, "left_semi").select(*lkey))
         # (c): stored matches referencing a changed right key — the view
-        # carries the join columns, and rkey ⊆ on (enforced at create)
-        v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
-        _fold(v.join(F.broadcast(changed_r), rkey, "left_semi").select(*lkey))
+        # carries the join columns, and rkey ⊆ on (enforced at create);
+        # skipped before the view's first write (nothing stored yet)
+        if _view_has_data(engine, name):
+            v = _pruned_read(engine, name, rkey[0], vals_r, meta_cols)
+            _fold(
+                v.join(F.broadcast(changed_r), rkey, "left_semi").select(*lkey)
+            )
     touched = touched.distinct().persist()
     t_vals = _bounded_vals(touched, lkey[0])
     live_left = _pruned_read(engine, left, lkey[0], t_vals, meta_cols).join(
@@ -676,18 +695,21 @@ def _recompute_left(
         engine, right, on[0], _bounded_vals(live_left, on[0]), meta_cols
     )
     fresh = live_left.join(rsnap2, on, "left").dropDuplicates(lkey).persist()
-    out = engine.upsert(fresh, name)
     # touched left identities with no live left row: their view rows die
-    v = _pruned_read(engine, name, lkey[0], t_vals, meta_cols)
-    gone = (
-        v.join(F.broadcast(touched), lkey, "left_semi")
-        .select(*lkey).distinct()
-        .join(fresh.select(*lkey), lkey, "left_anti")
-        .persist()
-    )
-    if gone.take(1):
-        engine.delete_keys(name, gone)
-    gone.unpersist()
+    # as SOFT-DELETE tombstones in the SAME upsert (one atomic commit);
+    # the pre-upsert view read names the same gone set (see
+    # _recompute_inner), and is skipped before the view's first write
+    payload = fresh
+    if _view_has_data(engine, name):
+        v = _pruned_read(engine, name, lkey[0], t_vals, meta_cols)
+        gone = (
+            v.join(F.broadcast(touched), lkey, "left_semi")
+            .select(*lkey).distinct()
+            .join(fresh.select(*lkey), lkey, "left_anti")
+            .withColumn(DELETED_META, F.lit(True))
+        )
+        payload = fresh.unionByName(gone, allowMissingColumns=True)
+    out = engine.upsert(payload, name)
     fresh.unpersist()
     touched.unpersist()
     return out
@@ -783,19 +805,25 @@ def refresh_filter_view(engine, name: str) -> dict | None:
     live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
     # persisted: consumed by the upsert AND the survivors anti-join
     fresh = live.filter(pred).drop(*meta_cols).persist()
-    out = engine.upsert(fresh.select(*cols) if cols else fresh, name)
     survivors = fresh.select(
         record_key_col(key_fields).alias(RECORD_KEY_META)
     )
-    gone = changed.join(survivors, RECORD_KEY_META, "left_anti")
-    vview = _pruned_read(engine, name, RECORD_KEY_META, vals, [])
-    dead = (
-        vview.join(F.broadcast(gone), RECORD_KEY_META, "left_semi")
-        .select(*key_fields).distinct().persist()
-    )
-    if dead.take(1):
-        out = engine.delete_keys(name, dead)
-    dead.unpersist()
+    # changed identities without a surviving match leave the view as
+    # SOFT-DELETE tombstones in the SAME upsert (one atomic commit);
+    # the pre-upsert view read names the same dead set — the upsert
+    # never touches a key absent from `fresh` — and is skipped before
+    # the view's first write (nothing stored yet)
+    payload = fresh.select(*cols) if cols else fresh
+    if _view_has_data(engine, name):
+        gone = changed.join(survivors, RECORD_KEY_META, "left_anti")
+        vview = _pruned_read(engine, name, RECORD_KEY_META, vals, [])
+        dead = (
+            vview.join(F.broadcast(gone), RECORD_KEY_META, "left_semi")
+            .select(*key_fields).distinct()
+            .withColumn(DELETED_META, F.lit(True))
+        )
+        payload = payload.unionByName(dead, allowMissingColumns=True)
+    out = engine.upsert(payload, name)
     fresh.unpersist()
     changed.unpersist()
     _save_props(engine, name, {_OFFSET_PROP: end})
@@ -906,6 +934,8 @@ def _refresh_recompute(
         ),
         expr_cols,
     )
+    # persisted: feeds both union branches (directly, and via the
+    # gone anti-join) — one re-aggregation pass, not two
     fresh = (
         snap_g.join(groups, group_cols, "left_semi")
         .groupBy(*group_cols)
@@ -915,11 +945,18 @@ def _refresh_recompute(
                 hist_cols or {},
             )
         )
+    ).persist()
+    # groups that lost their last row leave the rollup as SOFT-DELETE
+    # tombstones in the SAME upsert — repair and eviction are one
+    # atomic commit (no observable state between them)
+    gone = (
+        groups.join(fresh.select(*group_cols), group_cols, "left_anti")
+        .withColumn(DELETED_META, F.lit(True))
     )
-    meta = engine.upsert(fresh, name)
-    gone = groups.join(fresh.select(*group_cols), group_cols, "left_anti")
-    if gone.take(1):
-        engine.delete_keys(name, gone)
+    meta = engine.upsert(
+        fresh.unionByName(gone, allowMissingColumns=True), name
+    )
+    fresh.unpersist()
     groups.unpersist()
     keys.unpersist()
     return meta

@@ -382,15 +382,27 @@ class Engine:
             out = out.withColumn(DELETED_META, F.lit(False))
         return out
 
-    def _conform(self, df: DataFrame, cfg: TableConfig) -> DataFrame:
+    def _conform(
+        self, df: DataFrame, cfg: TableConfig, keep_deleted: bool = False
+    ) -> DataFrame:
         """Align a stamped frame to the table schema; additive schema
-        evolution (new columns appended — the Flink `_WIDER` fixture)."""
+        evolution (new columns appended — the Flink `_WIDER` fixture).
+
+        `_hoodie_is_deleted` is a RESERVED marker column (the public Hudi
+        soft-delete field), never evolved into a COW table's stored
+        schema; with `keep_deleted` it rides through the projection so
+        the upsert merge can apply tombstones, and the COW write path
+        strips it again before materializing."""
         stored = self._stored_schema(cfg)
         if stored is None:
             evolved = self._full_schema(df.schema, cfg.table_type)
         else:
             names = set(stored.names)
-            extra = [f for f in df.schema.fields if f.name not in names]
+            extra = [
+                f
+                for f in df.schema.fields
+                if f.name not in names and f.name != DELETED_META
+            ]
             evolved = T.StructType(list(stored.fields) + extra)
         cols = []
         have = set(df.columns)
@@ -399,6 +411,15 @@ class Engine:
                 cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        if (
+            keep_deleted
+            and DELETED_META in have
+            and DELETED_META not in {f.name for f in evolved.fields}
+        ):
+            cols.append(
+                F.coalesce(F.col(DELETED_META).cast("boolean"), F.lit(False))
+                .alias(DELETED_META)
+            )
         new_json = json.dumps(evolved.jsonValue())
         if new_json != cfg.schema_json:
             cfg.schema_json = new_json
@@ -2539,7 +2560,16 @@ class Engine:
                 cfg.props.get("insert.drop_duplicates", "")
             ).lower() in ("1", "true", "yes")
         instant = new_instant()
-        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        stamped = self._stamp(df, cfg, instant)
+        if cfg.table_type == COW and DELETED_META in stamped.columns:
+            # INSERT cannot delete: a COW insert SKIPS soft-delete rows
+            # (Hudi payload semantics — a deleted payload yields no
+            # insert) instead of silently landing them as live data
+            # once _conform strips the reserved marker column
+            stamped = stamped.filter(
+                ~F.coalesce(F.col(DELETED_META), F.lit(False))
+            )
+        out = self._conform(stamped, cfg)
         if drop_duplicates:
             out = self._dedup_batch(out, cfg)
             tl = Timeline(cfg.path)
@@ -3102,10 +3132,24 @@ class Engine:
     ) -> dict:
         """UPSERT (W6) — the default Hudi write (BootstrapDemo.scala:264-273,
         HoodieJavaWriteClientExample.java:102-107). COW: partition-scoped
-        rewrite, payload-ordered winner per key. MOR: append delta only."""
+        rewrite, payload-ordered winner per key. MOR: append delta only.
+
+        SOFT DELETE (the public Hudi `_hoodie_is_deleted` convention):
+        batch rows carrying `_hoodie_is_deleted = true` are tombstones —
+        the write evicts those keys in the SAME commit that upserts the
+        rest, so an incremental index/view refresh that replaces some
+        keys and retires others is one atomic commit instead of an
+        upsert followed by a delete (with an observable inconsistent
+        state between them). COW strips the marker before materializing
+        (it is never part of the stored schema); MOR writes it into the
+        delta as an ordinary delete marker. With a preCombine field the
+        tombstone must carry an ordering value ≥ the row it kills, same
+        as any Hudi deletion payload."""
         cfg = self._resolve(table)
         instant = new_instant()
-        batch = self._conform(self._stamp(df, cfg, instant), cfg)
+        batch = self._conform(
+            self._stamp(df, cfg, instant), cfg, keep_deleted=True
+        )
         tl = Timeline(cfg.path)
         if cfg.table_type == MOR:
             batch = self._dedup_batch(batch, cfg)
@@ -3184,6 +3228,11 @@ class Engine:
                 winner = winner.filter(
                     ~F.coalesce(F.col(DELETED_META), F.lit(False))
                 )
+                stored = self._stored_schema(cfg)
+                if stored is None or DELETED_META not in stored.names:
+                    # reserved marker, applied above — never persisted
+                    # into COW base files
+                    winner = winner.drop(DELETED_META)
             added = self._materialize(
                 winner, cfg, instant, "base", approx_bytes=affected_bytes
             )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hudi_demo_spark.engine.config import (
     COMMIT_TIME_META,
+    DELETED_META,
     PARTITION_PATH_META,
     RECORD_KEY_META,
 )
@@ -180,15 +181,16 @@ def refresh_minhash_index(engine, name: str) -> dict | None:
         if vals is not None else engine.read(source)
     )
     live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
+    # persisted: feeds both union branches (directly, and via the
+    # survivors anti-join inside `dead`) — one signing pass, not two
     fresh = lsh_band_rows(
         live.drop(*meta_cols), id_col, text_col, num_hashes, bands
     ).persist()
-    out = None
-    if fresh.take(1):
-        out = engine.upsert(fresh, name)
     # dead ids: changed keys with no surviving source row — their
-    # (id, band) rows leave the index for every band
-    id_type = fresh.schema[id_col].dataType
+    # (id, band) rows leave the index for every band, as SOFT-DELETE
+    # tombstones in the SAME upsert: re-signs and evictions land in one
+    # atomic commit (no observable state where an id is half-updated)
+    id_type = snap.schema[id_col].dataType
     survivors = fresh.select(
         F.col(id_col).cast("string").alias("__sk")
     ).distinct()
@@ -204,11 +206,12 @@ def refresh_minhash_index(engine, name: str) -> dict | None:
                 F.col("id").cast("int").alias(_BAND_COL)
             )
         )
-        .persist()
+        .withColumn(DELETED_META, F.lit(True))
     )
-    if dead.take(1):
-        out = engine.delete_keys(name, dead)
-    dead.unpersist()
+    payload = fresh.unionByName(dead, allowMissingColumns=True)
+    out = None
+    if payload.take(1):
+        out = engine.upsert(payload, name)
     fresh.unpersist()
     changed.unpersist()
     _save_props(engine, name, {_OFFSET_PROP: end})

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from hudi_demo_spark.engine.config import (
     COMMIT_TIME_META,
+    DELETED_META,
     PARTITION_PATH_META,
     RECORD_KEY_META,
 )
@@ -262,18 +263,20 @@ def refresh_vector_index(engine, name: str) -> dict | None:
         if vals is not None else engine.read(source)
     )
     live = snap.join(F.broadcast(changed), RECORD_KEY_META, "left_semi")
+    # persisted: feeds both union branches (directly, and via the
+    # survivors anti-join inside `dead`) — one assignment pass, not two
     fresh = _assign_cells(live.drop(*meta_cols), cfg).persist()
-    out = None
-    if fresh.take(1):  # a pure-delete window re-assigns nothing
-        out = engine.upsert(fresh, name)
     id_col = cfg.props["vecindex.id_col"]
     survivors = fresh.select(F.col(id_col).cast("string").alias("__sk"))
     # the source and index share the record key (= id_col, a single
     # string-round-trippable column), so changed keys without a
     # surviving source row ARE the dead index keys — cast the key
     # string back to the id type instead of scanning the index to
-    # rediscover them
-    id_type = fresh.schema[id_col].dataType
+    # rediscover them. They ride the SAME upsert as soft-delete
+    # tombstones (the index is GLOBAL, so a bare key kills the row
+    # wherever its cell partition is): re-assigns and evictions land
+    # in one atomic commit.
+    id_type = snap.schema[id_col].dataType
     dead = (
         changed.join(
             survivors,
@@ -281,11 +284,12 @@ def refresh_vector_index(engine, name: str) -> dict | None:
             "left_anti",
         )
         .select(F.col(RECORD_KEY_META).cast(id_type).alias(id_col))
-        .persist()
+        .withColumn(DELETED_META, F.lit(True))
     )
-    if dead.take(1):
-        out = engine.delete_keys(name, dead)
-    dead.unpersist()
+    payload = fresh.unionByName(dead, allowMissingColumns=True)
+    out = None
+    if payload.take(1):  # a no-op window writes nothing
+        out = engine.upsert(payload, name)
     fresh.unpersist()
     changed.unpersist()
     _save_props(engine, name, {_OFFSET_PROP: end})

@@ -56,6 +56,28 @@ def _scratch(name: str, sf_dir: str) -> str:
     return path
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin the stateful-streaming partition count for a query's
+    lifetime. Structured Streaming sizes its state stores from
+    `spark.sql.shuffle.partitions` AT FIRST CHECKPOINT — a deployment
+    knob that should track the stream's key cardinality and executor
+    count, not whatever the batch shuffle default happens to be. At
+    100 TB you set it to executors × cores once per stream; here the
+    fixture streams carry a few thousand keys, and 32 state stores ×
+    4-per-join × N micro-batches is pure per-task + checkpoint-file
+    overhead (measured 8.8 s → 3.6 s on the interval-join gate)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # Shared word-3-gram shingling CTEs (DuckDB dialect): raw text → distinct
 # (doc_id, shingle). Reused by the ngram-Jaccard, connected-components AND
 # MinHash oracles so the shingling can never drift between them.
@@ -2045,7 +2067,10 @@ _MH_ENGINE_QRY = """
 """
 
 
-@q("engine_minhash_index", _minhash_index_oracle(_MH_ENGINE_SRC, _MH_ENGINE_QRY))
+@q(
+    "engine_minhash_index",
+    _minhash_index_oracle(_MH_ENGINE_SRC, _MH_ENGINE_QRY, num_hashes=32, bands=8),
+)
 def engine_minhash_index(spark, sf_dir):
     """Incrementally-MAINTAINED MinHash-LSH index (the serving-shape
     counterpart of dedup_minhash_lsh): corpus docs ingest in two
@@ -2057,7 +2082,10 @@ def engine_minhash_index(spark, sf_dir):
     (band, bucket) — at 100 TB the probe never re-shingles or even
     reads the historical corpus, only the index. The oracle replays the
     END STATE: portable signatures of the post-DML corpus and the
-    batch, banded and equi-joined."""
+    batch, banded and equi-joined. The GATE runs 32 hashes / 8 bands
+    (same 4 rows-per-band collision semantics as the 64/16 operator
+    default, half the signature codegen and partition fan-out — the
+    lifecycle, not the banding width, is what this gate pins)."""
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.minhash_index import (
         cluster_index,
@@ -2074,7 +2102,8 @@ def engine_minhash_index(spark, sf_dir):
     corpus = d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 900))
     eng.create_table("docs", record_key="doc_id")
     eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
-    create_minhash_index(eng, "docs", "mh", "doc_id", "text")
+    create_minhash_index(eng, "docs", "mh", "doc_id", "text",
+                         num_hashes=32, bands=8)
     refresh_minhash_index(eng, "mh")  # insert-only delta fold
     # one mutated window: a second ingest, a text-appending UPDATE and
     # a DELETE — the refresh must re-sign exactly the changed ids and
@@ -3857,15 +3886,16 @@ def streaming_stateful_totals(spark, sf_dir):
         .parquet(src)
     )
     totals = running_totals(stream, "user_id", "value")
-    query = (
-        totals.writeStream.format("memory")
-        .queryName("stateful_totals_sink")
-        .outputMode("update")
-        .option("checkpointLocation", f"{root}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark):
+        query = (
+            totals.writeStream.format("memory")
+            .queryName("stateful_totals_sink")
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     sink = spark.table("stateful_totals_sink")
     # latest update per user = the row with the max running count
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -5122,14 +5152,15 @@ def streaming_windowed_agg(spark, sf_dir):
             F.round("raw_sum", 2).alias("sum_value"),
         )
     )
-    sq = (
-        stream.writeStream.format("memory")
-        .queryName("streaming_windowed_agg_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
+    with _state_partitions(spark):
+        sq = (
+            stream.writeStream.format("memory")
+            .queryName("streaming_windowed_agg_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
     return spark.table("streaming_windowed_agg_sink").orderBy(
         "window_start", "event_type"
     )
@@ -7872,20 +7903,21 @@ def streaming_dedup_exact(spark, sf_dir):
     d.repartition(4).write.mode("overwrite").parquet(src)
     d.repartition(3).write.mode("append").parquet(src)
     sink = f"{root}/sink"
-    q_ = (
-        stream_dedup_exact(
-            spark.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", "2")
-            .parquet(src),
-            ["doc_id"],
+    with _state_partitions(spark):
+        q_ = (
+            stream_dedup_exact(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src),
+                ["doc_id"],
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", f"{root}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+        q_.awaitTermination()
     return (
         spark.read.parquet(sink)
         .select("doc_id", "lang", "n_chars")
@@ -7964,15 +7996,21 @@ def streaming_vector_index(spark, sf_dir):
       SELECT doc_id, text FROM documents
       WHERE doc_id % 3 <> 2 AND doc_id < 300
         """,
+        num_hashes=32,
+        bands=8,
     ),
 )
 def streaming_minhash_index(spark, sf_dir):
     """Streaming-maintained MinHash-LSH index: a bootstrap batch seeds
     the corpus, then the rest STREAMS in via foreachBatch (insert +
-    index refresh per micro-batch — each refresh signs only its delta).
-    The final probe against an incoming batch must equal DuckDB's
-    replay of sign-everything → band → equi-join: the dedup index keeps
-    pace with ingest without ever re-shingling what already landed."""
+    index refresh per micro-batch — each refresh signs only its delta;
+    the first micro-batch's refresh folds the bootstrap commit too,
+    pinning that a refresh window spanning MULTIPLE insert-only commits
+    still folds as one delta). The final probe against an incoming
+    batch must equal DuckDB's replay of sign-everything → band →
+    equi-join: the dedup index keeps pace with ingest without ever
+    re-shingling what already landed. 32 hashes / 8 bands, as in
+    engine_minhash_index."""
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.minhash_index import (
         create_minhash_index,
@@ -7986,8 +8024,8 @@ def streaming_minhash_index(spark, sf_dir):
     corpus = d.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 900))
     eng.create_table("docs", record_key="doc_id")
     eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")  # bootstrap
-    create_minhash_index(eng, "docs", "mh", "doc_id", "text")
-    refresh_minhash_index(eng, "mh")
+    create_minhash_index(eng, "docs", "mh", "doc_id", "text",
+                         num_hashes=32, bands=8)
     rest = corpus.filter(F.col("doc_id") % 2 != 0)
     src = f"{root}/src"
     rest.repartition(2).write.mode("overwrite").parquet(src)
@@ -8065,15 +8103,18 @@ def streaming_stream_join(spark, sf_dir):
         ls, rs, ["user_id"], "lts", "rts",
         watermark_delay="400 days", max_gap="30 minutes",
     )
-    q_ = (
-        joined.select("user_id", "l_id", "r_id")
-        .writeStream.format("parquet")
-        .option("path", f"{root}/out")
-        .option("checkpointLocation", f"{root}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
+    # a stream-stream join keeps FOUR state stores per partition: size
+    # the state partition count to the stream (see _state_partitions)
+    with _state_partitions(spark):
+        q_ = (
+            joined.select("user_id", "l_id", "r_id")
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
     return (
         spark.read.parquet(f"{root}/out")
         .select("user_id", "l_id", "r_id")

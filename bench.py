@@ -154,6 +154,8 @@ HEADLINE = [
     "streaming_minhash_index",
     "similarity_hard_negatives",
     "sample_leakage_safe_split",
+    # round 7 additions
+    "engine_index_after_cluster",
 ]
 
 

@@ -8369,6 +8369,82 @@ def engine_view_prune(spark, sf_dir):
 
 
 @q(
+    "engine_index_after_cluster",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_totalprice * 2 <= 40000
+    ORDER BY o_orderkey
+    """,
+)
+def engine_index_after_cluster(spark, sf_dir):
+    """Index maintenance under CLUSTERING, SELF-ASSERTING: a
+    replacecommit rewrites every live base file, so any file-granular
+    index whose entries did not follow the rewrite silently stops
+    pruning right after the table service that runs most often at
+    scale. Three insert commits build ≥3 file groups with a functional
+    index on `o_totalprice * 2`; after `cluster(o_totalprice)` the
+    query asserts (a) every post-cluster live file carries a functional
+    index entry — the rewrite refreshed the index, not just the data —
+    and (b) a derived-value probe still scans a STRICT file subset.
+    Returns the oracled probe result. Partition-granular indexes
+    (record-level, secondary) are immune by design (clustering
+    preserves partitions) — pinned by pytest; this gate covers the one
+    index that is file-granular."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    root = _scratch("engine_index_after_cluster", sf_dir)
+    eng = Engine(spark, root)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 == 0
+    ).select("o_orderkey", "o_totalprice")
+    eng.create_table("t", record_key="o_orderkey")
+    for i in range(3):
+        eng.insert(o.filter(F.col("o_orderkey") % 3 == i), "t")
+    eng.create_functional_index("t", "fx2", "o_totalprice * 2")
+    # pin the clustered layout at 4 range-disjoint files so the
+    # strict-subset assert is scale-invariant (at real scale the file
+    # count falls out of the 128 MB sizing target instead)
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.coalescePartitions.enabled": conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        ),
+        "spark.sql.shuffle.partitions": conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        eng.cluster("t", ["o_totalprice"])
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    cfg = eng._resolve("t")
+    live = set(Timeline(cfg.path).live_files())
+    covered = set(eng._functional_index(cfg, "fx2").ranges())
+    if not live or not live <= covered:
+        raise AssertionError(
+            f"functional index lost files under clustering: "
+            f"{sorted(live - covered)}"
+        )
+    probe = eng.read("t", func_filter=("fx2", None, 40000.0))
+    n_scanned, n_total = len(probe.inputFiles()), len(live)
+    if not n_scanned < n_total:
+        raise AssertionError(
+            f"post-cluster functional prune regression: scanned "
+            f"{n_scanned} of {n_total} files"
+        )
+    return (
+        probe.select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        ).orderBy("o_orderkey")
+    )
+
+
+@q(
     "engine_chained_rollup",
     """
     WITH src AS (

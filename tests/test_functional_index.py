@@ -152,3 +152,36 @@ def test_covers_percent_encoded_partition_paths(engine, spark):
     assert any("v spc" in p for p in rng), rng
     got = engine.read(t, func_filter=("fxv", 0.0, 100.0))
     assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_entries_follow_clustering(engine, spark):
+    """Clustering REPLACES every live base file (replacecommit): the
+    new files must carry functional-index entries of their own — the
+    rewrite lands through the same materialize hook as any write, so a
+    post-cluster pruned read keeps both completeness AND skipping. A
+    silent gap here would not corrupt results (files without an entry
+    are always kept) but would quietly turn the index off right after
+    the table service that runs most often at scale."""
+    import pathlib
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    t = _setup(engine, spark)
+    engine.create_functional_index(t, "fxv", "price * 2")
+    cfg = engine._resolve(t)
+    before = set(engine._functional_index(cfg, "fxv").ranges())
+    engine.cluster(t, ["price"])
+    live = set(Timeline(cfg.path).live_files())
+    rng = engine._functional_index(cfg, "fxv").ranges()
+    # completeness: every post-cluster live base file has an entry
+    assert live <= set(rng), sorted(live - set(rng))
+    # the clustered layout produced NEW files, with NEW entries
+    assert live.isdisjoint(before)
+    # skipping still proven physically: corrupt the high-range files —
+    # a low-range pruned probe must never open them
+    for p in live:
+        lo_hi = rng[p]
+        if lo_hi[0] > 100:
+            (pathlib.Path(cfg.path) / "data" / p).write_bytes(b"junk")
+    got = engine.read(t, func_filter=("fxv", 0.0, 100.0))
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]

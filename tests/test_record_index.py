@@ -131,3 +131,20 @@ def test_global_delete_by_bare_keys(engine, spark):
     keys = spark.createDataFrame([(3,), (4,)], "id int")
     engine.delete_keys(t, keys)
     assert sorted(r[0] for r in _state(engine, t)) == [1, 2, 5, 6]
+
+
+def test_rli_survives_clustering(engine, spark):
+    """Clustering replaces every live file but PRESERVES partitions —
+    the RLI's key→partition pairs stay valid across the replacecommit
+    (no truncation, unlike rollback/restore), and the next global
+    upsert still locates each key's owning partition through it."""
+    t = _setup(engine, spark)
+    engine.cluster(t, ["price"])
+    cfg = engine._resolve(t)
+    idx = RecordIndex(spark, cfg)
+    assert idx.usable()  # not truncated by the table service
+    # global upsert routed through the surviving index: key 4 lives in
+    # p2 and must be updated there, not duplicated into a new partition
+    engine.upsert(_mkdf(spark, [(4, "z", 9.0, 200, "p2")]), t)
+    st = _state(engine, t)
+    assert (4, "z", 9.0, 200, "p2") in st and len(st) == 6

@@ -357,3 +357,27 @@ def test_auto_point_filter_conjunctions(engine, spark):
     # but a DML with a conjunction still deletes exactly
     engine.delete(t, "city = 'tokyo' and price >= 0")
     assert engine.read(t, point_filter=("city", "tokyo")).count() == 0
+
+
+def test_index_survives_clustering(engine, spark):
+    """Clustering replaces every live file but PRESERVES partitions —
+    the secondary index maps value→partition, so its entries must stay
+    valid (complete + still pruning) across the replacecommit, with no
+    truncation or rebuild. Pins the partition-granularity design choice
+    that makes the index immune to file-replacing table services."""
+    t = _setup(engine, spark)
+    engine.create_index(t, "city")
+    engine.cluster(t, ["price"])
+    cfg = engine._resolve(t)
+    idx = engine._secondary_index(cfg, "city")
+    assert idx is not None and idx.usable()  # not truncated
+    assert idx.lookup_partitions(["paris"]) == {
+        "dt=2022-01-01", "dt=2022-01-02"
+    }
+    got = engine.read(t, point_filter=("city", ["paris"]))
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+    # maintenance continues after the service
+    engine.upsert(
+        spark.createDataFrame([(5, "oslo", 50.0, 2, "2022-01-04")], SCHEMA), t
+    )
+    assert idx.lookup_partitions(["oslo"]) == {"dt=2022-01-04"}

@@ -190,3 +190,21 @@ def test_refresh_is_single_commit_filter_view(engine, spark):
     assert len(fv_tl.instants()) == before + 1
     ks = sorted(r.k for r in engine.read("fv").select("k").collect())
     assert ks == [9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
+
+
+def test_cdc_emits_delete_for_tombstoned_key(engine, spark):
+    """Downstream derived tables consume the view's CDC feed — a key
+    evicted by a soft-delete upsert must surface there as a `delete`
+    change (and the updated key as an update), or chained views would
+    silently keep retired rows."""
+    engine.create_table("t", record_key="k", partition_by="p")
+    engine.insert(_mk(spark, [(1, "a", 10), (2, "a", 20)]), "t")
+    begin = Timeline(engine._resolve("t").path).last_instant()
+    engine.upsert(
+        _mk_marked(spark, [(1, "a", 11, False), (2, "a", None, True)]), "t"
+    )
+    ch = {
+        r["k"]: r["_change_type"]
+        for r in engine.read_cdc("t", begin=begin).collect()
+    }
+    assert ch == {1: "update", 2: "delete"}

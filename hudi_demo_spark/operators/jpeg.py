@@ -13,8 +13,12 @@ quality scaling; progressive with arbitrary scan scripts at 4:4:4 or
 4:2:0 emitting the SAME quantized coefficients, so progressive decode
 is differentially pinned bit-exact against baseline decode — including
 the A.2.2 geometry where a subsampled frame's non-interleaved scan
-grid is smaller than its MCU-padded array). Lossless/arithmetic-coded
-JPEGs raise NotImplementedError — honest gaps, loudly.
+grid is smaller than its MCU-padded array) PLUS lossless (SOF3, Annex
+H) decode — per-sample predictors 1-7, 2-16-bit precision, point
+transform, modulo-2^16 differences with the SSSS=16 special case, and
+a fixture encoder whose roundtrip is EXACT (the lossless self-oracle).
+Arithmetic-coded and hierarchical JPEGs raise NotImplementedError —
+honest gaps, loudly.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
 operators/multimodal.py) — per-payload Python cost, zero shuffle. The
@@ -421,10 +425,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 huffval = list(body[i + 17 : i + 17 + n])
                 hufftabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if marker != 0xC3 and prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if marker == 0xC3 and not 2 <= prec <= 16:
+                raise ValueError(f"lossless JPEG precision {prec}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
@@ -434,23 +441,41 @@ def decode_jpeg(payload: bytes) -> dict:
             frame = {
                 "w": w, "h": h, "comps": comps,
                 "progressive": marker == 0xC2,
+                "lossless": marker == 0xC3,
+                "precision": prec,
             }
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            # quantized coefficients accumulate here (natural order per
-            # block) — progressive scans refine them across SOS
-            # segments; the IDCT batches over the whole array at the end
-            coefs = [
-                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
-                for c in comps
-            ]
-            preds = [0] * nc
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC3:
+                # Annex H: spatial samples, no DCT grid. Sampling
+                # factors other than 1x1 change the MCU sample order —
+                # out of scope (DNG/medical lossless are 1x1)
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampling"
+                    )
+                coefs = [
+                    np.zeros((h, w), dtype=np.int32) for _ in comps
+                ]
+                preds = [0] * nc
+            else:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # quantized coefficients accumulate here (natural order
+                # per block) — progressive scans refine them across SOS
+                # segments; the IDCT batches over the whole array at the
+                # end
+                coefs = [
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                ]
+                preds = [0] * nc
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic JPEG not supported"
+                "arithmetic-coded/hierarchical JPEG not supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -470,7 +495,12 @@ def decode_jpeg(payload: bytes) -> dict:
             ]
             if len(scan_comps) != ns:
                 raise ValueError("JPEG: scan component not in frame")
-            if frame["progressive"]:
+            if frame.get("lossless"):
+                _decode_scan_lossless(
+                    segs, scan_comps, smap, hufftabs, coefs,
+                    restart_interval, frame, ss, ahal & 0x0F,
+                )
+            elif frame["progressive"]:
                 _decode_scan_progressive(
                     segs, scan_comps, smap, hufftabs, coefs, preds,
                     restart_interval, mcux, mcuy, frame,
@@ -487,6 +517,8 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2 + size
     if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF/SOS")
+    if frame.get("lossless"):
+        return _reconstruct_lossless(frame, coefs)
     return _reconstruct(frame, qt, coefs)
 
 
@@ -646,6 +678,102 @@ def _decode_scan_progressive(
                 eobrun = _ac_first(bits, ac_lut, row, ss, se, al, eobrun)
             else:
                 eobrun = _ac_refine(bits, ac_lut, row, ss, se, al, eobrun)
+
+
+def _decode_scan_lossless(
+    segs, scan_comps, smap, hufftabs, samples,
+    restart_interval, frame, predictor, pt,
+):
+    """Lossless scan (Annex H): per-SAMPLE Huffman-coded differences
+    against predictors 1-7 over reconstructed neighbors, modulo-2^16
+    arithmetic, SSSS=16 → diff=32768 with no extra bits (H.1.2.2).
+    MCU = one sample per scan component (1x1 sampling enforced at SOF);
+    a restart resets the bitstream AND the prediction — the first
+    sample of each restart interval uses the scan-start default
+    2^(P-1-Pt), exactly what the fixture encoder emits. Entropy rides
+    the same vectorized _Bits reader as DCT scans. Samples are stored
+    point-transform-shifted (<< Pt), prediction runs on the unshifted
+    values (H.1.1)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor {predictor}")
+    prec = frame["precision"]
+    default = 1 << (prec - 1 - pt)
+    w = frame["w"]
+    h = frame["h"]
+    dc_luts = {ci: hufftabs[(0, smap[c["id"]][0])] for ci, c in scan_comps}
+    # unshifted reconstructed rows per component (prediction context)
+    prev_rows = {ci: None for ci, _ in scan_comps}
+    cur_rows = {ci: [0] * w for ci, _ in scan_comps}
+    seg_i = 0
+    bits = _Bits(segs[0])
+    mcu = 0
+    reset = True  # scan start: first sample takes the default
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                bits = _Bits(segs[seg_i])
+                reset = True
+            mcu += 1
+            for ci, _c in scan_comps:
+                row = cur_rows[ci]
+                above = prev_rows[ci]
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = row[x - 1] if x else default
+                elif x == 0:
+                    px = above[0]
+                else:
+                    a, b, cdiag = row[x - 1], above[x], above[x - 1]
+                    if predictor == 1:
+                        px = a
+                    elif predictor == 2:
+                        px = b
+                    elif predictor == 3:
+                        px = cdiag
+                    elif predictor == 4:
+                        px = a + b - cdiag
+                    elif predictor == 5:
+                        px = a + ((b - cdiag) >> 1)
+                    elif predictor == 6:
+                        px = b + ((a - cdiag) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                t = bits.huff(dc_luts[ci])
+                diff = 32768 if t == 16 else _extend(bits.receive(t), t)
+                v = (px + diff) & 0xFFFF
+                row[x] = v
+                samples[ci][y, x] = v << pt
+            reset = False
+        for ci, _c in scan_comps:
+            prev_rows[ci] = cur_rows[ci]
+            cur_rows[ci] = [0] * w
+
+
+def _reconstruct_lossless(frame, samples) -> dict:
+    """Assemble lossless component planes into the decode_media
+    contract: no color transform (Annex H defines none — components are
+    stored verbatim). 8-bit → uint8 (grayscale replicated to 3
+    channels, 3 components stacked as-is); deeper precisions → uint16
+    with `precision` recorded so callers can normalize, mirroring
+    decode_ppm's 16-bit contract."""
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    prec = frame["precision"]
+    planes = [s[:h, :w] for s in samples]
+    out = {"kind": "image", "width": w, "height": h,
+           "precision": prec, "lossless": True}
+    dt = np.uint8 if prec <= 8 else np.uint16
+    if len(planes) == 1:
+        g = planes[0].astype(dt)
+        out["pixels"] = np.stack([g, g, g], axis=2)
+    else:
+        out["pixels"] = np.stack([p.astype(dt) for p in planes], axis=2)
+    return out
 
 
 def _reconstruct(frame, qt, coefs) -> dict:
@@ -1321,3 +1449,127 @@ def encode_jpeg_420(
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3) test-fixture encoder
+# ---------------------------------------------------------------------------
+
+# one Huffman table for the 17 difference categories (0-16), all coded
+# at 5 bits: kraft 17/32 < 1, max code 0b10000 (never all-ones). Not
+# entropy-optimal — fixture encoders optimize for determinism, and the
+# decoder must handle ANY valid table anyway.
+_LOSSLESS_BITS = [0, 0, 0, 0, 0, 17] + [0] * 11
+_LOSSLESS_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    arr,
+    predictor: int = 1,
+    precision: int | None = None,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) or (h, w, ncomp) integer samples → lossless JPEG (SOF3,
+    Annex H) bytes. Test-fixture encoder: decode_jpeg must return the
+    input EXACTLY (after the point transform's >>pt <<pt truncation) —
+    the lossless self-oracle needs no reference decoder. `precision`
+    defaults to the smallest of 8/12/16 that fits the data; components
+    are stored verbatim (no color transform, 1x1 sampling)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if precision is None:
+        top = int(a.max()) if a.size else 0
+        precision = 8 if top < 256 else (12 if top < 4096 else 16)
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless JPEG precision {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor {predictor}")
+    if not 0 <= pt < precision:
+        raise ValueError(f"point transform {pt} for precision {precision}")
+    planes = [(a[:, :, ci].astype(np.int64) >> pt) for ci in range(nc)]
+    enc = _enc_codes(_LOSSLESS_BITS, _LOSSLESS_VALS)
+    default = 1 << (precision - 1 - pt)
+    wtr = _BitWriter()
+    chunks: list[bytes] = []
+    prev_rows: list = [None] * nc
+    mcu = 0
+    reset = True
+    for y in range(h):
+        rows = [p[y] for p in planes]
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                chunks.append(bytes(wtr.out))
+                chunks.append(bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                ))
+                wtr = _BitWriter()
+                reset = True
+            mcu += 1
+            for ci in range(nc):
+                row, above = rows[ci], prev_rows[ci]
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = int(row[x - 1]) if x else default
+                elif x == 0:
+                    px = int(above[0])
+                else:
+                    ra, rb = int(row[x - 1]), int(above[x])
+                    rc = int(above[x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                d = (int(row[x]) - px) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:  # SSSS=16: no appended bits (H.1.2.2)
+                    code, length = enc[16]
+                    wtr.write(code, length)
+                else:
+                    t = _csize(d)
+                    code, length = enc[t]
+                    wtr.write(code, length)
+                    if t:
+                        wtr.write(d if d >= 0 else d + (1 << t) - 1, t)
+            reset = False
+        prev_rows = rows
+    wtr.flush()
+    chunks.append(bytes(wtr.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xC4, bytes([0x00]) + bytes(_LOSSLESS_BITS[1:17])
+               + bytes(_LOSSLESS_VALS))
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xDA, sos)
+    out += b"".join(chunks)
+    out += b"\xff\xd9"
+    return out

@@ -2,12 +2,13 @@
 
 The Spark-side plumbing is real and tested: schema, partition-friendly
 batch shapes, Arrow-batched `mapInPandas` UDF signatures. Decoding is
-REAL for containers that need no codec libraries — binary PPM and
-uncompressed 24-bit BMP images, PCM WAV audio — implemented in pure
-numpy (vectorized frombuffer, no per-sample Python). Codecs that
-genuinely need external libraries (JPEG/PNG/MP3/H.264) remain an
-honest NotImplementedError; `fake=True` keeps the deterministic
-digest pseudo-decode for oracle-stable plumbing tests.
+REAL in pure numpy, no codec libraries: binary PPM (8- and 16-bit) and
+uncompressed 24-bit BMP images, PCM WAV audio, Y4M video frames, plus
+the full JPEG (baseline + progressive + lossless, operators/jpeg.py),
+PNG (operators/png.py) and GIF (operators/gif.py) decoders. Codecs
+that genuinely need external libraries (MP3/H.264) remain an honest
+NotImplementedError; `fake=True` keeps the deterministic digest
+pseudo-decode for oracle-stable plumbing tests.
 
 Design for 100 TB: binary payloads stay in parquet binary columns (never
 collect, never base64 through the driver); decode/feature-extract runs in
@@ -88,18 +89,28 @@ def sniff(payload: bytes | None) -> str | None:
     return None
 
 
-def encode_ppm(arr) -> bytes:
-    """uint8 (h, w, 3) → binary PPM (P6). Test-fixture encoder."""
+def encode_ppm(arr, maxval: int = 255) -> bytes:
+    """(h, w, 3) → binary PPM (P6). Test-fixture encoder; maxval > 255
+    emits the spec's 2-byte big-endian samples (16-bit PPM)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+    if maxval > 255:
+        a = np.asarray(arr, dtype=np.uint16)
+        h, w, _ = a.shape
+        body = a.astype(">u2").tobytes()
+    else:
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w, _ = a.shape
+        body = a.tobytes()
+    return b"P6\n%d %d\n%d\n" % (w, h, maxval) + body
 
 
 def decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (P6, maxval ≤ 255): header is whitespace-separated
-    tokens with '#' comments; pixels are raw RGB."""
+    """Binary PPM (P6): header is whitespace-separated tokens with '#'
+    comments; pixels are raw RGB — 1 byte per sample for maxval ≤ 255,
+    2 bytes big-endian for maxval up to 65535 (the spec's 16-bit
+    form, used by scanners/HDR pipelines). 16-bit decodes to uint16
+    with `maxval` recorded so callers can normalize."""
     import numpy as np
 
     pos = 2
@@ -117,10 +128,14 @@ def decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval out of range: {maxval}")
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+        px = np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=pos)
+        return {"kind": "image", "width": w, "height": h, "maxval": maxval,
+                "pixels": px.astype(np.uint16).reshape(h, w, 3)}
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return {"kind": "image", "width": w, "height": h,
+    return {"kind": "image", "width": w, "height": h, "maxval": maxval,
             "pixels": px.reshape(h, w, 3)}
 
 
@@ -353,7 +368,7 @@ def decode_media(payload: bytes) -> dict:
     if k == "y4m":
         return decode_y4m(payload)
     raise NotImplementedError(
-        "unknown container: only PPM/BMP/WAV/Y4M/baseline-JPEG/PNG/GIF "
+        "unknown container: only PPM/BMP/WAV/Y4M/JPEG/PNG/GIF "
         "decode without codec libraries; pass fake=True for the "
         "deterministic test double"
     )

@@ -749,3 +749,91 @@ def test_jpeg_420_progressive_matches_baseline():
             )
         )["pixels"]
         assert np.array_equal(base, prog), (shape, q, ri)
+
+
+def test_ppm_16bit_roundtrip():
+    """16-bit PPM (maxval > 255): the spec's 2-byte big-endian samples —
+    previously an honest NotImplementedError; now decoded to uint16
+    with maxval recorded so callers can normalize."""
+    import numpy as np
+
+    from hudi_demo_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 65535, size=(5, 4, 3), dtype=np.uint16)
+    m = mm.decode_ppm(mm.encode_ppm(px, maxval=65535))
+    assert (m["width"], m["height"], m["maxval"]) == (4, 5, 65535)
+    assert m["pixels"].dtype == np.uint16
+    assert np.array_equal(m["pixels"], px)
+    # hand-built header with a comment, odd maxval, big-endian body
+    manual = b"P2P"[:2] + b"\n# c\n3 2\n1023\n" + px[:2, :3].astype(">u2").tobytes()
+    got = mm.decode_ppm(b"P6" + manual[2:])
+    assert got["maxval"] == 1023 and got["pixels"].shape == (2, 3, 3)
+    assert np.array_equal(got["pixels"], px[:2, :3])
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 lossless (Annex H): the fixture encoder's roundtrip must be
+    EXACT for every predictor — the lossless self-oracle (no float
+    tolerance, no reference decoder needed)."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(23, 17), dtype=np.int64)
+    for p in range(1, 8):
+        d = decode_jpeg(encode_jpeg_lossless(img, predictor=p))
+        assert d["lossless"] and d["precision"] == 8
+        assert np.array_equal(d["pixels"][:, :, 0], img.astype(np.uint8)), p
+        # grayscale replicates to 3 channels, same as the DCT paths
+        assert d["pixels"].shape == (23, 17, 3)
+
+
+def test_jpeg_lossless_deep_precision_restarts_and_pt():
+    """16-bit samples with restart intervals (prediction resets to the
+    scan-start default each interval), 12-bit autodetect, and the point
+    transform's >>Pt <<Pt truncation — all exact."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(7)
+    img3 = rng.integers(0, 65536, size=(11, 13, 3), dtype=np.int64)
+    d = decode_jpeg(
+        encode_jpeg_lossless(img3, predictor=4, restart_interval=20)
+    )
+    assert d["precision"] == 16
+    assert np.array_equal(d["pixels"], img3.astype(np.uint16))
+    d = decode_jpeg(encode_jpeg_lossless(img3, predictor=7, pt=3))
+    assert np.array_equal(d["pixels"], ((img3 >> 3) << 3).astype(np.uint16))
+    img12 = rng.integers(0, 4096, size=(9, 9), dtype=np.int64)
+    d = decode_jpeg(encode_jpeg_lossless(img12, predictor=5))
+    assert d["precision"] == 12
+    assert np.array_equal(d["pixels"][:, :, 0], img12.astype(np.uint16))
+
+
+def test_jpeg_lossless_rejects_out_of_scope():
+    """Honest-gap boundaries: subsampled lossless frames and arithmetic
+    frames still raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_lossless,
+    )
+
+    img = np.zeros((4, 4), dtype=np.int64)
+    payload = bytearray(encode_jpeg_lossless(img))
+    sof = payload.index(b"\xff\xc3")
+    payload[sof + 11] = 0x22  # hv of the only component -> 2x2
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(payload))
+    payload = bytearray(encode_jpeg_lossless(img))
+    payload[payload.index(b"\xff\xc3") + 1] = 0xCB  # SOF11 arithmetic
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(payload))

@@ -156,6 +156,7 @@ HEADLINE = [
     "sample_leakage_safe_split",
     # round 7 additions
     "engine_index_after_cluster",
+    "multimodal_jpeg_lossless",
 ]
 
 

@@ -2818,6 +2818,64 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_jpeg_lossless",
+    """
+    SELECT d.doc_id,
+           CAST(sum((d.doc_id * 7 + y.y * 131 + x.x * 17) % 65536)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(12) y(y), range(16) x(x)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_lossless(spark, sf_dir):
+    """REAL lossless-JPEG (SOF3, Annex H) decode, algebraically
+    oracled — and STRONGER than the DCT gates: lossless decode is exact
+    for ARBITRARY pixels, so the fixture is a dense 16-bit gradient
+    field (doc_id·7 + y·131 + x·17) mod 65536, not a block-constant
+    image. Each doc encodes with a DIFFERENT predictor (1 + doc_id mod
+    7) and alternating restart intervals, so one gate sweeps the whole
+    predictor family and the restart reset; the decoded pixel sum must
+    equal the closed form bit-exactly. The archival/medical/DNG decode
+    path of a crawl corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.jpeg import encode_jpeg_lossless
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                y, x = np.meshgrid(np.arange(12), np.arange(16),
+                                   indexing="ij")
+                img = (int(did) * 7 + y * 131 + x * 17) % 65536
+                px = decode_media(
+                    encode_jpeg_lossless(
+                        img,
+                        predictor=1 + int(did) % 7,
+                        restart_interval=5 if did % 2 else 0,
+                    )
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_jpeg_progressive",
     """
     SELECT d.doc_id,

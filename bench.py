@@ -157,6 +157,7 @@ HEADLINE = [
     # round 7 additions
     "engine_index_after_cluster",
     "multimodal_jpeg_lossless",
+    "dedup_admission_incremental",
 ]
 
 

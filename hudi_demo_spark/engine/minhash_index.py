@@ -218,6 +218,25 @@ def refresh_minhash_index(engine, name: str) -> dict | None:
     return out
 
 
+def minhash_admit(engine, name: str, batch: DataFrame) -> DataFrame:
+    """ADMISSION CONTROL at ingest: the rows of `batch` that are NOT
+    near-duplicates of anything already indexed — the dedup-on-ingest
+    guard a crawl pipeline runs in front of its corpus table (admit →
+    insert → refresh, batch by batch), instead of admitting everything
+    and deduplicating petabytes retroactively. A batch row is rejected
+    when it shares ≥1 LSH band bucket with any indexed doc; rows of the
+    SAME batch never block each other (they are not indexed yet), so
+    admission is deterministic given batch order. Costs one probe
+    (map-side batch signatures + the col-stats-pruned index join) and
+    one broadcast-able anti-join back onto the batch."""
+    cfg = engine._resolve(name)
+    id_col = cfg.props["mhindex.id_col"]
+    hits = minhash_probe(engine, name, batch).select("query_id").distinct()
+    return batch.join(
+        hits, batch[id_col] == hits["query_id"], "left_anti"
+    )
+
+
 def cluster_index(engine, name: str) -> dict | None:
     """Range-layout the index on (band, bucket) and record per-file
     col-stats, so probes point-prune files by bucket value — the step
@@ -237,9 +256,16 @@ def minhash_probe(
     the corpus); with `prune` (default) the index read point-prunes by
     the batch's distinct bucket values through per-file col-stats (see
     cluster_index). Self-id matches are excluded so a batch containing
-    already-indexed docs reports only genuine cross-candidates."""
+    already-indexed docs reports only genuine cross-candidates. An
+    EMPTY index (created, never refreshed) yields no candidates without
+    signing the batch — the admission guard's very first batch."""
     cfg = engine._resolve(name)
     id_col, text_col, num_hashes, bands = _params(cfg)
+    if Timeline(cfg.path).last_instant() is None:
+        return batch.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("match_id"),
+        ).limit(0)
     q = lsh_band_rows(batch, id_col, text_col, num_hashes, bands).select(
         F.col(id_col).alias("query_id"), _BAND_COL, _BUCKET_COL
     ).persist()

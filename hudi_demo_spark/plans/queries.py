@@ -2054,6 +2054,150 @@ def _minhash_index_oracle(
     """
 
 
+def _minhash_admission_oracle(
+    corpus_sql: str, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """Greedy per-batch ADMISSION replay in DuckDB: all corpus docs
+    sign with the portable pipeline once; batch b's admitted set =
+    its docs with no band-bucket collision against the union of the
+    previously ADMITTED batches (rejected docs never entered the index,
+    so they never block). Three chained CTEs — no recursion needed for
+    a fixed batch count."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+    from hudi_demo_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    p = MINHASH_P
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, p))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vs} FROM sigs".format(
+            b=b,
+            vs=", ".join(f"h{b * rpb + r} AS v{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    veq = " AND ".join(f"q.v{r} = c.v{r}" for r in range(rpb))
+    h = PORTABLE_HASH60_SQL.format(x="sh")
+
+    def blocked(batch: int, prior: str) -> str:
+        return f"""
+      SELECT DISTINCT q.doc_id FROM band_rows q JOIN band_rows c
+        ON q.band = c.band AND {veq}
+      WHERE q.doc_id % 3 = {batch} AND c.doc_id IN ({prior})"""
+
+    return f"""
+    WITH docs AS ({corpus_sql}), toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS t
+      FROM docs
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+      FROM toks
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, sh FROM grams
+    ), hashed AS (
+      SELECT doc_id, {h} % {p} AS h FROM dgrams
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hashed GROUP BY doc_id
+    ), band_rows AS (
+      {band_rows}
+    ), a0 AS (
+      SELECT doc_id FROM docs WHERE doc_id % 3 = 0
+    ), a1 AS (
+      SELECT doc_id FROM docs WHERE doc_id % 3 = 1
+        AND doc_id NOT IN ({blocked(1, "SELECT doc_id FROM a0")})
+    ), a2 AS (
+      SELECT doc_id FROM docs WHERE doc_id % 3 = 2
+        AND doc_id NOT IN ({blocked(
+            2,
+            "SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1")})
+    )
+    SELECT doc_id, CAST(doc_id % 3 AS INT) AS admitted_batch
+    FROM (SELECT doc_id FROM a0 UNION ALL
+          SELECT doc_id FROM a1 UNION ALL
+          SELECT doc_id FROM a2)
+    ORDER BY doc_id
+    """
+
+
+# admission corpus: 600-id cap; every (doc_id // 3) % 4 == 0 group
+# plants EXACT CLONES of its batch-0 base text into batches 1 and 2,
+# so cross-batch rejections are guaranteed at any SF (identical text →
+# identical signature → every band collides)
+_MH_ADMISSION_SRC = """
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 <> 0 AND (d.doc_id // 3) % 4 = 0
+                  THEN b.text ELSE d.text END AS text
+      FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+      WHERE d.doc_id < 600
+"""
+
+
+@q("dedup_admission_incremental", _minhash_admission_oracle(_MH_ADMISSION_SRC))
+def dedup_admission_incremental(spark, sf_dir):
+    """Near-dup ADMISSION CONTROL at ingest (the dedup-on-ingest shape
+    of a 100 TB crawl pipeline): three batches arrive in order; each is
+    probed against the maintained MinHash-LSH index BEFORE insert, its
+    near-dup colliders are dropped, and only the survivors land and get
+    indexed — so the corpus table never needs retroactive dedup and the
+    per-batch cost is one map-side probe + one insert-only index fold,
+    never a corpus re-scan. Rejected docs never enter the index, so
+    they never block later batches. The oracle replays greedy admission
+    as three chained CTEs over the portable signatures. 25% of batch-
+    1/2 docs are exact clones of their batch-0 base, so rejections are
+    guaranteed at any SF."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.minhash_index import (
+        create_minhash_index,
+        minhash_admit,
+        refresh_minhash_index,
+    )
+
+    root = _scratch("dedup_admission_incremental", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") < 600)
+        .join(base, F.expr("b_id = doc_id - doc_id % 3"))
+        .select(
+            "doc_id",
+            F.when(
+                F.expr("doc_id % 3 != 0 AND (doc_id div 3) % 4 = 0"),
+                F.col("b_text"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    eng.create_table("docs", record_key="doc_id")
+    create_minhash_index(eng, "docs", "mh", "doc_id", "text",
+                         num_hashes=32, bands=8)
+    for b in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == b)
+        survivors = minhash_admit(eng, "mh", batch)
+        eng.insert(survivors, "docs")
+        if b < 2:  # nothing probes after the last batch — skip its fold
+            refresh_minhash_index(eng, "mh")
+    return (
+        eng.read("docs")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("admitted_batch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _MH_ENGINE_SRC = """
       SELECT doc_id,
              CASE WHEN doc_id % 12 = 0 THEN text || ' zq zq zq'

@@ -2092,3 +2092,42 @@ def test_minhash_index_lifecycle(engine, spark):
     with pytest.raises(ValueError, match="divisible"):
         create_minhash_index(engine, "mhd", "mhbad", "doc_id", "text",
                              num_hashes=64, bands=15)
+
+
+def test_minhash_admission_guard(engine, spark):
+    """minhash_admit: batch rows near-duplicating the INDEXED corpus
+    are rejected, within-batch twins do not block each other, and a
+    probe against a created-but-never-refreshed index admits everything
+    (the first batch of an ingest pipeline)."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.minhash_index import (
+        create_minhash_index, minhash_admit, refresh_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, f"{base} variant {i} " + "unique " * (i + 1)) for i in range(6)],
+        "doc_id int, text string",
+    )
+    engine.create_table("adm", record_key="doc_id")
+    create_minhash_index(engine, "adm", "admx", "doc_id", "text",
+                         num_hashes=16, bands=4)
+    # empty index: everything admitted, no signing of the corpus needed
+    first = minhash_admit(engine, "admx", docs)
+    assert first.count() == 6
+    engine.insert(docs, "adm")
+    refresh_minhash_index(engine, "admx")
+    # batch: 10 = exact clone of doc 2 (rejected), 11/12 = identical
+    # twins of each other but novel vs the corpus (both admitted —
+    # same-batch rows never block each other), 13 = novel (admitted)
+    clone = docs.filter(F.col("doc_id") == 2).collect()[0]["text"]
+    twin = "a wholly new sentence about streams and lakes " * 3
+    batch = spark.createDataFrame(
+        [(10, clone), (11, twin), (12, twin), (13, "novel words " * 8)],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        r.doc_id for r in minhash_admit(engine, "admx", batch).collect()
+    )
+    assert got == [11, 12, 13]

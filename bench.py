@@ -158,6 +158,7 @@ HEADLINE = [
     "engine_index_after_cluster",
     "multimodal_jpeg_lossless",
     "dedup_admission_incremental",
+    "corpus_decontam_view",
 ]
 
 

@@ -5622,6 +5622,89 @@ def corpus_decontaminate(spark, sf_dir):
 
 
 @q(
+    "corpus_decontam_view",
+    """
+    WITH train AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' zq zq zq'
+                  ELSE text END AS text
+      FROM documents
+      WHERE doc_id < 600 AND doc_id % 7 <> 0 AND doc_id % 13 <> 0
+    ), ev AS (
+      SELECT text FROM documents WHERE doc_id < 600 AND doc_id % 7 = 0
+    ), ttoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM train
+    ), tg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i : i + 7], ' '))
+             ELSE [] END) AS g8
+      FROM ttoks
+    ), etoks AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM ev
+    ), eg AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i : i + 7], ' '))
+             ELSE [] END) AS g8
+      FROM etoks
+    ), dirty AS (
+      SELECT DISTINCT doc_id FROM tg WHERE g8 IN (SELECT g8 FROM eg)
+    )
+    SELECT doc_id FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY doc_id
+    """,
+)
+def corpus_decontam_view(spark, sf_dir):
+    """Incrementally-maintained DECONTAMINATION VIEW lifecycle: the
+    clean corpus tracks a GROWING eval set without ever re-screening
+    what already passed — seed train + eval, initial screen, then an
+    eval APPEND (new benchmarks evict newly-contaminated view rows by
+    re-shingling only the view, map-side vs the new grams), a second
+    train ingest (screened against the eval END state), a text-mutating
+    UPDATE (CDC re-screen of exactly the changed ids) and a DELETE —
+    admissions and evictions landing as single atomic commits via
+    soft-delete tombstones. At 100 TB this turns 'we added 50 eval
+    docs' from a petabyte re-shingle into one bounded view pass. The
+    oracle replays the END state: train-after-DML screened against
+    eval-after-append."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.decontam_view import (
+        create_decontam_view,
+        refresh_decontam_view,
+    )
+
+    root = _scratch("corpus_decontam_view", sf_dir)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter((F.col("doc_id") < 600) & (F.col("doc_id") % 7 != 0))
+    ev = d.filter((F.col("doc_id") < 600) & (F.col("doc_id") % 7 == 0))
+    eng.create_table("train", record_key="doc_id")
+    eng.create_table("ev", record_key="doc_id")
+    eng.insert(train.filter(F.col("doc_id") % 2 == 0), "train")
+    eng.insert(ev.filter(F.col("doc_id") < 300), "ev")
+    create_decontam_view(eng, "train", "ev", "clean", "doc_id", "text",
+                         ngram=8)
+    refresh_decontam_view(eng, "clean")  # initial screen
+    eng.insert(ev.filter(F.col("doc_id") >= 300), "ev")  # eval grows
+    eng.insert(train.filter(F.col("doc_id") % 2 != 0), "train")
+    eng.update(
+        "train",
+        set={"text": F.concat(F.col("text"), F.lit(" zq zq zq"))},
+        where="doc_id % 11 = 0",
+    )
+    eng.delete("train", "doc_id % 13 = 0")
+    refresh_decontam_view(eng, "clean")  # evict + admit, one commit
+    return eng.read("clean").select("doc_id").orderBy("doc_id")
+
+
+@q(
     "corpus_repetition_score",
     """
     WITH toks AS (

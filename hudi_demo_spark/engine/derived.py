@@ -855,6 +855,12 @@ def refresh_all(engine) -> dict[str, dict | None]:
         elif "vecindex.source" in props:
             deps[name] = [props["vecindex.source"]]
             kinds[name] = "vecindex"
+        elif "mhindex.source" in props:
+            deps[name] = [props["mhindex.source"]]
+            kinds[name] = "mhindex"
+        elif "decontam.train" in props:
+            deps[name] = [props["decontam.train"], props["decontam.eval"]]
+            kinds[name] = "decontam"
     order: list[str] = []
     pending = set(deps)
     while pending:
@@ -867,6 +873,8 @@ def refresh_all(engine) -> dict[str, dict | None]:
             )
         order.extend(ready)
         pending.difference_update(ready)
+    from hudi_demo_spark.engine.decontam_view import refresh_decontam_view
+    from hudi_demo_spark.engine.minhash_index import refresh_minhash_index
     from hudi_demo_spark.engine.vector_index import refresh_vector_index
 
     refreshers = {
@@ -874,6 +882,8 @@ def refresh_all(engine) -> dict[str, dict | None]:
         "join": refresh_join_view,
         "filter": refresh_filter_view,
         "vecindex": refresh_vector_index,
+        "mhindex": refresh_minhash_index,
+        "decontam": refresh_decontam_view,
     }
     out: dict[str, dict | None] = {}
     for n in order:

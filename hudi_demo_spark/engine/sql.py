@@ -737,6 +737,71 @@ class SqlRouter:
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
             )
+        if proc == "create_minhash_index":
+            # CALL create_minhash_index(table => 'docs', name => 'mh',
+            #   id_col => 'doc_id', text_col => 'text'
+            #   [, num_hashes => '64', bands => '16'])
+            from hudi_demo_spark.engine.minhash_index import (
+                create_minhash_index,
+            )
+
+            name = args.get("name")
+            id_col, text_col = args.get("id_col"), args.get("text_col")
+            if not name or not id_col or not text_col:
+                raise ValueError(
+                    "call create_minhash_index(table => 'docs', "
+                    "name => 'mh', id_col => 'id', text_col => 'text')"
+                )
+            create_minhash_index(
+                self.engine, table, name, id_col, text_col,
+                num_hashes=int(args.get("num_hashes", 64)),
+                bands=int(args.get("bands", 16)),
+            )
+            return None
+        if proc == "refresh_minhash_index":
+            from hudi_demo_spark.engine.minhash_index import (
+                refresh_minhash_index,
+            )
+
+            meta = refresh_minhash_index(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
+        if proc == "create_decontam_view":
+            # CALL create_decontam_view(table => 'train', name => 'clean',
+            #   eval_table => 'ev', id_col => 'doc_id',
+            #   text_col => 'text' [, ngram => '8'])
+            from hudi_demo_spark.engine.decontam_view import (
+                create_decontam_view,
+            )
+
+            name = args.get("name")
+            ev = args.get("eval_table")
+            id_col, text_col = args.get("id_col"), args.get("text_col")
+            if not name or not ev or not id_col or not text_col:
+                raise ValueError(
+                    "call create_decontam_view(table => 'train', "
+                    "name => 'clean', eval_table => 'ev', "
+                    "id_col => 'id', text_col => 'text')"
+                )
+            create_decontam_view(
+                self.engine, table, ev, name, id_col, text_col,
+                ngram=int(args.get("ngram", 8)),
+            )
+            return None
+        if proc == "refresh_decontam_view":
+            from hudi_demo_spark.engine.decontam_view import (
+                refresh_decontam_view,
+            )
+
+            meta = refresh_decontam_view(self.engine, table)
+            return self.spark.createDataFrame(
+                [(meta is not None,
+                  (meta or {}).get("instant"))],
+                "refreshed boolean, instant string",
+            )
         if proc == "create_join_view":
             # CALL create_join_view(table => 'fact', name => 'view',
             #                       right_table => 'dim', on => 'k1,k2'

@@ -704,3 +704,48 @@ def test_call_filter_view_procedure(engine, spark):
     assert engine.sql(
         "call refresh_filter_view(table => 'fview')"
     ).collect()[0]["refreshed"] is False
+
+
+def test_call_minhash_index_and_decontam_view(engine, spark):
+    """CALL surface parity for the round-7 maintainers: minhash index
+    and decontamination view create/refresh through the SQL router, and
+    both participate in the catalog-wide `refresh_views` settle."""
+    engine.sql("create table mdocs (doc_id int, text string) using hudi "
+               "options (primaryKey = 'doc_id')")
+    engine.sql("insert into mdocs values "
+               "(1, 'alpha beta gamma delta epsilon'), "
+               "(2, 'alpha beta gamma delta epsilon'), "
+               "(3, 'totally different words entirely here')")
+    engine.sql("create table mev (doc_id int, text string) using hudi "
+               "options (primaryKey = 'doc_id')")
+    engine.sql("insert into mev values "
+               "(100, 'totally different words entirely')")
+    engine.sql(
+        "call create_minhash_index(table => 'mdocs', name => 'mmh', "
+        "id_col => 'doc_id', text_col => 'text', "
+        "num_hashes => '16', bands => '4')"
+    )
+    got = engine.sql("call refresh_minhash_index(table => 'mmh')").collect()
+    assert got[0]["refreshed"] is True
+    # docs 1 and 2 are identical -> every band collides
+    pairs = engine.sql(
+        "select a.doc_id as a, b.doc_id as b from mmh a join mmh b "
+        "on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id"
+    ).select("a", "b").distinct().collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    engine.sql(
+        "call create_decontam_view(table => 'mdocs', name => 'mclean', "
+        "eval_table => 'mev', id_col => 'doc_id', text_col => 'text', "
+        "ngram => '4')"
+    )
+    got = engine.sql("call refresh_decontam_view(table => 'mclean')").collect()
+    assert got[0]["refreshed"] is True
+    ids = sorted(r.doc_id for r in engine.read("mclean").collect())
+    assert ids == [1, 2]  # doc 3 shares the eval 4-gram
+    # catalog-wide settle covers BOTH new maintainer kinds
+    engine.sql("insert into mdocs values "
+               "(4, 'brand new clean content four words more')")
+    out = {r["view"]: r["refreshed"]
+           for r in engine.sql("call refresh_views()").collect()}
+    assert out.get("mmh") is True and out.get("mclean") is True
+    assert 4 in [r.doc_id for r in engine.read("mclean").collect()]

@@ -185,8 +185,15 @@ def test_partial_update_matches_reference_fold(
 _ids = st.integers(min_value=0, max_value=5)
 _ts = st.integers(min_value=0, max_value=5)
 _upsert_rows = st.lists(st.tuples(_ids, _ts), min_size=1, max_size=4)
+# soft-delete batches: unique ids per batch (a same-key live/tombstone
+# pair inside one commit has no defined winner — same as Hudi), each id
+# either a live row or a `_hoodie_is_deleted` tombstone
+_soft_rows = st.dictionaries(
+    _ids, st.tuples(_ts, st.booleans()), min_size=1, max_size=4
+).map(lambda d: [(i, ts, dead) for i, (ts, dead) in d.items()])
 _op = st.one_of(
     st.tuples(st.just("upsert"), _upsert_rows),
+    st.tuples(st.just("soft_upsert"), _soft_rows),
     st.tuples(st.just("delete"), st.lists(_ids, min_size=1, max_size=3)),
     st.tuples(st.just("insert_dedup"), _upsert_rows),
     st.tuples(st.just("compact"), st.just(None)),
@@ -208,6 +215,16 @@ def _model_apply(model, op, arg, commit_no):
                 batch[i] = ts
         for i, ts in batch.items():
             if i not in model or ts >= model[i][0]:
+                model[i] = (ts, commit_no)
+    elif op == "soft_upsert":
+        # a tombstone ENDS the key's history (delete-era fencing): it
+        # kills every prior version regardless of ordering value, and
+        # only strictly-later commits resurrect the key. Live rows in
+        # the same batch compete like any upsert.
+        for i, ts, dead in arg:
+            if dead:
+                model.pop(i, None)
+            elif i not in model or ts >= model[i][0]:
                 model[i] = (ts, commit_no)
     elif op == "delete":
         for i in arg:
@@ -248,6 +265,16 @@ def test_dml_state_machine_matches_model(
         if op == "upsert":
             eng.upsert(spark.createDataFrame(
                 [(i, ts) for i, ts in arg], "id int, ts long"), "t")
+        elif op == "soft_upsert":
+            from hudi_demo_spark.engine.config import DELETED_META
+
+            eng.upsert(
+                spark.createDataFrame(
+                    [(i, ts, dead) for i, ts, dead in arg],
+                    f"id int, ts long, {DELETED_META} boolean",
+                ),
+                "t",
+            )
         elif op == "delete":
             eng.delete_keys("t", spark.createDataFrame(
                 [(i,) for i in set(arg)], "id int"))

@@ -2561,11 +2561,14 @@ class Engine:
             ).lower() in ("1", "true", "yes")
         instant = new_instant()
         stamped = self._stamp(df, cfg, instant)
-        if cfg.table_type == COW and DELETED_META in stamped.columns:
-            # INSERT cannot delete: a COW insert SKIPS soft-delete rows
-            # (Hudi payload semantics — a deleted payload yields no
-            # insert) instead of silently landing them as live data
-            # once _conform strips the reserved marker column
+        if DELETED_META in df.columns:
+            # INSERT cannot delete, on EITHER table type: a deleted
+            # payload yields no insert (Hudi payload semantics). COW
+            # would otherwise land the row as live data once _conform
+            # strips the reserved marker; MOR would write it as a delta
+            # delete marker — snapshot semantics must not depend on the
+            # physical layout, so both skip the row. Route deletions
+            # through upsert (tombstones) or delete/delete_keys.
             stamped = stamped.filter(
                 ~F.coalesce(F.col(DELETED_META), F.lit(False))
             )
@@ -3142,9 +3145,10 @@ class Engine:
         upsert followed by a delete (with an observable inconsistent
         state between them). COW strips the marker before materializing
         (it is never part of the stored schema); MOR writes it into the
-        delta as an ordinary delete marker. With a preCombine field the
-        tombstone must carry an ordering value ≥ the row it kills, same
-        as any Hudi deletion payload."""
+        delta as an ordinary delete marker. A tombstone ends the key's
+        history REGARDLESS of its ordering value (delete-era fencing,
+        identical to DELETE — property-tested against the dict model);
+        only a strictly later commit re-inserts the key."""
         cfg = self._resolve(table)
         instant = new_instant()
         batch = self._conform(

@@ -96,14 +96,25 @@ def test_delete_then_reinsert_resurrects(engine, spark, table_type):
     assert _state(engine) == [(1, "a", 12)]
 
 
-def test_cow_insert_skips_tombstone_rows(engine, spark):
-    """INSERT cannot delete: a COW insert must not land a soft-delete
-    row as live data once the reserved column is stripped."""
-    engine.create_table("t", record_key="k", partition_by="p")
-    engine.insert(
-        _mk_marked(spark, [(1, "a", 10, False), (2, "a", 20, True)]), "t"
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_insert_skips_tombstone_rows(engine, spark, table_type):
+    """INSERT cannot delete, on either table type: COW must not land a
+    tombstone as live data once the reserved column is stripped, and
+    MOR must not turn it into a delta delete marker (snapshot semantics
+    must not depend on the physical layout) — an existing key INSERTed
+    as a tombstone survives untouched."""
+    engine.create_table(
+        "t", record_key="k", partition_by="p", table_type=table_type
     )
-    assert _state(engine) == [(1, "a", 10)]
+    engine.insert(_mk(spark, [(3, "b", 30)]), "t")
+    engine.insert(
+        _mk_marked(
+            spark,
+            [(1, "a", 10, False), (2, "a", 20, True), (3, "b", None, True)],
+        ),
+        "t",
+    )
+    assert _state(engine) == [(1, "a", 10), (3, "b", 30)]
 
 
 def test_tombstone_only_batch_equals_delete_keys(engine, spark):

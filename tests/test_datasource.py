@@ -780,3 +780,45 @@ def test_multi_start_drain_contract(engine, spark, tmp_path):
     ]
     # idle restart: nothing pending → no new commit (exactly-once holds)
     assert run_once() == 2
+
+
+def test_register_enables_pushdown_on_bare_session(engine, spark):
+    """The driver builds its own SparkSession without the builder's confs;
+    `register()` must make format("hudi") reads work anyway by flipping
+    spark.sql.python.filterPushdown.enabled at runtime (round-7 driver red:
+    DATA_SOURCE_PUSHDOWN_DISABLED on `datasource_snapshot_read`)."""
+    engine.create_table("bare_t", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "bare_t")
+    cfg = engine._resolve("bare_t")
+    key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")  # simulate the driver's bare session
+        register(spark)
+        assert spark.conf.get(key) == "true"
+        got = spark.read.format("hudi").load(str(cfg.path))
+        assert got.count() == len(ROWS)
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+
+
+def test_pushdown_false_option_survives_disabled_conf(engine, spark):
+    """.option("pushdown", "false") selects the no-override reader class,
+    so reads still work (filters applied post-scan by Spark) even when the
+    session conf cannot be enabled."""
+    engine.create_table("bare_u", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "bare_u")
+    cfg = engine._resolve("bare_u")
+    key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        got = (spark.read.format("hudi").option("pushdown", "false")
+               .load(str(cfg.path)).filter(F.col("dt") == "2022-09-25"))
+        assert sorted(r["id"] for r in got.collect()) == [3, 4]
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)

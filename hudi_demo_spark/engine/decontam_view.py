@@ -146,10 +146,11 @@ def refresh_decontam_view(engine, name: str) -> dict | None:
             ).drop(*_META)
             cand = delta
         else:
-            changed = (
-                engine.read_cdc(train, begin=t_begin, end=t_end)
-                .select(RECORD_KEY_META).distinct().persist()
-            )
+            # changed_keys, not read_cdc: only WHICH keys moved is
+            # consumed — pruned (key, commit_time) diff, no row images
+            changed = engine.changed_keys(
+                train, begin=t_begin, end=t_end
+            ).persist()
             vals = _bounded_vals(changed, RECORD_KEY_META)
             snap = (
                 engine.read(train, point_prune=(RECORD_KEY_META, vals))

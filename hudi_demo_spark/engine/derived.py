@@ -793,10 +793,9 @@ def refresh_filter_view(engine, name: str) -> dict | None:
         out = engine.upsert(fresh.select(*cols) if cols else fresh, name)
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
-    changed = (
-        engine.read_cdc(source, begin=begin, end=end)
-        .select(RECORD_KEY_META).distinct().persist()
-    )
+    # changed_keys, not read_cdc: only WHICH keys moved is consumed —
+    # a pruned (key, commit_time) diff scan, no full row images
+    changed = engine.changed_keys(source, begin=begin, end=end).persist()
     vals = _bounded_vals(changed, RECORD_KEY_META)
     snap = (
         engine.read(source, point_prune=(RECORD_KEY_META, vals))
@@ -914,8 +913,9 @@ def _refresh_recompute(
     Group columns are assumed non-null (they are the rollup's record
     key)."""
     expr_cols = expr_cols or {}
-    cdc = engine.read_cdc(source, begin=begin, end=end)
-    keys = cdc.select(RECORD_KEY_META).distinct().persist()
+    # changed_keys, not read_cdc: only WHICH keys moved is consumed —
+    # a pruned (key, commit_time) diff scan, no full row images
+    keys = engine.changed_keys(source, begin=begin, end=end).persist()
     key_vals = _bounded_vals(keys, RECORD_KEY_META)
     snap_k = _project(
         engine.read(source, point_prune=(RECORD_KEY_META, key_vals))

@@ -2529,6 +2529,97 @@ class Engine:
             .select(RECORD_KEY_META, "_change_type", "__img.*")
         )
 
+    def changed_keys(
+        self,
+        table: str | TableConfig,
+        begin: str | None = None,
+        end: str | None = None,
+        allow_cleaned: bool = False,
+    ) -> DataFrame:
+        """Distinct `_hoodie_record_key` values whose stored row was
+        added, rewritten, or removed in `(begin, end]` — the key set
+        every incremental derived-table refresh consumes (minhash /
+        vector index, filter views, rollups all re-derive exactly these
+        ids). Equivalent to
+        ``read_cdc(...).select(_hoodie_record_key).distinct()`` except
+        that a rewrite to a bit-identical value (an upsert whose winner
+        is the re-stamped batch row) is also included — idempotent for
+        every refresh consumer, which re-derives the same rows.
+
+        Scale: `read_cdc` must build full before/after row images and
+        full-outer-join them to CLASSIFY each change; the key set needs
+        none of that. Carried-over rows in rewritten COW file groups
+        keep their original `_hoodie_commit_time`, so the touched keys
+        are just the after-diff rows stamped inside the window, plus
+        the before-diff keys that vanished (deletes) — two scans that
+        parquet-prune to the (key, commit_time) columns of the DIFF
+        file groups, never the data columns, and one anti-join on keys.
+        Same cleaned-file contract as `read_cdc`
+        (`IncrementalRangeCleanedError` / `allow_cleaned`)."""
+        cfg = self._resolve(table)
+        if not cfg.record_key_fields:
+            raise ValueError("changed_keys requires a table with a record key")
+        tl = Timeline(cfg.path)
+        end = end or tl.last_instant()
+        data = Path(cfg.path) / DATA_DIR
+        self.last_incremental_stats = {"cleaned_files_skipped": 0}
+
+        def _on_disk(files: dict[str, dict]) -> dict[str, dict]:
+            gone = sorted(
+                p
+                for p, m in files.items()
+                if m.get("kind") != "external" and not (data / p).is_file()
+            )
+            if gone and not allow_cleaned:
+                raise IncrementalRangeCleanedError(
+                    f"changed_keys range ({begin}, {end}] needs "
+                    f"{len(gone)} file(s) already removed by clean() — "
+                    f"the key set would be incomplete (first gone: "
+                    f"{gone[0]}). Widen the clean retention or pass "
+                    "allow_cleaned=True to accept a partial set."
+                )
+            self.last_incremental_stats["cleaned_files_skipped"] += len(gone)
+            gone_set = set(gone)
+            return {p: m for p, m in files.items() if p not in gone_set}
+
+        if cfg.table_type == COW:
+            b_files = _on_disk(tl.live_files(as_of=begin)) if begin else {}
+            a_files = _on_disk(tl.live_files(as_of=end))
+            common = set(b_files) & set(a_files)
+            before = (
+                self._read_files(
+                    cfg, {p: m for p, m in b_files.items() if p not in common}
+                )
+                if b_files
+                else None
+            )
+            after = self._read_files(
+                cfg, {p: m for p, m in a_files.items() if p not in common}
+            )
+        else:
+            # MOR merge resolves winners, so stamps are the winner's —
+            # both sides still prune to (key, commit_time) post-merge
+            before = self.read(cfg, as_of=begin) if begin else None
+            after = self.read(cfg, as_of=end)
+        sides = []
+        for side in (before, after):
+            if side is not None and DELETED_META in side.columns:
+                side = side.filter(
+                    ~F.coalesce(F.col(DELETED_META), F.lit(False))
+                )
+            sides.append(side)
+        before, after = sides
+        a_keys = after.select(RECORD_KEY_META, COMMIT_TIME_META)
+        touched = (
+            a_keys.filter(F.col(COMMIT_TIME_META) > begin) if begin else a_keys
+        ).select(RECORD_KEY_META)
+        if before is not None:
+            removed = before.select(RECORD_KEY_META).join(
+                after.select(RECORD_KEY_META), RECORD_KEY_META, "left_anti"
+            )
+            touched = touched.unionByName(removed)
+        return touched.distinct()
+
     # ------------------------------------------------------------------
     # write path  (W1-W14)
     # ------------------------------------------------------------------

@@ -54,6 +54,10 @@ from hudi_demo_spark.operators.dedup import minhash_signatures
 
 _BAND_COL = "band"
 _BUCKET_COL = "bucket"
+# max signed band rows (ids × bands) a probe pulls to the driver to turn
+# the batch into a local relation — same order as derived._PRUNE_VAL_CAP,
+# a few MB of (id, band, bucket) tuples at worst
+_PROBE_COLLECT_CAP = 50_000
 
 
 def lsh_band_rows(
@@ -171,11 +175,18 @@ def refresh_minhash_index(engine, name: str) -> dict | None:
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
-    changed = (
-        engine.read_cdc(source, begin=begin, end=end)
-        .select(RECORD_KEY_META).distinct().persist()
-    )
+    # changed_keys, not read_cdc: the refresh needs only WHICH ids moved
+    # — the pruned (key, commit_time) diff scan, no full row images
+    changed = engine.changed_keys(source, begin=begin, end=end).persist()
     vals = _bounded_vals(changed, RECORD_KEY_META)
+    # _bounded_vals folds "empty" into None (its no-values return), so an
+    # empty CDC window (e.g. an UPDATE that matched nothing) needs one
+    # cheap probe over the now-cached `changed` to distinguish it from
+    # "over the prune cap"; nothing to re-sign or evict when empty
+    if vals is None and not changed.take(1):
+        changed.unpersist()
+        _save_props(engine, name, {_OFFSET_PROP: end})
+        return None
     snap = (
         engine.read(source, point_prune=(RECORD_KEY_META, vals))
         if vals is not None else engine.read(source)
@@ -209,9 +220,11 @@ def refresh_minhash_index(engine, name: str) -> dict | None:
         .withColumn(DELETED_META, F.lit(True))
     )
     payload = fresh.unionByName(dead, allowMissingColumns=True)
-    out = None
-    if payload.take(1):
-        out = engine.upsert(payload, name)
+    # `changed` is known non-empty here (the vals == [] case returned
+    # above, and vals is None only past the bound), and every changed id
+    # contributes either fresh rows or tombstones — payload is non-empty
+    # by construction, so no `take(1)` pre-flight job is needed
+    out = engine.upsert(payload, name)
     fresh.unpersist()
     changed.unpersist()
     _save_props(engine, name, {_OFFSET_PROP: end})
@@ -268,14 +281,28 @@ def minhash_probe(
         ).limit(0)
     q = lsh_band_rows(batch, id_col, text_col, num_hashes, bands).select(
         F.col(id_col).alias("query_id"), _BAND_COL, _BUCKET_COL
-    ).persist()
+    )
     point = None
     if prune:
-        vals = _bounded_vals(q, _BUCKET_COL)
+        # bounded row-collect: a small batch's signed band rows (id ×
+        # bands, NOT the shingles) come back to the driver ONCE, giving
+        # both the bucket prune-set and a broadcast-able local relation
+        # for the join — one signing pass instead of two (the old
+        # persist() was unpersisted before the caller's action, so the
+        # join recomputed the whole signing lineage). Past the cap the
+        # plan stays fully distributed and signs twice, the right trade
+        # at 100 TB batch sizes.
+        head = q.take(_PROBE_COLLECT_CAP + 1)
+        if len(head) <= _PROBE_COLLECT_CAP:
+            q = engine.spark.createDataFrame(head, q.schema)
+            vals = sorted({r[_BUCKET_COL] for r in head
+                           if r[_BUCKET_COL] is not None}) or None
+        else:
+            vals = _bounded_vals(q, _BUCKET_COL)
         if vals is not None:
             point = (_BUCKET_COL, vals)
     idx = engine.read(name, point_prune=point) if point else engine.read(name)
-    out = (
+    return (
         idx.select(
             F.col(id_col).alias("match_id"), _BAND_COL, _BUCKET_COL
         )
@@ -284,5 +311,3 @@ def minhash_probe(
         .select("query_id", "match_id")
         .distinct()
     )
-    q.unpersist()
-    return out

@@ -253,10 +253,9 @@ def refresh_vector_index(engine, name: str) -> dict | None:
         out = engine.upsert(_assign_cells(delta.drop(*meta_cols), cfg), name)
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
-    changed = (
-        engine.read_cdc(source, begin=begin, end=end)
-        .select(RECORD_KEY_META).distinct().persist()
-    )
+    # changed_keys, not read_cdc: only WHICH keys moved is consumed —
+    # a pruned (key, commit_time) diff scan, no full row images
+    changed = engine.changed_keys(source, begin=begin, end=end).persist()
     vals = _bounded_vals(changed, RECORD_KEY_META)
     snap = (
         engine.read(source, point_prune=(RECORD_KEY_META, vals))

@@ -69,7 +69,19 @@ def _state_partitions(spark: SparkSession, n: int = 8):
     100 TB you set it to executors × cores once per stream; here the
     fixture streams carry a few thousand keys, and 32 state stores ×
     4-per-join × N micro-batches is pure per-task + checkpoint-file
-    overhead (measured 8.8 s → 3.6 s on the interval-join gate)."""
+    overhead (measured 8.8 s → 3.6 s on the interval-join gate).
+
+    NOT reentrant and session-global: the save/restore mutates the
+    shared SparkSession's conf, so a concurrently-running query on the
+    same session can observe the pinned value (or have its own setting
+    clobbered by the restore). Registry gates run one-at-a-time in the
+    driver and the bench, which is the assumption here; a concurrent
+    harness must give conf-pinned gates their own `spark.newSession()`
+    (independent conf, shared JVM). Also used by multi-commit BATCH
+    lifecycle gates (e.g. engine_minhash_index), where dozens of
+    small eager shuffles at the session default are pure task-scheduling
+    overhead — the pin covers the eager engine ops; the returned lazy
+    DataFrame executes after restore, at the session default."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -2244,23 +2256,27 @@ def engine_minhash_index(spark, sf_dir):
     # corpus bounded at 900 ids (oracle carries the same filter): the
     # gate's cost is the 4-refresh lifecycle, which this caps at any sf
     corpus = d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 900))
-    eng.create_table("docs", record_key="doc_id")
-    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
-    create_minhash_index(eng, "docs", "mh", "doc_id", "text",
-                         num_hashes=32, bands=8)
-    refresh_minhash_index(eng, "mh")  # insert-only delta fold
-    # one mutated window: a second ingest, a text-appending UPDATE and
-    # a DELETE — the refresh must re-sign exactly the changed ids and
-    # evict the dead ones from every band
-    eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
-    eng.update(
-        "docs",
-        set={"text": F.concat(F.col("text"), F.lit(" zq zq zq"))},
-        where="doc_id % 12 = 0",
-    )
-    eng.delete("docs", "doc_id % 15 = 0")
-    refresh_minhash_index(eng, "mh")  # CDC re-sign + eviction
-    cluster_index(eng, "mh")
+    with _state_partitions(spark, 8):
+        # ~10 eager engine commits over a 300-doc corpus: at the session
+        # default every micro-shuffle schedules 32 tasks — the pin is
+        # the same deployment knob as the streaming gates' state sizing
+        eng.create_table("docs", record_key="doc_id")
+        eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
+        create_minhash_index(eng, "docs", "mh", "doc_id", "text",
+                             num_hashes=32, bands=8)
+        refresh_minhash_index(eng, "mh")  # insert-only delta fold
+        # one mutated window: a second ingest, a text-appending UPDATE
+        # and a DELETE — the refresh must re-sign exactly the changed
+        # ids and evict the dead ones from every band
+        eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
+        eng.update(
+            "docs",
+            set={"text": F.concat(F.col("text"), F.lit(" zq zq zq"))},
+            where="doc_id % 12 = 0",
+        )
+        eng.delete("docs", "doc_id % 15 = 0")
+        refresh_minhash_index(eng, "mh")  # CDC re-sign + eviction
+        cluster_index(eng, "mh")
     batch = d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 300))
     return minhash_probe(eng, "mh", batch).orderBy("query_id", "match_id")
 

@@ -1461,7 +1461,13 @@ class Engine:
         committed write: append the batch's pairs. First write on an
         index-less table builds from the live snapshot instead, so
         completeness is guaranteed even when the prop is enabled on an
-        existing table."""
+        existing table. Soft-delete tombstone rows are dropped first —
+        the commit just evicted those keys, so indexing them would only
+        grow the index with permanently-dead entries (and hand
+        secondary indexes (null, partition) rows from the tombstones'
+        null data columns), matching delete_keys which appends
+        nothing."""
+        stamped = self._drop_tombstones(stamped)
         idx = self._record_index(cfg)
         if idx is not None:
             if not idx.usable():
@@ -1481,9 +1487,19 @@ class Engine:
             return None
         return si.SecondaryIndex(self.spark, cfg, col)
 
+    def _drop_tombstones(self, stamped: DataFrame) -> DataFrame:
+        """Rows carrying `_hoodie_is_deleted = true` evict their key —
+        never index them."""
+        if DELETED_META in stamped.columns:
+            stamped = stamped.filter(
+                ~F.coalesce(F.col(DELETED_META), F.lit(False))
+            )
+        return stamped
+
     def _secondary_append(self, cfg: TableConfig, stamped: DataFrame) -> None:
         from hudi_demo_spark.engine import secondary_index as si
 
+        stamped = self._drop_tombstones(stamped)
         for col in si.indexed_columns(cfg):
             if col not in stamped.columns:
                 continue  # e.g. key-only delete batches: nothing to add

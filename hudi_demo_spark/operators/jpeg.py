@@ -688,12 +688,23 @@ def _decode_scan_lossless(
     against predictors 1-7 over reconstructed neighbors, modulo-2^16
     arithmetic, SSSS=16 → diff=32768 with no extra bits (H.1.2.2).
     MCU = one sample per scan component (1x1 sampling enforced at SOF);
-    a restart resets the bitstream AND the prediction — the first
-    sample of each restart interval uses the scan-start default
-    2^(P-1-Pt), exactly what the fixture encoder emits. Entropy rides
-    the same vectorized _Bits reader as DCT scans. Samples are stored
-    point-transform-shifted (<< Pt), prediction runs on the unshifted
-    values (H.1.1)."""
+    a restart resets the bitstream AND the prediction AS AT SCAN START
+    (T.81 H.1.1 initial conditions apply "at the start of the scan and
+    at the beginning of each restart interval"; libjpeg's lossless
+    undifferencer does the same): the first post-restart sample takes
+    the default 2^(P-1-Pt) and the REST OF THAT ROW predicts
+    one-dimensionally from Ra — it is a first line, never referencing
+    reconstructed rows from before the marker. Rows after it resume
+    2-D prediction against within-interval rows. For the standard
+    row-aligned restart placement (DRI a multiple of the row width —
+    what DNG/medical writers emit and what encode_jpeg_lossless
+    enforces) intervals are therefore fully independently decodable;
+    a mid-row restart's next row still reads the pre-marker columns of
+    the partial first line at x < the restart column (same
+    approximation libjpeg makes, encoder mirrors it exactly). Entropy
+    rides the same vectorized _Bits reader as DCT scans. Samples are
+    stored point-transform-shifted (<< Pt), prediction runs on the
+    unshifted values (H.1.1)."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless JPEG predictor {predictor}")
     prec = frame["precision"]
@@ -707,7 +718,8 @@ def _decode_scan_lossless(
     seg_i = 0
     bits = _Bits(segs[0])
     mcu = 0
-    reset = True  # scan start: first sample takes the default
+    reset = True  # scan/interval start: next sample takes the default
+    first_line_y = 0  # raster row decoded as the interval's first line
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -716,13 +728,16 @@ def _decode_scan_lossless(
                     raise ValueError("JPEG: missing restart segment")
                 bits = _Bits(segs[seg_i])
                 reset = True
+                first_line_y = y  # this row restarts as a first line
             mcu += 1
             for ci, _c in scan_comps:
                 row = cur_rows[ci]
                 above = prev_rows[ci]
                 if reset:
                     px = default
-                elif y == 0:
+                elif y == first_line_y:
+                    # first line of the scan or of a restart interval:
+                    # 1-D Ra prediction only (T.81 H.1.1)
                     px = row[x - 1] if x else default
                 elif x == 0:
                     px = above[0]
@@ -1499,6 +1514,7 @@ def encode_jpeg_lossless(
     prev_rows: list = [None] * nc
     mcu = 0
     reset = True
+    first_line_y = 0  # row predicted as the interval's first line
     for y in range(h):
         rows = [p[y] for p in planes]
         for x in range(w):
@@ -1510,12 +1526,16 @@ def encode_jpeg_lossless(
                 ))
                 wtr = _BitWriter()
                 reset = True
+                # restart = scan-start initial conditions (T.81 H.1.1):
+                # the rest of this row predicts 1-D from Ra, mirroring
+                # _decode_scan_lossless exactly
+                first_line_y = y
             mcu += 1
             for ci in range(nc):
                 row, above = rows[ci], prev_rows[ci]
                 if reset:
                     px = default
-                elif y == 0:
+                elif y == first_line_y:
                     px = int(row[x - 1]) if x else default
                 elif x == 0:
                     px = int(above[0])

@@ -2981,7 +2981,7 @@ def multimodal_jpeg_decode(spark, sf_dir):
     "multimodal_jpeg_lossless",
     """
     SELECT d.doc_id,
-           CAST(sum((d.doc_id * 7 + y.y * 131 + x.x * 17) % 65536)
+           CAST(sum((d.doc_id * 919 + y.y * 5417 + x.x * 2029) % 65536)
                 AS BIGINT) AS pixel_sum
     FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
          range(12) y(y), range(16) x(x)
@@ -2993,8 +2993,11 @@ def multimodal_jpeg_lossless(spark, sf_dir):
     """REAL lossless-JPEG (SOF3, Annex H) decode, algebraically
     oracled — and STRONGER than the DCT gates: lossless decode is exact
     for ARBITRARY pixels, so the fixture is a dense 16-bit gradient
-    field (doc_id·7 + y·131 + x·17) mod 65536, not a block-constant
-    image. Each doc encodes with a DIFFERENT predictor (1 + doc_id mod
+    field (doc_id·919 + y·5417 + x·2029) mod 65536 — coefficients sized
+    so the field spans and WRAPS the full 16-bit range (raw terms reach
+    ~1.4·2^16), forcing true precision-16 streams with mod-2^16
+    wrapping differences; the SSSS=16 no-extra-bits corner (H.1.2.2)
+    stays pinned by the pytest suite. Each doc encodes with a DIFFERENT predictor (1 + doc_id mod
     7) and alternating restart intervals, so one gate sweeps the whole
     predictor family and the restart reset; the decoded pixel sum must
     equal the closed form bit-exactly. The archival/medical/DNG decode
@@ -3016,7 +3019,7 @@ def multimodal_jpeg_lossless(spark, sf_dir):
             for did in pdf["doc_id"]:
                 y, x = np.meshgrid(np.arange(12), np.arange(16),
                                    indexing="ij")
-                img = (int(did) * 7 + y * 131 + x * 17) % 65536
+                img = (int(did) * 919 + y * 5417 + x * 2029) % 65536
                 px = decode_media(
                     encode_jpeg_lossless(
                         img,

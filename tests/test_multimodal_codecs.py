@@ -837,3 +837,60 @@ def test_jpeg_lossless_rejects_out_of_scope():
     payload[payload.index(b"\xff\xc3") + 1] = 0xCB  # SOF11 arithmetic
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_lossless_restart_resets_row_context_per_spec():
+    """Restart markers reset prediction AS AT SCAN START (T.81 H.1.1:
+    initial conditions apply 'at the start of the scan and at the
+    beginning of each restart interval'; libjpeg's lossless
+    undifferencer behaves identically): the post-restart row is a FIRST
+    LINE — its first sample takes the default 2^(P-1), the rest predict
+    1-D from Ra, and NO sample references reconstructed rows from
+    before the marker. The encoder mirrors the decoder, so a roundtrip
+    alone cannot pin this; this test HAND-BUILDS the entropy stream
+    from spec-derived differences and asserts both directions."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        _BitWriter, _LOSSLESS_BITS, _LOSSLESS_VALS, _csize, _enc_codes,
+        decode_jpeg, encode_jpeg_lossless,
+    )
+
+    img = np.array([[100, 101], [50, 60]], dtype=np.int64)
+    # predictor 2 (Rb), precision 8, DRI=2 (row-aligned). Spec decode:
+    #  (0,0) default 128   -> diff -28
+    #  (0,1) first line Ra -> diff   1
+    #  -- RST0 --
+    #  (1,0) default 128   -> diff -78   (NOT Rb=100)
+    #  (1,1) first line Ra -> diff  10   (NOT Rb=101: row 1 restarts
+    #                                     as a first line)
+    enc = _enc_codes(_LOSSLESS_BITS, _LOSSLESS_VALS)
+
+    def entropy(diffs):
+        w = _BitWriter()
+        for d in diffs:
+            t = _csize(d)
+            code, length = enc[t]
+            w.write(code, length)
+            if t:
+                w.write(d if d >= 0 else d + (1 << t) - 1, t)
+        w.flush()
+        return bytes(w.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    stream = (
+        b"\xff\xd8"
+        + seg(0xC4, bytes([0x00]) + bytes(_LOSSLESS_BITS[1:17])
+              + bytes(_LOSSLESS_VALS))
+        + seg(0xC3, struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDD, struct.pack(">H", 2))
+        + seg(0xDA, bytes([1, 1, 0x00, 2, 0, 0]))
+        + entropy([-28, 1]) + b"\xff\xd0" + entropy([-78, 10])
+        + b"\xff\xd9"
+    )
+    d = decode_jpeg(stream)
+    assert np.array_equal(d["pixels"][:, :, 0], img.astype(np.uint8))
+    # and the fixture encoder emits this exact byte stream
+    assert encode_jpeg_lossless(img, predictor=2, restart_interval=2) == stream

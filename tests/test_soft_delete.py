@@ -219,3 +219,35 @@ def test_cdc_emits_delete_for_tombstoned_key(engine, spark):
         for r in engine.read_cdc("t", begin=begin).collect()
     }
     assert ch == {1: "update", 2: "delete"}
+
+
+def test_tombstones_never_enter_record_or_secondary_index(engine, spark):
+    """A soft-delete upsert evicts keys in the same commit — its
+    tombstone rows must NOT be appended to the record index or to
+    secondary indexes (matching delete_keys, which appends nothing):
+    indexing them would grow both with permanently-dead entries, and
+    hand secondary indexes (null, partition) rows from the tombstones'
+    null data columns."""
+    engine.create_table(
+        "t", record_key="k", partition_by="p",
+        props={"index.global": "true", "index.record_level": "true"},
+    )
+    engine.insert(_mk(spark, [(1, "a", 10), (2, "b", 20)]), "t")
+    engine.create_index("t", "v")
+    cfg = engine._resolve("t")
+    # upsert: one live update (k=1) + one tombstone (k=2, null v)
+    engine.upsert(
+        _mk_marked(spark, [(1, "a", 11, False), (2, "b", None, True)]), "t"
+    )
+    assert _state(engine) == [(1, "a", 11)]
+    ri = engine._record_index(cfg)
+    ri_rows = spark.read.parquet(str(ri.path)).collect()
+    # k=1 appended by both commits; k=2 only by the initial insert
+    assert sorted(r["key"] for r in ri_rows) == ["1", "1", "2"]
+    si = engine._secondary_index(cfg, "v")
+    si_rows = spark.read.parquet(str(si.path)).collect()
+    vals = sorted(r[0] for r in si_rows if r[0] is not None)
+    # build (10, 20) + append of the live row (11); no null-valued row
+    # and no third append from the tombstone (values stored as strings)
+    assert vals == ["10", "11", "20"]
+    assert all(r[0] is not None for r in si_rows)

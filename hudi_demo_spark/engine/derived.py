@@ -552,18 +552,16 @@ def refresh_join_view(engine, name: str) -> dict | None:
         for _, d in cands:
             d.unpersist()
     else:
-        # changed identities on either side (CDC = inserts+updates+deletes).
+        # changed identities on either side (inserts+updates+deletes).
         # Persisted: each is consumed by the bounded-vals collect plus
-        # two broadcast joins — uncached, the CDC file-diff scan would
+        # two broadcast joins — uncached, the changed-key scan would
         # run three times per side.
         changed_l = (
-            engine.read_cdc(left, begin=lb, end=le)
-            .select(*lkey).distinct().persist()
+            _changed_ids(engine, left, lkey, lb, le).persist()
             if le is not None and l_data else None
         )
         changed_r = (
-            engine.read_cdc(right, begin=rb, end=re_)
-            .select(*rkey).distinct().persist()
+            _changed_ids(engine, right, rkey, rb, re_).persist()
             if re_ is not None and r_data else None
         )
         vals_l = (
@@ -587,6 +585,28 @@ def refresh_join_view(engine, name: str) -> dict | None:
                 d.unpersist()
     _advance(le, re_)
     return out
+
+
+def _changed_ids(engine, src, key_cols, begin, end):
+    """Changed data-typed key values of `src` in `(begin, end]`.
+    Single-column keys ride `Engine.changed_keys` — the column-pruned
+    (key, commit_time) diff scan — cast back to the key column's type
+    (exact for the int/string keys record keys are made of; the same
+    soundness assumption the minhash/vector indexes already make).
+    Composite keys fall back to the CDC row images: the composed
+    `_hoodie_record_key` string is not decomposable."""
+    if len(key_cols) == 1:
+        cfg = engine._resolve(src)
+        schema = engine._stored_schema(cfg)
+        if schema is not None and key_cols[0] in schema.names:
+            ktype = schema[key_cols[0]].dataType
+            return engine.changed_keys(src, begin=begin, end=end).select(
+                F.col(RECORD_KEY_META).cast(ktype).alias(key_cols[0])
+            )
+    return (
+        engine.read_cdc(src, begin=begin, end=end)
+        .select(*key_cols).distinct()
+    )
 
 
 def _recompute_inner(

@@ -16,9 +16,12 @@ the A.2.2 geometry where a subsampled frame's non-interleaved scan
 grid is smaller than its MCU-padded array) PLUS lossless (SOF3, Annex
 H) decode — per-sample predictors 1-7, 2-16-bit precision, point
 transform, modulo-2^16 differences with the SSSS=16 special case, and
-a fixture encoder whose roundtrip is EXACT (the lossless self-oracle).
-Arithmetic-coded and hierarchical JPEGs raise NotImplementedError —
-honest gaps, loudly.
+a fixture encoder whose roundtrip is EXACT (the lossless self-oracle)
+PLUS sequential arithmetic entropy (SOF9 + DAC, T.81 Annex D QM-coder —
+see operators/jpeg_arith.py, differentially pinned against the Huffman
+coder over identical quantized coefficients). Progressive/lossless
+arithmetic (SOF10/11) and hierarchical JPEGs raise
+NotImplementedError — honest gaps, loudly.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
 operators/multimodal.py) — per-payload Python cost, zero shuffle. The
@@ -386,6 +389,7 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
     hufftabs: dict[tuple[int, int], tuple] = {}
+    dac: dict = {"dc": {}, "ac": {}}
     frame = None
     restart_interval = 0
     pos = 2
@@ -425,8 +429,9 @@ def decode_jpeg(payload: bytes) -> dict:
                 huffval = list(body[i + 17 : i + 17 + n])
                 hufftabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
+            # SOF9 extended sequential with arithmetic entropy
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if marker != 0xC3 and prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -442,6 +447,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 "w": w, "h": h, "comps": comps,
                 "progressive": marker == 0xC2,
                 "lossless": marker == 0xC3,
+                "arith": marker == 0xC9,
                 "precision": prec,
             }
             if marker == 0xC3:
@@ -472,11 +478,24 @@ def decode_jpeg(payload: bytes) -> dict:
                     for c in comps
                 ]
                 preds = [0] * nc
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # SOF9 (sequential arithmetic) is handled above; progressive
+            # (SOF10) / lossless (SOF11) arithmetic and all hierarchical
+            # frames remain honest loud gaps
             raise NotImplementedError(
-                "arithmetic-coded/hierarchical JPEG not supported"
+                "progressive/lossless-arithmetic or hierarchical JPEG "
+                "not supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                val = body[i + 1]
+                if tc == 0:
+                    dac["dc"][tb] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    dac["ac"][tb] = val  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -499,6 +518,15 @@ def decode_jpeg(payload: bytes) -> dict:
                 _decode_scan_lossless(
                     segs, scan_comps, smap, hufftabs, coefs,
                     restart_interval, frame, ss, ahal & 0x0F,
+                )
+            elif frame.get("arith"):
+                from hudi_demo_spark.operators.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                decode_scan_arith(
+                    segs, scan_comps, smap, dac, coefs,
+                    restart_interval, mcux, mcuy, frame,
                 )
             elif frame["progressive"]:
                 _decode_scan_progressive(

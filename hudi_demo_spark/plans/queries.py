@@ -3097,6 +3097,64 @@ def multimodal_jpeg_progressive(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_jpeg_arithmetic",
+    """
+    SELECT d.doc_id,
+           CAST(64 * sum((d.doc_id * 7 + i.i * 13 + j.j * 31) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id <= 64) d,
+         range(4) i(i), range(4) j(j)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_arithmetic(spark, sf_dir):
+    """REAL arithmetic-coded JPEG (SOF9 + DAC, T.81 Annex D QM-coder)
+    decode, algebraically oracled: the SAME closed-form image as
+    multimodal_jpeg_decode, entropy-coded with the adaptive binary
+    arithmetic coder instead of Huffman (restart markers every 3 MCUs,
+    so the QM registers and statistics re-init mid-scan too). At
+    quality=100 the block-constant image decodes EXACTLY, so the pixel
+    sum must equal the closed form — and the same coefficients decode
+    through BOTH entropy coders in the suite, a cross-coder
+    differential. This was the last honest codec gap
+    (operators/jpeg.py formerly raised on every arithmetic SOF)."""
+    import numpy as np
+    import pandas as pd
+
+    from hudi_demo_spark.operators.jpeg_arith import encode_jpeg_arith
+    from hudi_demo_spark.operators.multimodal import decode_media
+    from hudi_demo_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id <= 64"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums = [], []
+            for did in pdf["doc_id"]:
+                i, j = np.meshgrid(np.arange(4), np.arange(4),
+                                   indexing="ij")
+                tiles = ((int(did) * 7 + i * 13 + j * 31) % 256).astype(
+                    np.uint8
+                )
+                g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                px = decode_media(
+                    encode_jpeg_arith(g, quality=100, restart_interval=3)
+                )["pixels"]
+                ids.append(int(did))
+                sums.append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "pixel_sum": sums})
+
+    return (
+        spread(d)
+        .mapInPandas(gen, "doc_id long, pixel_sum long")
+        .orderBy("doc_id")
+    )
+
+
 @q("multimodal_jpeg_throughput")
 def multimodal_jpeg_throughput(spark, sf_dir):
     """Entropy-dense JPEG decode throughput gate: 16 pseudo-noise
@@ -10054,10 +10112,11 @@ _ROTATION_HEAD = [
     "streaming_stream_join", "streaming_continuous_aggregate",
     "streaming_minhash_index", "streaming_stateful_totals",
     # corpus preparation
-    "corpus_decontam_view", "corpus_dsir_weights", "corpus_weighted_mix",
+    "corpus_decontam_view", "corpus_dsir_weights",
     "corpus_token_budget_mix", "corpus_pipeline_end_to_end",
-    # text analysis
-    "text_winnow_fingerprints", "text_bpe_token_counts",
+    # text analysis (text_bpe_token_counts is rows-only — iterative
+    # BPE is not SQL-expressible — so it stays out of the oracled head)
+    "text_winnow_fingerprints", "text_classifier_score",
     "text_unigram_logprob",
     # multimodal
     "multimodal_jpeg_decode", "multimodal_png_decode",
@@ -10066,7 +10125,7 @@ _ROTATION_HEAD = [
     "events_gap_fill_locf", "events_windowed_agg", "web_url_dedup",
     "web_html_extract",
     # sampling / embeddings / dedup / ANN
-    "sample_stratified", "embedding_quantize_int8",
+    "embedding_quantize_int8",
     "embedding_label_centroids", "dedup_admission_incremental",
     "dedup_fuzzy_titles", "ann_recall_report",
     # connectors

@@ -894,3 +894,103 @@ def test_jpeg_lossless_restart_resets_row_context_per_spec():
     assert np.array_equal(d["pixels"][:, :, 0], img.astype(np.uint8))
     # and the fixture encoder emits this exact byte stream
     assert encode_jpeg_lossless(img, predictor=2, restart_interval=2) == stream
+
+
+def test_jpeg_arithmetic_matches_baseline_decode():
+    """SOF9 (sequential DCT, arithmetic entropy, T.81 Annex D QM-coder):
+    encode_jpeg_arith carries the SAME quantized coefficients as the
+    Huffman encoders, so decode_jpeg of both streams must be
+    BIT-IDENTICAL — a cross-entropy-coder differential a shared QM bug
+    cannot satisfy. Sweeps gray/444/420, restart intervals, and a
+    non-default Kx conditioning (via DAC)."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_420, encode_jpeg_baseline,
+    )
+    from hudi_demo_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(21, 19, 3), dtype=np.uint8)
+    cases = [
+        (gray, encode_jpeg_baseline(gray, quality=85), dict()),
+        (rgb, encode_jpeg_baseline(rgb, quality=85), dict()),
+        (rgb, encode_jpeg_baseline(rgb, quality=100),
+         dict(quality=100, restart_interval=3)),
+        (rgb, encode_jpeg_420(rgb, quality=70),
+         dict(quality=70, subsampling="420", kx=1)),
+    ]
+    for img, huff, kw in cases:
+        kw.setdefault("quality", 85)
+        ar = encode_jpeg_arith(img, **kw)
+        assert b"\xff\xc9" in ar and b"\xff\xcc" in ar  # SOF9 + DAC
+        assert np.array_equal(
+            decode_jpeg(ar)["pixels"], decode_jpeg(huff)["pixels"]
+        ), kw
+        # arithmetic should genuinely compress better than Huffman on
+        # noise — a self-consistent-but-degenerate coder would not
+        assert len(ar) < len(huff), kw
+
+
+def test_qm_coder_roundtrip_stress_and_table_structure():
+    """Raw QM-coder pair: randomized decision/context streams (uniform,
+    heavily-MPS, heavily-LPS — driving carries, 0xFF stuffing runs, and
+    every estimation chain) must roundtrip exactly; Table D.3 must be
+    structurally sound; stuffed streams must never end on a bare
+    0xFF."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg_arith import (
+        _QM, FIXED_BIN, ArithDecoder, ArithEncoder,
+    )
+
+    assert len(_QM) == 114
+    for i, (qe, nm, nl, sw) in enumerate(_QM):
+        assert 0 < qe < 0x8000 and 0 <= nm <= 113 and 0 <= nl <= 113
+        assert sw in (0, 1), i
+    assert _QM[FIXED_BIN] == (0x5A1D, 113, 113, 0)
+    # SWITCH only ever set on states whose NLPS stays in the fast-attack
+    # startup region (MPS sense can only flip where Qe ~ 0.5)
+    for i, (qe, nm, nl, sw) in enumerate(_QM[:113]):
+        if sw:
+            assert qe > 0x5000, i
+
+    rng = np.random.default_rng(3)
+    for trial in range(200):
+        n = int(rng.integers(1, 2500))
+        ncx = int(rng.integers(1, 16))
+        p = (0.98, 0.5, 0.02)[trial % 3]
+        bits = (rng.random(n) < p).astype(int).tolist()
+        cxs = rng.integers(0, ncx, size=n).tolist()
+        enc = ArithEncoder()
+        st_e = bytearray(ncx)
+        for b, cx in zip(bits, cxs):
+            enc.encode(st_e, cx, int(b))
+        stuffed = enc.flush()
+        assert not stuffed or stuffed[-1] != 0xFF
+        assert all(
+            stuffed[i + 1] == 0
+            for i in range(len(stuffed) - 1) if stuffed[i] == 0xFF
+        )
+        dec = ArithDecoder(stuffed.replace(b"\xff\x00", b"\xff"))
+        st_d = bytearray(ncx)
+        got = [dec.decode(st_d, cx) for cx in cxs]
+        assert got == bits, trial
+
+
+def test_jpeg_arith_rejects_progressive_and_lossless_arith():
+    """SOF10/SOF11 (progressive / lossless arithmetic) remain loud
+    honest gaps after SOF9 support."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.jpeg import decode_jpeg
+    from hudi_demo_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    for sof in (0xCA, 0xCB):
+        payload = bytearray(encode_jpeg_arith(img))
+        payload[payload.index(b"\xff\xc9") + 1] = sof
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))

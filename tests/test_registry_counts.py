@@ -24,9 +24,18 @@ def test_readme_query_counts_match_registry():
 
 def test_rotation_head_is_well_formed():
     """The driver samples the first 50 registry entries: the rotated
-    head must be 50 distinct registered names, every one oracled."""
+    head must be EXACTLY 50 distinct registered names (a 52-entry list
+    would silently drop its tail out of the driver sample — round-8
+    near-miss), every one oracled."""
+    from hudi_demo_spark.plans.queries import _ROTATION_HEAD
+
+    assert len(_ROTATION_HEAD) == 50, (
+        f"rotation head has {len(_ROTATION_HEAD)} names; the driver "
+        "samples exactly the first 50 — trim or fill the list"
+    )
     names = list(QUERIES)
     head = names[:50]
+    assert head == _ROTATION_HEAD
     assert len(set(head)) == 50
     missing = [n for n in head if n not in ORACLES]
     assert not missing, f"head queries without oracle SQL: {missing}"

@@ -17,11 +17,11 @@ grid is smaller than its MCU-padded array) PLUS lossless (SOF3, Annex
 H) decode — per-sample predictors 1-7, 2-16-bit precision, point
 transform, modulo-2^16 differences with the SSSS=16 special case, and
 a fixture encoder whose roundtrip is EXACT (the lossless self-oracle)
-PLUS sequential arithmetic entropy (SOF9 + DAC, T.81 Annex D QM-coder —
-see operators/jpeg_arith.py, differentially pinned against the Huffman
-coder over identical quantized coefficients). Progressive/lossless
-arithmetic (SOF10/11) and hierarchical JPEGs raise
-NotImplementedError — honest gaps, loudly.
+PLUS arithmetic entropy (SOF9 sequential AND SOF10 progressive, DAC
+conditioning, T.81 Annex D QM-coder — see operators/jpeg_arith.py,
+differentially pinned against the Huffman coder over identical
+quantized coefficients). Lossless-arithmetic (SOF11) and hierarchical
+JPEGs raise NotImplementedError — honest gaps, loudly.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
 operators/multimodal.py) — per-payload Python cost, zero shuffle. The
@@ -429,9 +429,9 @@ def decode_jpeg(payload: bytes) -> dict:
                 huffval = list(body[i + 17 : i + 17 + n])
                 hufftabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
-            # SOF9 extended sequential with arithmetic entropy
+            # SOF9/SOF10 sequential/progressive with arithmetic entropy
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if marker != 0xC3 and prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -445,9 +445,9 @@ def decode_jpeg(payload: bytes) -> dict:
                 )
             frame = {
                 "w": w, "h": h, "comps": comps,
-                "progressive": marker == 0xC2,
+                "progressive": marker in (0xC2, 0xCA),
                 "lossless": marker == 0xC3,
-                "arith": marker == 0xC9,
+                "arith": marker in (0xC9, 0xCA),
                 "precision": prec,
             }
             if marker == 0xC3:
@@ -478,13 +478,12 @@ def decode_jpeg(payload: bytes) -> dict:
                     for c in comps
                 ]
                 preds = [0] * nc
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # SOF9 (sequential arithmetic) is handled above; progressive
-            # (SOF10) / lossless (SOF11) arithmetic and all hierarchical
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            # SOF9/SOF10 (sequential/progressive arithmetic) are handled
+            # above; lossless arithmetic (SOF11) and all hierarchical
             # frames remain honest loud gaps
             raise NotImplementedError(
-                "progressive/lossless-arithmetic or hierarchical JPEG "
-                "not supported"
+                "lossless-arithmetic or hierarchical JPEG not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -520,14 +519,19 @@ def decode_jpeg(payload: bytes) -> dict:
                     restart_interval, frame, ss, ahal & 0x0F,
                 )
             elif frame.get("arith"):
-                from hudi_demo_spark.operators.jpeg_arith import (
-                    decode_scan_arith,
-                )
+                from hudi_demo_spark.operators import jpeg_arith
 
-                decode_scan_arith(
-                    segs, scan_comps, smap, dac, coefs,
-                    restart_interval, mcux, mcuy, frame,
-                )
+                if frame["progressive"]:
+                    jpeg_arith.decode_scan_arith_progressive(
+                        segs, scan_comps, smap, dac, coefs,
+                        restart_interval, mcux, mcuy, frame,
+                        ss, se, ahal >> 4, ahal & 0x0F,
+                    )
+                else:
+                    jpeg_arith.decode_scan_arith(
+                        segs, scan_comps, smap, dac, coefs,
+                        restart_interval, mcux, mcuy, frame,
+                    )
             elif frame["progressive"]:
                 _decode_scan_progressive(
                     segs, scan_comps, smap, hufftabs, coefs, preds,

@@ -2,12 +2,15 @@
 conditioning) — closes the one remaining codec gap (`operators/jpeg.py`
 previously raised for every SOFx with arithmetic entropy).
 
-Scope: SOF9 (extended sequential DCT, arithmetic, 8-bit) DECODE plus a
-matching test-fixture ENCODER, DAC conditioning (DC L/U bounds, AC Kx),
-restart markers, interleaved and single-component scans, 4:4:4 / 4:2:0 /
-grayscale. SOF10 (progressive arithmetic) and SOF11 (lossless
-arithmetic) still raise `NotImplementedError` loudly — vanishingly rare
-in crawl corpora, and honesty beats a wrong decode.
+Scope: SOF9 (extended sequential DCT, arithmetic, 8-bit) and SOF10
+(progressive arithmetic: DC first/refine, AC first/refine with the
+Annex G.2 models) DECODE plus matching test-fixture ENCODERS, DAC
+conditioning (DC L/U bounds, AC Kx), restart markers, interleaved and
+single-component scans, 4:4:4 / 4:2:0 / grayscale. SOF11 (lossless
+arithmetic) still raises `NotImplementedError` loudly — its Annex H.2
+gradient-conditioned context table has no public reference
+implementation to pin against and files are effectively nonexistent in
+crawl corpora; honesty beats a plausibly-wrong decode.
 
 Conformance: the coder is the T.81 Annex D state machine — the 113-state
 probability estimation table (Table D.3) plus the fixed uniform state,
@@ -556,5 +559,338 @@ def encode_jpeg_arith(
                         _encode_dc(enc, stats, ci, tbl, 0, 1, zz[0])
                         _encode_ac(enc, stats, tbl, kx, zz)
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# SOF10: progressive DCT with arithmetic entropy (Annex G.2)
+# ---------------------------------------------------------------------
+
+def decode_scan_arith_progressive(
+    segs, scan_comps, smap, dac, coefs, restart_interval,
+    mcux, mcuy, frame, ss, se, ah, al,
+):
+    """One SOF10 progressive scan: DC first/refine (interleaved MCU
+    walk) and AC first/refine (single-component own-grid walk), with
+    the Annex G.2 arithmetic models — DC first is the sequential DC
+    model with the decoded diff scaled <<Al; DC refine is ONE
+    fixed-probability bit per block; AC first is the sequential AC
+    model over [Ss..Se] scaled <<Al; AC refine distinguishes
+    previously-nonzero coefficients (one correction bit, context st+2)
+    from newly-nonzero ones (context st+1 + fixed-probability sign),
+    with the EOB decision only past EOBx, the previous stage's
+    end-of-block index."""
+    from hudi_demo_spark.operators.jpeg import ZIGZAG, _comp_grid
+
+    stats = _Stats()
+    seg_i = 0
+    dec = ArithDecoder(segs[0])
+    n_done = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    def maybe_restart():
+        nonlocal seg_i, dec, n_done
+        if restart_interval and n_done and n_done % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG: missing restart segment")
+            dec = ArithDecoder(segs[seg_i])
+            stats.reset()
+        n_done += 1
+
+    if ss == 0:
+        # DC scan (first or refinement), MCU-interleaved like Huffman
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, c in scan_comps:
+                    dc_tbl = smap[c["id"]][0]
+                    cond_l, cond_u = dac["dc"].get(dc_tbl, (0, 1))
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                dc = _decode_dc(
+                                    dec, stats, ci, dc_tbl, cond_l, cond_u
+                                )
+                                blk[0] = dc << al
+                            elif dec.decode(stats.fixed, 0):
+                                blk[0] |= p1
+        return
+    # AC scan: always single-component over its own block grid
+    ci, c = scan_comps[0]
+    ac_tbl = smap[c["id"]][1]
+    kx = dac["ac"].get(ac_tbl, 5)
+    st = stats.ac[ac_tbl]
+    nby, nbx = _comp_grid(frame, c)
+    for by in range(nby):
+        for bx in range(nbx):
+            maybe_restart()
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                # AC first pass: sequential model over the band, <<Al
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if dec.decode(st, base):
+                        break  # EOB
+                    while dec.decode(st, base + 1) == 0:
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "JPEG: arith AC band overflow"
+                            )
+                    sign = dec.decode(stats.fixed, 0)
+                    pos = base + 2
+                    m = dec.decode(st, pos)
+                    if m:
+                        if dec.decode(st, pos):
+                            m = 2
+                            pos = 189 if k <= kx else 217
+                            while dec.decode(st, pos):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "JPEG: arith AC magnitude overflow"
+                                    )
+                                pos += 1
+                    v = m
+                    pos += 14
+                    while m > 1:
+                        m >>= 1
+                        if dec.decode(st, pos):
+                            v |= m
+                    v += 1
+                    blk[ZIGZAG[k]] = (-v if sign else v) << al
+                    k += 1
+            else:
+                # AC refinement (G.2.3)
+                kex = se
+                while kex > 0 and blk[ZIGZAG[kex]] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if k > kex and dec.decode(st, base):
+                        break  # EOB
+                    while True:
+                        cur = blk[ZIGZAG[k]]
+                        if cur:  # previously nonzero: correction bit
+                            if dec.decode(st, base + 2):
+                                blk[ZIGZAG[k]] = (
+                                    cur + m1 if cur < 0 else cur + p1
+                                )
+                            break
+                        if dec.decode(st, base + 1):  # newly nonzero
+                            blk[ZIGZAG[k]] = (
+                                m1 if dec.decode(stats.fixed, 0) else p1
+                            )
+                            break
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "JPEG: arith AC refine overflow"
+                            )
+                    k += 1
+
+
+def encode_jpeg_arith_progressive(
+    arr, quality: int = 85, scans: list | None = None,
+    restart_interval: int = 0, subsampling: str = "444", kx: int = 5,
+) -> bytes:
+    """uint8 RGB/gray → SOF10 progressive arithmetic JFIF bytes over
+    the SAME quantized coefficients as the Huffman encoders (spectral
+    selection + successive approximation, QM entropy) — so
+    decode_jpeg(SOF10 stream) must equal decode_jpeg(baseline stream)
+    bit-exactly. Default scan scripts mirror encode_jpeg_progressive."""
+    from hudi_demo_spark.operators.jpeg import (
+        _comp_grid, _pt, _quantized_zz,
+    )
+
+    qts, comps_zz, comps_hv, mcux, mcuy, h, w = _quantized_zz(
+        arr, quality, subsampling
+    )
+    ncomp = len(comps_zz)
+    hmax = max(hv[0] for hv in comps_hv)
+    vmax = max(hv[1] for hv in comps_hv)
+    if scans is None:
+        if ncomp == 1:
+            scans = [
+                ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0), ([2], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    from hudi_demo_spark.operators.jpeg import ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, tbl in enumerate(qts[: 2 if ncomp == 3 else 1]):
+        out += seg(
+            0xDB, bytes([tid]) + bytes(tbl[ZIGZAG[z]] for z in range(64))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        ch, cv = comps_hv[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += seg(0xCA, sof)  # SOF10
+    dacb = bytearray()
+    for tbl in range(2 if ncomp == 3 else 1):
+        dacb += bytes([0x00 | tbl, (1 << 4) | 0])
+        dacb += bytes([0x10 | tbl, kx])
+    out += seg(0xCC, bytes(dacb))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    frame = {
+        "w": w, "h": h,
+        "comps": [
+            {"id": ci + 1, "h": comps_hv[ci][0], "v": comps_hv[ci][1]}
+            for ci in range(ncomp)
+        ],
+    }
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            tbl = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tbl << 4) | tbl])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        stats = _Stats()
+        enc = ArithEncoder()
+        n_done = 0
+        rst = 0
+        p1 = 1 << al
+
+        def flush_restart():
+            nonlocal enc, n_done, rst
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                out.extend(enc.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                enc = ArithEncoder()
+                stats.reset()
+            n_done += 1
+
+        if ss == 0:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    flush_restart()
+                    for ci in comp_idx:
+                        ch, cv = comps_hv[ci]
+                        tbl = 0 if ci == 0 else 1
+                        for by in range(cv):
+                            for bx in range(ch):
+                                v = comps_zz[ci][my * cv + by][mx * ch + bx][0]
+                                if ah == 0:
+                                    _encode_dc(
+                                        enc, stats, ci, tbl, 0, 1, v >> al
+                                    )
+                                else:
+                                    enc.encode(
+                                        stats.fixed, 0, (v >> al) & 1
+                                    )
+        else:
+            ci = comp_idx[0]
+            tbl = 0 if ci == 0 else 1
+            st = stats.ac[tbl]
+            nby, nbx = _comp_grid(frame, frame["comps"][ci])
+            for by in range(nby):
+                for bx in range(nbx):
+                    flush_restart()
+                    zz = comps_zz[ci][by][bx]
+                    if ah == 0:
+                        ke = se
+                        while ke >= ss and _pt(zz[ke], al) == 0:
+                            ke -= 1
+                        k = ss
+                        while k <= ke:
+                            base = 3 * (k - 1)
+                            enc.encode(st, base, 0)  # not EOB
+                            while _pt(zz[k], al) == 0:
+                                enc.encode(st, base + 1, 0)
+                                base += 3
+                                k += 1
+                            enc.encode(st, base + 1, 1)
+                            t = _pt(zz[k], al)
+                            sign = 1 if t < 0 else 0
+                            if sign:
+                                t = -t
+                            enc.encode(stats.fixed, 0, sign)
+                            t -= 1
+                            pos = base + 2
+                            m = 0
+                            if t:
+                                enc.encode(st, pos, 1)
+                                m = 1
+                                v2 = t
+                                if v2 > 1:
+                                    enc.encode(st, pos, 1)
+                                    m = 2
+                                    pos = 189 if k <= kx else 217
+                                    while v2 > 3:
+                                        v2 >>= 1
+                                        enc.encode(st, pos, 1)
+                                        m <<= 1
+                                        pos += 1
+                            enc.encode(st, pos, 0)
+                            pos += 14
+                            while m > 1:
+                                m >>= 1
+                                enc.encode(st, pos, 1 if (t & m) else 0)
+                            k += 1
+                        if k <= se:
+                            enc.encode(st, 3 * (k - 1), 1)  # EOB
+                    else:
+                        ke = se
+                        while ke >= ss and _pt(zz[ke], al) == 0:
+                            ke -= 1
+                        kex = ke
+                        while kex > 0 and _pt(zz[kex], al + 1) == 0:
+                            kex -= 1
+                        k = ss
+                        while k <= ke:
+                            base = 3 * (k - 1)
+                            if k > kex:
+                                enc.encode(st, base, 0)  # not EOB yet
+                            while True:
+                                t = _pt(zz[k], al)
+                                if t:
+                                    if t < -1 or t > 1:
+                                        # previously nonzero: one bit
+                                        enc.encode(
+                                            st, base + 2, abs(t) & 1
+                                        )
+                                    else:
+                                        enc.encode(st, base + 1, 1)
+                                        enc.encode(
+                                            stats.fixed, 0,
+                                            1 if t < 0 else 0,
+                                        )
+                                    break
+                                enc.encode(st, base + 1, 0)
+                                base += 3
+                                k += 1
+                            k += 1
+                        if k <= se:
+                            enc.encode(st, 3 * (k - 1), 1)  # EOB
+        out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -311,9 +311,10 @@ def test_jpeg_dispatch_and_invalid_frames_rejected():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive DC scan"):
         J.decode_jpeg(bytes(prog))
-    # arithmetic coding (SOF9) stays an honest NotImplementedError
+    # lossless-arithmetic (SOF11) stays an honest NotImplementedError
+    # (SOF9/SOF10 arithmetic are decoded for real since round 8)
     arith = bytearray(payload)
-    arith[i + 1] = 0xC9
+    arith[i + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(arith))
 
@@ -979,9 +980,45 @@ def test_qm_coder_roundtrip_stress_and_table_structure():
         assert got == bits, trial
 
 
-def test_jpeg_arith_rejects_progressive_and_lossless_arith():
-    """SOF10/SOF11 (progressive / lossless arithmetic) remain loud
-    honest gaps after SOF9 support."""
+def test_jpeg_arith_progressive_matches_baseline_decode():
+    """SOF10 (progressive DCT, arithmetic): the Annex G.2 models over
+    the QM coder — DC first/refine, AC first/refine with EOBx — carry
+    the SAME quantized coefficients as the Huffman encoders, so decode
+    must be bit-identical to the baseline stream. Sweeps the default
+    multi-scan script (incl. successive-approximation refinement) at
+    gray/444/420 with and without restarts."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_420, encode_jpeg_baseline,
+    )
+    from hudi_demo_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(33, 40, 3), dtype=np.uint8)
+    cases = [
+        (gray, encode_jpeg_baseline(gray, quality=85), dict()),
+        (rgb, encode_jpeg_baseline(rgb, quality=85),
+         dict(restart_interval=3)),
+        (rgb, encode_jpeg_420(rgb, quality=70),
+         dict(quality=70, subsampling="420")),
+    ]
+    for img, huff, kw in cases:
+        kw.setdefault("quality", 85)
+        ar = encode_jpeg_arith_progressive(img, **kw)
+        assert b"\xff\xca" in ar and b"\xff\xcc" in ar  # SOF10 + DAC
+        assert np.array_equal(
+            decode_jpeg(ar)["pixels"], decode_jpeg(huff)["pixels"]
+        ), kw
+
+
+def test_jpeg_arith_rejects_lossless_arith():
+    """SOF11 (lossless arithmetic) remains a loud honest gap after
+    SOF9/SOF10 support (its H.2 context table has no public reference
+    implementation to pin against)."""
     import numpy as np
     import pytest as _pytest
 
@@ -989,8 +1026,7 @@ def test_jpeg_arith_rejects_progressive_and_lossless_arith():
     from hudi_demo_spark.operators.jpeg_arith import encode_jpeg_arith
 
     img = np.zeros((8, 8), dtype=np.uint8)
-    for sof in (0xCA, 0xCB):
-        payload = bytearray(encode_jpeg_arith(img))
-        payload[payload.index(b"\xff\xc9") + 1] = sof
-        with _pytest.raises(NotImplementedError):
-            decode_jpeg(bytes(payload))
+    payload = bytearray(encode_jpeg_arith(img))
+    payload[payload.index(b"\xff\xc9") + 1] = 0xCB
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))

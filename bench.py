@@ -159,6 +159,8 @@ HEADLINE = [
     "multimodal_jpeg_lossless",
     "dedup_admission_incremental",
     "corpus_decontam_view",
+    # round 8 additions
+    "multimodal_jpeg_arithmetic",
 ]
 
 

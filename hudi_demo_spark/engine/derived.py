@@ -621,16 +621,19 @@ def _recompute_inner(
     if changed_l is not None:
         lsnap = _pruned_read(engine, left, lkey[0], vals_l, meta_cols)
         cl = lsnap.join(F.broadcast(changed_l), lkey, "left_semi").persist()
-        rsnap = _pruned_read(
-            engine, right, on[0], _bounded_vals(cl, on[0]), meta_cols
-        )
+        # when the join is ON the left key, cl's join-col values are a
+        # subset of the already-collected vals_l — pruning with the
+        # superset is sound and skips one collect job
+        rv = vals_l if on == lkey else _bounded_vals(cl, on[0])
+        rsnap = _pruned_read(engine, right, on[0], rv, meta_cols)
         parts.append(cl.join(rsnap, on))
     if changed_r is not None:
         rsnap = _pruned_read(engine, right, rkey[0], vals_r, meta_cols)
         cr = rsnap.join(F.broadcast(changed_r), rkey, "left_semi").persist()
-        lsnap = _pruned_read(
-            engine, left, on[0], _bounded_vals(cr, on[0]), meta_cols
-        )
+        # symmetric: a join ON the right key (the dimension-join shape)
+        # reuses vals_r instead of re-collecting from cr
+        lv = vals_r if on == rkey else _bounded_vals(cr, on[0])
+        lsnap = _pruned_read(engine, left, on[0], lv, meta_cols)
         parts.append(lsnap.join(cr, on))
     fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # a field shared by both sources' record keys (e.g. both keyed
@@ -691,11 +694,15 @@ def _recompute_left(
         _fold(changed_l)
     if changed_r is not None:
         # (b): right rows as they NOW stand that changed, joined back to
-        # left identities via the join columns
+        # left identities via the join columns. A join ON the right key
+        # (the dimension-join shape) reuses the collected vals_r for the
+        # left-side prune instead of a second collect job.
         rsnap = _pruned_read(engine, right, rkey[0], vals_r, meta_cols)
         cr = rsnap.join(F.broadcast(changed_r), rkey, "left_semi")
         lsnap = _pruned_read(
-            engine, left, on[0], _bounded_vals(cr, on[0]), meta_cols
+            engine, left, on[0],
+            vals_r if on == rkey else _bounded_vals(cr, on[0]),
+            meta_cols,
         )
         _fold(lsnap.join(cr.select(*on), on, "left_semi").select(*lkey))
         # (c): stored matches referencing a changed right key — the view

@@ -378,9 +378,12 @@ def _block_baseline(bits: _Bits, dc_lut, ac_lut, coef: list, pred: int) -> int:
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline sequential JFIF → {'kind': 'image', 'width', 'height',
     'pixels': uint8 (h, w, 3)} — same contract as decode_ppm/decode_bmp
-    (grayscale replicates to 3 channels). Raises NotImplementedError
-    for progressive/arithmetic/12-bit streams, ValueError for corrupt
-    ones. Entropy decode rides the vectorized _Bits reader; the IDCT
+    (grayscale replicates to 3 channels); also progressive (SOF2),
+    lossless (SOF3), arithmetic (SOF9/SOF10), and 12-bit extended
+    sequential (SOF1/SOF9, uint16 pixels + `precision`, grayscale).
+    Raises NotImplementedError for the remaining honest gaps
+    (lossless-arithmetic SOF11, hierarchical, 12-bit progressive/color),
+    ValueError for corrupt streams. Entropy decode rides the vectorized _Bits reader; the IDCT
     runs as ONE batched einsum per component over the accumulated
     coefficient array instead of a per-block matmul."""
     import numpy as np
@@ -413,13 +416,18 @@ def decode_jpeg(payload: bytes) -> dict:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = [0] * 64
-                for z in range(64):
-                    tbl[ZIGZAG[z]] = body[i + z]
+                if pq:  # Pq=1: 16-bit entries (12-bit-sample tables)
+                    for z in range(64):
+                        tbl[ZIGZAG[z]] = (body[i + 2 * z] << 8) | body[
+                            i + 2 * z + 1
+                        ]
+                    i += 128
+                else:
+                    for z in range(64):
+                        tbl[ZIGZAG[z]] = body[i + z]
+                    i += 64
                 qt[tq] = tbl
-                i += 64
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -433,7 +441,12 @@ def decode_jpeg(payload: bytes) -> dict:
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
             # SOF9/SOF10 sequential/progressive with arithmetic entropy
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if marker != 0xC3 and prec != 8:
+            if marker in (0xC0, 0xC2, 0xCA) and prec != 8:
+                # baseline is 8-bit by definition; progressive 12-bit
+                # is out of scope (no real-world corpus presence)
+                raise NotImplementedError(f"JPEG precision {prec}")
+            if marker in (0xC1, 0xC9) and prec not in (8, 12):
+                # extended sequential: 8- or 12-bit (B.2.2)
                 raise NotImplementedError(f"JPEG precision {prec}")
             if marker == 0xC3 and not 2 <= prec <= 16:
                 raise ValueError(f"lossless JPEG precision {prec}")
@@ -825,11 +838,19 @@ def _reconstruct_lossless(frame, samples) -> dict:
 
 def _reconstruct(frame, qt, coefs) -> dict:
     """Dequantize + batched IDCT + upsample + color convert the
-    accumulated coefficient arrays into the decode_media contract."""
+    accumulated coefficient arrays into the decode_media contract.
+    12-bit frames (extended sequential): level shift 2048, clamp to
+    [0, 4095], uint16 planes with `precision` recorded — the same
+    deep-sample contract as the SOF3/16-bit-PPM paths. 12-bit color
+    raises (JFIF YCbCr matrices are defined for 8-bit; real 12-bit
+    streams are grayscale medical/scientific)."""
     import numpy as np
 
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
+    prec = frame.get("precision", 8)
+    mid = 1 << (prec - 1)
+    top = (1 << prec) - 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     A = _idct_basis()
@@ -839,11 +860,20 @@ def _reconstruct(frame, qt, coefs) -> dict:
         arr = coefs[ci].astype(np.float64) * q
         nby, nbx = arr.shape[:2]
         blocks = arr.reshape(nby, nbx, 8, 8)
-        px = np.einsum("ij,abjk,kl->abil", A.T, blocks, A) + 128.0
+        px = np.einsum("ij,abjk,kl->abil", A.T, blocks, A) + float(mid)
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         out.append(plane[:h, :w])
+    if prec != 8:
+        if len(out) != 1:
+            raise NotImplementedError(
+                f"{prec}-bit JPEG with {len(out)} components"
+            )
+        g = np.clip(np.round(out[0]), 0, top).astype(np.uint16)
+        return {"kind": "image", "width": w, "height": h,
+                "precision": prec,
+                "pixels": np.stack([g, g, g], axis=2)}
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         pixels = np.stack([g, g, g], axis=2)

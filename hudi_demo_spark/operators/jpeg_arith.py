@@ -2,7 +2,7 @@
 conditioning) — closes the one remaining codec gap (`operators/jpeg.py`
 previously raised for every SOFx with arithmetic entropy).
 
-Scope: SOF9 (extended sequential DCT, arithmetic, 8-bit) and SOF10
+Scope: SOF9 (extended sequential DCT, arithmetic, 8- and 12-bit) and SOF10
 (progressive arithmetic: DC first/refine, AC first/refine with the
 Annex G.2 models) DECODE plus matching test-fixture ENCODERS, DAC
 conditioning (DC L/U bounds, AC Kx), restart markers, interleaved and
@@ -892,5 +892,139 @@ def encode_jpeg_arith_progressive(
                         if k <= se:
                             enc.encode(st, 3 * (k - 1), 1)  # EOB
         out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# 12-bit extended sequential (SOF1 Huffman / SOF9 arithmetic) fixture
+# encoder — grayscale, the real-world shape of deep-sample DCT JPEGs
+# (medical/scientific); B.2.2 allows 8- or 12-bit for both frames.
+# ---------------------------------------------------------------------
+
+def encode_jpeg_ext(
+    arr, quality: int = 100, arith: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) integer samples in [0, 4095] → 12-bit GRAYSCALE
+    extended-sequential JFIF bytes: SOF1 (Huffman over the flat
+    all-symbols table — 12-bit DC categories reach SSSS=15, beyond the
+    Annex K 8-bit tables) or SOF9 (arithmetic) over IDENTICAL quantized
+    coefficients, so the two streams decode bit-equal. The DQT is
+    written in 16-bit Pq=1 form (the 12-bit convention) regardless of
+    entry magnitude, exercising that parse path; at quality=100 the
+    all-ones table makes block-constant images decode EXACTLY."""
+    import numpy as np
+
+    from hudi_demo_spark.operators.jpeg import (
+        _BitWriter, _K1_LUMA, ZIGZAG, _csize, _edge_pad, _enc_codes,
+        _idct_basis, _quality_scale,
+    )
+    from hudi_demo_spark.operators.jpeg import _FLAT_BITS, _FLAT_HUFF
+
+    a = np.asarray(arr)
+    if a.ndim != 2:
+        raise ValueError("12-bit fixture encoder is grayscale-only")
+    h, w = a.shape
+    q = _quality_scale(_K1_LUMA, quality)
+    A = _idct_basis()
+    nby, nbx = -(-h // 8), -(-w // 8)
+    p = _edge_pad(a.astype(np.float64) - 2048.0, nby * 8, nbx * 8)
+    qm = np.array(q, dtype=np.float64).reshape(8, 8)
+    blocks = []
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            qz = np.round((A @ blk @ A.T) / qm).astype(int)
+            flat = qz.ravel()
+            blocks.append([int(flat[ZIGZAG[z]]) for z in range(64)])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x10])  # Pq=1 (16-bit entries), Tq=0
+    for z in range(64):
+        dqt += struct.pack(">H", q[ZIGZAG[z]])
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += seg(0xC9 if arith else 0xC1, sof)
+    if arith:
+        out += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # L=0 U=1, Kx=5
+    else:
+        for tc in (0, 1):
+            out += seg(
+                0xC4,
+                bytes([tc << 4]) + bytes(_FLAT_BITS[1:]) + bytes(_FLAT_HUFF),
+            )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    if arith:
+        stats = _Stats()
+        enc = ArithEncoder()
+        n_done = 0
+        rst = 0
+        for zz in blocks:
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                enc = ArithEncoder()
+                stats.reset()
+            n_done += 1
+            _encode_dc(enc, stats, 0, 0, 0, 1, zz[0])
+            _encode_ac(enc, stats, 0, 5, zz)
+        out += enc.flush()
+    else:
+        tab = _enc_codes(_FLAT_BITS, _FLAT_HUFF)
+        wtr = _BitWriter()
+        pred = 0
+        n_done = 0
+        rst = 0
+        for zz in blocks:
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                wtr.flush()
+                out += bytes(wtr.out)
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                wtr = _BitWriter()
+                pred = 0
+            n_done += 1
+            diff = zz[0] - pred
+            pred = zz[0]
+            t = _csize(diff)
+            code, length = tab[t]
+            wtr.write(code, length)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            for k in range(1, last + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = tab[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                sb = _csize(v)
+                code, length = tab[(run << 4) | sb]
+                wtr.write(code, length)
+                wtr.write(v if v >= 0 else v + (1 << sb) - 1, sb)
+                run = 0
+            if last < 63:
+                code, length = tab[0x00]
+                wtr.write(code, length)
+        wtr.flush()
+        out += bytes(wtr.out)
     out += b"\xff\xd9"
     return bytes(out)

@@ -1030,3 +1030,43 @@ def test_jpeg_arith_rejects_lossless_arith():
     payload[payload.index(b"\xff\xc9") + 1] = 0xCB
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_12bit_extended_sequential_huffman_and_arith():
+    """12-bit extended sequential (B.2.2 allows 8/12-bit for SOF1 and
+    SOF9): block-constant 12-bit fields decode EXACTLY at quality=100
+    (all-ones table written as a 16-bit Pq=1 DQT — that parse path is
+    only reachable here), uint16 pixels with precision recorded (the
+    SOF3/16-bit-PPM deep-sample contract); Huffman and arithmetic
+    streams carry identical coefficients, so lossy decodes are
+    bit-equal too. Baseline/progressive frames still refuse 12-bit."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hudi_demo_spark.operators.jpeg import decode_jpeg
+    from hudi_demo_spark.operators.jpeg_arith import encode_jpeg_ext
+
+    rng = np.random.default_rng(21)
+    tiles = rng.integers(0, 4096, size=(3, 4))
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.int64)
+    for arith in (False, True):
+        d = decode_jpeg(
+            encode_jpeg_ext(img, quality=100, arith=arith,
+                            restart_interval=5)
+        )
+        assert d["precision"] == 12
+        assert d["pixels"].dtype == np.uint16
+        assert np.array_equal(d["pixels"][:, :, 0], img.astype(np.uint16))
+    noise = rng.integers(0, 4096, size=(23, 17), dtype=np.int64)
+    for q in (50, 85, 100):
+        dh = decode_jpeg(encode_jpeg_ext(noise, quality=q))["pixels"]
+        da = decode_jpeg(
+            encode_jpeg_ext(noise, quality=q, arith=True,
+                            restart_interval=3)
+        )["pixels"]
+        assert np.array_equal(dh, da), q
+    # flipping the 12-bit SOF1 to SOF0 (baseline) must refuse loudly
+    payload = bytearray(encode_jpeg_ext(img))
+    payload[payload.index(b"\xff\xc1") + 1] = 0xC0
+    with _pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(payload))

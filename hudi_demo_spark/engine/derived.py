@@ -618,9 +618,11 @@ def _recompute_inner(
     snapshot read is key-pruned to the changed identities (or their
     join-key values)."""
     parts = []
+    cached = []
     if changed_l is not None:
         lsnap = _pruned_read(engine, left, lkey[0], vals_l, meta_cols)
         cl = lsnap.join(F.broadcast(changed_l), lkey, "left_semi").persist()
+        cached.append(cl)
         # when the join is ON the left key, cl's join-col values are a
         # subset of the already-collected vals_l — pruning with the
         # superset is sound and skips one collect job
@@ -630,6 +632,7 @@ def _recompute_inner(
     if changed_r is not None:
         rsnap = _pruned_read(engine, right, rkey[0], vals_r, meta_cols)
         cr = rsnap.join(F.broadcast(changed_r), rkey, "left_semi").persist()
+        cached.append(cr)
         # symmetric: a join ON the right key (the dimension-join shape)
         # reuses vals_r instead of re-collecting from cr
         lv = vals_r if on == rkey else _bounded_vals(cr, on[0])
@@ -668,6 +671,8 @@ def _recompute_inner(
         payload = fresh.unionByName(gone, allowMissingColumns=True)
     out = engine.upsert(payload, name)
     fresh.unpersist()
+    for d in cached:
+        d.unpersist()
     return out
 
 

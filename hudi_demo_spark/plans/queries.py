@@ -3904,14 +3904,24 @@ def q19_disjunctive(spark, sf_dir):
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer, ab
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def q22_sales_opportunity(spark, sf_dir):
-    """Q22: scalar-average subquery + NOT EXISTS → anti join."""
+    """Q22 adaptation: scalar-average subquery + NOT EXISTS → anti
+    join. The anti side is restricted to URGENT orders because this
+    datagen gives essentially every customer at least one order —
+    TPC-H's literal "no orders at all" predicate matches zero rows at
+    sf≤0.01, and a structurally-empty gate would verify nothing (the
+    driver's hash of an empty result is trivially green). Same plan
+    shape, guaranteed non-empty at every fixture SF."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     ab = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__a"))
     return (
         c.crossJoin(F.broadcast(ab))

@@ -2218,8 +2218,11 @@ _MH_ENGINE_SRC = """
       WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0 AND doc_id < 900
 """
 _MH_ENGINE_QRY = """
-      SELECT doc_id, text FROM documents
-      WHERE doc_id % 3 <> 0 AND doc_id < 300
+      SELECT d.doc_id,
+             CASE WHEN (d.doc_id // 3) % 4 = 0 THEN b.text
+                  ELSE d.text END AS text
+      FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+      WHERE d.doc_id % 3 <> 0 AND d.doc_id < 300
 """
 
 
@@ -2277,7 +2280,23 @@ def engine_minhash_index(spark, sf_dir):
         eng.delete("docs", "doc_id % 15 = 0")
         refresh_minhash_index(eng, "mh")  # CDC re-sign + eviction
         cluster_index(eng, "mh")
-    batch = d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 300))
+    # a quarter of the batch are exact clones of their corpus base doc
+    # (admission-gate construction): collisions are guaranteed at every
+    # SF, so the probe join verifies real candidate pairs instead of a
+    # structurally-empty result (sf0.1's organic texts collide at 0)
+    base = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    batch = (
+        d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 300))
+        .join(base, F.expr("b_id = doc_id - doc_id % 3"))
+        .select(
+            "doc_id",
+            F.when(
+                F.expr("(doc_id div 3) % 4 = 0"), F.col("b_text")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
     return minhash_probe(eng, "mh", batch).orderBy("query_id", "match_id")
 
 

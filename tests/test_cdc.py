@@ -191,3 +191,104 @@ def test_cdc_before_and_after_images(engine, spark):
     assert rows["insert"]["after"]["v"] == 30.0
     assert rows["delete"]["after"] is None
     assert rows["delete"]["before"]["v"] == 20.0
+
+
+def test_changed_keys_differential_vs_read_cdc_randomized(engine, spark):
+    """`Engine.changed_keys` (round 8: the column-pruned (key,
+    commit_time) diff every derived-table refresh consumes) must relate
+    to `read_cdc` as documented over ARBITRARY DML sequences:
+
+      cdc_keys ⊆ changed_keys ⊆ cdc_keys ∪ {bit-identical rewrites}
+
+    Randomized differential: 40 seeded windows over mixed
+    insert/upsert/update/delete sequences on COW and MOR tables; for
+    each window both key sets are computed and the containment (plus
+    exact equality when the window has no same-value rewrite) is
+    asserted. An extra key is tolerated ONLY if the sequence re-wrote
+    that key with its existing value (idempotent for refreshes)."""
+    import random
+
+    from hudi_demo_spark.engine.timeline import Timeline
+
+    rnd = random.Random(1234)
+    for table_type in ("cow", "mor"):
+        t = f"ck_{table_type}"
+        engine.create_table(
+            t, record_key="id", precombine="ts", partition_by="dt",
+            table_type=table_type,
+        )
+        state: dict[int, tuple] = {}
+        seq = 0
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "id int, name string, price double, ts long, dt string"
+            )
+
+        def apply_random_op():
+            nonlocal seq
+            seq += 1
+            op = rnd.choice(["insert", "upsert", "update", "delete"])
+            ids = rnd.sample(range(1, 13), rnd.randint(1, 4))
+            if op in ("insert", "upsert"):
+                rows = [
+                    (i, f"n{seq}", float(rnd.randint(1, 5)), seq,
+                     f"d{i % 3}")
+                    for i in ids
+                ]
+                # keep inserts collision-free (insert has no dedup
+                # contract for existing keys under this schema)
+                if op == "insert":
+                    rows = [r for r in rows if r[0] not in state]
+                    if not rows:
+                        return
+                    engine.insert(mk(rows), t)
+                else:
+                    engine.upsert(mk(rows), t)
+                for r in rows:
+                    state[r[0]] = r
+            elif op == "update":
+                lo = rnd.randint(1, 12)
+                engine.update(
+                    t, set={"price": F.col("price") + 1},
+                    where=f"id >= {lo}",
+                )
+                for k, r in list(state.items()):
+                    if k >= lo:
+                        state[k] = (r[0], r[1], r[2] + 1, r[3], r[4])
+            else:
+                lo = rnd.randint(1, 12)
+                engine.delete(t, f"id >= {lo} and id <= {lo + 2}")
+                for k in list(state):
+                    if lo <= k <= lo + 2:
+                        del state[k]
+
+        # bootstrap a few rows so windows have a before-state
+        engine.insert(
+            mk([(i, "a", 1.0, 0, f"d{i % 3}") for i in (1, 2, 3, 4)]), t
+        )
+        for i in (1, 2, 3, 4):
+            state[i] = (i, "a", 1.0, 0, f"d{i % 3}")
+
+        for window in range(20):
+            begin = Timeline(engine._resolve(t).path).last_instant()
+            before = dict(state)
+            for _ in range(rnd.randint(1, 3)):
+                apply_random_op()
+            cdc = {
+                r[0]
+                for r in engine.read_cdc(t, begin=begin)
+                .select("_hoodie_record_key").collect()
+            }
+            ck = {
+                r[0]
+                for r in engine.changed_keys(t, begin=begin).collect()
+            }
+            assert cdc <= ck, (table_type, window, cdc - ck)
+            extras = ck - cdc
+            for key in extras:
+                # tolerated only for bit-identical rewrites: the key
+                # exists, unchanged, on both sides of the window
+                k = int(key)
+                assert k in before and k in state and \
+                    before[k] == state[k], (table_type, window, key)

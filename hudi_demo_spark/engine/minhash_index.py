@@ -290,17 +290,18 @@ def minhash_probe(
         # for the join — one signing pass instead of two (the old
         # persist() was unpersisted before the caller's action, so the
         # join recomputed the whole signing lineage). Past the cap the
-        # plan stays fully distributed and signs twice, the right trade
-        # at 100 TB batch sizes.
+        # index read goes unpruned and the batch signs exactly once in
+        # the join: a >50k-band-row batch's distinct buckets approach
+        # the index's bucket space anyway (pruning would keep most
+        # files), and at 100 TB batch sizes a second full signing pass
+        # just to learn that costs more than the unpruned scan saves.
         head = q.take(_PROBE_COLLECT_CAP + 1)
         if len(head) <= _PROBE_COLLECT_CAP:
             q = engine.spark.createDataFrame(head, q.schema)
             vals = sorted({r[_BUCKET_COL] for r in head
                            if r[_BUCKET_COL] is not None}) or None
-        else:
-            vals = _bounded_vals(q, _BUCKET_COL)
-        if vals is not None:
-            point = (_BUCKET_COL, vals)
+            if vals is not None:
+                point = (_BUCKET_COL, vals)
     idx = engine.read(name, point_prune=point) if point else engine.read(name)
     return (
         idx.select(

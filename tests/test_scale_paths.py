@@ -549,3 +549,33 @@ def test_partition_prune_conjunctions_and_or_guard(engine, spark):
     d4 = engine.read("cj_t", where="a = 'x' and (v < 2 or b = 'q')")
     assert all("a=x" in f for f in d4.inputFiles())
     assert sorted(r.k for r in d4.collect()) == [1, 2]
+
+
+def test_minhash_probe_small_and_large_batch_paths(engine, spark, monkeypatch):
+    """minhash_probe's two plans agree: a batch under _PROBE_COLLECT_CAP
+    becomes a driver-collected local relation (one signing pass + a
+    bucket point-prune of the index read); past the cap the index reads
+    unpruned and the batch signs exactly once inside the join (no second
+    signing pass just to learn the prune-set overflowed). Same rows
+    either way."""
+    from hudi_demo_spark.engine import minhash_index as MH
+
+    engine.create_table("docs", record_key="i")
+    rows = [(i, f"w{i} common tokens here {'x' * (i % 4)}") for i in range(40)]
+    engine.insert(spark.createDataFrame(rows, "i int, text string"), "docs")
+    MH.create_minhash_index(engine, "docs", "mh", "i", "text",
+                            num_hashes=16, bands=4)
+    MH.refresh_minhash_index(engine, "mh")
+    # batch contains exact clones of half the corpus → guaranteed hits
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in rows[::2]], "i int, text string"
+    )
+    small = sorted(
+        tuple(r) for r in MH.minhash_probe(engine, "mh", batch).collect()
+    )
+    assert small, "probe found no candidates — fixture broken"
+    monkeypatch.setattr(MH, "_PROBE_COLLECT_CAP", 3)
+    large = sorted(
+        tuple(r) for r in MH.minhash_probe(engine, "mh", batch).collect()
+    )
+    assert large == small

@@ -588,25 +588,15 @@ def refresh_join_view(engine, name: str) -> dict | None:
 
 
 def _changed_ids(engine, src, key_cols, begin, end):
-    """Changed data-typed key values of `src` in `(begin, end]`.
-    Single-column keys ride `Engine.changed_keys` — the column-pruned
-    (key, commit_time) diff scan — cast back to the key column's type
-    (exact for the int/string keys record keys are made of; the same
-    soundness assumption the minhash/vector indexes already make).
-    Composite keys fall back to the CDC row images: the composed
-    `_hoodie_record_key` string is not decomposable."""
-    if len(key_cols) == 1:
-        cfg = engine._resolve(src)
-        schema = engine._stored_schema(cfg)
-        if schema is not None and key_cols[0] in schema.names:
-            ktype = schema[key_cols[0]].dataType
-            return engine.changed_keys(src, begin=begin, end=end).select(
-                F.col(RECORD_KEY_META).cast(ktype).alias(key_cols[0])
-            )
-    return (
-        engine.read_cdc(src, begin=begin, end=end)
-        .select(*key_cols).distinct()
-    )
+    """Changed data-typed key values of `src` in `(begin, end]` via
+    `Engine.changed_keys(key_columns=True)` — the column-pruned
+    (key columns, commit_time) diff scan. The typed columns come
+    straight off the stored files, so composite keys need no string
+    decomposition and binary/decimal keys no lossy cast; `read_cdc`'s
+    full row images are never needed for key discovery."""
+    return engine.changed_keys(
+        src, begin=begin, end=end, key_columns=True
+    ).select(*key_cols)
 
 
 def _recompute_inner(

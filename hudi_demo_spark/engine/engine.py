@@ -2551,6 +2551,7 @@ class Engine:
         begin: str | None = None,
         end: str | None = None,
         allow_cleaned: bool = False,
+        key_columns: bool = False,
     ) -> DataFrame:
         """Distinct `_hoodie_record_key` values whose stored row was
         added, rewritten, or removed in `(begin, end]` — the key set
@@ -2571,7 +2572,18 @@ class Engine:
         parquet-prune to the (key, commit_time) columns of the DIFF
         file groups, never the data columns, and one anti-join on keys.
         Same cleaned-file contract as `read_cdc`
-        (`IncrementalRangeCleanedError` / `allow_cleaned`)."""
+        (`IncrementalRangeCleanedError` / `allow_cleaned`).
+
+        ``key_columns=True`` returns the table's record-key COLUMN(S)
+        — typed and decomposed — instead of the composed
+        `_hoodie_record_key` string. This is what derived-view
+        maintenance joins back on: composite keys come out as separate
+        columns (no string parsing), and every key dtype round-trips
+        exactly (no string cast — a lossy binary/decimal round-trip
+        under the string mode would NULL out and silently drop changed
+        ids). The scan widens from (composed key, commit_time) to
+        (key columns, commit_time); it still never reads a non-key
+        data column."""
         cfg = self._resolve(table)
         if not cfg.record_key_fields:
             raise ValueError("changed_keys requires a table with a record key")
@@ -2625,13 +2637,29 @@ class Engine:
                 )
             sides.append(side)
         before, after = sides
-        a_keys = after.select(RECORD_KEY_META, COMMIT_TIME_META)
+        # identity for the diff is always the composed meta key (exact,
+        # collision-free); the OUTPUT columns are either that string or
+        # the typed key fields carried alongside through the same scan
+        out_cols = (
+            list(cfg.record_key_fields) if key_columns else [RECORD_KEY_META]
+        )
+        a_keys = after.select(
+            RECORD_KEY_META, *[c for c in out_cols if c != RECORD_KEY_META],
+            COMMIT_TIME_META,
+        )
         touched = (
             a_keys.filter(F.col(COMMIT_TIME_META) > begin) if begin else a_keys
-        ).select(RECORD_KEY_META)
+        ).select(*out_cols)
         if before is not None:
-            removed = before.select(RECORD_KEY_META).join(
-                after.select(RECORD_KEY_META), RECORD_KEY_META, "left_anti"
+            removed = (
+                before.select(
+                    RECORD_KEY_META,
+                    *[c for c in out_cols if c != RECORD_KEY_META],
+                )
+                .join(
+                    after.select(RECORD_KEY_META), RECORD_KEY_META, "left_anti"
+                )
+                .select(*out_cols)
             )
             touched = touched.unionByName(removed)
         return touched.distinct()

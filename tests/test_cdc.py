@@ -285,6 +285,15 @@ def test_changed_keys_differential_vs_read_cdc_randomized(engine, spark):
                 for r in engine.changed_keys(t, begin=begin).collect()
             }
             assert cdc <= ck, (table_type, window, cdc - ck)
+            # the typed-column mode (round 9) must name the SAME key
+            # set, decomposed — here the key is a single int column
+            ckc = {
+                r["id"]
+                for r in engine.changed_keys(
+                    t, begin=begin, key_columns=True
+                ).collect()
+            }
+            assert ckc == {int(k) for k in ck}, (table_type, window)
             extras = ck - cdc
             for key in extras:
                 # tolerated only for bit-identical rewrites: the key
@@ -292,3 +301,94 @@ def test_changed_keys_differential_vs_read_cdc_randomized(engine, spark):
                 k = int(key)
                 assert k in before and k in state and \
                     before[k] == state[k], (table_type, window, key)
+
+
+def test_changed_keys_key_columns_composite(engine, spark):
+    """key_columns=True decomposes a COMPOSITE record key into its
+    typed columns straight off the (key columns, commit_time) diff
+    scan — no parsing of the composed `_hoodie_record_key` string.
+    Deterministic DML window with no bit-identical rewrite, so the set
+    must match read_cdc's exactly."""
+    engine.create_table(
+        "ckc", record_key=["id", "g"], precombine="ts",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id int, g string, v double, ts long"
+    )
+    engine.insert(
+        mk([(i, g, 1.0, 0) for i in (1, 2) for g in ("a", "b")]), "ckc"
+    )
+    begin = Timeline(engine._resolve("ckc").path).last_instant()
+    engine.upsert(mk([(1, "a", 9.0, 1), (3, "c", 3.0, 1)]), "ckc")
+    engine.delete("ckc", "id = 2 and g = 'b'")
+    got = sorted(
+        (r["id"], r["g"])
+        for r in engine.changed_keys(
+            "ckc", begin=begin, key_columns=True
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # typed columns, not strings
+    sch = engine.changed_keys("ckc", begin=begin, key_columns=True).schema
+    assert [f.dataType.simpleString() for f in sch.fields] == [
+        "int", "string",
+    ]
+
+
+def test_join_view_composite_key_refresh_never_reads_cdc(
+    engine, spark, monkeypatch
+):
+    """A join view over a COMPOSITE-keyed source must refresh its
+    mutated windows through the column-pruned changed_keys scan — the
+    round-8 fallback paid full CDC row-image IO per refresh for
+    multi-column keys. read_cdc is monkeypatched to raise, so ANY
+    row-image read for key discovery fails the test; the refreshed
+    view must still equal the from-scratch join."""
+    from hudi_demo_spark.engine.derived import (
+        create_join_view, refresh_join_view,
+    )
+
+    engine.create_table("cjl", record_key=["id", "g"], precombine="ts")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id int, g string, v double, ts long"
+    )
+    engine.insert(
+        mk([(i, g, 1.0, 0) for i in (1, 2, 3) for g in ("a", "b")]),
+        "cjl",
+    )
+    engine.create_table("cjr", record_key="g")
+    engine.insert(
+        spark.createDataFrame(
+            [("a", "x"), ("b", "y")], "g string, w string"
+        ),
+        "cjr",
+    )
+    create_join_view(engine, "cjv", "cjl", "cjr", on=["g"])
+    assert refresh_join_view(engine, "cjv") is not None
+
+    # mutated window on BOTH sides: update + delete
+    engine.update("cjl", set={"v": F.col("v") + 1}, where="id >= 2")
+    engine.delete("cjl", "id = 1 and g = 'a'")
+    engine.update("cjr", set={"w": F.lit("z")}, where="g = 'b'")
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "refresh used read_cdc row images for key discovery"
+        )
+
+    monkeypatch.setattr(engine, "read_cdc", _boom)
+    assert refresh_join_view(engine, "cjv") is not None
+    monkeypatch.undo()
+
+    got = sorted(
+        tuple(r)
+        for r in engine.read("cjv")
+        .select("id", "g", "v", "w").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in engine.read("cjl").select("id", "g", "v")
+        .join(engine.read("cjr").select("g", "w"), "g")
+        .select("id", "g", "v", "w").collect()
+    )
+    assert got == want and len(got) == 5

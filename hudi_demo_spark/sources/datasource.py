@@ -97,20 +97,28 @@ def register(spark) -> None:
     """Register this source so `spark.read.format("hudi")` resolves.
 
     Also enables ``spark.sql.python.filterPushdown.enabled`` on the given
-    session: `LakehouseReader.pushFilters` is implemented unconditionally,
-    and PySpark raises ``DATA_SOURCE_PUSHDOWN_DISABLED`` at read time if a
-    Python data-source reader defines ``pushFilters`` while the conf is off.
-    Sessions built through `hudi_demo_spark.session` already set it, but a
-    caller-supplied bare session (e.g. the correctness driver's) won't have
-    it — the conf is runtime-settable, so flip it here where every consumer
-    of the format already passes through.
+    session — but only when the caller has not set it: `LakehouseReader.
+    pushFilters` is implemented unconditionally, and PySpark raises
+    ``DATA_SOURCE_PUSHDOWN_DISABLED`` at read time if a Python data-source
+    reader defines ``pushFilters`` while the conf is off. Sessions built
+    through `hudi_demo_spark.session` already set it, but a caller-supplied
+    bare session (e.g. the correctness driver's) won't have it — the conf
+    is runtime-settable, so flip it here where every consumer of the format
+    already passes through. A session where the user EXPLICITLY set it
+    (either value) is left alone: other Python data sources sharing the
+    session may rely on a deliberate ``false``; such sessions can still
+    read this format per-call with ``.option("pushdown", "false")``, which
+    swaps in a reader class that does not override ``pushFilters``.
     """
+    key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # RuntimeConfig.get(key, default) returns the default ONLY when the
+        # conf has no explicit setting — i.e. None means "unset by user".
+        if spark.conf.get(key, None) is None:
+            spark.conf.set(key, "true")
     except Exception:
         # If a future Spark makes this conf static-only, reads can still
-        # opt out per-call with .option("pushdown", "false"), which swaps
-        # in a reader class that does not override pushFilters.
+        # opt out per-call with .option("pushdown", "false").
         pass
     spark.dataSource.register(LakehouseDataSource)
 

@@ -794,10 +794,33 @@ def test_register_enables_pushdown_on_bare_session(engine, spark):
     key = "spark.sql.python.filterPushdown.enabled"
     saved = spark.conf.get(key, None)
     try:
-        spark.conf.set(key, "false")  # simulate the driver's bare session
+        spark.conf.unset(key)  # simulate the driver's bare session
         register(spark)
         assert spark.conf.get(key) == "true"
         got = spark.read.format("hudi").load(str(cfg.path))
+        assert got.count() == len(ROWS)
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+
+
+def test_register_respects_explicit_pushdown_false(engine, spark):
+    """A session where the USER explicitly disabled Python filter pushdown
+    (other Python data sources may depend on it) is left alone by
+    register(); reads of this format still work via the per-call
+    .option("pushdown", "false") escape hatch."""
+    engine.create_table("bare_v", record_key="id", precombine="ts",
+                        partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "bare_v")
+    cfg = engine._resolve("bare_v")
+    key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")  # deliberate user choice
+        register(spark)
+        assert spark.conf.get(key) == "false"  # not overridden
+        got = (spark.read.format("hudi").option("pushdown", "false")
+               .load(str(cfg.path)))
         assert got.count() == len(ROWS)
     finally:
         if saved is not None:

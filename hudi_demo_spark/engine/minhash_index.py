@@ -289,14 +289,19 @@ def minhash_probe(
         # both the bucket prune-set and a broadcast-able local relation
         # for the join — one signing pass instead of two (the old
         # persist() was unpersisted before the caller's action, so the
-        # join recomputed the whole signing lineage). Past the cap the
-        # index read goes unpruned and the batch signs exactly once in
-        # the join: a >50k-band-row batch's distinct buckets approach
-        # the index's bucket space anyway (pruning would keep most
-        # files), and at 100 TB batch sizes a second full signing pass
-        # just to learn that costs more than the unpruned scan saves.
-        head = q.take(_PROBE_COLLECT_CAP + 1)
-        if len(head) <= _PROBE_COLLECT_CAP:
+        # join recomputed the whole signing lineage). The cap decision
+        # itself must not sign either (a take() past the cap would
+        # still execute the signing groupBy's map stage), so it uses
+        # batch.count() × bands — an exact bound on q's row count
+        # (lsh_band_rows emits one row per band per distinct id) from
+        # a cheap count that never shingles. Past the cap the index
+        # read goes unpruned and the batch signs exactly once, in the
+        # join: a >50k-band-row batch's distinct buckets approach the
+        # index's bucket space anyway (pruning would keep most files),
+        # and at 100 TB batch sizes a signing pass just to learn that
+        # costs more than the unpruned scan saves.
+        if batch.count() * bands <= _PROBE_COLLECT_CAP:
+            head = q.collect()
             q = engine.spark.createDataFrame(head, q.schema)
             vals = sorted({r[_BUCKET_COL] for r in head
                            if r[_BUCKET_COL] is not None}) or None

@@ -3304,13 +3304,26 @@ class Engine:
             return meta
         batch = batch.persist()
         try:
-            ranges, batch_rows = self._batch_key_ranges(batch)
             live = tl.live_files()
-            if self._is_global(cfg):
-                affected = self._global_candidates(cfg, live, ranges, batch)
+            if live:
+                ranges, batch_rows = self._batch_key_ranges(batch)
+                if self._is_global(cfg):
+                    affected = self._global_candidates(
+                        cfg, live, ranges, batch
+                    )
+                else:
+                    affected = self._affected_files(live, ranges)
+                affected = self._bloom_prune(
+                    cfg, affected, batch, batch_rows
+                )
             else:
-                affected = self._affected_files(live, ranges)
-            affected = self._bloom_prune(cfg, affected, batch, batch_rows)
+                # first write (every derived view's bootstrap refresh):
+                # nothing to prune or merge against, so skip the
+                # key-range aggregate — it would execute the batch's
+                # whole lineage (often an expensive recompute) just to
+                # learn bounds nobody consumes. The write below is then
+                # the lineage's single execution.
+                affected, batch_rows = {}, 0
             # cost-based merge strategy: when the affected base is LARGE
             # and the batch small, shuffling every affected file through
             # the payload window dominates — switch to the broadcast

@@ -2189,6 +2189,9 @@ def dedup_admission_incremental(spark, sf_dir):
     )
 
     root = _scratch("dedup_admission_incremental", sf_dir)
+    # bounded (600-doc) multi-commit lifecycle: micro-shuffles at the
+    # session default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     eng = Engine(spark, root)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.select(
@@ -4416,6 +4419,9 @@ def ann_indexed_topk(spark, sf_dir):
     )
 
     root = _scratch("ann_indexed_topk", sf_dir)
+    # bounded (even vec_ids) multi-commit lifecycle: micro-shuffles at
+    # the session default are task-scheduling overhead (_pinned_session)
+    spark = _pinned_session(spark, 8)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -5802,6 +5808,9 @@ def corpus_decontam_view(spark, sf_dir):
     )
 
     root = _scratch("corpus_decontam_view", sf_dir)
+    # bounded (600-doc) multi-commit lifecycle: micro-shuffles at the
+    # session default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     eng = Engine(spark, root)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     train = d.filter((F.col("doc_id") < 600) & (F.col("doc_id") % 7 != 0))
@@ -8051,6 +8060,10 @@ def engine_join_view_left(spark, sf_dir):
     )
 
     root = _scratch("engine_join_view_left", sf_dir)
+    # ~12 engine commits over bounded slices: micro-shuffles at the
+    # session default are pure task-scheduling overhead (same knob as
+    # engine_minhash_index / the streaming gates' state sizing)
+    spark = _pinned_session(spark, 8)
     eng = Engine(spark, root)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"

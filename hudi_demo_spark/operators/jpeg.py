@@ -20,8 +20,21 @@ a fixture encoder whose roundtrip is EXACT (the lossless self-oracle)
 PLUS arithmetic entropy (SOF9 sequential AND SOF10 progressive, DAC
 conditioning, T.81 Annex D QM-coder — see operators/jpeg_arith.py,
 differentially pinned against the Huffman coder over identical
-quantized coefficients). Lossless-arithmetic (SOF11) and hierarchical
-JPEGs raise NotImplementedError — honest gaps, loudly.
+quantized coefficients). Two frame types raise NotImplementedError,
+loudly at the SOF marker, by DECISION rather than omission:
+- SOF11 (lossless arithmetic): its Annex H.2 gradient-conditioned
+  context table has no public reference implementation to pin a
+  differential against — a plausibly-wrong decode would be worse than
+  a loud gap (rationale expanded in jpeg_arith.py).
+- SOF5-7/13-15 (hierarchical, Annex J): no mainstream encoder ever
+  shipped the mode — libjpeg (the de-facto codec every browser,
+  imaging library and camera pipeline built on) never implemented
+  hierarchical coding, so crawl corpora contain effectively zero such
+  files. A decoder would be dead code with nothing real to verify
+  against; a corpus that DOES surface them should fail loud here and
+  route those payloads to a specialist tool.
+Both raise with the frame type named, so a 100 TB decode job surfaces
+the exact unsupported marker instead of silently dropping payloads.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
 operators/multimodal.py) — per-payload Python cost, zero shuffle. The
@@ -493,10 +506,18 @@ def decode_jpeg(payload: bytes) -> dict:
                 preds = [0] * nc
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             # SOF9/SOF10 (sequential/progressive arithmetic) are handled
-            # above; lossless arithmetic (SOF11) and all hierarchical
-            # frames remain honest loud gaps
+            # above; lossless arithmetic (SOF11: no public reference
+            # implementation of the Annex H.2 context table to pin a
+            # differential against) and the hierarchical frames (Annex J:
+            # never implemented by libjpeg, effectively absent from real
+            # corpora) are loud, named gaps — see the module docstring
+            sof = {0xC5: "SOF5", 0xC6: "SOF6", 0xC7: "SOF7",
+                   0xCB: "SOF11", 0xCD: "SOF13", 0xCE: "SOF14",
+                   0xCF: "SOF15"}[marker]
+            kind = ("lossless-arithmetic" if marker == 0xCB
+                    else "hierarchical")
             raise NotImplementedError(
-                "lossless-arithmetic or hierarchical JPEG not supported"
+                f"JPEG frame type {sof} ({kind}) not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0

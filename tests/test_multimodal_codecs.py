@@ -317,6 +317,13 @@ def test_jpeg_dispatch_and_invalid_frames_rejected():
     arith[i + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(arith))
+    # hierarchical frames (Annex J, never shipped by any mainstream
+    # encoder) raise with the exact frame type NAMED, so a 100 TB decode
+    # job reports the unsupported marker instead of dropping payloads
+    hier = bytearray(payload)
+    hier[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5.*hierarchical"):
+        J.decode_jpeg(bytes(hier))
 
 
 def test_jpeg_progressive_matches_baseline_bit_exact():

@@ -10134,6 +10134,122 @@ def engine_merge_global(spark, sf_dir):
     )
 
 
+_TEXT_INDEX_ORACLE = """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 12 = 0 THEN text || ' zq zq vector'
+                  ELSE text END AS text
+      FROM documents
+      WHERE doc_id < 600 AND doc_id % 15 <> 0
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM src
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN ('hash', 'stream', 'vector') GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+             AS rank
+    FROM s
+    ORDER BY rank
+    LIMIT 25
+"""
+
+
+@q("engine_text_index", _TEXT_INDEX_ORACLE)
+def engine_text_index(spark, sf_dir):
+    """Incrementally-MAINTAINED BM25 inverted index (the text-retrieval
+    serving shape next to the minhash and vector indexes): corpus docs
+    ingest in two batches (insert-only folds tokenize just the delta),
+    a text-appending UPDATE re-derives exactly the changed docs through
+    their CDC images (their 'vector' tf and doc lengths move), a DELETE
+    evicts every posting of the dead docs via same-commit tombstones,
+    the index range-clusters on (bucket, term), and search is served
+    from the bucket-pruned postings plus the incrementally-maintained
+    corpus scalars (N, Σdl) — at 100 TB a query never re-tokenizes or
+    even reads the corpus, only the colliding index files.
+    SELF-ASSERTING: the search-shaped read must touch a strict subset
+    of the index's files. The oracle replays the END state through the
+    batch BM25 formula (same Lucene idf, same rounding)."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.text_index import (
+        _TB_COL,
+        _bucket,
+        cluster_text_index,
+        create_text_index,
+        refresh_text_index,
+        text_index_search,
+    )
+
+    root = _scratch("engine_text_index", sf_dir)
+    # bounded (600-doc) multi-commit lifecycle: micro-shuffles at the
+    # session default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 600)
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
+    create_text_index(eng, "docs", "tix", "doc_id", "text", buckets=8)
+    refresh_text_index(eng, "tix")  # insert-only delta fold
+    # one mutated window: second ingest, a tf-shifting UPDATE, a DELETE
+    eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
+    eng.update(
+        "docs",
+        set={"text": F.concat(F.col("text"), F.lit(" zq zq vector"))},
+        where="doc_id % 12 = 0",
+    )
+    eng.delete("docs", "doc_id % 15 = 0")
+    refresh_text_index(eng, "tix")  # CDC re-derive + posting eviction
+    cluster_text_index(eng, "tix")
+    terms = ["hash", "stream", "vector"]
+    # scale property IS the contract: the search-shaped read (bucket
+    # partitions + term col-stats) must scan a strict file subset
+    tbs = sorted(
+        {
+            r[_TB_COL]
+            for r in spark.createDataFrame([(t,) for t in terms],
+                                           "term string")
+            .select(_bucket(F.col("term"), 8).alias(_TB_COL))
+            .collect()
+        }
+    )
+    n_all = len(eng.read("tix").inputFiles())
+    n_probed = len(
+        eng.read(
+            "tix",
+            where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",
+            point_filter=("term", terms),
+        ).inputFiles()
+    )
+    if not (0 < n_probed < n_all):
+        raise AssertionError(
+            f"text-index search read {n_probed}/{n_all} files — "
+            "not a strict subset; bucket/term pruning is broken"
+        )
+    return text_index_search(eng, "tix", terms, k=25).orderBy("rank")
+
+
 # =====================================================================
 # Registry head rotation (round 9)
 # =====================================================================

@@ -10250,6 +10250,94 @@ def engine_text_index(spark, sf_dir):
     return text_index_search(eng, "tix", terms, k=25).orderBy("rank")
 
 
+_STREAM_TIX_ORACLE = """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 600 AND doc_id % 3 = 1
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM src
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN ('hash', 'stream', 'vector') GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+             AS rank
+    FROM s
+    ORDER BY rank
+    LIMIT 25
+"""
+
+
+@q("streaming_text_index", _STREAM_TIX_ORACLE)
+def streaming_text_index(spark, sf_dir):
+    """Streaming-maintained BM25 text index: a bootstrap batch seeds
+    the corpus, then the rest STREAMS in via foreachBatch (insert +
+    index refresh per micro-batch — each insert-only fold tokenizes
+    just its delta and bumps the corpus scalars; the first refresh
+    folds the bootstrap commit too, pinning that a window spanning
+    multiple insert commits still folds as one delta). The final
+    search served from the index must equal DuckDB's full-corpus BM25
+    replay: retrieval keeps pace with ingest without ever
+    re-tokenizing what already landed."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.text_index import (
+        create_text_index,
+        refresh_text_index,
+        text_index_search,
+    )
+
+    root = _scratch("streaming_text_index", sf_dir)
+    spark = _pinned_session(spark, 8)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 600))
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")  # bootstrap
+    create_text_index(eng, "docs", "tix", "doc_id", "text", buckets=8)
+    rest = corpus.filter(F.col("doc_id") % 2 != 0)
+    src = f"{root}/src"
+    rest.repartition(2).write.mode("overwrite").parquet(src)
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "docs", batch_id=batch_id)
+        refresh_text_index(eng, "tix")
+
+    q_ = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return text_index_search(
+        eng, "tix", ["hash", "stream", "vector"], k=25
+    ).orderBy("rank")
+
+
 # =====================================================================
 # Registry head rotation (round 9)
 # =====================================================================

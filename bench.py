@@ -152,6 +152,8 @@ HEADLINE = [
     "multimodal_jpeg_throughput",
     "engine_minhash_index",
     "streaming_minhash_index",
+    "engine_text_index",
+    "streaming_text_index",
     "similarity_hard_negatives",
     "sample_leakage_safe_split",
     # round 7 additions

@@ -10351,14 +10351,16 @@ def streaming_text_index(spark, sf_dir):
 # arithmetic-JPEG gate, and the corpus/events/text long tail. Every
 # head name is oracled and green in the local bare-session sf0.01
 # sweep. Pure key-order rotation: names, callables and oracles are
-# untouched. Deferred to round 10 (13): the five rows-only gates
+# untouched. Deferred to round 10 (15): the five rows-only gates
 # (`text_bpe_token_counts`, `multimodal_jpeg_throughput`,
-# `ann_pq_recall`, `ann_ivfpq_recall`, `ann_indexed_pq_recall`) and
+# `ann_pq_recall`, `ann_ivfpq_recall`, `ann_indexed_pq_recall`),
 # eight oracled names whose siblings are already driver-green
 # (`multimodal_real_decode`, `multimodal_gif_decode`,
 # `multimodal_video_dedup`, `corpus_dsir_resample`,
 # `corpus_seeded_shuffle`, `events_gap_fill_linear`,
-# `text_bigram_logprob`, `sample_stratified`).
+# `text_bigram_logprob`, `sample_stratified`), and the two BM25
+# text-index gates added this round (`engine_text_index`,
+# `streaming_text_index` — both oracled, green at 3 SFs locally).
 _ROTATION_HEAD = [
     # TPC-H adaptations (final nine)
     "q8_market_share", "q11_important_parts", "q13_customer_distribution",

@@ -183,3 +183,66 @@ def test_postings_shape(spark):
     got = sorted((r["term"], r["doc_id"], r["tf"], r["dl"]) for r in p)
     assert got == [("a", 7, 2, 3), ("b", 7, 1, 3)]
     assert all(0 <= r[_TB_COL] < 4 for r in p)
+
+
+def test_randomized_dml_differential_vs_batch_operator(engine, spark):
+    """Randomized windows of mixed insert/upsert/update/delete on the
+    source, each folded by refresh_text_index — after EVERY window the
+    index-served ranking and the maintained scalars must equal the
+    batch operator / a recount over the live snapshot."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(99)
+    words = ["data", "hash", "spark", "vector", "stream", "join", "zq"]
+
+    def txt():
+        return " ".join(rnd.choice(words)
+                        for _ in range(rnd.randint(0, 6)))
+
+    engine.create_table("docs", record_key="doc_id")
+    engine.insert(
+        _mk(spark, [(i, txt()) for i in range(1, 7)]), "docs"
+    )
+    create_text_index(engine, "docs", "tix", "doc_id", "text", buckets=4)
+    refresh_text_index(engine, "tix")
+    live = set(range(1, 7))
+    for window in range(6):
+        for _ in range(rnd.randint(1, 2)):
+            op = rnd.choice(["insert", "upsert", "update", "delete"])
+            ids = rnd.sample(range(1, 10), rnd.randint(1, 3))
+            if op == "insert":
+                rows = [(i, txt()) for i in ids if i not in live]
+                if rows:
+                    engine.insert(_mk(spark, rows), "docs")
+                    live |= {r[0] for r in rows}
+            elif op == "upsert":
+                engine.upsert(_mk(spark, [(i, txt()) for i in ids]),
+                              "docs")
+                live |= set(ids)
+            elif op == "update" and live:
+                lo = rnd.randint(1, 9)
+                engine.update(
+                    "docs",
+                    set={"text": F.concat(F.col("text"),
+                                          F.lit(" " + rnd.choice(words)))},
+                    where=f"doc_id >= {lo}",
+                )
+            elif live:
+                lo = rnd.randint(1, 9)
+                engine.delete("docs", f"doc_id = {lo}")
+                live.discard(lo)
+        refresh_text_index(engine, "tix")
+        cfg = engine._resolve("tix")
+        snap = engine.read("docs")
+        assert int(cfg.props["textindex.n_docs"]) == snap.count(), window
+        want_s = snap.agg(
+            F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
+        ).collect()[0][0]
+        assert int(cfg.props["textindex.sum_dl"]) == want_s, window
+        if int(cfg.props["textindex.n_docs"]) > 0:
+            terms = rnd.sample(words, 2)
+            assert _index_topk(engine, terms) == _batch_topk(
+                engine, terms
+            ), (window, terms)

@@ -154,6 +154,7 @@ HEADLINE = [
     "streaming_minhash_index",
     "engine_text_index",
     "streaming_text_index",
+    "engine_text_search_batch",
     "similarity_hard_negatives",
     "sample_leakage_safe_split",
     # round 7 additions

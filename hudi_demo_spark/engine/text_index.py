@@ -367,3 +367,84 @@ def text_index_search(
         top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "bm25", "rank")
     )
+
+
+def text_index_topk(
+    engine,
+    name: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_terms_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """(query_id, id, bm25, rank): top-k retrieval for a whole TABLE of
+    queries (query_id, array<string> terms) served FROM the index —
+    the batch-search join `operators/text.bm25_topk` runs against raw
+    text, re-expressed over the maintained postings. The index read
+    prunes to the UNION of all queries' terms (their buckets + term
+    col-stats); df(term) aggregates once over those pruned postings and
+    is shared by every query mentioning the term; per-query scores
+    aggregate on (query_id, doc) and top-k is one window PARTITIONED by
+    query — parallel across queries, so a batch of thousands of
+    retrieval queries costs one pruned index scan, not one per query.
+    Ties break (bm25 desc, id asc) after rounding, like bm25_topk."""
+    cfg = engine._resolve(name)
+    id_col, _, buckets = _params(cfg)
+    n_docs, sum_dl = _stats(cfg)
+    if n_docs <= 0:
+        raise ValueError(f"text index {name!r} is empty — refresh it first")
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(query_terms_col).alias("term"),
+    ).distinct()
+    # bounded collect (queries are the small side, as in bm25_topk /
+    # the ANN cell probe): distinct terms drive bucket + stats pruning
+    terms = sorted(
+        {r["term"] for r in qterms.select("term").distinct().collect()
+         if r["term"] is not None}
+    )
+    if not terms:
+        raise ValueError("text_index_topk needs at least one query term")
+    tbs = sorted(
+        {
+            r[_TB_COL]
+            for r in engine.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_bucket(F.col("term"), buckets).alias(_TB_COL))
+            .collect()
+        }
+    )
+    idx = engine.read(
+        name,
+        where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",
+        point_filter=("term", terms),
+    )
+    dfreq = idx.groupBy("term").agg(F.count("*").alias("__df"))
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        idx.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn("__s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+        .groupBy("__qid", id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "bm25", "rank")
+    )

@@ -10338,6 +10338,92 @@ def streaming_text_index(spark, sf_dir):
     ).orderBy("rank")
 
 
+_TIX_BATCH_ORACLE = """
+    WITH q(qid, t) AS (
+      VALUES (1, 'hash'), (1, 'vector'),
+             (2, 'stream'), (2, 'vector'),
+             (3, 'hash'), (3, 'stream'), (3, 'vector')
+    ), src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM src
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), terms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM terms
+      WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT q.qid, tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) JOIN q USING (t) CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ), r AS (
+      SELECT qid, doc_id, bm25,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank
+      FROM s
+    )
+    SELECT qid AS query_id, doc_id, bm25, rank
+    FROM r WHERE rank <= 8
+    ORDER BY query_id, rank
+"""
+
+
+@q("engine_text_search_batch", _TIX_BATCH_ORACLE)
+def engine_text_search_batch(spark, sf_dir):
+    """BATCH retrieval served from the maintained BM25 index: a TABLE
+    of queries (query_id, array<string> terms) retrieves its top-k in
+    ONE pruned index scan — the union of all queries' terms drives the
+    bucket/col-stats pruning, df(term) is computed once and shared,
+    and per-query top-k runs as a window partitioned by query. The
+    index is built in two insert-only folds; the oracle replays every
+    query through the batch BM25 formula over the same corpus."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.text_index import (
+        create_text_index,
+        refresh_text_index,
+        text_index_topk,
+    )
+
+    root = _scratch("engine_text_search_batch", sf_dir)
+    spark = _pinned_session(spark, 8)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
+    create_text_index(eng, "docs", "tix", "doc_id", "text", buckets=8)
+    refresh_text_index(eng, "tix")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
+    refresh_text_index(eng, "tix")
+    queries = spark.createDataFrame(
+        [
+            (1, ["hash", "vector"]),
+            (2, ["stream", "vector"]),
+            (3, ["hash", "stream", "vector"]),
+        ],
+        "query_id int, terms array<string>",
+    )
+    return text_index_topk(
+        eng, "tix", queries, "query_id", "terms", k=8
+    ).orderBy("query_id", "rank")
+
+
 # =====================================================================
 # Registry head rotation (round 9)
 # =====================================================================

@@ -246,3 +246,31 @@ def test_randomized_dml_differential_vs_batch_operator(engine, spark):
             assert _index_topk(engine, terms) == _batch_topk(
                 engine, terms
             ), (window, terms)
+
+
+def test_batch_topk_matches_batch_operator(engine, spark):
+    """text_index_topk (many queries, one pruned index scan) must rank
+    exactly like operators/text.bm25_topk over the raw corpus."""
+    from hudi_demo_spark.engine.text_index import text_index_topk
+    from hudi_demo_spark.operators.text import bm25_topk
+
+    _setup(engine, spark)
+    queries = spark.createDataFrame(
+        [(10, ["data", "hash"]), (20, ["vector", "streams"]),
+         (30, ["spark"])],
+        "query_id int, terms array<string>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in text_index_topk(
+            engine, "tix", queries, "query_id", "terms", k=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk(
+            engine.read("docs").select("doc_id", "text"),
+            queries, "doc_id", "text", "query_id", "terms", k=4,
+        ).collect()
+    )
+    assert got == want and got

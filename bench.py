@@ -155,6 +155,7 @@ HEADLINE = [
     "engine_text_index",
     "streaming_text_index",
     "engine_text_search_batch",
+    "engine_hybrid_search",
     "similarity_hard_negatives",
     "sample_leakage_safe_split",
     # round 7 additions

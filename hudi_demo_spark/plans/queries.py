@@ -10424,6 +10424,174 @@ def engine_text_search_batch(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _hybrid_indexed_oracle() -> str:
+    """End-state SQL replay of BOTH maintained retrievers + RRF: the
+    lexical CTEs mirror the BM25 text index (bounded docs corpus), the
+    semantic CTEs mirror the IVF vector index (even vec_ids, centroids
+    seeded from the first ingest batch, 4/8 cells probed, exact
+    re-rank inside), and the fusion is the same fixed-order
+    1/(60+rank) sum `rrf_fuse` computes (ranked unrounded, displayed
+    rounded) — the combined query is bit-exact because each half is
+    already pinned by its own gate family."""
+    from hudi_demo_spark.functions.hashfn import PORTABLE_HASH60_SQL
+
+    seed_h = PORTABLE_HASH60_SQL.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH dsrc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS tk
+      FROM dsrc
+    ), sized AS (
+      SELECT doc_id, len(tk) AS dl, tk FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), q(qid, t) AS (
+      VALUES (2, 'hash'), (2, 'vector'), (4, 'stream'), (4, 'vector'),
+             (6, 'hash'), (6, 'stream')
+    ), tterms AS (
+      SELECT doc_id, dl, unnest(tk) AS t FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM tterms
+      WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), s AS (
+      SELECT q.qid, tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (t) JOIN q USING (t) CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ), lex AS (
+      SELECT qid AS query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY bm25 DESC, doc_id
+             ) AS INTEGER) AS lrank
+      FROM s QUALIFY lrank <= 10
+    ), half AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), seeds AS (
+      SELECT vec_id, embedding FROM half WHERE vec_id % 3 = 0
+      ORDER BY {seed_h}, vec_id LIMIT 8
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             embedding::DOUBLE[] AS cv,
+             coalesce(nullif(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[])), 0), 1) AS cnorm
+      FROM seeds
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                          / c.cnorm DESC,
+                        c.cid) AS crank
+      FROM half e CROSS JOIN cents c
+    ), vcorpus AS (
+      SELECT vec_id AS doc_id, embedding AS nv, cid
+      FROM assign WHERE crank = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM assign WHERE vec_id IN (2, 4, 6) AND crank <= 4
+    ), vscored AS (
+      SELECT query_id, doc_id,
+             list_dot_product(qv::DOUBLE[], nv::DOUBLE[])
+             / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                * sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[])))
+               AS score
+      FROM probes JOIN vcorpus USING (cid)
+      WHERE query_id != doc_id
+    ), sem AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INTEGER) AS srank
+      FROM vscored QUALIFY srank <= 10
+    ), fused AS (
+      SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+             coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             coalesce(1.0 / (60.0 + lex.lrank), 0.0)
+               + coalesce(1.0 / (60.0 + sem.srank), 0.0) AS rrf0
+      FROM lex FULL OUTER JOIN sem USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, round(rrf0, 6) AS rrf,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf0 DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank
+    """
+
+
+@q("engine_hybrid_search", _hybrid_indexed_oracle())
+def engine_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval served ENTIRELY from maintained indexes — the
+    serving-shape counterpart of text_hybrid_rrf: lexical top-10 from
+    the incrementally-maintained BM25 text index (bucket+term-pruned
+    postings, table-prop corpus scalars) and semantic top-10 from the
+    incrementally-maintained IVF vector index (4/8 cells probed,
+    partition-pruned), fused by reciprocal-rank fusion. At 100 TB
+    neither retriever touches its corpus at query time — the RAG/search
+    stack runs off two derived tables that ingest folds keep current.
+    Both halves and the fusion replay bit-exactly in the oracle."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.text_index import (
+        create_text_index,
+        refresh_text_index,
+        text_index_topk,
+    )
+    from hudi_demo_spark.engine.vector_index import (
+        create_vector_index,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+    from hudi_demo_spark.operators.text import rrf_fuse
+
+    root = _scratch("engine_hybrid_search", sf_dir)
+    spark = _pinned_session(spark, 8)
+    eng = Engine(spark, root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    eng.create_table("docs", record_key="doc_id")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 == 0), "docs")
+    create_text_index(eng, "docs", "tix", "doc_id", "text", buckets=8)
+    refresh_text_index(eng, "tix")
+    eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
+    refresh_text_index(eng, "tix")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 2 == 0)
+    eng.create_table("emb", record_key="vec_id")
+    eng.insert(e.filter(F.col("vec_id") % 3 == 0), "emb")
+    create_vector_index(eng, "emb", "vix", "vec_id", "embedding",
+                        n_centroids=8)
+    refresh_vector_index(eng, "vix")
+    eng.insert(e.filter(F.col("vec_id") % 3 != 0), "emb")
+    refresh_vector_index(eng, "vix")
+    tqueries = spark.createDataFrame(
+        [(2, ["hash", "vector"]), (4, ["stream", "vector"]),
+         (6, ["hash", "stream"])],
+        "query_id int, terms array<string>",
+    )
+    lex = text_index_topk(eng, "tix", tqueries, "query_id", "terms", k=10)
+    vqueries = eng.read("emb").filter(
+        F.col("vec_id").isin(2, 4, 6)
+    ).select("vec_id", "embedding")
+    sem = vector_index_topk(eng, "vix", vqueries, k=10, n_probe=4).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem],
+        query_col="query_id", doc_col="doc_id", rank_col="rank",
+        k=60, topk=5,
+    ).orderBy("query_id", "rank")
+
+
 # =====================================================================
 # Registry head rotation (round 9)
 # =====================================================================

@@ -10605,7 +10605,9 @@ def engine_hybrid_search(spark, sf_dir):
 # arithmetic-JPEG gate, and the corpus/events/text long tail. Every
 # head name is oracled and green in the local bare-session sf0.01
 # sweep. Pure key-order rotation: names, callables and oracles are
-# untouched. Deferred to round 10 (15): the five rows-only gates
+# untouched. Deferred to round 10 (17, incl. the round-9 additions
+# `engine_text_search_batch` and `engine_hybrid_search` — oracled,
+# green at 3 SFs locally): the five rows-only gates
 # (`text_bpe_token_counts`, `multimodal_jpeg_throughput`,
 # `ann_pq_recall`, `ann_ivfpq_recall`, `ann_indexed_pq_recall`),
 # eight oracled names whose siblings are already driver-green

@@ -300,13 +300,30 @@ def minhash_probe(
         # index's bucket space anyway (pruning would keep most files),
         # and at 100 TB batch sizes a signing pass just to learn that
         # costs more than the unpruned scan saves.
-        if batch.count() * bands <= _PROBE_COLLECT_CAP:
-            head = q.collect()
-            q = engine.spark.createDataFrame(head, q.schema)
-            vals = sorted({r[_BUCKET_COL] for r in head
-                           if r[_BUCKET_COL] is not None}) or None
-            if vals is not None:
-                point = (_BUCKET_COL, vals)
+        # persist the batch across the two actions (count, then the
+        # signing collect) — for admission pipelines whose batch is a
+        # derived DataFrame, an unpersisted count would re-execute the
+        # batch's whole upstream lineage once per probe; released
+        # before returning (over the cap the join re-reads the batch
+        # exactly once in the caller's action, as before). A batch the
+        # CALLER already persisted is left alone — unpersisting it here
+        # would silently drop their cache.
+        ours = not batch.storageLevel.useMemory and not (
+            batch.storageLevel.useDisk
+        )
+        if ours:
+            batch.persist()
+        try:
+            if batch.count() * bands <= _PROBE_COLLECT_CAP:
+                head = q.collect()
+                q = engine.spark.createDataFrame(head, q.schema)
+                vals = sorted({r[_BUCKET_COL] for r in head
+                               if r[_BUCKET_COL] is not None}) or None
+                if vals is not None:
+                    point = (_BUCKET_COL, vals)
+        finally:
+            if ours:
+                batch.unpersist()
     idx = engine.read(name, point_prune=point) if point else engine.read(name)
     return (
         idx.select(

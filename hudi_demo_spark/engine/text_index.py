@@ -67,6 +67,14 @@ from hudi_demo_spark.functions.textfn import tokens
 _TB_COL = "tb"
 _META = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
 
+# Past this many (query, term) rows, `text_index_topk` stops collecting
+# the batch's terms to the driver for bucket/col-stats pruning and joins
+# the unpruned index with a shuffled (non-broadcast) join instead — the
+# same cap discipline as minhash_index._PROBE_COLLECT_CAP: a batch whose
+# distinct terms approach the vocabulary would keep most buckets anyway,
+# and a driver collect/broadcast of it is the actual scale hazard.
+_TOPK_COLLECT_CAP = 50_000
+
 
 def _bucket(term_col, buckets: int):
     """Deterministic term → partition bucket (xxhash64 is stable across
@@ -203,11 +211,32 @@ def refresh_text_index(engine, name: str) -> dict | None:
             .select(id_col, text_col)
             .persist()
         )
-        out = engine.upsert(postings(delta, id_col, text_col, buckets), name)
+        # stats aggregate FIRST (it also populates the persist cache
+        # the upsert then reuses): engine.insert is a plain append with
+        # NO key dedup (Hudi's INSERT op semantics), so a duplicate-id
+        # insert would collide (term, id) postings AND permanently skew
+        # the folded scalars — postings self-heal on the next overwrite
+        # of the key; the table-prop stats never do. The indexed-source
+        # contract is unique ids (create_text_index already pins the
+        # key shape); enforce the in-window half of it in the SAME
+        # aggregate that folds the stats — zero extra jobs — and abort
+        # BEFORE anything is committed to the index.
         row = delta.agg(
             F.count("*").alias("n"),
+            F.count_distinct(F.col(id_col)).alias("d"),
             F.coalesce(F.sum(F.size(tokens(text_col))), F.lit(0)).alias("s"),
         ).collect()[0]
+        if int(row["n"]) != int(row["d"]):
+            delta.unpersist()
+            raise ValueError(
+                f"text index {name!r}: refresh window inserted "
+                f"{int(row['n']) - int(row['d'])} duplicate "
+                f"{id_col!r} value(s) into source {source!r} — indexed "
+                "sources must hold one row per id (use upsert, not "
+                "insert, for re-ingested docs); the refresh was "
+                "aborted before any posting or stat was written"
+            )
+        out = engine.upsert(postings(delta, id_col, text_col, buckets), name)
         delta.unpersist()
         _bump_stats(engine, name, int(row["n"]), int(row["s"]), end)
         return out
@@ -400,30 +429,63 @@ def text_index_topk(
         F.col(query_id_col).alias("__qid"),
         F.explode(query_terms_col).alias("term"),
     ).distinct()
-    # bounded collect (queries are the small side, as in bm25_topk /
-    # the ANN cell probe): distinct terms drive bucket + stats pruning
-    terms = sorted(
-        {r["term"] for r in qterms.select("term").distinct().collect()
-         if r["term"] is not None}
+    # The cap decision must be cheaper than the thing it caps: Σ|terms|
+    # over the query table is an exact upper bound on qterms' row count
+    # (terms is already an array column — no tokenize, no explode, one
+    # thin-column aggregate), so a vocabulary-sized query batch is
+    # detected without ever materializing its term set driver-side.
+    bound = int(
+        queries.agg(
+            F.coalesce(
+                F.sum(F.size(F.col(query_terms_col))), F.lit(0)
+            ).alias("n")
+        ).collect()[0]["n"]
     )
-    if not terms:
-        raise ValueError("text_index_topk needs at least one query term")
-    tbs = sorted(
-        {
-            r[_TB_COL]
-            for r in engine.spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+    if bound <= _TOPK_COLLECT_CAP:
+        # bounded collect (the common case — retrieval batches are the
+        # small side, as in bm25_topk / the ANN cell probe): ONE pass
+        # over qterms yields the prune term set AND a local relation
+        # for the broadcast join, so a derived query table's lineage
+        # never re-executes inside the join
+        head = qterms.collect()
+        qterms = engine.spark.createDataFrame(head, qterms.schema)
+        terms = sorted(
+            {r["term"] for r in head if r["term"] is not None}
+        )
+        if not terms:
+            raise ValueError(
+                "text_index_topk needs at least one query term"
             )
-            .select(_bucket(F.col("term"), buckets).alias(_TB_COL))
-            .collect()
-        }
-    )
-    idx = engine.read(
-        name,
-        where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",
-        point_filter=("term", terms),
-    )
-    dfreq = idx.groupBy("term").agg(F.count("*").alias("__df"))
+        tbs = sorted(
+            {
+                r[_TB_COL]
+                for r in engine.spark.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(_bucket(F.col("term"), buckets).alias(_TB_COL))
+                .collect()
+            }
+        )
+        idx = engine.read(
+            name,
+            where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",
+            point_filter=("term", terms),
+        )
+        qside = F.broadcast(qterms)
+        dfreq = idx.groupBy("term").agg(F.count("*").alias("__df"))
+        dfside = F.broadcast(dfreq)
+    else:
+        # over the cap: no driver collect, no broadcast — restrict the
+        # index to matching terms with a shuffled semi-join (df(term)
+        # still aggregates over ALL postings of each surviving term,
+        # so scores are identical to the pruned path) and let both
+        # joins shuffle on term; AQE handles the stop-word skew
+        idx = engine.read(name).join(
+            qterms.select("term").distinct(), "term", "left_semi"
+        )
+        qside = qterms
+        dfreq = idx.groupBy("term").agg(F.count("*").alias("__df"))
+        dfside = dfreq
     avgdl = float(sum_dl) / float(n_docs)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
@@ -434,8 +496,8 @@ def text_index_topk(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )
     scored = (
-        idx.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
+        idx.join(dfside, "term")
+        .join(qside, "term")
         .withColumn("__s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
         .groupBy("__qid", id_col)
         .agg(F.round(F.sum("__s"), round_to).alias("bm25"))

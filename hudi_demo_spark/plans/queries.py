@@ -82,26 +82,41 @@ def _pinned_session(spark: SparkSession, n: int = 8) -> SparkSession:
     replaces). `newSession()` starts from the builder conf, not the
     parent's runtime state, so the parent's explicitly-set runtime
     confs (ANSI mode, Python data-source filter pushdown, …) are
-    copied over once by diffing the two sessions' conf maps; the clone
-    is cached per (parent, n) so the copy — and the clone's temp-view
-    namespace — is reused across gates in one process."""
+    copied over by diffing the two sessions' conf maps; the clone is
+    cached per (parent, n) so the clone — and its temp-view namespace —
+    is reused across gates in one process. The diff re-runs on every
+    CACHE HIT too (two cheap py4j map reads): a conf the parent set
+    AFTER the clone was first built propagates to the next gate instead
+    of silently running against a stale snapshot. The pin itself is
+    excluded from the sync, and confs the parent never set are never
+    touched on the clone."""
     key = (id(spark), n)
     hit = _PINNED_SESSIONS.get(key)
     if hit is not None and hit[0] is spark:
+        _sync_pinned_confs(spark, hit[1])
         return hit[1]
     s = spark.newSession()
-    jconv = spark.sparkContext._jvm.scala.collection.JavaConverters
-    parent = dict(jconv.mapAsJavaMap(spark._jsparkSession.conf().getAll()))
-    child = dict(jconv.mapAsJavaMap(s._jsparkSession.conf().getAll()))
-    for k, v in parent.items():
-        if child.get(k) != v:
-            try:
-                s.conf.set(k, v)
-            except Exception:
-                pass  # static conf — already fixed at builder time
+    _sync_pinned_confs(spark, s)
     s.conf.set("spark.sql.shuffle.partitions", str(n))
     _PINNED_SESSIONS[key] = (spark, s)
     return s
+
+
+def _sync_pinned_confs(parent_s: SparkSession, child_s: SparkSession) -> None:
+    """Copy the parent's runtime confs onto the clone wherever they
+    differ — except the clone's own shuffle-partition pin."""
+    jconv = parent_s.sparkContext._jvm.scala.collection.JavaConverters
+    parent = dict(
+        jconv.mapAsJavaMap(parent_s._jsparkSession.conf().getAll())
+    )
+    child = dict(jconv.mapAsJavaMap(child_s._jsparkSession.conf().getAll()))
+    for k, v in parent.items():
+        if k == "spark.sql.shuffle.partitions" or child.get(k) == v:
+            continue
+        try:
+            child_s.conf.set(k, v)
+        except Exception:
+            pass  # static conf — already fixed at builder time
 
 
 # Shared word-3-gram shingling CTEs (DuckDB dialect): raw text → distinct

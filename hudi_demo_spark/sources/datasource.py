@@ -112,8 +112,16 @@ def register(spark) -> None:
     """
     key = "spark.sql.python.filterPushdown.enabled"
     try:
-        # RuntimeConfig.get(key, default) returns the default ONLY when the
-        # conf has no explicit setting — i.e. None means "unset by user".
+        # RuntimeConfig.get(key, default) returns the caller's default ONLY
+        # when the conf has no explicit setting — i.e. None means "unset by
+        # user". Pinned assumption (Spark 4.x RuntimeConfig.get(String,
+        # String): sqlConf.getConfString(key, default), which consults the
+        # raw settings map, NOT the ConfigEntry default): if a future Spark
+        # returned the entry default ("false") here instead, bare sessions
+        # would silently stop getting pushdown enabled and every read would
+        # fail with DATA_SOURCE_PUSHDOWN_DISABLED —
+        # tests/test_datasource.py::test_register_enables_pushdown_on_bare_session
+        # exists to catch exactly that on a Spark upgrade.
         if spark.conf.get(key, None) is None:
             spark.conf.set(key, "true")
     except Exception:

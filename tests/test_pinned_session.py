@@ -48,3 +48,21 @@ def test_pinned_work_does_not_leak_into_parent(spark):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
         spark.conf.set(coalesce, "true")
         s.conf.set(coalesce, "true")
+
+
+def test_cache_hit_resyncs_parent_confs(spark):
+    """A runtime conf set on the parent AFTER the clone was first built
+    must propagate on the next cache hit — gates never run against a
+    stale conf snapshot — while the shuffle pin survives the sync."""
+    key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(key)
+    first = _pinned_session(spark, 8)
+    spark.conf.set(key, "America/New_York")
+    try:
+        again = _pinned_session(spark, 8)
+        assert again is first
+        assert again.conf.get(key) == "America/New_York"
+        assert again.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.set(key, saved)
+        first.conf.set(key, saved)

@@ -274,3 +274,59 @@ def test_batch_topk_matches_batch_operator(engine, spark):
         ).collect()
     )
     assert got == want and got
+
+
+def test_batch_topk_over_cap_joins_unpruned(engine, spark, monkeypatch):
+    """Past _TOPK_COLLECT_CAP, text_index_topk must skip the driver
+    term-collect and the broadcasts and serve from an unpruned shuffled
+    join — with bit-identical scores to the pruned path."""
+    import hudi_demo_spark.engine.text_index as tix
+    from hudi_demo_spark.engine.text_index import text_index_topk
+
+    _setup(engine, spark)
+    queries = spark.createDataFrame(
+        [(10, ["data", "hash"]), (20, ["vector", "streams"]),
+         (30, ["spark"])],
+        "query_id int, terms array<string>",
+    )
+    want = sorted(
+        tuple(r)
+        for r in text_index_topk(
+            engine, "tix", queries, "query_id", "terms", k=4
+        ).collect()
+    )
+    calls = []
+    orig = spark.createDataFrame
+    monkeypatch.setattr(
+        spark, "createDataFrame", lambda *a, **k: calls.append(a) or orig(*a, **k)
+    )
+    monkeypatch.setattr(tix, "_TOPK_COLLECT_CAP", 0)
+    over = text_index_topk(engine, "tix", queries, "query_id", "terms", k=4)
+    got = sorted(tuple(r) for r in over.collect())
+    assert got == want and got
+    # no local relation was built — nothing was collected to the driver
+    assert not calls
+    # and the broadcast hint is absent from the over-cap plan
+    assert "broadcast" not in over._jdf.queryExecution().logical().toString().lower()
+
+
+def test_insert_duplicate_id_aborts_fold(engine, spark):
+    """engine.insert appends without key dedup; a duplicate-id window
+    must abort the refresh BEFORE postings or scalar stats are written
+    (the table-prop scalars would never self-heal)."""
+    from hudi_demo_spark.engine.derived import _OFFSET_PROP
+    from hudi_demo_spark.engine.text_index import _stats
+
+    _setup(engine, spark)
+    before_stats = _stats(engine._resolve("tix"))
+    before_offset = engine._resolve("tix").props[_OFFSET_PROP]
+    before_rows = engine.read("tix").count()
+    engine.insert(
+        _mk(spark, [(7, "dup doc"), (7, "dup doc again")]), "docs"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        refresh_text_index(engine, "tix")
+    cfg = engine._resolve("tix")
+    assert _stats(cfg) == before_stats
+    assert cfg.props[_OFFSET_PROP] == before_offset
+    assert engine.read("tix").count() == before_rows

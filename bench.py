@@ -212,27 +212,58 @@ def main() -> None:
     # between laps keep the cost bounded)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
+    # Deterministic work-volume alongside the noisy wall: Spark job and
+    # task counts for ONE rep of each gate, via SparkStatusTracker. Wall
+    # times on this box swing 1.5-2x with ambient load (BASELINE.md bench
+    # discipline); job/task counts don't — a round-over-round diff of
+    # these attributes a regression to added work vs box noise without a
+    # hand-run interleaved A/B. Counted per job-group, so jobs launched
+    # from OTHER threads (Structured Streaming's execution threads) are
+    # not included — streaming gates' counts cover their driver-thread
+    # setup/read jobs only.
+    per_query_shape: dict[str, dict] = {}
+    tracker = spark.sparkContext.statusTracker()
     errors: list[str] = []
     total = 0.0
     for name in headline:
         fn = QUERIES[name]
         best = None
+        shape = None
         try:
-            for _ in range(max(1, reps)):
+            for rep in range(max(1, reps)):
+                group = f"bench:{name}:{rep}"
+                spark.sparkContext.setJobGroup(group, name)
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
+                if rep == 0:
+                    jids = tracker.getJobIdsForGroup(group)
+                    tasks = 0
+                    for jid in jids:
+                        ji = tracker.getJobInfo(jid)
+                        for sid in ji.stageIds if ji else ():
+                            si = tracker.getStageInfo(sid)
+                            tasks += si.numTasks if si else 0
+                    shape = {"jobs": len(jids), "tasks": tasks}
         except Exception as ex:
             # one broken query must not lose the JSON for the others
             print(f"[bench] {name} FAILED: {ex}", file=sys.stderr)
             errors.append(name)
             continue
+        finally:
+            spark.sparkContext.setJobGroup("bench:idle", "between gates")
         best = round(best, 3)
         per_query[name] = best
+        per_query_shape[name] = {"sec": best, **(shape or {})}
         total += best
-        print(f"[bench] {name}: {best:.3f}s", file=sys.stderr)
+        print(
+            f"[bench] {name}: {best:.3f}s "
+            f"{shape['jobs']}j/{shape['tasks']}t" if shape else
+            f"[bench] {name}: {best:.3f}s",
+            file=sys.stderr,
+        )
     # Full per-query detail goes to stderr + a sidecar file; the single
     # stdout JSON line stays SHORT so the driver's tail-capture window
     # never truncates its head (round-2 postmortem: the 65-entry per-query
@@ -242,6 +273,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        # per-gate {sec, jobs, tasks}: jobs/tasks are the deterministic
+        # work-volume signal (rep-0 job group) — diff THESE across
+        # rounds; walls alone are ambient-load-noisy on this box
+        "shapes": per_query_shape,
         "sf": sf,
     }
     if errors:

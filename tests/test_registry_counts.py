@@ -22,11 +22,25 @@ def test_readme_query_counts_match_registry():
     )
 
 
+# The only registry names allowed in the head WITHOUT an oracle: the
+# rows-only-by-design gates (recall floors / throughput measurements
+# whose assertions live inside the gate, not in SQL). Round 10 rotates
+# them through the driver sample once to close the verification ledger;
+# any OTHER unoracled name in the head is a mistake.
+ROWS_ONLY_BY_DESIGN = {
+    "text_bpe_token_counts",
+    "multimodal_jpeg_throughput",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    "ann_indexed_pq_recall",
+}
+
+
 def test_rotation_head_is_well_formed():
     """The driver samples the first 50 registry entries: the rotated
     head must be EXACTLY 50 distinct registered names (a 52-entry list
     would silently drop its tail out of the driver sample — round-8
-    near-miss), every one oracled."""
+    near-miss), every one oracled unless declared rows-only."""
     from hudi_demo_spark.plans.queries import _ROTATION_HEAD
 
     assert len(_ROTATION_HEAD) == 50, (
@@ -37,5 +51,7 @@ def test_rotation_head_is_well_formed():
     head = names[:50]
     assert head == _ROTATION_HEAD
     assert len(set(head)) == 50
-    missing = [n for n in head if n not in ORACLES]
+    missing = [
+        n for n in head if n not in ORACLES and n not in ROWS_ONLY_BY_DESIGN
+    ]
     assert not missing, f"head queries without oracle SQL: {missing}"

@@ -426,6 +426,73 @@ class Engine:
             cfg.save()
         return df.select(*cols)
 
+    def _prepare(
+        self,
+        df: DataFrame,
+        cfg: TableConfig,
+        instant: str,
+        keep_deleted: bool = False,
+    ) -> DataFrame:
+        """`_conform(_stamp(df), …)` fused into ONE projection — the hot
+        write path's batch preparation. Spark Datasets analyze EAGERLY
+        on the JVM at every transformation, and each chained withColumn
+        in `_stamp` re-analyzes the batch's whole plan tree (refresh
+        batches carry deep lineages: incremental reads, signing
+        pipelines, CDC unions) — the unfused pair cost ~4 full-tree
+        analyses per commit, a measurable slice of the per-commit floor
+        profiled in SCALE.md. Semantics are pinned to the unfused pair
+        (schema, column order, values, schema-evolution save) by
+        tests/test_properties.py::test_prepare_equals_stamp_conform;
+        `_stamp`/`_conform` remain for the call sites that need only
+        one half (marker frames, read-side conforms). Relies on the
+        invariant that every stored schema carries the three meta
+        columns (create_table writes them via `_full_schema`)."""
+        stored = self._stored_schema(cfg)
+        if stored is None:
+            evolved = self._full_schema(df.schema, cfg.table_type)
+        else:
+            names = set(stored.names)
+            extra = [
+                f
+                for f in df.schema.fields
+                if f.name not in names and f.name != DELETED_META
+            ]
+            evolved = T.StructType(list(stored.fields) + extra)
+        have = set(df.columns)
+        is_mor = cfg.table_type == MOR
+
+        def _src(name: str) -> Column:
+            if name == RECORD_KEY_META:
+                return record_key_col(cfg.record_key_fields)
+            if name == PARTITION_PATH_META:
+                return partition_path_col(cfg.partition_fields, cfg.hive_style)
+            if name == COMMIT_TIME_META:
+                return F.lit(instant)
+            if name in have:
+                return F.col(name)
+            if name == DELETED_META and is_mor:
+                return F.lit(False)
+            return F.lit(None)
+
+        cols = [
+            _src(fld.name).cast(fld.dataType).alias(fld.name)
+            for fld in evolved.fields
+        ]
+        if (
+            keep_deleted
+            and DELETED_META in have
+            and DELETED_META not in {f.name for f in evolved.fields}
+        ):
+            cols.append(
+                F.coalesce(F.col(DELETED_META).cast("boolean"), F.lit(False))
+                .alias(DELETED_META)
+            )
+        new_json = json.dumps(evolved.jsonValue())
+        if new_json != cfg.schema_json:
+            cfg.schema_json = new_json
+            cfg.save()
+        return df.select(*cols)
+
     # ------------------------------------------------------------------
     # physical file IO
     # ------------------------------------------------------------------
@@ -2695,19 +2762,18 @@ class Engine:
                 cfg.props.get("insert.drop_duplicates", "")
             ).lower() in ("1", "true", "yes")
         instant = new_instant()
-        stamped = self._stamp(df, cfg, instant)
         if DELETED_META in df.columns:
             # INSERT cannot delete, on EITHER table type: a deleted
             # payload yields no insert (Hudi payload semantics). COW
-            # would otherwise land the row as live data once _conform
-            # strips the reserved marker; MOR would write it as a delta
-            # delete marker — snapshot semantics must not depend on the
-            # physical layout, so both skip the row. Route deletions
-            # through upsert (tombstones) or delete/delete_keys.
-            stamped = stamped.filter(
-                ~F.coalesce(F.col(DELETED_META), F.lit(False))
-            )
-        out = self._conform(stamped, cfg)
+            # would otherwise land the row as live data once the
+            # conform projection strips the reserved marker; MOR would
+            # write it as a delta delete marker — snapshot semantics
+            # must not depend on the physical layout, so both skip the
+            # row. Route deletions through upsert (tombstones) or
+            # delete/delete_keys. (Filtered on the raw input — the
+            # marker column is untouched by stamping.)
+            df = df.filter(~F.coalesce(F.col(DELETED_META), F.lit(False)))
+        out = self._prepare(df, cfg, instant)
         if drop_duplicates:
             out = self._dedup_batch(out, cfg)
             tl = Timeline(cfg.path)
@@ -2827,7 +2893,7 @@ class Engine:
         BootstrapDemo.scala:230; Hudi WriteOperationType.INSERT_OVERWRITE_TABLE."""
         cfg = self._resolve(table)
         instant = new_instant()
-        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        out = self._prepare(df, cfg, instant)
         added = self._materialize(out, cfg, instant, "base")
         meta = Timeline(cfg.path).commit(
             instant,
@@ -2859,7 +2925,7 @@ class Engine:
         if not cfg.partition_fields:
             return self.overwrite(df, table)
         instant = new_instant()
-        out = self._conform(self._stamp(df, cfg, instant), cfg)
+        out = self._prepare(df, cfg, instant)
         tl = Timeline(cfg.path)
         live = tl.live_files()
         added = self._materialize(out, cfg, instant, "base")
@@ -3286,9 +3352,7 @@ class Engine:
         only a strictly later commit re-inserts the key."""
         cfg = self._resolve(table)
         instant = new_instant()
-        batch = self._conform(
-            self._stamp(df, cfg, instant), cfg, keep_deleted=True
-        )
+        batch = self._prepare(df, cfg, instant, keep_deleted=True)
         tl = Timeline(cfg.path)
         if cfg.table_type == MOR:
             batch = self._dedup_batch(batch, cfg)
@@ -3648,7 +3712,7 @@ class Engine:
         cfg = self._resolve(table)
         instant = new_instant()
         tl = Timeline(cfg.path)
-        src = self._conform(self._stamp(source, cfg, instant), cfg)
+        src = self._prepare(source, cfg, instant)
         src = self._dedup_batch(src, cfg).persist()
         flagged = None
         try:

@@ -1233,6 +1233,10 @@ def engine_hilbert_clustering(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
 
     root = _scratch("engine_hilbert_clustering", sf_dir)
+    # pinned clone like the other multi-commit lifecycle gates: the
+    # 1 MB-target layout rewrite is many-small-files micro-shuffle
+    # work where 32-wide task scheduling is pure overhead
+    spark = _pinned_session(spark, 8)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id",

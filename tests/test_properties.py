@@ -500,3 +500,63 @@ def test_heavy_hitters_exact_for_any_layout(spark, keys, support, parts):
     c = Counter(keys)
     want = {(k, n) for k, n in c.items() if n >= support * len(keys)}
     assert got == want
+
+
+def test_prepare_equals_stamp_conform(spark, tmp_path_factory):
+    """`Engine._prepare` (the fused single-projection batch prep) must
+    be indistinguishable from `_conform(_stamp(df), …)` — schema (names,
+    types, order), row values, and the schema-evolution side effect —
+    across COW/MOR, partitioned/keyless, evolution extras, incoming
+    meta columns, and keep_deleted."""
+    import json as _json
+
+    from hudi_demo_spark import Engine
+    from hudi_demo_spark.engine.config import (
+        COMMIT_TIME_META,
+        DELETED_META,
+    )
+
+    root = tmp_path_factory.mktemp("prep")
+    eng = Engine(spark, root / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", "p1", 5.0, True), (2, None, "p2", None, None),
+         (3, "c", None, 1.5, False)],
+        "id int, name string, pt string, v double, _hoodie_is_deleted boolean",
+    )
+    cases = []
+    eng.create_table("cow", record_key="id", partition_by="pt")
+    cases.append(("cow", base.drop(DELETED_META), False))
+    cases.append(("cow", base, True))  # keep_deleted append path
+    eng.create_table("mor", record_key="id", table_type="mor")
+    cases.append(("mor", base.drop(DELETED_META), False))  # adds marker
+    cases.append(("mor", base, True))  # marker flows through
+    eng.create_table("keyless", record_key=None)
+    cases.append(("keyless", base.drop(DELETED_META, "id"), False))
+    # evolution: an extra column not in the stored schema
+    cases.append(("cow", base.drop(DELETED_META).withColumn(
+        "extra", base["id"] * 2), False))
+    # incoming meta columns must be recomputed, not passed through
+    cases.append(("cow", base.drop(DELETED_META).withColumn(
+        COMMIT_TIME_META, base["name"]), False))
+    for tbl, df, keep in cases:
+        cfg = eng._resolve(tbl)
+        instant = "20990101000000000000"
+        saved = cfg.schema_json
+        want = eng._conform(eng._stamp(df, cfg, instant), cfg,
+                            keep_deleted=keep)
+        json_unfused = cfg.schema_json
+        cfg.schema_json = saved  # rewind the evolution side effect
+        got = eng._prepare(df, cfg, instant, keep_deleted=keep)
+        assert cfg.schema_json == json_unfused, (tbl, keep)
+        assert [(f.name, f.dataType) for f in got.schema.fields] == [
+            (f.name, f.dataType) for f in want.schema.fields
+        ], (tbl, keep)
+        if tbl == "keyless":
+            # uuid() keys differ per evaluation; compare sans key col
+            from hudi_demo_spark.engine.config import RECORD_KEY_META
+
+            got = got.drop(RECORD_KEY_META)
+            want = want.drop(RECORD_KEY_META)
+        grows = sorted(map(str, got.collect()))
+        wrows = sorted(map(str, want.collect()))
+        assert grows == wrows, (tbl, keep)

@@ -149,6 +149,9 @@ class Engine:
         self.root.mkdir(parents=True, exist_ok=True)
         # stats of the most recent read_incremental (documented attribute)
         self.last_incremental_stats = {"cleaned_files_skipped": 0}
+        # _prepare's projection-column cache: unresolved Column ASTs per
+        # (table, evolved schema, input shape) — see _prepare
+        self._prep_cols_cache: dict = {}
 
     # ------------------------------------------------------------------
     # catalog / DDL  (D1-D7)
@@ -460,34 +463,78 @@ class Engine:
             evolved = T.StructType(list(stored.fields) + extra)
         have = set(df.columns)
         is_mor = cfg.table_type == MOR
-
-        def _src(name: str) -> Column:
-            if name == RECORD_KEY_META:
-                return record_key_col(cfg.record_key_fields)
-            if name == PARTITION_PATH_META:
-                return partition_path_col(cfg.partition_fields, cfg.hive_style)
-            if name == COMMIT_TIME_META:
-                return F.lit(instant)
-            if name in have:
-                return F.col(name)
-            if name == DELETED_META and is_mor:
-                return F.lit(False)
-            return F.lit(None)
-
-        cols = [
-            _src(fld.name).cast(fld.dataType).alias(fld.name)
-            for fld in evolved.fields
-        ]
-        if (
-            keep_deleted
-            and DELETED_META in have
-            and DELETED_META not in {f.name for f in evolved.fields}
-        ):
-            cols.append(
-                F.coalesce(F.col(DELETED_META).cast("boolean"), F.lit(False))
-                .alias(DELETED_META)
-            )
         new_json = json.dumps(evolved.jsonValue())
+        # Every Column construction (col/cast/alias) is a py4j round
+        # trip, and the list below costs ~hundreds of them per commit —
+        # a measured ~0.3 s/commit of pure gateway chatter on loaded
+        # boxes. All of it is instant-INDEPENDENT (unresolved ASTs that
+        # re-resolve per plan; even keyless uuid() re-evaluates per
+        # query), so the built list is cached per (table, evolved
+        # schema, input shape) with the commit-time slot left as a
+        # placeholder to fill per call. A lifecycle's 2nd..Nth commits
+        # pay one literal instead of the whole list.
+        ck = (
+            cfg.path,
+            new_json,
+            tuple(df.columns),
+            keep_deleted,
+            is_mor,
+            tuple(cfg.record_key_fields or ()),
+            tuple(cfg.partition_fields or ()),
+            cfg.hive_style,
+        )
+        cached = self._prep_cols_cache.get(ck)
+        if cached is None:
+
+            def _src(name: str) -> Column | None:
+                if name == RECORD_KEY_META:
+                    return record_key_col(cfg.record_key_fields)
+                if name == PARTITION_PATH_META:
+                    return partition_path_col(
+                        cfg.partition_fields, cfg.hive_style
+                    )
+                if name == COMMIT_TIME_META:
+                    return None  # placeholder — filled per instant below
+                if name in have:
+                    return F.col(name)
+                if name == DELETED_META and is_mor:
+                    return F.lit(False)
+                return F.lit(None)
+
+            cached = [
+                (
+                    src.cast(fld.dataType).alias(fld.name)
+                    if (src := _src(fld.name)) is not None
+                    else None,
+                    fld.dataType,
+                    fld.name,
+                )
+                for fld in evolved.fields
+            ]
+            if (
+                keep_deleted
+                and DELETED_META in have
+                and DELETED_META not in {f.name for f in evolved.fields}
+            ):
+                cached.append(
+                    (
+                        F.coalesce(
+                            F.col(DELETED_META).cast("boolean"), F.lit(False)
+                        ).alias(DELETED_META),
+                        None,
+                        DELETED_META,
+                    )
+                )
+            self._prep_cols_cache[ck] = cached
+            while len(self._prep_cols_cache) > 256:
+                self._prep_cols_cache.pop(
+                    next(iter(self._prep_cols_cache))
+                )
+        cols = [
+            c if c is not None
+            else F.lit(instant).cast(dtype).alias(name)
+            for c, dtype, name in cached
+        ]
         if new_json != cfg.schema_json:
             cfg.schema_json = new_json
             cfg.save()

@@ -20,20 +20,27 @@ a fixture encoder whose roundtrip is EXACT (the lossless self-oracle)
 PLUS arithmetic entropy (SOF9 sequential AND SOF10 progressive, DAC
 conditioning, T.81 Annex D QM-coder — see operators/jpeg_arith.py,
 differentially pinned against the Huffman coder over identical
-quantized coefficients). Two frame types raise NotImplementedError,
-loudly at the SOF marker, by DECISION rather than omission:
+quantized coefficients) PLUS hierarchical (Annex J) decode — DHP/EXP
+markers, multi-frame pyramids, differential sequential-DCT (SOF5) and
+differential lossless (SOF7) frames folded into per-component
+reference planes with the J.1.1.2 (a+b+1)>>1 expansion filter; a
+pyramid whose final frame is differential LOSSLESS reconstructs the
+source EXACTLY, which is the self-oracle
+(`encode_jpeg_hierarchical`'s default shape). Hierarchical frames are
+restricted to 1x1 sampling and all-component frames (the pyramid
+shape every Annex J figure shows); other shapes raise loudly. The
+remaining frame types raise NotImplementedError, loudly at the SOF
+marker, by DECISION rather than omission:
 - SOF11 (lossless arithmetic): its Annex H.2 gradient-conditioned
   context table has no public reference implementation to pin a
   differential against — a plausibly-wrong decode would be worse than
   a loud gap (rationale expanded in jpeg_arith.py).
-- SOF5-7/13-15 (hierarchical, Annex J): no mainstream encoder ever
-  shipped the mode — libjpeg (the de-facto codec every browser,
-  imaging library and camera pipeline built on) never implemented
-  hierarchical coding, so crawl corpora contain effectively zero such
-  files. A decoder would be dead code with nothing real to verify
-  against; a corpus that DOES surface them should fail loud here and
-  route those payloads to a specialist tool.
-Both raise with the frame type named, so a 100 TB decode job surfaces
+- SOF6 (differential progressive) and SOF13-15 (differential
+  arithmetic): sub-modes of a mode no mainstream encoder ever shipped
+  — libjpeg never implemented hierarchical coding, so crawl corpora
+  contain effectively zero such files, and these variants have no
+  second implementation anywhere to differentially pin against.
+All raise with the frame type named, so a 100 TB decode job surfaces
 the exact unsupported marker instead of silently dropping payloads.
 
 Scale note: this runs inside Arrow-batched `mapInPandas` stages (see
@@ -392,11 +399,13 @@ def decode_jpeg(payload: bytes) -> dict:
     """Baseline sequential JFIF → {'kind': 'image', 'width', 'height',
     'pixels': uint8 (h, w, 3)} — same contract as decode_ppm/decode_bmp
     (grayscale replicates to 3 channels); also progressive (SOF2),
-    lossless (SOF3), arithmetic (SOF9/SOF10), and 12-bit extended
-    sequential (SOF1/SOF9, uint16 pixels + `precision`, grayscale).
+    lossless (SOF3), arithmetic (SOF9/SOF10), 12-bit extended
+    sequential (SOF1/SOF9, uint16 pixels + `precision`, grayscale), and
+    hierarchical (Annex J: DHP/EXP, differential SOF5/SOF7 pyramids).
     Raises NotImplementedError for the remaining honest gaps
-    (lossless-arithmetic SOF11, hierarchical, 12-bit progressive/color),
-    ValueError for corrupt streams. Entropy decode rides the vectorized _Bits reader; the IDCT
+    (lossless-arithmetic SOF11, differential progressive/arithmetic
+    SOF6/SOF13-15, 12-bit progressive/color), ValueError for corrupt
+    streams. Entropy decode rides the vectorized _Bits reader; the IDCT
     runs as ONE batched einsum per component over the accumulated
     coefficient array instead of a per-block matmul."""
     import numpy as np
@@ -413,6 +422,19 @@ def decode_jpeg(payload: bytes) -> dict:
     preds: list = []
     mcux = mcuy = 0
     saw_scan = False
+    # hierarchical (Annex J) state: DHP defines the full-size image;
+    # each completed frame folds into per-component reference planes
+    hier = None
+    frame_scanned = False
+
+    def _hier_fold():
+        nonlocal frame, frame_scanned
+        if hier is None or frame is None or not frame_scanned:
+            return
+        _hier_fold_frame(hier, frame, qt, coefs)
+        frame = None
+        frame_scanned = False
+
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -421,6 +443,7 @@ def decode_jpeg(payload: bytes) -> dict:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            _hier_fold()
             break
         size = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + size]
@@ -450,18 +473,25 @@ def decode_jpeg(payload: bytes) -> dict:
                 huffval = list(body[i + 17 : i + 17 + n])
                 hufftabs[(tc, th)] = _huff_lut(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
-            # SOF9/SOF10 sequential/progressive with arithmetic entropy
+            # SOF9/SOF10 sequential/progressive with arithmetic entropy,
+            # SOF5/SOF7 differential sequential/lossless (hierarchical)
+            _hier_fold()  # a new frame header ends the previous frame
+            diff = marker in (0xC5, 0xC7)
+            if diff and hier is None:
+                raise ValueError(
+                    "JPEG: differential frame without a preceding DHP"
+                )
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if marker in (0xC0, 0xC2, 0xCA) and prec != 8:
+            if marker in (0xC0, 0xC2, 0xC5, 0xCA) and prec != 8:
                 # baseline is 8-bit by definition; progressive 12-bit
                 # is out of scope (no real-world corpus presence)
                 raise NotImplementedError(f"JPEG precision {prec}")
             if marker in (0xC1, 0xC9) and prec not in (8, 12):
                 # extended sequential: 8- or 12-bit (B.2.2)
                 raise NotImplementedError(f"JPEG precision {prec}")
-            if marker == 0xC3 and not 2 <= prec <= 16:
+            if marker in (0xC3, 0xC7) and not 2 <= prec <= 16:
                 raise ValueError(f"lossless JPEG precision {prec}")
             comps = []
             for c in range(nc):
@@ -469,14 +499,27 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            if hier is not None:
+                # pyramid shape restrictions (module docstring): every
+                # frame carries every component at 1x1 sampling
+                if nc != len(hier["comps"]):
+                    raise NotImplementedError(
+                        "hierarchical JPEG with partial-component frames"
+                    )
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "hierarchical JPEG with subsampling"
+                    )
             frame = {
                 "w": w, "h": h, "comps": comps,
                 "progressive": marker in (0xC2, 0xCA),
-                "lossless": marker == 0xC3,
+                "lossless": marker in (0xC3, 0xC7),
                 "arith": marker in (0xC9, 0xCA),
+                "diff": diff,
                 "precision": prec,
             }
-            if marker == 0xC3:
+            frame_scanned = False
+            if marker in (0xC3, 0xC7):
                 # Annex H: spatial samples, no DCT grid. Sampling
                 # factors other than 1x1 change the MCU sample order —
                 # out of scope (DNG/medical lossless are 1x1)
@@ -504,21 +547,38 @@ def decode_jpeg(payload: bytes) -> dict:
                     for c in comps
                 ]
                 preds = [0] * nc
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-            # SOF9/SOF10 (sequential/progressive arithmetic) are handled
-            # above; lossless arithmetic (SOF11: no public reference
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
+            # lossless arithmetic (SOF11: no public reference
             # implementation of the Annex H.2 context table to pin a
-            # differential against) and the hierarchical frames (Annex J:
-            # never implemented by libjpeg, effectively absent from real
-            # corpora) are loud, named gaps — see the module docstring
-            sof = {0xC5: "SOF5", 0xC6: "SOF6", 0xC7: "SOF7",
-                   0xCB: "SOF11", 0xCD: "SOF13", 0xCE: "SOF14",
-                   0xCF: "SOF15"}[marker]
+            # differential against) and the never-shipped hierarchical
+            # sub-modes (SOF6 differential progressive, SOF13-15
+            # differential arithmetic) are loud, named gaps — see the
+            # module docstring; SOF5/SOF7 hierarchical frames decode
+            sof = {0xC6: "SOF6", 0xCB: "SOF11", 0xCD: "SOF13",
+                   0xCE: "SOF14", 0xCF: "SOF15"}[marker]
             kind = ("lossless-arithmetic" if marker == 0xCB
-                    else "hierarchical")
+                    else "hierarchical differential "
+                    + ("progressive" if marker == 0xC6 else "arithmetic"))
             raise NotImplementedError(
                 f"JPEG frame type {sof} ({kind}) not supported"
             )
+        elif marker == 0xDE:  # DHP: hierarchical full-size frame header
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            hier = {
+                "w": w, "h": h, "precision": prec, "comps": comps,
+                "refs": [None] * nc, "exp": (0, 0),
+            }
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            _hier_fold()  # EXP sits between frames
+            if hier is None:
+                raise ValueError("JPEG: EXP without a preceding DHP")
+            hier["exp"] = (body[0] >> 4, body[0] & 0x0F)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
             while i < len(body):
@@ -547,7 +607,17 @@ def decode_jpeg(payload: bytes) -> dict:
             ]
             if len(scan_comps) != ns:
                 raise ValueError("JPEG: scan component not in frame")
-            if frame.get("lossless"):
+            if frame.get("lossless") and frame.get("diff"):
+                if ahal & 0x0F:
+                    raise NotImplementedError(
+                        "hierarchical differential lossless with a "
+                        "point transform"
+                    )
+                _decode_scan_lossless_diff(
+                    segs, scan_comps, smap, hufftabs, coefs,
+                    restart_interval, frame,
+                )
+            elif frame.get("lossless"):
                 _decode_scan_lossless(
                     segs, scan_comps, smap, hufftabs, coefs,
                     restart_interval, frame, ss, ahal & 0x0F,
@@ -576,11 +646,17 @@ def decode_jpeg(payload: bytes) -> dict:
                 _decode_scan_baseline(
                     segs, scan_comps, smap, hufftabs, coefs, preds,
                     restart_interval, mcux, mcuy, frame,
+                    differential=frame.get("diff", False),
                 )
             saw_scan = True
+            frame_scanned = True
             pos = end
             continue
         pos += 2 + size
+    if hier is not None:
+        if not saw_scan:
+            raise ValueError("JPEG: missing SOF/SOS")
+        return _hier_output(hier)
     if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF/SOS")
     if frame.get("lossless"):
@@ -601,12 +677,15 @@ def _comp_grid(frame, c) -> tuple[int, int]:
 
 def _decode_scan_baseline(
     segs, scan_comps, smap, hufftabs, coefs, preds,
-    restart_interval, mcux, mcuy, frame,
+    restart_interval, mcux, mcuy, frame, differential=False,
 ):
     """One baseline scan (interleaved when ns > 1, single-component
     grid otherwise) over pre-split restart segments. Restart markers
     reset DC predictors; segment boundaries are byte-aligned by
-    construction (each segment bit-unpacks independently)."""
+    construction (each segment bit-unpacks independently).
+    `differential` (hierarchical SOF5 frames): DC prediction is zero
+    for EVERY block (T.81 F.1.1.5.2) — the coded value IS the
+    quantized DC coefficient of the difference block."""
     luts = {
         ci: (hufftabs[(0, smap[c["id"]][0])], hufftabs[(1, smap[c["id"]][1])])
         for ci, c in scan_comps
@@ -633,9 +712,10 @@ def _decode_scan_baseline(
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             blk = [0] * 64
-                            preds[ci] = _block_baseline(
+                            dc = _block_baseline(
                                 bits, dc_lut, ac_lut, blk, preds[ci]
                             )
+                            preds[ci] = 0 if differential else dc
                             coefs[ci][my * c["v"] + by, mx * c["h"] + bx] = blk
     else:
         ci, c = scan_comps[0]
@@ -656,9 +736,10 @@ def _decode_scan_baseline(
                     preds[ci] = 0
                 n_done += 1
                 blk = [0] * 64
-                preds[ci] = _block_baseline(
+                dc = _block_baseline(
                     bits, dc_lut, ac_lut, blk, preds[ci]
                 )
+                preds[ci] = 0 if differential else dc
                 coefs[ci][by, bx] = blk
 
 
@@ -911,6 +992,169 @@ def _reconstruct(frame, qt, coefs) -> dict:
         pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     else:
         raise NotImplementedError(f"JPEG with {len(out)} components")
+    return {"kind": "image", "width": w, "height": h, "pixels": pixels}
+
+
+def _decode_scan_lossless_diff(
+    segs, scan_comps, smap, hufftabs, samples, restart_interval, frame
+):
+    """Differential lossless scan (hierarchical SOF7): the same
+    per-sample Huffman DIFF coding as Annex H, but the prediction is
+    ZERO for every sample (T.81 H.1.1 differential-frame rule) — each
+    decoded value IS the difference, stored modulo 2^16 for the
+    Annex J fold. Restarts only re-align the bitstream (there is no
+    prediction state to reset)."""
+    w, h = frame["w"], frame["h"]
+    dc_luts = {ci: hufftabs[(0, smap[c["id"]][0])] for ci, c in scan_comps}
+    seg_i = 0
+    bits = _Bits(segs[0])
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                bits = _Bits(segs[seg_i])
+            mcu += 1
+            for ci, _c in scan_comps:
+                t = bits.huff(dc_luts[ci])
+                diff = 32768 if t == 16 else _extend(bits.receive(t), t)
+                samples[ci][y, x] = diff & 0xFFFF
+
+
+def _hier_exp_plane(p, eh: int, ev: int):
+    """Annex J.1.1.2 reference expansion: double a dimension with the
+    (a+b+1)>>1 midpoint filter; the final output sample replicates the
+    last input sample (the spec's edge rule)."""
+    import numpy as np
+
+    if eh:
+        out = np.empty((p.shape[0], p.shape[1] * 2), dtype=np.int64)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=np.int64)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _hier_frame_planes(frame, qt, coefs) -> list:
+    """A completed hierarchical frame's component planes as int64
+    arrays trimmed to the frame dims. Non-differential DCT frames
+    level-shift, round and clamp exactly like a standalone decode;
+    differential DCT frames are round(IDCT) with NO shift and NO clamp
+    (the fold clamps); lossless frames return the stored samples."""
+    import numpy as np
+
+    w, h, prec = frame["w"], frame["h"], frame["precision"]
+    if frame.get("lossless"):
+        return [s[:h, :w].astype(np.int64) for s in coefs]
+    A = _idct_basis()
+    mid = 1 << (prec - 1)
+    top = (1 << prec) - 1
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = np.asarray(qt[c["tq"]], dtype=np.float64)
+        arr = coefs[ci].astype(np.float64) * q
+        nby, nbx = arr.shape[:2]
+        blocks = arr.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", A.T, blocks, A)
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)[:h, :w]
+        if frame.get("diff"):
+            planes.append(np.round(plane).astype(np.int64))
+        else:
+            planes.append(
+                np.clip(np.round(plane + mid), 0, top).astype(np.int64)
+            )
+    return planes
+
+
+def _hier_fold_frame(hier, frame, qt, coefs) -> None:
+    """Fold a completed frame into the hierarchical reference planes
+    (Annex J): non-differential frames REPLACE the reference;
+    differential frames first apply any pending EXP expansion (trimmed
+    to the frame dims), then add — lossless differences modulo 2^16
+    (what makes a lossless-final pyramid EXACT), DCT differences
+    clamped to the sample range."""
+    import numpy as np
+
+    planes = _hier_frame_planes(frame, qt, coefs)
+    eh, ev = hier["exp"]
+    hier["exp"] = (0, 0)
+    top = (1 << hier["precision"]) - 1
+    for ci, p in enumerate(planes):
+        if not frame.get("diff"):
+            hier["refs"][ci] = p
+            continue
+        ref = hier["refs"][ci]
+        if ref is None:
+            raise ValueError(
+                "JPEG: differential frame before any reference frame"
+            )
+        if eh or ev:
+            ref = _hier_exp_plane(ref, eh, ev)
+        if ref.shape[0] < p.shape[0] or ref.shape[1] < p.shape[1]:
+            raise ValueError(
+                "JPEG: differential frame larger than its expanded "
+                "reference"
+            )
+        ref = ref[: p.shape[0], : p.shape[1]]
+        if frame.get("lossless"):
+            # modulo arithmetic, clamped only at output — a wrapped
+            # intermediate is legitimate state the next fold corrects
+            hier["refs"][ci] = (ref + p) & 0xFFFF
+        else:
+            hier["refs"][ci] = np.clip(ref + p, 0, top)
+
+
+def _hier_output(hier) -> dict:
+    """Assemble the hierarchical reference planes into the decode_media
+    contract — same output conventions as the single-frame paths
+    (grayscale replicated, 8-bit 3-component via the JFIF matrix,
+    deeper precisions mono uint16)."""
+    import numpy as np
+
+    w, h, prec = hier["w"], hier["h"], hier["precision"]
+    refs = hier["refs"]
+    if any(r is None for r in refs):
+        raise ValueError(
+            "JPEG: hierarchical stream left components undecoded"
+        )
+    if any(r.shape[0] < h or r.shape[1] < w for r in refs):
+        raise ValueError("JPEG: hierarchical reference smaller than DHP")
+    top = (1 << prec) - 1
+    planes = [np.clip(r[:h, :w], 0, top) for r in refs]
+    if prec != 8:
+        if len(planes) != 1:
+            raise NotImplementedError(
+                f"{prec}-bit hierarchical JPEG with {len(planes)} "
+                "components"
+            )
+        g = planes[0].astype(np.uint16)
+        return {"kind": "image", "width": w, "height": h,
+                "precision": prec, "pixels": np.stack([g, g, g], axis=2)}
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        pixels = np.stack([g, g, g], axis=2)
+    elif len(planes) == 3:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr,
+             y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb],
+            axis=2,
+        )
+        pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"JPEG with {len(planes)} components")
     return {"kind": "image", "width": w, "height": h, "pixels": pixels}
 
 
@@ -1676,3 +1920,240 @@ def encode_jpeg_lossless(
     out += b"".join(chunks)
     out += b"\xff\xd9"
     return out
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (Annex J) test-fixture encoder
+# ---------------------------------------------------------------------------
+
+
+def _hier_dct_frame(planes, quality: int, diff: bool):
+    """One hierarchical DCT frame (SOF0 non-differential or SOF5
+    differential) over 1x1-sampled int64 planes → (segment bytes,
+    reconstructed planes). The reconstruction mirrors the decoder's
+    math bit-for-bit (dequant + batched IDCT; level shift and clamp
+    only for non-differential frames) so the pyramid encoder always
+    knows the decoder's reference state. DC uses the 0-16-category
+    lossless Huffman table (differential DC is coded with zero
+    prediction and can exceed baseline's categories); AC uses the flat
+    all-symbols table the progressive fixture encoder ships."""
+    import numpy as np
+
+    h, w = planes[0].shape
+    nc = len(planes)
+    ql = _quality_scale(_K1_LUMA, quality)
+    q8 = np.array(ql, dtype=np.float64).reshape(8, 8)
+    A = _idct_basis()
+    dct_tab = _enc_codes(_LOSSLESS_BITS, _LOSSLESS_VALS)
+    act_tab = _enc_codes(_FLAT_BITS, _FLAT_HUFF)
+    bh, bw = -(-h // 8), -(-w // 8)
+    qz = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(nc)]
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                p = planes[ci]
+                blk = np.zeros((8, 8), dtype=np.float64)
+                ys, xs = by * 8, bx * 8
+                seg = p[ys:min(ys + 8, h), xs:min(xs + 8, w)].astype(
+                    np.float64
+                )
+                if not diff:
+                    seg = seg - 128.0  # A.3.1 level shift
+                blk[: seg.shape[0], : seg.shape[1]] = seg
+                if seg.shape[0] < 8:
+                    blk[seg.shape[0]:, :] = blk[seg.shape[0] - 1, :]
+                if seg.shape[1] < 8:
+                    blk[:, seg.shape[1]:] = blk[:, seg.shape[1] - 1][:, None]
+                coef = A @ blk @ A.T
+                z = np.round(coef / q8).astype(int)
+                flat = z.ravel()
+                qz[ci][by, bx] = flat
+                zz = [int(flat[ZIGZAG[k]]) for k in range(64)]
+                d = zz[0] if diff else zz[0] - pred[ci]
+                if not diff:
+                    pred[ci] = zz[0]
+                t = _csize(d)
+                code, length = dct_tab[t]
+                wtr.write(code, length)
+                if t:
+                    wtr.write(d if d >= 0 else d + (1 << t) - 1, t)
+                run = 0
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = act_tab[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    s = _csize(v)
+                    code, length = act_tab[(run << 4) | s]
+                    wtr.write(code, length)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, length = act_tab[0x00]
+                    wtr.write(code, length)
+    wtr.flush()
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray()
+    out += seg_(0xDB, bytes([0]) + bytes(ql[ZIGZAG[k]] for k in range(64)))
+    out += seg_(0xC4, bytes([0x00]) + bytes(_LOSSLESS_BITS[1:17])
+                + bytes(_LOSSLESS_VALS))
+    out += seg_(0xC4, bytes([0x10]) + bytes(_FLAT_BITS[1:17])
+                + bytes(_FLAT_HUFF))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg_(0xC5 if diff else 0xC0, sof)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg_(0xDA, sos)
+    out += wtr.out
+    # decoder-mirror reconstruction from the quantized coefficients
+    recon = []
+    for ci in range(nc):
+        arr = qz[ci].astype(np.float64) * q8.ravel()
+        blocks = arr.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", A.T, blocks, A)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+        if diff:
+            recon.append(np.round(plane).astype(np.int64))
+        else:
+            recon.append(
+                np.clip(np.round(plane + 128.0), 0, 255).astype(np.int64)
+            )
+    return bytes(out), recon
+
+
+def _hier_lossless_diff_frame(residuals) -> bytes:
+    """One differential LOSSLESS frame (SOF7): per-sample mod-2^16
+    residuals Huffman-coded with zero prediction — the final pyramid
+    stage that makes `decode(encode_jpeg_hierarchical(img)) == img`
+    exact."""
+    import numpy as np
+
+    h, w = residuals[0].shape
+    nc = len(residuals)
+    enc = _enc_codes(_LOSSLESS_BITS, _LOSSLESS_VALS)
+    wtr = _BitWriter()
+    for y in range(h):
+        rows = [r[y] for r in residuals]
+        for x in range(w):
+            for ci in range(nc):
+                d = int(rows[ci][x]) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:  # SSSS=16: no appended bits (H.1.2.2)
+                    code, length = enc[16]
+                    wtr.write(code, length)
+                else:
+                    t = _csize(d)
+                    code, length = enc[t]
+                    wtr.write(code, length)
+                    if t:
+                        wtr.write(d if d >= 0 else d + (1 << t) - 1, t)
+    wtr.flush()
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray()
+    out += seg_(0xC4, bytes([0x00]) + bytes(_LOSSLESS_BITS[1:17])
+                + bytes(_LOSSLESS_VALS))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg_(0xC7, sof)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 0, 0])  # Ss ignored in differential frames; Pt=0
+    out += seg_(0xDA, sos)
+    out += wtr.out
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical(
+    arr, levels: int = 2, quality: int = 85, lossless_final: bool = True
+) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) grayscale → hierarchical JPEG
+    (Annex J) bytes: DHP, a non-differential SOF0 frame at the
+    coarsest pyramid level, then per level an EXP expansion and a
+    differential frame — SOF5 (DCT residual) for intermediate levels
+    and, with `lossless_final` (default), SOF7 for the last so the
+    decode roundtrip is EXACT: the hierarchical self-oracle, like
+    encode_jpeg_lossless for SOF3. Pyramid levels decimate by 2; the
+    encoder mirrors the decoder's reference arithmetic (EXP filter,
+    clamp, mod-2^16) at every stage, so any divergence in either side
+    breaks the roundtrip test. All frames are 1x1-sampled and carry
+    every component."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        full = [a.astype(np.int64)]
+    else:
+        r = a[:, :, 0].astype(np.float64)
+        g = a[:, :, 1].astype(np.float64)
+        b = a[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        full = [
+            np.clip(np.round(p), 0, 255).astype(np.int64)
+            for p in (y, cb, cr)
+        ]
+    nc = len(full)
+    # pyramid: levels-1 decimations (ceil dims match EXP-doubling+trim)
+    pyramid = [full]
+    for _ in range(levels - 1):
+        pyramid.append([p[::2, ::2] for p in pyramid[-1]])
+    pyramid.reverse()  # coarsest first
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    dhp = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        dhp += bytes([ci + 1, 0x11, 0])
+    out += seg_(0xDE, dhp)
+    frame_bytes, recon = _hier_dct_frame(pyramid[0], quality, diff=False)
+    out += frame_bytes
+    for li in range(1, levels):
+        target = pyramid[li]
+        th, tw = target[0].shape
+        out += seg_(0xDF, bytes([0x11]))  # EXP: double both dimensions
+        ref = [_hier_exp_plane(p, 1, 1)[:th, :tw] for p in recon]
+        residual = [t - rf for t, rf in zip(target, ref)]
+        if li == levels - 1 and lossless_final:
+            out += _hier_lossless_diff_frame(
+                [rs & 0xFFFF for rs in residual]
+            )
+            recon = [(rf + (rs & 0xFFFF)) & 0xFFFF
+                     for rf, rs in zip(ref, residual)]
+        else:
+            frame_bytes, dplanes = _hier_dct_frame(
+                residual, quality, diff=True
+            )
+            out += frame_bytes
+            recon = [np.clip(rf + dp, 0, 255)
+                     for rf, dp in zip(ref, dplanes)]
+    out += b"\xff\xd9"
+    return bytes(out)

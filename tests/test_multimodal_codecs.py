@@ -317,12 +317,18 @@ def test_jpeg_dispatch_and_invalid_frames_rejected():
     arith[i + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(arith))
-    # hierarchical frames (Annex J, never shipped by any mainstream
-    # encoder) raise with the exact frame type NAMED, so a 100 TB decode
-    # job reports the unsupported marker instead of dropping payloads
+    # SOF5/SOF7 hierarchical frames decode since round 10 — but only
+    # inside an Annex J stream: a bare differential frame with no DHP
+    # is a stream error, named loudly
     hier = bytearray(payload)
     hier[i + 1] = 0xC5
-    with pytest.raises(NotImplementedError, match="SOF5.*hierarchical"):
+    with pytest.raises(ValueError, match="without a preceding DHP"):
+        J.decode_jpeg(bytes(hier))
+    # the never-shipped hierarchical SUB-modes stay honest gaps with
+    # the exact frame type NAMED, so a 100 TB decode job reports the
+    # unsupported marker instead of dropping payloads
+    hier[i + 1] = 0xC6
+    with pytest.raises(NotImplementedError, match="SOF6.*hierarchical"):
         J.decode_jpeg(bytes(hier))
 
 
@@ -1077,3 +1083,92 @@ def test_jpeg_12bit_extended_sequential_huffman_and_arith():
     payload[payload.index(b"\xff\xc1") + 1] = 0xC0
     with _pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_hierarchical_lossless_final_is_exact():
+    """Hierarchical (Annex J) self-oracle: a pyramid whose final frame
+    is differential LOSSLESS must roundtrip EXACTLY — any divergence
+    between encoder and decoder in the EXP filter, the mod-2^16 fold,
+    the DCT clamp convention or the frame orchestration breaks this."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    # levels >= 2: a 1-level "pyramid" is a plain lossy DCT frame with
+    # no differential stage for lossless_final to apply to
+    for shape, levels in (((37, 53), 3), ((45, 17), 4), ((8, 8), 2),
+                          ((16, 16), 2)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = J.decode_jpeg(
+            J.encode_jpeg_hierarchical(img, levels=levels, quality=60)
+        )
+        assert out["width"] == shape[1] and out["height"] == shape[0]
+        assert np.array_equal(out["pixels"][:, :, 0], img), (shape, levels)
+        assert np.array_equal(out["pixels"][:, :, 1], img)
+
+
+def test_jpeg_hierarchical_color_matches_encoder_mirror():
+    """3-component hierarchical pyramid: the YCbCr planes roundtrip
+    exactly (lossless final frame), so the decoded RGB must equal the
+    JFIF back-conversion of the encoder's own rounded YCbCr planes."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_hierarchical(img, levels=2))
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255
+    )
+    cr = np.clip(
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255
+    )
+    rgb = np.stack(
+        [y + 1.402 * (cr - 128.0),
+         y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+         y + 1.772 * (cb - 128.0)],
+        axis=2,
+    )
+    want = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    assert np.array_equal(out["pixels"], want)
+
+
+def test_jpeg_hierarchical_dct_final_approximates():
+    """All-DCT pyramid (lossless_final=False): decodes through the
+    differential SOF5 path and lands near the source — the smooth-
+    gradient case every DCT codec must handle well."""
+    from hudi_demo_spark.operators import jpeg as J
+
+    gy, gx = np.mgrid[0:32, 0:32]
+    img = ((gy * 4 + gx * 3) % 200 + 20).astype(np.uint8)
+    out = J.decode_jpeg(
+        J.encode_jpeg_hierarchical(
+            img, levels=2, quality=95, lossless_final=False
+        )
+    )
+    err = np.abs(
+        out["pixels"][:, :, 0].astype(int) - img.astype(int)
+    ).max()
+    assert err <= 12, f"max err {err}"
+    # 1-level pyramid: a single non-differential frame, plain lossy DCT
+    one = J.decode_jpeg(J.encode_jpeg_hierarchical(img, levels=1,
+                                                   quality=95))
+    err1 = np.abs(
+        one["pixels"][:, :, 0].astype(int) - img.astype(int)
+    ).max()
+    assert err1 <= 12, f"1-level max err {err1}"
+
+
+def test_jpeg_hierarchical_exp_filter_is_annex_j():
+    """J.1.1.2 expansion: doubled samples interleave the (a+b+1)>>1
+    midpoints and the final sample replicates the edge."""
+    from hudi_demo_spark.operators.jpeg import _hier_exp_plane
+
+    p = np.array([[10, 20, 31]], dtype=np.int64)
+    assert _hier_exp_plane(p, 1, 0).tolist() == [[10, 15, 20, 26, 31, 31]]
+    q = np.array([[4], [9]], dtype=np.int64)
+    assert _hier_exp_plane(q, 0, 1).tolist() == [[4], [7], [9], [9]]
+    # single-sample dimension: pure edge replication
+    assert _hier_exp_plane(
+        np.array([[5]], dtype=np.int64), 1, 1
+    ).tolist() == [[5, 5], [5, 5]]

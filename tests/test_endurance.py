@@ -160,3 +160,114 @@ def test_sustained_mixed_workload_matches_duckdb(
     assert got == want
     checks = {r["check"]: r["status"] for r in engine.validate(t).collect()}
     assert all(v == "OK" for v in checks.values()), checks
+
+
+def test_five_derived_consumers_share_one_source_timeline(engine, spark):
+    """COMPOSITION: a rollup, a filter view, a text index, a minhash
+    index and a vector index all maintained over ONE source, refreshed
+    after every window of a mixed-DML sequence — each consumer tracks
+    its OWN offset on the shared timeline, every mutated window folds
+    into every consumer as one commit, and each end state equals a
+    from-scratch rebuild. This is the case the per-view tests never
+    exercise: five independent offsets walking the same commit log."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_filter_view,
+        create_rollup,
+        refresh_filter_view,
+        refresh_rollup,
+    )
+    from hudi_demo_spark.engine.minhash_index import (
+        create_minhash_index,
+        lsh_band_rows,
+        refresh_minhash_index,
+    )
+    from hudi_demo_spark.engine.text_index import (
+        _stats,
+        create_text_index,
+        refresh_text_index,
+    )
+    from hudi_demo_spark.engine.vector_index import (
+        _assign_cells,
+        create_vector_index,
+        refresh_vector_index,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, f"w{i % 9} doc {' '.join(f't{j}' for j in rng.integers(0, 30, 6))}",
+         int(i % 5), [float(x) for x in rng.standard_normal(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, text string, grp int, emb array<float>"
+    )
+    engine.create_table("src", record_key="id")
+    create_rollup(engine, "src", "roll", ["grp"], sum_cols=[], min_cols=["id"])
+    create_filter_view(engine, "src", "fv", "grp >= 2", ["id", "grp", "text"])
+    create_text_index(engine, "src", "tix", "id", "text", buckets=4)
+    create_minhash_index(engine, "src", "mhx", "id", "text",
+                         num_hashes=32, bands=8)
+
+    def refresh_all():
+        refresh_rollup(engine, "roll")
+        refresh_filter_view(engine, "fv")
+        refresh_text_index(engine, "tix")
+        refresh_minhash_index(engine, "mhx")
+        refresh_vector_index(engine, "vix")
+
+    engine.insert(df.filter("id % 2 = 0"), "src")
+    # the vector index seeds its centroids from the source at create
+    # time, so it joins the family after the bootstrap batch exists
+    create_vector_index(engine, "src", "vix", "id", "emb", n_centroids=4)
+    refresh_all()
+    engine.insert(df.filter("id % 2 = 1"), "src")
+    # deliberately SKIP refreshing before more DML: consumers must fold
+    # a multi-commit window (insert + update + delete) in one go
+    engine.update("src", {"text": "concat(text, ' extra')",
+                          "grp": "grp + 1"}, "id % 7 = 0")
+    engine.delete("src", "id % 11 = 0")
+    refresh_all()
+
+    end = engine.read("src").select("id", "text", "grp", "emb").persist()
+    # rollup == batch groupBy
+    got_roll = {
+        (r["grp"], r["n_rows"], r["min_id"])
+        for r in engine.read("roll")
+        .select("grp", "n_rows", F.col("min_id")).collect()
+    }
+    want_roll = {
+        (r["grp"], r["n"], r["m"])
+        for r in end.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.min("id").alias("m")).collect()
+    }
+    assert got_roll == want_roll
+    # filter view == filtered snapshot
+    got_fv = {tuple(r) for r in engine.read("fv")
+              .select("id", "grp", "text").collect()}
+    want_fv = {tuple(r) for r in end.filter("grp >= 2")
+               .select("id", "grp", "text").collect()}
+    assert got_fv == want_fv
+    # text index scalars == corpus
+    from hudi_demo_spark.functions.textfn import tokens
+    n, s = _stats(engine._resolve("tix"))
+    row = end.agg(F.count("*").alias("n"),
+                  F.sum(F.size(tokens("text"))).alias("s")).collect()[0]
+    assert (n, s) == (int(row["n"]), int(row["s"]))
+    # minhash == batch banding
+    mh_cfg = engine._resolve("mhx")
+    want_mh = {(r["id"], r["band"], r["bucket"]) for r in lsh_band_rows(
+        end, "id", "text", 32, 8).collect()}
+    got_mh = {(r["id"], r["band"], r["bucket"]) for r in
+              engine.read("mhx").select("id", "band", "bucket").collect()}
+    assert got_mh == want_mh
+    # vector index == fresh assignment under the pinned centroids
+    vcfg = engine._resolve("vix")
+    want_v = {(r["id"], r["cell"]) for r in _assign_cells(
+        end.select("id", "emb"), vcfg).select("id", "cell").collect()}
+    got_v = {(r["id"], r["cell"]) for r in
+             engine.read("vix").select("id", "cell").collect()}
+    end.unpersist()
+    assert got_v == want_v

@@ -1172,3 +1172,31 @@ def test_jpeg_hierarchical_exp_filter_is_annex_j():
     assert _hier_exp_plane(
         np.array([[5]], dtype=np.int64), 1, 1
     ).tolist() == [[5, 5], [5, 5]]
+
+
+def test_jpeg_hierarchical_roundtrip_fuzz():
+    """Randomized exact-roundtrip fuzz over dims x levels x quality:
+    the lossless-final pyramid contract must hold for ANY shape, not
+    just the pinned cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from hudi_demo_spark.operators import jpeg as J
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        levels=st.integers(min_value=2, max_value=4),
+        quality=st.integers(min_value=10, max_value=95),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def run(h, w, levels, quality, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w), dtype=np.uint8
+        )
+        out = J.decode_jpeg(
+            J.encode_jpeg_hierarchical(img, levels=levels, quality=quality)
+        )
+        assert np.array_equal(out["pixels"][:, :, 0], img)
+
+    run()

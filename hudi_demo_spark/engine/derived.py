@@ -400,6 +400,80 @@ def refresh_rollup(engine, name: str) -> dict | None:
     return out
 
 
+def rollup_percentiles(
+    engine,
+    name: str,
+    col: str,
+    qs: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """(group cols…, q, pct): per-group percentile estimates served
+    FROM the maintained histogram rollup — no source scan. At 100 TB
+    this is the TimescaleDB continuous-aggregate percentile shape: the
+    ingest folds keep per-group bin counts current (additive on
+    insert-only windows, exact partial recompute under DML), and a
+    percentile query reads `groups x n_bins` rollup rows instead of
+    the events table. The estimator is the classic histogram
+    interpolation: with target rank ``t = q x total``, find the first
+    bin whose cumulative count reaches t and interpolate linearly
+    inside it — ``lo + bin x w + w x (t - cum_prev) / n_bin`` —
+    deterministic given the bin counts, so a SQL oracle replays it
+    bit-for-bit from batch per-bin counts (the same closed formula
+    NumPy/DuckDB users write by hand over histograms). Resolution is
+    the bin width; values clamped into the edge bins (below lo /
+    above hi) interpolate inside those bins, as in any fixed-boundary
+    histogram. Each q must be in (0, 1]."""
+    cfg = engine._resolve(name)
+    _, _, _, _, hists = _agg_cols(cfg)
+    if col not in hists:
+        raise ValueError(
+            f"rollup {name!r} maintains no histogram for {col!r}; "
+            f"histogram columns: {sorted(hists)}"
+        )
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad or not qs:
+        raise ValueError(f"qs must be non-empty, each in (0, 1]: {qs}")
+    lo, hi, nb = hists[col]
+    width = (float(hi) - float(lo)) / int(nb)
+    group_cols = cfg.props["derived.group_cols"].split(",")
+    from pyspark.sql.window import Window
+
+    bins = (
+        engine.read(name)
+        .select(*group_cols, F.posexplode(f"hist_{col}").alias("bin", "n"))
+    )
+    wspec = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        bins.withColumn("cum", F.sum("n").over(wspec))
+        .withColumn("total", F.sum("n").over(wall))
+        .filter(F.col("total") > 0)
+    )
+    qdf = engine.spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # first bin whose cumulative count reaches t = q*total; that bin is
+    # non-empty by construction (an empty bin's cum equals its
+    # predecessor's, so it can never be the first crossing)
+    t = F.col("q") * F.col("total")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter((F.col("cum") >= t) & (F.col("cum") - F.col("n") < t))
+        .withColumn(
+            "pct",
+            F.round(
+                F.lit(float(lo))
+                + F.col("bin") * F.lit(width)
+                + F.lit(width)
+                * (t - (F.col("cum") - F.col("n")))
+                / F.col("n"),
+                round_to,
+            ),
+        )
+    )
+    return hit.select(*group_cols, "q", "pct")
+
+
 def create_join_view(
     engine,
     name: str,

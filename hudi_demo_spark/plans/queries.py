@@ -10611,6 +10611,76 @@ def engine_hybrid_search(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@q(
+    "engine_rollup_percentile",
+    """
+    WITH q(q) AS (
+      SELECT CAST(x AS DOUBLE)
+      FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(x)
+    ), src AS (
+      SELECT event_type, value FROM events
+      WHERE event_id % 8 = 2 AND NOT event_id % 9 = 5
+            AND value IS NOT NULL
+    ), binned AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 50.0) AS INT), 0), 7) AS bin
+      FROM src
+    ), counts AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM counts
+    )
+    SELECT c.event_type, q.q,
+           round(c.bin * 50.0
+                 + 50.0 * (q.q * c.total - (c.cum - c.n)) / c.n,
+                 6) AS pct
+    FROM cum c CROSS JOIN q
+    WHERE c.cum >= q.q * c.total AND c.cum - c.n < q.q * c.total
+    ORDER BY c.event_type, q.q
+    """,
+)
+def engine_rollup_percentile(spark, sf_dir):
+    """Percentiles served FROM the maintained histogram rollup — the
+    TimescaleDB continuous-aggregate percentile shape: ingest folds
+    keep per-group bin counts current (additive inserts, exact partial
+    recompute under DELETE), and the percentile query reads
+    groups x n_bins rollup rows plus a broadcast of the quantile list,
+    never the events table. The estimator is deterministic histogram
+    interpolation (first cumulative crossing + linear within-bin), so
+    the oracle replays it bit-for-bit from DuckDB's batch bin
+    counts."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_rollup,
+        refresh_rollup,
+        rollup_percentiles,
+    )
+
+    root = _scratch("engine_rollup_percentile", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("event_id") % 8 == 2)
+    eng.create_table("src", record_key="event_id")
+    create_rollup(
+        eng, "src", "roll", ["event_type"], [],
+        hist_cols={"value": [0.0, 400.0, 8]},
+    )
+    eng.insert(e.filter(F.col("event_id") % 3 == 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.insert(e.filter(F.col("event_id") % 3 != 0), "src")
+    refresh_rollup(eng, "roll")
+    eng.delete("src", "event_id % 9 = 5")
+    refresh_rollup(eng, "roll")
+    return rollup_percentiles(
+        eng, "roll", "value", [0.25, 0.5, 0.9, 0.99]
+    ).orderBy("event_type", "q")
+
+
 _MULTI_STRESS_ORACLE = """
     WITH q(qid, t) AS (
       VALUES (1, 'hash'), (1, 'vector'),

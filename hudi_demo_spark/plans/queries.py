@@ -10893,10 +10893,11 @@ def engine_multi_index_stress(spark, sf_dir):
 # oracled stragglers whose siblings are already green, and the five
 # rows-only-by-design gates (recall/throughput measurements with no
 # SQL-expressible oracle — the driver records rows+schema for those) —
-# plus the NEW `engine_multi_index_stress` composition gate, filled to
-# exactly 50 with 32 early-round names re-verified from the r1-r8
-# union (cheap, diverse, all oracled). After this round every
-# registered query has a driver CORRECTNESS row: union 226/226.
+# plus the NEW `engine_multi_index_stress` composition gate and the
+# NEW `engine_rollup_percentile` estimator, filled to exactly 50 with
+# 31 early-round names re-verified from the r1-r8 union (cheap,
+# diverse, all oracled). After this round every registered query has
+# a driver CORRECTNESS row: union 227/227.
 # Pure key-order rotation: names, callables and oracles are untouched.
 _ROTATION_HEAD = [
     # the final 17 never-driver-sampled names (round-9 retrieval
@@ -10910,8 +10911,9 @@ _ROTATION_HEAD = [
     # rows-only by design (no SQL oracle: recall floors / throughput)
     "text_bpe_token_counts", "multimodal_jpeg_throughput",
     "ann_pq_recall", "ann_ivfpq_recall", "ann_indexed_pq_recall",
-    # new this round: the maintained-index composition stress
-    "engine_multi_index_stress",
+    # new this round: the maintained-index composition stress and the
+    # rollup-served percentile estimator
+    "engine_multi_index_stress", "engine_rollup_percentile",
     # fillers to 50: early-round names re-verified from the r1-r8 union
     "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
     "q14_promo_share", "rollup_pricing", "window_latest_per_key",
@@ -10923,7 +10925,7 @@ _ROTATION_HEAD = [
     "text_language_id", "text_fingerprint", "similarity_topk_bruteforce",
     "similarity_topk_ivf", "corpus_chunk_documents", "corpus_decontaminate",
     "web_domain_stats", "sql_dml_lifecycle", "engine_bucket_index",
-    "jdbc_roundtrip", "csv_source_roundtrip",
+    "jdbc_roundtrip",
 ]
 
 

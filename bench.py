@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_fuzzy_titles",
     # round 5 additions
     "engine_rollup_histogram",
+    "engine_rollup_percentile",
     "engine_partition_ttl",
     "ann_indexed_topk",
     "json_source_roundtrip",

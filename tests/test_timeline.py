@@ -580,6 +580,75 @@ def test_rollup_histogram_fold_and_recompute(engine, spark):
     assert refresh_rollup(engine, "hg_roll") is None
 
 
+def test_rollup_percentiles_from_histogram(engine, spark):
+    """rollup_percentiles serves per-group quantiles FROM the
+    maintained bin counts: results equal a direct replay of the
+    histogram-interpolation formula over the rollup's current
+    hist_<col> arrays (first cumulative crossing + linear within-bin),
+    q=1.0 lands on the upper edge of the highest occupied bin, an
+    all-NULL group yields no rows, and bad inputs raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_rollup, refresh_rollup, rollup_percentiles,
+    )
+
+    engine.create_table("pc_t", record_key="k")
+    # 4 bins over [0, 40): width 10
+    create_rollup(
+        engine, "pc_t", "pc_roll", ["g"], [],
+        hist_cols={"v": [0.0, 40.0, 4]},
+    )
+    rows = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 2, "null_grp")
+        .otherwise((F.col("id") % 2).cast("string")).alias("g"),
+        # group "null_grp" is entirely NULL; others spread over bins
+        F.when(F.col("id") % 3 == 2, F.lit(None).cast("double"))
+        .otherwise((F.col("id") % 37).cast("double")).alias("v"),
+    )
+    engine.insert(rows, "pc_t")
+    refresh_rollup(engine, "pc_roll")
+
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["q"]): r["pct"]
+        for r in rollup_percentiles(engine, "pc_roll", "v", qs).collect()
+    }
+    # replay the closed formula from the rollup's own bin counts
+    hists = {
+        r["g"]: list(r["hist_v"])
+        for r in engine.read("pc_roll").collect()
+    }
+    assert set(hists) == {"0", "1", "null_grp"}
+    assert sum(hists["null_grp"]) == 0  # NULLs uncounted
+    want = {}
+    for g, h in hists.items():
+        total = sum(h)
+        if total == 0:
+            continue
+        for q in qs:
+            t, cum = q * total, 0
+            for b, n in enumerate(h):
+                if cum + n >= t and cum < t:
+                    want[(g, q)] = round(
+                        0.0 + b * 10.0 + 10.0 * (t - cum) / n, 6
+                    )
+                    break
+                cum += n
+    assert got == want  # no null_grp rows; both groups, all qs, exact
+    # q=1.0: upper edge of the highest occupied bin (36 < 40 → bin 3)
+    assert got[("0", 1.0)] == 40.0 and got[("1", 1.0)] == 40.0
+
+    with pytest.raises(ValueError, match="no histogram"):
+        rollup_percentiles(engine, "pc_roll", "w", [0.5])
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        rollup_percentiles(engine, "pc_roll", "v", [0.0, 0.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        rollup_percentiles(engine, "pc_roll", "v", [])
+
+
 def test_vector_index_maintenance_and_cell_moves(engine, spark):
     """Derived IVF vector index: the index state always equals the
     assignment of the source's CURRENT rows — across an insert-only

@@ -7664,6 +7664,9 @@ def engine_incremental_rollup(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_incremental_rollup", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
@@ -7713,6 +7716,9 @@ def engine_filter_view(spark, sf_dir):
         refresh_filter_view,
     )
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_filter_view", sf_dir)
     eng = Engine(spark, root)
     d = load_table(spark, sf_dir, "documents").select(
@@ -7758,6 +7764,9 @@ def engine_rollup_minmax(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_rollup_minmax", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
@@ -7851,6 +7860,9 @@ def engine_rollup_approx_distinct(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_rollup_approx_distinct", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
@@ -7901,6 +7913,9 @@ def engine_continuous_aggregate(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_continuous_aggregate", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
@@ -7961,6 +7976,9 @@ def engine_rollup_histogram(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_rollup_histogram", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(
@@ -8020,6 +8038,9 @@ def engine_join_view(spark, sf_dir):
         create_join_view, refresh_join_view,
     )
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_join_view", sf_dir)
     eng = Engine(spark, root)
     o = load_table(spark, sf_dir, "orders").select(
@@ -8752,6 +8773,9 @@ def engine_view_prune(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_view_prune", sf_dir)
     eng = Engine(spark, root)
     ids = load_table(spark, sf_dir, "events").filter(
@@ -8912,6 +8936,9 @@ def engine_chained_rollup(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.derived import create_rollup, refresh_rollup
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_chained_rollup", sf_dir)
     eng = Engine(spark, root)
     e = (
@@ -10660,6 +10687,9 @@ def engine_rollup_percentile(spark, sf_dir):
         rollup_percentiles,
     )
 
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
     root = _scratch("engine_rollup_percentile", sf_dir)
     eng = Engine(spark, root)
     e = load_table(spark, sf_dir, "events").select(

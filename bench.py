@@ -133,6 +133,7 @@ HEADLINE = [
     # round 5 additions
     "engine_rollup_histogram",
     "engine_rollup_percentile",
+    "engine_rollup_sample",
     "engine_partition_ttl",
     "ann_indexed_topk",
     "json_source_roundtrip",

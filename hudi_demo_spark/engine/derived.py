@@ -115,6 +115,7 @@ def create_rollup(
     max_cols: list[str] | None = None,
     approx_distinct_cols: list[str] | None = None,
     hist_cols: dict[str, list] | None = None,
+    sample_cols: dict[str, int] | None = None,
 ):
     """Define `name` as an incrementally-maintained rollup of `source`:
     per group, a row count, one sum per `sum_cols` entry, and one
@@ -153,6 +154,20 @@ def create_rollup(
     distribution tracking (p50/p99 read-off, drift monitoring)
     incrementally maintainable over a 100 TB stream in O(n_bins) state
     per group. Delete windows rebuild exactly via the shared partial
+    recompute.
+
+    `sample_cols` maintains a deterministic per-group sample per
+    column: `{col: k}` stores `sample_<col>` as the k rows whose
+    md5(value) hashes are smallest — the bottom-k sketch (Cohen &
+    Kaplan), which is mergeable EXACTLY: the bottom-k of a union is
+    the bottom-k of the two sides' concatenated bottom-k's, so samples
+    ride the insert-only fold with O(k) state per group and a refresh
+    or a from-scratch rebuild produce byte-identical arrays. Sampling
+    the record-key column gives a uniform row sample (each row hashes
+    independently); sampling a value column is distinct-value-flavored
+    (duplicates share a hash and fill adjacent slots). NULLs are never
+    sampled. Serve with `rollup_sample` — O(groups x k) rows, no
+    source scan. Delete windows rebuild exactly via the shared partial
     recompute."""
     import json
 
@@ -180,6 +195,13 @@ def create_rollup(
             {c: [float(lo), float(hi), int(nb)]
              for c, (lo, hi, nb) in hist_cols.items()}
         )
+    if sample_cols:
+        for c, k in sample_cols.items():
+            if int(k) < 1:
+                raise ValueError(f"sample_cols[{c!r}]: k must be >= 1")
+        props["derived.sample_cols"] = json.dumps(
+            {c: int(k) for c, k in sample_cols.items()}
+        )
     if expr_cols:
         props["derived.expr_cols"] = json.dumps(expr_cols)
     return engine.create_table(
@@ -205,19 +227,24 @@ def _project(df: DataFrame, expr_cols: dict[str, str]) -> DataFrame:
 
 def _agg_cols(
     cfg,
-) -> tuple[list[str], list[str], list[str], list[str], dict[str, list]]:
+) -> tuple[
+    list[str], list[str], list[str], list[str], dict[str, list],
+    dict[str, int],
+]:
     import json
 
     def _get(prop):
         return [c for c in cfg.props.get(prop, "").split(",") if c]
 
     raw = cfg.props.get("derived.hist_cols")
+    raw_s = cfg.props.get("derived.sample_cols")
     return (
         _get("derived.sum_cols"),
         _get("derived.min_cols"),
         _get("derived.max_cols"),
         _get("derived.approx_cols"),
         json.loads(raw) if raw else {},
+        json.loads(raw_s) if raw_s else {},
     )
 
 
@@ -243,8 +270,37 @@ def _hist_expr(c: str, lo: float, hi: float, nbins: int):
     ]).alias(f"hist_{c}")
 
 
+def _sample_mark(df: DataFrame, group_cols, sample_cols) -> DataFrame:
+    """Bounded-state input for bottom-k sample aggregation: per sample
+    column, rank the rows inside each group by md5(value) (a
+    deterministic uniform order) and carry a (hash, value) struct ONLY
+    on the first k rows — the downstream `collect_list` then holds at
+    most k elements per group, so sample state is O(k) at every point
+    in the plan regardless of group size. Rows past k (and NULLs,
+    which rank last and are guarded out) still flow to every other
+    aggregate; their mark is NULL, which collect_list skips. The
+    ranking window shuffles by the same group keys the enclosing
+    groupBy needs, so AQE reuses the exchange — no extra shuffle."""
+    from pyspark.sql.window import Window
+
+    for c, k in (sample_cols or {}).items():
+        h = F.md5(F.col(c).cast("string"))
+        w = Window.partitionBy(*group_cols).orderBy(
+            h.asc_nulls_last(), F.col(c).asc_nulls_last()
+        )
+        df = df.withColumn(
+            f"__smp_{c}",
+            F.when(
+                F.col(c).isNotNull() & (F.row_number().over(w) <= int(k)),
+                F.struct(h.alias("h"), F.col(c).alias("v")),
+            ),
+        )
+    return df
+
+
 def _agg_exprs(
-    sum_cols, min_cols, max_cols, approx_cols=(), hist_cols=None
+    sum_cols, min_cols, max_cols, approx_cols=(), hist_cols=None,
+    sample_cols=None,
 ) -> list:
     return (
         [F.count("*").alias("n_rows")]
@@ -255,6 +311,12 @@ def _agg_exprs(
         + [
             _hist_expr(c, lo, hi, nb)
             for c, (lo, hi, nb) in (hist_cols or {}).items()
+        ]
+        # ascending (h, v) struct order IS the bottom-k order; the
+        # input is pre-marked by _sample_mark so the list is <= k long
+        + [
+            F.array_sort(F.collect_list(f"__smp_{c}")).alias(f"sample_{c}")
+            for c in (sample_cols or {})
         ]
     )
 
@@ -272,7 +334,8 @@ def refresh_rollup(engine, name: str) -> dict | None:
     cfg = engine._resolve(name)
     source = cfg.props["derived.source"]
     group_cols = cfg.props["derived.group_cols"].split(",")
-    sum_cols, min_cols, max_cols, approx_cols, hist_cols = _agg_cols(cfg)
+    (sum_cols, min_cols, max_cols, approx_cols, hist_cols,
+     sample_cols) = _agg_cols(cfg)
     src_cfg = engine._resolve(source)
     tl = Timeline(src_cfg.path)
     begin = cfg.props.get(_OFFSET_PROP)
@@ -300,6 +363,7 @@ def refresh_rollup(engine, name: str) -> dict | None:
             engine, name, source, group_cols, sum_cols, begin, end,
             expr_cols=_expr_cols(cfg), min_cols=min_cols, max_cols=max_cols,
             approx_cols=approx_cols, hist_cols=hist_cols,
+            sample_cols=sample_cols,
         )
         _save_props(engine, name, {_OFFSET_PROP: end})
         return out
@@ -307,8 +371,13 @@ def refresh_rollup(engine, name: str) -> dict | None:
         engine.read_incremental(source, begin=begin, end=end),
         _expr_cols(cfg),
     )
-    partial = delta.groupBy(*group_cols).agg(
-        *_agg_exprs(sum_cols, min_cols, max_cols, approx_cols, hist_cols)
+    partial = _sample_mark(delta, group_cols, sample_cols).groupBy(
+        *group_cols
+    ).agg(
+        *_agg_exprs(
+            sum_cols, min_cols, max_cols, approx_cols, hist_cols,
+            sample_cols,
+        )
     ).persist()  # consumed by the key collect AND the combine below
     meta = {RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META}
     # the rollup's record key IS the group tuple — compute the touched
@@ -335,7 +404,8 @@ def refresh_rollup(engine, name: str) -> dict | None:
         hi_cols = [f"max_{c}" for c in max_cols]
         hll_cols = [f"hll_{c}" for c in approx_cols]
         hg_cols = [f"hist_{c}" for c in hist_cols]
-        agg_cols = add_cols + lo_cols + hi_cols + hll_cols + hg_cols
+        smp_cols = [f"sample_{c}" for c in sample_cols]
+        agg_cols = add_cols + lo_cols + hi_cols + hll_cols + hg_cols + smp_cols
         cur = current.drop(*meta).select(
             *group_cols, *[F.col(c).alias(f"__old_{c}") for c in agg_cols]
         )
@@ -391,6 +461,29 @@ def refresh_rollup(engine, name: str) -> dict | None:
                 .alias(c)
                 for c in hg_cols
             ],
+            # bottom-k merge: concat the two (<=k)-long sorted arrays,
+            # re-sort by (hash, value), keep the first k — exactly the
+            # bottom-k of the union (the sketch's associative merge).
+            # array_compact is a no-op on the data (neither side holds
+            # null elements) but restores containsNull=false, without
+            # which the upsert's cast to the table schema — recorded
+            # from collect_list, whose output can't hold nulls — is an
+            # un-castable widening and fails analysis
+            *[
+                F.array_compact(
+                    F.when(F.col(f"__old_{c}").isNull(), F.col(c))
+                    .when(F.col(c).isNull(), F.col(f"__old_{c}"))
+                    .otherwise(
+                        F.slice(
+                            F.array_sort(
+                                F.concat(F.col(c), F.col(f"__old_{c}"))
+                            ),
+                            1, int(sample_cols[c.removeprefix("sample_")]),
+                        )
+                    )
+                ).alias(c)
+                for c in smp_cols
+            ],
         )
     else:
         combined = partial
@@ -424,7 +517,7 @@ def rollup_percentiles(
     above hi) interpolate inside those bins, as in any fixed-boundary
     histogram. Each q must be in (0, 1]."""
     cfg = engine._resolve(name)
-    _, _, _, _, hists = _agg_cols(cfg)
+    _, _, _, _, hists, _ = _agg_cols(cfg)
     if col not in hists:
         raise ValueError(
             f"rollup {name!r} maintains no histogram for {col!r}; "
@@ -472,6 +565,35 @@ def rollup_percentiles(
         )
     )
     return hit.select(*group_cols, "q", "pct")
+
+
+def rollup_sample(engine, name: str, col: str) -> DataFrame:
+    """(group cols…, rank, <col>): the maintained bottom-k-by-hash
+    sample, served FROM the rollup — O(groups x k) rows, no source
+    scan. Deterministic: the sample is exactly the k source values per
+    group whose md5(value) order is smallest, so a SQL oracle replays
+    it with a row_number over md5 at any scale, and a refresh-folded
+    sample is byte-identical to a from-scratch rebuild. The 100 TB
+    use: a standing per-group inspection/eval sample (the thing
+    TABLESAMPLE re-scans the fact table for) maintained by the ingest
+    folds and read back in milliseconds."""
+    cfg = engine._resolve(name)
+    _, _, _, _, _, samples = _agg_cols(cfg)
+    if col not in samples:
+        raise ValueError(
+            f"rollup {name!r} maintains no sample for {col!r}; "
+            f"sample columns: {sorted(samples)}"
+        )
+    group_cols = cfg.props["derived.group_cols"].split(",")
+    return (
+        engine.read(name)
+        .select(*group_cols, F.posexplode(f"sample_{col}").alias("pos", "e"))
+        .select(
+            *group_cols,
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("e.v").alias(col),
+        )
+    )
 
 
 def create_join_view(
@@ -993,6 +1115,7 @@ def _refresh_recompute(
     max_cols: list[str] | None = None,
     approx_cols: list[str] | None = None,
     hist_cols: dict[str, list] | None = None,
+    sample_cols: dict[str, int] | None = None,
 ):
     """View maintenance under arbitrary source DML: the CDC read names
     every changed row identity in (begin, end]; the affected GROUPS are
@@ -1043,12 +1166,17 @@ def _refresh_recompute(
     # persisted: feeds both union branches (directly, and via the
     # gone anti-join) — one re-aggregation pass, not two
     fresh = (
-        snap_g.join(groups, group_cols, "left_semi")
+        # mark AFTER the semi-join: the sample ranking windows run over
+        # only the affected groups' rows, not the whole snapshot
+        _sample_mark(
+            snap_g.join(groups, group_cols, "left_semi"),
+            group_cols, sample_cols,
+        )
         .groupBy(*group_cols)
         .agg(
             *_agg_exprs(
                 sum_cols, min_cols or [], max_cols or [], approx_cols or [],
-                hist_cols or {},
+                hist_cols or {}, sample_cols or {},
             )
         )
     ).persist()

@@ -10711,6 +10711,64 @@ def engine_rollup_percentile(spark, sf_dir):
     ).orderBy("event_type", "q")
 
 
+@q(
+    "engine_rollup_sample",
+    """
+    WITH src AS (
+      SELECT event_type, event_id FROM events
+      WHERE event_id % 6 = 4 AND NOT event_id % 9 = 7
+    ), ranked AS (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS INT) AS rank
+      FROM src
+    )
+    SELECT event_type, rank, event_id FROM ranked
+    WHERE rank <= 5
+    ORDER BY event_type, rank
+    """,
+)
+def engine_rollup_sample(spark, sf_dir):
+    """Per-group bottom-k-by-hash sample maintained as a rollup column
+    (Cohen-Kaplan bottom-k sketch — mergeable EXACTLY, so the
+    insert-only fold, the DML partial recompute, and a from-scratch
+    rebuild produce byte-identical arrays) and SERVED from the rollup:
+    O(groups x k) rows, no source scan — the standing per-group
+    inspection sample TABLESAMPLE would re-scan the fact table for.
+    Deterministic by construction (k smallest md5(value) per group),
+    so the DuckDB oracle replays it with a row_number over md5."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_rollup,
+        refresh_rollup,
+        rollup_sample,
+    )
+
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
+    root = _scratch("engine_rollup_sample", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    ).filter(F.col("event_id") % 6 == 4)
+    eng.create_table("src", record_key="event_id")
+    create_rollup(
+        eng, "src", "roll", ["event_type"], [], sample_cols={"event_id": 5}
+    )
+    eng.insert(e.filter(F.col("event_id") % 5 < 3), "src")
+    refresh_rollup(eng, "roll")  # bottom-k fold (fresh)
+    eng.insert(e.filter(F.col("event_id") % 5 >= 3), "src")
+    refresh_rollup(eng, "roll")  # bottom-k fold (merge)
+    eng.delete("src", "event_id % 9 = 7")
+    refresh_rollup(eng, "roll")  # DML window: exact partial recompute
+    return rollup_sample(eng, "roll", "event_id").orderBy(
+        "event_type", "rank"
+    )
+
+
 _MULTI_STRESS_ORACLE = """
     WITH q(qid, t) AS (
       VALUES (1, 'hash'), (1, 'vector'),
@@ -10924,10 +10982,10 @@ def engine_multi_index_stress(spark, sf_dir):
 # rows-only-by-design gates (recall/throughput measurements with no
 # SQL-expressible oracle — the driver records rows+schema for those) —
 # plus the NEW `engine_multi_index_stress` composition gate and the
-# NEW `engine_rollup_percentile` estimator, filled to exactly 50 with
-# 31 early-round names re-verified from the r1-r8 union (cheap,
-# diverse, all oracled). After this round every registered query has
-# a driver CORRECTNESS row: union 227/227.
+# NEW `engine_rollup_percentile` / `engine_rollup_sample` estimators,
+# filled to exactly 50 with 30 early-round names re-verified from the
+# r1-r8 union (cheap, diverse, all oracled). After this round every
+# registered query has a driver CORRECTNESS row: union 228/228.
 # Pure key-order rotation: names, callables and oracles are untouched.
 _ROTATION_HEAD = [
     # the final 17 never-driver-sampled names (round-9 retrieval
@@ -10942,8 +11000,9 @@ _ROTATION_HEAD = [
     "text_bpe_token_counts", "multimodal_jpeg_throughput",
     "ann_pq_recall", "ann_ivfpq_recall", "ann_indexed_pq_recall",
     # new this round: the maintained-index composition stress and the
-    # rollup-served percentile estimator
+    # rollup-served percentile + bottom-k-sample estimators
     "engine_multi_index_stress", "engine_rollup_percentile",
+    "engine_rollup_sample",
     # fillers to 50: early-round names re-verified from the r1-r8 union
     "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
     "q14_promo_share", "rollup_pricing", "window_latest_per_key",
@@ -10955,7 +11014,6 @@ _ROTATION_HEAD = [
     "text_language_id", "text_fingerprint", "similarity_topk_bruteforce",
     "similarity_topk_ivf", "corpus_chunk_documents", "corpus_decontaminate",
     "web_domain_stats", "sql_dml_lifecycle", "engine_bucket_index",
-    "jdbc_roundtrip",
 ]
 
 

@@ -649,6 +649,76 @@ def test_rollup_percentiles_from_histogram(engine, spark):
         rollup_percentiles(engine, "pc_roll", "v", [])
 
 
+def test_rollup_bottomk_sample_edges(engine, spark):
+    """Bottom-k sample rollup edges the oracle gate can't hit: a group
+    SMALLER than k keeps all its rows; an all-NULL group stores an
+    empty array (and serves no rows); duplicate values occupy adjacent
+    slots (multiset semantics survive the fold); the merged fold
+    equals a from-scratch rebuild even when the second window's rows
+    displace every stored element; k < 1 raises at definition time and
+    an unknown column raises at serve time."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_rollup, refresh_rollup, rollup_sample,
+    )
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        create_rollup(engine, "nope", "r0", ["g"], [],
+                      sample_cols={"x": 0})
+
+    engine.create_table("bk_t", record_key="k")
+    create_rollup(engine, "bk_t", "bk_roll", ["g"], [],
+                  sample_cols={"x": 3})
+
+    def rows(data):
+        return spark.createDataFrame(data, "k int, g string, x string")
+
+    # tiny group (1 row < k), an all-NULL group, duplicates in "dup"
+    engine.insert(rows([
+        (1, "tiny", "only"),
+        (2, "nulls", None), (3, "nulls", None),
+        (4, "dup", "same"), (5, "dup", "same"), (6, "dup", "zz"),
+    ]), "bk_t")
+    refresh_rollup(engine, "bk_roll")
+    # second window: displacing values hash-below everything stored
+    # would be luck; instead verify fold == replay over ALL rows
+    engine.insert(rows([
+        (7, "dup", "aa"), (8, "dup", "bb"), (9, "tiny", "more"),
+    ]), "bk_t")
+    refresh_rollup(engine, "bk_roll")
+
+    got = {
+        (r["g"], r["rank"]): r["x"]
+        for r in rollup_sample(engine, "bk_roll", "x").collect()
+    }
+    all_rows = [("tiny", "only"), ("dup", "same"), ("dup", "same"),
+                ("dup", "zz"), ("dup", "aa"), ("dup", "bb"),
+                ("tiny", "more")]
+    want = {}
+    bygrp = {}
+    for g, x in all_rows:
+        bygrp.setdefault(g, []).append(x)
+    for g, xs in bygrp.items():
+        xs.sort(key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))
+        for i, x in enumerate(xs[:3]):
+            want[(g, i + 1)] = x
+    assert got == want
+    assert ("nulls", 1) not in got  # NULLs never sampled
+    assert len([1 for (g, _) in got if g == "tiny"]) == 2  # < k kept
+    # the stored array for the all-NULL group is empty, not null
+    arr = {
+        r["g"]: r["sample_x"]
+        for r in engine.read("bk_roll").collect()
+    }
+    assert arr["nulls"] == []
+    with pytest.raises(ValueError, match="no sample"):
+        rollup_sample(engine, "bk_roll", "k")
+
+
 def test_vector_index_maintenance_and_cell_moves(engine, spark):
     """Derived IVF vector index: the index state always equals the
     assignment of the source's CURRENT rows — across an insert-only

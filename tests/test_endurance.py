@@ -205,7 +205,8 @@ def test_five_derived_consumers_share_one_source_timeline(engine, spark):
         rows, "id int, text string, grp int, emb array<float>"
     )
     engine.create_table("src", record_key="id")
-    create_rollup(engine, "src", "roll", ["grp"], sum_cols=[], min_cols=["id"])
+    create_rollup(engine, "src", "roll", ["grp"], sum_cols=[],
+                  min_cols=["id"], sample_cols={"id": 3})
     create_filter_view(engine, "src", "fv", "grp >= 2", ["id", "grp", "text"])
     create_text_index(engine, "src", "tix", "id", "text", buckets=4)
     create_minhash_index(engine, "src", "mhx", "id", "text",
@@ -244,6 +245,24 @@ def test_five_derived_consumers_share_one_source_timeline(engine, spark):
         .agg(F.count("*").alias("n"), F.min("id").alias("m")).collect()
     }
     assert got_roll == want_roll
+    # bottom-k sample == batch replay (multi-commit fold + the
+    # group-moving UPDATE and DELETE through partial recompute)
+    import hashlib
+
+    from hudi_demo_spark.engine.derived import rollup_sample
+
+    got_smp = {
+        (r["grp"], r["rank"], r["id"])
+        for r in rollup_sample(engine, "roll", "id").collect()
+    }
+    want_smp = set()
+    bygrp: dict[int, list[int]] = {}
+    for r in end.select("grp", "id").collect():
+        bygrp.setdefault(r["grp"], []).append(r["id"])
+    for g, ids in bygrp.items():
+        ids.sort(key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))
+        want_smp |= {(g, i + 1, x) for i, x in enumerate(ids[:3])}
+    assert got_smp == want_smp
     # filter view == filtered snapshot
     got_fv = {tuple(r) for r in engine.read("fv")
               .select("id", "grp", "text").collect()}

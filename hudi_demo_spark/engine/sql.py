@@ -681,12 +681,14 @@ class SqlRouter:
                         if c.strip()] or None
 
             hists = args.get("hist_cols")  # JSON {col: [lo, hi, n_bins]}
+            samples = args.get("sample_cols")  # JSON {col: k}
             create_rollup(
                 self.engine, table, name, groups, sums,
                 expr_cols=_json.loads(exprs) if exprs else None,
                 min_cols=_cols("min_cols"), max_cols=_cols("max_cols"),
                 approx_distinct_cols=_cols("approx_distinct_cols"),
                 hist_cols=_json.loads(hists) if hists else None,
+                sample_cols=_json.loads(samples) if samples else None,
             )
             return None
         if proc == "refresh_rollup":

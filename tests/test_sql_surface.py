@@ -551,12 +551,18 @@ def test_call_derived_table_procedures(engine, spark):
     )
     engine.sql(
         "call create_rollup(table => 'dsrc', name => 'droll', "
-        "group_cols => 'g', sum_cols => 'v')"
+        "group_cols => 'g', sum_cols => 'v', "
+        "sample_cols => '{\"k\": 2}')"
     )
     r = engine.sql("call refresh_rollup(table => 'droll')").collect()[0]
     assert r["refreshed"] is True and r["instant"]
     got = {r["g"]: r["n_rows"] for r in engine.read("droll").collect()}
     assert got == {"0": 25, "1": 25, "2": 25, "3": 25}
+    # sample_cols passthrough: every group stores a 2-element sample
+    from hudi_demo_spark.engine.derived import rollup_sample
+
+    smp = rollup_sample(engine, "droll", "k").collect()
+    assert len(smp) == 8 and {r["rank"] for r in smp} == {1, 2}
     assert engine.sql(
         "call refresh_rollup(table => 'droll')"
     ).collect()[0]["refreshed"] is False

@@ -109,6 +109,7 @@ HEADLINE = [
     "events_gap_fill_linear",
     "events_trailing_window",
     "streaming_continuous_aggregate",
+    "streaming_rollup_sample",
     "events_json_extract",
     "grouping_sets_revenue",
     "pivot_event_type_counts",

@@ -8280,6 +8280,77 @@ def streaming_continuous_aggregate(spark, sf_dir):
 
 
 @q(
+    "streaming_rollup_sample",
+    """
+    WITH src AS (
+      SELECT event_type, event_id FROM events
+      WHERE event_id % 6 = 1
+    ), ranked AS (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS INT) AS rank
+      FROM src
+    )
+    SELECT event_type, rank, event_id FROM ranked
+    WHERE rank <= 4
+    ORDER BY event_type, rank
+    """,
+)
+def streaming_rollup_sample(spark, sf_dir):
+    """Streaming maintenance of the bottom-k sample rollup: a bounded
+    file stream feeds the source via foreachBatch (insert + refresh
+    per micro-batch), so the sketch's EXACT merge runs once per
+    micro-batch — the property that makes a maintained sample correct
+    under streaming ingest at all: bottom-k(fold over any batch
+    boundaries) == bottom-k(everything streamed), which the oracle
+    states as one row_number over md5 on the full corpus."""
+    from hudi_demo_spark.engine import Engine
+    from hudi_demo_spark.engine.derived import (
+        create_rollup,
+        refresh_rollup,
+        rollup_sample,
+    )
+
+    # lifecycle gate: many tiny commits — shuffles at the session
+    # default are task-scheduling overhead (see _pinned_session)
+    spark = _pinned_session(spark, 8)
+    root = _scratch("streaming_rollup_sample", sf_dir)
+    eng = Engine(spark, root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    ).filter(F.col("event_id") % 6 == 1)
+    src = f"{root}/src"
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    eng.create_table("ssrc", record_key="event_id")
+    eng.insert(e.limit(0), "ssrc")  # seed commit pins the schema
+    create_rollup(
+        eng, "ssrc", "sroll", ["event_type"], [],
+        sample_cols={"event_id": 4},
+    )
+    refresh_rollup(eng, "sroll")
+
+    def fold(batch_df, batch_id):
+        eng.insert(batch_df, "ssrc", batch_id=batch_id)
+        refresh_rollup(eng, "sroll")
+
+    q_ = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return rollup_sample(eng, "sroll", "event_id").orderBy(
+        "event_type", "rank"
+    )
+
+
+@q(
     "streaming_filter_view",
     """
     SELECT doc_id, lang, n_chars
@@ -10982,10 +11053,11 @@ def engine_multi_index_stress(spark, sf_dir):
 # rows-only-by-design gates (recall/throughput measurements with no
 # SQL-expressible oracle — the driver records rows+schema for those) —
 # plus the NEW `engine_multi_index_stress` composition gate and the
-# NEW `engine_rollup_percentile` / `engine_rollup_sample` estimators,
-# filled to exactly 50 with 30 early-round names re-verified from the
-# r1-r8 union (cheap, diverse, all oracled). After this round every
-# registered query has a driver CORRECTNESS row: union 228/228.
+# NEW `engine_rollup_percentile` and `engine_rollup_sample` /
+# `streaming_rollup_sample` estimators, filled to exactly 50 with 29
+# early-round names re-verified from the r1-r8 union (cheap, diverse,
+# all oracled). After this round every registered query has a driver
+# CORRECTNESS row: union 229/229.
 # Pure key-order rotation: names, callables and oracles are untouched.
 _ROTATION_HEAD = [
     # the final 17 never-driver-sampled names (round-9 retrieval
@@ -11000,9 +11072,10 @@ _ROTATION_HEAD = [
     "text_bpe_token_counts", "multimodal_jpeg_throughput",
     "ann_pq_recall", "ann_ivfpq_recall", "ann_indexed_pq_recall",
     # new this round: the maintained-index composition stress and the
-    # rollup-served percentile + bottom-k-sample estimators
+    # rollup-served percentile + bottom-k-sample estimators (batch and
+    # streaming)
     "engine_multi_index_stress", "engine_rollup_percentile",
-    "engine_rollup_sample",
+    "engine_rollup_sample", "streaming_rollup_sample",
     # fillers to 50: early-round names re-verified from the r1-r8 union
     "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
     "q14_promo_share", "rollup_pricing", "window_latest_per_key",
@@ -11013,7 +11086,7 @@ _ROTATION_HEAD = [
     "dedup_simhash", "text_gopher_quality", "text_token_stats",
     "text_language_id", "text_fingerprint", "similarity_topk_bruteforce",
     "similarity_topk_ivf", "corpus_chunk_documents", "corpus_decontaminate",
-    "web_domain_stats", "sql_dml_lifecycle", "engine_bucket_index",
+    "sql_dml_lifecycle", "engine_bucket_index",
 ]
 
 

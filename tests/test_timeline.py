@@ -719,6 +719,66 @@ def test_rollup_bottomk_sample_edges(engine, spark):
         rollup_sample(engine, "bk_roll", "k")
 
 
+def test_rollup_bottomk_sample_randomized_differential(engine, spark):
+    """Randomized differential for the bottom-k fold algebra: arbitrary
+    value multisets (heavy duplicates, negatives, NULL runs) split at
+    arbitrary commit boundaries, folded refresh-by-refresh, must equal
+    the pure-Python bottom-k of the union — the merge-exactness claim
+    under inputs the fixture gates never shape."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.derived import (
+        create_rollup, refresh_rollup, rollup_sample,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = rng.randrange(40, 120)
+        rows = [
+            (
+                i,
+                f"g{rng.randrange(4)}",
+                None if rng.random() < 0.15
+                else rng.choice([-5, -1, 0, 3, 3, 3, 7, 10 ** 6,
+                                 rng.randrange(-50, 50)]),
+            )
+            for i in range(n)
+        ]
+        k = rng.randrange(1, 6)
+        t, r = f"rd_t{seed}", f"rd_r{seed}"
+        engine.create_table(t, record_key="i")
+        create_rollup(engine, t, r, ["g"], [], sample_cols={"x": k})
+        cuts = sorted(rng.sample(range(1, n), 2)) + [n]
+        lo = 0
+        for hi in cuts:  # 3 windows, arbitrary sizes
+            engine.insert(
+                spark.createDataFrame(
+                    rows[lo:hi], "i int, g string, x long"
+                ),
+                t,
+            )
+            refresh_rollup(engine, r)
+            lo = hi
+        got = {
+            (row["g"], row["rank"], row["x"])
+            for row in rollup_sample(engine, r, "x").collect()
+        }
+        bygrp: dict[str, list[int]] = {}
+        for _, g, x in rows:
+            if x is not None:
+                bygrp.setdefault(g, []).append(x)
+        want = set()
+        for g, xs in bygrp.items():
+            xs.sort(key=lambda v: (
+                hashlib.md5(str(v).encode()).hexdigest(), v,
+            ))
+            want |= {(g, i + 1, v) for i, v in enumerate(xs[:k])}
+        assert got == want, f"seed {seed}"
+
+
 def test_vector_index_maintenance_and_cell_moves(engine, spark):
     """Derived IVF vector index: the index state always equals the
     assignment of the source's CURRENT rows — across an insert-only

@@ -700,6 +700,31 @@ class SqlRouter:
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
             )
+        if proc == "rollup_sample":
+            # CALL rollup_sample(table => 'roll', col => 'k') — serve
+            # the maintained bottom-k sample (group cols…, rank, col)
+            from hudi_demo_spark.engine.derived import rollup_sample
+
+            col = args.get("col")
+            if not col:
+                raise ValueError(
+                    "call rollup_sample(table => 'roll', col => 'k')"
+                )
+            return rollup_sample(self.engine, table, col)
+        if proc == "rollup_percentiles":
+            # CALL rollup_percentiles(table => 'roll', col => 'v',
+            #                         qs => '0.5,0.99')
+            from hudi_demo_spark.engine.derived import rollup_percentiles
+
+            col = args.get("col")
+            qs = [float(x) for x in args.get("qs", "").split(",")
+                  if x.strip()]
+            if not col or not qs:
+                raise ValueError(
+                    "call rollup_percentiles(table => 'roll', "
+                    "col => 'v', qs => '0.5,0.99')"
+                )
+            return rollup_percentiles(self.engine, table, col, qs)
         if proc == "create_vector_index":
             # CALL create_vector_index(table => 'src', name => 'vix',
             #   id_col => 'vec_id', vec_col => 'embedding'

@@ -552,17 +552,32 @@ def test_call_derived_table_procedures(engine, spark):
     engine.sql(
         "call create_rollup(table => 'dsrc', name => 'droll', "
         "group_cols => 'g', sum_cols => 'v', "
-        "sample_cols => '{\"k\": 2}')"
+        "sample_cols => '{\"k\": 2}', "
+        "hist_cols => '{\"v\": [0, 100, 4]}')"
     )
     r = engine.sql("call refresh_rollup(table => 'droll')").collect()[0]
     assert r["refreshed"] is True and r["instant"]
     got = {r["g"]: r["n_rows"] for r in engine.read("droll").collect()}
     assert got == {"0": 25, "1": 25, "2": 25, "3": 25}
-    # sample_cols passthrough: every group stores a 2-element sample
+    # sample_cols passthrough: every group stores a 2-element sample,
+    # served through both the Python API and CALL rollup_sample
     from hudi_demo_spark.engine.derived import rollup_sample
 
     smp = rollup_sample(engine, "droll", "k").collect()
     assert len(smp) == 8 and {r["rank"] for r in smp} == {1, 2}
+    called = engine.sql(
+        "call rollup_sample(table => 'droll', col => 'k')"
+    ).collect()
+    assert {tuple(r) for r in called} == {tuple(r) for r in smp}
+    # CALL rollup_percentiles serves from the maintained histogram
+    pct = {
+        (r["g"], r["q"]): r["pct"]
+        for r in engine.sql(
+            "call rollup_percentiles(table => 'droll', col => 'v', "
+            "qs => '0.5,1.0')"
+        ).collect()
+    }
+    assert len(pct) == 8 and all(0.0 <= p <= 100.0 for p in pct.values())
     assert engine.sql(
         "call refresh_rollup(table => 'droll')"
     ).collect()[0]["refreshed"] is False

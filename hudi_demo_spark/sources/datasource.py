@@ -129,6 +129,24 @@ def register(spark) -> None:
         # opt out per-call with .option("pushdown", "false").
         pass
     spark.dataSource.register(LakehouseDataSource)
+    # Python data-source registration lives in the SESSION's
+    # DataSourceManager, but format resolution (DataSource.
+    # lookupDataSource) consults the JVM thread's ACTIVE session — and
+    # a streaming query started on a DIFFERENT session earlier on this
+    # thread (e.g. a shuffle-pinned session clone) leaves that clone
+    # active after awaitTermination, so format("hudi") would fail with
+    # DATA_SOURCE_NOT_FOUND despite the registration above. Make the
+    # registered session the active one; subsequent actions on other
+    # sessions re-activate themselves via withActive as usual.
+    for cls in ("classic.SparkSession", "SparkSession"):
+        try:
+            obj = spark._jvm.org.apache.spark.sql
+            for part in cls.split("."):
+                obj = getattr(obj, part)
+            obj.setActiveSession(spark._jsparkSession)
+            break
+        except Exception:
+            continue  # Connect sessions have no JVM handle; lookup is remote
 
 
 class LakehouseDataSource(DataSource):

@@ -845,3 +845,23 @@ def test_pushdown_false_option_survives_disabled_conf(engine, spark):
     finally:
         if saved is not None:
             spark.conf.set(key, saved)
+
+def test_register_survives_stale_active_session(engine, spark):
+    """Python data-source lookup consults the JVM thread's ACTIVE
+    session, not the DataFrame's — a streaming query started on a
+    session clone (the pinned-session gates do this) leaves that clone
+    active after awaitTermination, and format("hudi") on the REGISTERED
+    session then failed with DATA_SOURCE_NOT_FOUND (round-10 local red
+    on streaming_sink_native). register() now re-activates the session
+    it registered on."""
+    engine.create_table("stale_t", record_key="id", precombine="ts",
+                       partition_by="dt")
+    engine.insert(_mkdf(spark, ROWS), "stale_t")
+    cfg = engine._resolve("stale_t")
+    clone = spark.newSession()  # no "hudi" registration
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        clone._jsparkSession
+    )
+    register(spark)
+    got = spark.read.format("hudi").load(str(cfg.path))
+    assert got.count() == len(ROWS)

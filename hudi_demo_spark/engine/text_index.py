@@ -62,6 +62,7 @@ from hudi_demo_spark.engine.derived import (
     _save_props,
 )
 from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.functions.hashfn import xxhash64_py
 from hudi_demo_spark.functions.textfn import tokens
 
 _TB_COL = "tb"
@@ -81,6 +82,14 @@ def _bucket(term_col, buckets: int):
     Spark versions and sessions; the query path recomputes it with the
     same expression, so producer and prober can never disagree)."""
     return F.pmod(F.xxhash64(term_col), F.lit(buckets)).cast("int")
+
+
+def _buckets_of(terms, buckets: int) -> list[int]:
+    """Driver-side twin of `_bucket` for a handful of query terms:
+    `xxhash64_py` is bit-equal to F.xxhash64 (pytest-pinned), so the
+    probe's bucket set matches the producer's without launching a
+    createDataFrame+collect Spark job per search."""
+    return sorted({xxhash64_py(t) % buckets for t in terms})
 
 
 def postings(
@@ -354,18 +363,10 @@ def text_index_search(
     n_docs, sum_dl = _stats(cfg)
     if n_docs <= 0:
         raise ValueError(f"text index {name!r} is empty — refresh it first")
-    # the terms' buckets, computed with the index's own bucket expr
-    # (a driver-side job over |query| rows, like the ANN cell probe)
-    tbs = sorted(
-        {
-            r[_TB_COL]
-            for r in engine.spark.createDataFrame(
-                [(t,) for t in q], "term string"
-            )
-            .select(_bucket(F.col("term"), buckets).alias(_TB_COL))
-            .collect()
-        }
-    )
+    # the terms' buckets, computed driver-side with the bit-equal twin
+    # of the index's bucket expr (no Spark job for a pure function of
+    # a few query literals)
+    tbs = _buckets_of(q, buckets)
     idx = engine.read(
         name,
         where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",
@@ -456,16 +457,7 @@ def text_index_topk(
             raise ValueError(
                 "text_index_topk needs at least one query term"
             )
-        tbs = sorted(
-            {
-                r[_TB_COL]
-                for r in engine.spark.createDataFrame(
-                    [(t,) for t in terms], "term string"
-                )
-                .select(_bucket(F.col("term"), buckets).alias(_TB_COL))
-                .collect()
-            }
-        )
+        tbs = _buckets_of(terms, buckets)
         idx = engine.read(
             name,
             where=f"{_TB_COL} IN ({','.join(str(t) for t in tbs)})",

@@ -330,3 +330,53 @@ def test_insert_duplicate_id_aborts_fold(engine, spark):
     assert _stats(cfg) == before_stats
     assert cfg.props[_OFFSET_PROP] == before_offset
     assert engine.read("tix").count() == before_rows
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """The driver-side bucket twin must be bit-equal to F.xxhash64 for
+    any term — search pruning reads exactly the partitions the producer
+    wrote. Covers every tail-length branch (0..32+ bytes) and
+    multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.functions.hashfn import xxhash64_py
+
+    terms = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "0123456789abcdef", "0123456789abcdef0123456789abcde",
+        "0123456789abcdef0123456789abcdef",
+        "0123456789abcdef0123456789abcdefX",
+        "the quick brown fox jumps over the lazy dog and keeps running",
+        "naïve café – ünïcödé ✓ 你好 мир",
+        "zq", "term_0042",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "t string")
+    got = {
+        r["t"]: (r["h"], r["b"])
+        for r in df.select(
+            "t",
+            F.xxhash64("t").alias("h"),
+            F.pmod(F.xxhash64("t"), F.lit(16)).cast("int").alias("b"),
+        ).collect()
+    }
+    for t in terms:
+        h = xxhash64_py(t)
+        assert (h, h % 16) == got[t], t
+
+
+def test_buckets_of_matches_bucket_expr(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_demo_spark.engine.text_index import _bucket, _buckets_of
+
+    terms = ["alpha", "beta", "gamma", "δέλτα", "z" * 40]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    want = sorted(
+        {
+            r["b"]
+            for r in df.select(
+                _bucket(F.col("term"), 7).alias("b")
+            ).collect()
+        }
+    )
+    assert _buckets_of(terms, 7) == want

@@ -327,7 +327,6 @@ def edit_near_pairs(
     pairs. Long-text near-dup belongs to MinHash/SimHash instead."""
     if max_edit not in (1, 2):
         raise ValueError("edit_near_pairs supports max_edit in {1, 2}")
-    s = F.col(text_col)
 
     def dels(col):
         # every string obtained by deleting ONE character
@@ -339,32 +338,70 @@ def edit_near_pairs(
             ),
         )
 
-    variants = F.array_union(F.array(s), dels(s))
-    if max_edit == 2:
-        variants = F.array_union(
-            variants,
-            F.array_distinct(F.flatten(F.transform(dels(s), dels))),
-        )
-    blocked = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        s.alias("__t"),
+    def variants(col):
+        out = F.array_union(F.array(col), dels(col))
+        if max_edit == 2:
+            out = F.array_union(
+                out,
+                F.array_distinct(F.flatten(F.transform(dels(col), dels))),
+            )
+        return out
+
+    # Block on DISTINCT STRINGS, not ids: duplicate keys (the common
+    # case in fuzzy-key dedup — many rows share one canonical title)
+    # would otherwise multiply every variant bucket by their copy count
+    # AND re-verify each id pair once per shared variant. Mining the
+    # distinct-string near set first and expanding to id pairs at the
+    # end does the expensive work once per string pair: the verify runs
+    # after a candidate `.distinct()`, so levenshtein evaluates once
+    # per candidate STRING pair instead of once per shared deletion
+    # variant (hundreds at d=2) per id pair.
+    strings = df.select(F.col(text_col).alias("__t")).distinct()
+    blocked = _spread(strings).select(
+        F.col("__t"),
         F.explode(
-            F.transform(variants, lambda v: F.xxhash64(v))
+            F.transform(variants(F.col("__t")), lambda v: F.xxhash64(v))
         ).alias("__v"),
-    ).dropDuplicates(["__id", "__v"])
+    ).dropDuplicates(["__t", "__v"])
     l, r = blocked.alias("l"), blocked.alias("r")
-    edit = F.levenshtein(F.col("l.__t"), F.col("r.__t"))
-    return (
+    # candidate string pairs, deduped BEFORE the exact verify; string
+    # (not hash) ordering keeps each unordered pair exactly once even
+    # under a 64-bit variant-hash collision
+    cand = (
         l.join(r, "__v")
-        .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter(F.col("l.__t") < F.col("r.__t"))
         .select(
-            F.col("l.__id").alias("a"),
-            F.col("r.__id").alias("b"),
-            edit.alias("edit"),
+            F.col("l.__t").alias("__tl"), F.col("r.__t").alias("__tr")
         )
-        .filter(F.col("edit") <= max_edit)
         .distinct()
     )
+    near = cand.withColumn(
+        "edit", F.levenshtein(F.col("__tl"), F.col("__tr"))
+    ).filter(F.col("edit") <= max_edit)
+    ids = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # expand string pairs back to id pairs (each id has ONE string, so
+    # every unordered id pair appears exactly once) ∪ the edit-0 pairs
+    # of ids sharing an identical string
+    cross = (
+        near.join(ids.alias("il"), F.col("il.__t") == F.col("__tl"))
+        .join(ids.alias("ir"), F.col("ir.__t") == F.col("__tr"))
+        .select(
+            F.least(F.col("il.__id"), F.col("ir.__id")).alias("a"),
+            F.greatest(F.col("il.__id"), F.col("ir.__id")).alias("b"),
+            F.col("edit"),
+        )
+    )
+    il, ir = ids.alias("el"), ids.alias("er")
+    equal = (
+        il.join(ir, "__t")
+        .filter(F.col("el.__id") < F.col("er.__id"))
+        .select(
+            F.col("el.__id").alias("a"),
+            F.col("er.__id").alias("b"),
+            F.lit(0).cast("int").alias("edit"),
+        )
+    )
+    return cross.unionByName(equal)
 
 
 # ---------------------------------------------------------------------------

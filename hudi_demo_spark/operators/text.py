@@ -140,49 +140,64 @@ def winnow_fingerprints(
     documents on `fp` instead of comparing texts).
 
     Returns (id, pos, fp) — pos is the selected k-gram's token offset.
-    Plan shape: the k-gram hashing is one map-side higher-order
-    projection; the sliding min and the short-document tail guard share
-    ONE keyed window shuffle per document. Hashes are portable md5-60,
-    so a SQL oracle replays selection bit-for-bit."""
-    from pyspark.sql import Window
-
+    Plan shape: ENTIRELY map-side — the sliding min runs inside each
+    document's gram ARRAY (`array_min` over struct slices, smallest
+    hash / rightmost position on ties, per-doc `array_distinct`), so
+    selection needs no shuffle, no window sort and no global distinct;
+    a document never leaves its input partition. (The previous
+    posexplode + keyed-window formulation funneled every gram row
+    through one shuffle whose tiny byte size AQE-coalesced to a single
+    task — a serialization point that only gets worse with corpus
+    size.) Hashes are portable md5-60, so a SQL oracle replays
+    selection bit-for-bit."""
     from hudi_demo_spark.functions.hashfn import portable_hash60
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
-    grams = F.when(
+    # (fp, np=-pos) structs: struct ordering makes min() = smallest
+    # hash, then most-negative np = RIGHTMOST position — the winnowing
+    # tiebreak
+    arr_expr = F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: portable_hash60(
-                F.concat_ws(" ", F.slice(toks, i + 1, k))
+            lambda i: F.struct(
+                portable_hash60(
+                    F.concat_ws(" ", F.slice(toks, i + 1, k))
+                ).alias("fp"),
+                (-i).alias("np"),
             ),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    g = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "fp")
+    ).otherwise(
+        F.array().cast("array<struct<fp:bigint,np:int>>")
     )
-    byid = Window.partitionBy(id_col)
-    wmin = byid.orderBy("pos").rowsBetween(-(w - 1), 0)
-    # min of (fp, -pos): smallest hash, rightmost position on ties
-    sel = F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np"))).over(wmin)
-    return (
-        g.select(
-            F.col(id_col),
-            "pos",
-            sel.alias("s"),
-            F.max("pos").over(byid).alias("__mx"),
-        )
-        # full windows only — except the last position, which covers
-        # documents with fewer than w hashes (min over all of them)
-        .filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__mx")))
-        .select(
-            id_col,
-            (-F.col("s.np")).cast("int").alias("pos"),
-            F.col("s.fp").alias("fp"),
-        )
-        .distinct()
+    # materialize the hashed gram array behind a projection boundary:
+    # the selection below references it ~n·w times, and inlining would
+    # re-run the md5 transform per reference (no CSE across lambda
+    # scopes — measured catastrophic). CollapseProject keeps the
+    # boundary because the expression is non-cheap and multiply-used.
+    hashed = _spread(df).select(F.col(id_col), arr_expr.alias("__arr"))
+    arr = F.col("__arr")
+    n = F.size(arr)
+    # full windows: positions w-1..n-1 select min over the w grams
+    # ending there; short documents (0 < n < w) keep the tail guard —
+    # one selection, the min over all of their grams
+    sels = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(w - 1), n - 1),
+            lambda p: F.array_min(F.slice(arr, p - (w - 2), w)),
+        ),
+    ).when(
+        n > 0, F.array(F.array_min(arr))
+    ).otherwise(F.array().cast("array<struct<fp:bigint,np:int>>"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(sels)).alias("s")
+    ).select(
+        id_col,
+        (-F.col("s.np")).cast("int").alias("pos"),
+        F.col("s.fp").alias("fp"),
     )
 
 

@@ -316,6 +316,12 @@ def minhash_probe(
         try:
             if batch.count() * bands <= _PROBE_COLLECT_CAP:
                 head = q.collect()
+                # createDataFrame, deliberately NOT a VALUES-backed
+                # LocalRelation: the probe head is hundreds of long
+                # bucket strings, and a literal tree that size re-pays
+                # constant folding in every action's optimizer pass —
+                # interleaved A/B measured it ~1-2 s WORSE across the
+                # probe gates than the one-off RDD-scan job this costs
                 q = engine.spark.createDataFrame(head, q.schema)
                 vals = sorted({r[_BUCKET_COL] for r in head
                                if r[_BUCKET_COL] is not None}) or None

@@ -449,6 +449,9 @@ def text_index_topk(
         # for the broadcast join, so a derived query table's lineage
         # never re-executes inside the join
         head = qterms.collect()
+        # createDataFrame, deliberately NOT a VALUES LocalRelation —
+        # same A/B finding as minhash_probe: string-heavy literal trees
+        # cost more in per-action constant folding than the RDD scan
         qterms = engine.spark.createDataFrame(head, qterms.schema)
         terms = sorted(
             {r["term"] for r in head if r["term"] is not None}

@@ -14,6 +14,7 @@ checks the split row-by-row.
 
 from __future__ import annotations
 
+from hudi_demo_spark.operators.util import local_relation
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -115,8 +116,8 @@ def token_budget_mix(
         return df.limit(0).withColumn("epochs", F.lit(0).cast("long"))
     spark = df.sparkSession
     plan_df = F.broadcast(
-        spark.createDataFrame(
-            plans, f"{group_col} string, __full long, __rem long"
+        local_relation(
+            spark, plans, f"{group_col} string, __full long, __rem long"
         )
     )
     w_ord = Window.partitionBy(group_col).orderBy(
@@ -174,7 +175,8 @@ def seeded_shuffle(
         base[bucket] = acc
         acc += counts[bucket]
     spark = df.sparkSession
-    offsets = spark.createDataFrame(
+    offsets = local_relation(
+        spark,
         [(int(bk), int(off)) for bk, off in base.items()],
         "__ss_b int, __ss_base long",
     )

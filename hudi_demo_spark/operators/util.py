@@ -48,3 +48,65 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:
         pass
     return df.repartition(target)
+
+
+def local_relation(spark, rows, schema):
+    """A driver-side LocalRelation for a SMALL row set — the cheap twin
+    of ``spark.createDataFrame`` for probe/offset tables on hot query
+    paths. PySpark's createDataFrame builds a Python-RDD-backed plan
+    whose every action schedules a defaultParallelism-wide scan job
+    through a Python worker (measured ~0.9 s per action for 50 rows on
+    local[32]); a parsed ``VALUES`` list is a pure JVM LocalRelation —
+    actions on it (and broadcast builds from it) run driver-local with
+    NO Spark job (~30 ms). String cells ride as ``unhex('..')`` so no
+    SQL escaping rules apply to any content; all cells are cast to the
+    target schema's exact types. Supported cell types: the scalar
+    string/integral/float/bool/date-less set probes use — anything
+    else (or a row set past `max_rows`) falls back to createDataFrame.
+
+    `rows` may be Row objects or tuples, ordered as `schema.fields`.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    supported = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType,
+        T.ByteType, T.DoubleType, T.FloatType, T.BooleanType,
+    )
+    if len(rows) > 10_000 or not rows or not all(
+        isinstance(f.dataType, supported) for f in schema.fields
+    ):
+        return spark.createDataFrame(rows, schema)
+
+    def cell(v, dt):
+        if v is None:
+            return "NULL"
+        if isinstance(dt, T.StringType):
+            return f"unhex('{v.encode('utf-8').hex()}')"
+        if isinstance(dt, T.BooleanType):
+            return "true" if v else "false"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return f"'{v!r}'"  # shortest-roundtrip repr, cast below
+        return str(int(v))
+
+    dts = [f.dataType for f in schema.fields]
+    values = ",".join(
+        "(" + ",".join(cell(v, dt) for v, dt in zip(r, dts)) + ")"
+        for r in rows
+    )
+    def col_expr(i, f):
+        c = f"CAST(col{i + 1} AS {f.dataType.simpleString()})"
+        if f.nullable:
+            # nullif(x, NULL) is x with nullable=true — VALUES infers
+            # tighter non-null flags than the caller's schema declares
+            c = f"nullif({c}, NULL)"
+        return f"{c} AS `{f.name}`"
+
+    # Names, order, types and values match createDataFrame(rows, schema)
+    # exactly; the one divergence is that a NON-nullable target field
+    # comes back nullable (CAST output is nullable and Spark SQL has no
+    # assert-not-null surface) — irrelevant to the join/aggregate
+    # consumers this helper exists for.
+    casts = ",".join(col_expr(i, f) for i, f in enumerate(schema.fields))
+    return spark.sql(f"SELECT {casts} FROM VALUES {values}")

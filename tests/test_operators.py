@@ -1412,3 +1412,41 @@ def test_leakage_safe_split_atomic_clusters(spark):
         assert by_id[i]["split"] == plain[i]
         assert by_id[i]["split_key"] == i
     assert by_id[None]["split"] is None
+
+
+def test_local_relation_matches_createdataframe(spark):
+    """util.local_relation must be value- and type-identical to
+    createDataFrame for the scalar row sets it accepts — including
+    SQL-hostile strings (quotes, backslashes, newlines, emoji) and
+    float edge values — and must fall back cleanly for complex types."""
+    import pyspark.sql.types as T
+
+    from hudi_demo_spark.operators.util import local_relation
+
+    rows = [
+        ("it's", 1, 1.5), ("back\\slash", 2, -0.0), ("new\nline", 3, 1e-300),
+        ("квоты 你好  ", 4, float("inf")), ("", 5, None), (None, 6, 3.14159),
+        ("tab\there'--", 7, 2.5e17), ("emoji 🎉", 8, float("nan")),
+    ]
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("d", T.DoubleType()),
+    ])
+    a = local_relation(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    assert a.schema == b.schema
+    assert str(sorted(map(tuple, a.collect()), key=str)) == str(
+        sorted(map(tuple, b.collect()), key=str)
+    )
+    # VALUES path produces a pure LocalRelation (no Python-RDD scan job)
+    assert "LocalRelation" in a._jdf.queryExecution().optimizedPlan().toString()
+    # empty + string-schema + complex-type fallback paths
+    assert local_relation(spark, [], schema).schema == b.schema
+    c = local_relation(spark, [(1, 2)], "x int, y long")
+    assert [tuple(r) for r in c.collect()] == [(1, 2)]
+    arr = local_relation(
+        spark, [([1, 2],)],
+        T.StructType([T.StructField("a", T.ArrayType(T.IntegerType()))]),
+    )
+    assert [list(r["a"]) for r in arr.collect()] == [[1, 2]]

@@ -74,14 +74,24 @@ def local_relation(spark, rows, schema):
         T.StringType, T.IntegerType, T.LongType, T.ShortType,
         T.ByteType, T.DoubleType, T.FloatType, T.BooleanType,
     )
+
+    def ok(dt):
+        return isinstance(dt, supported) or (
+            isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, supported)
+        )
+
     if len(rows) > 10_000 or not rows or not all(
-        isinstance(f.dataType, supported) for f in schema.fields
+        ok(f.dataType) for f in schema.fields
     ):
         return spark.createDataFrame(rows, schema)
 
     def cell(v, dt):
         if v is None:
             return "NULL"
+        if isinstance(dt, T.ArrayType):
+            inner = ",".join(cell(x, dt.elementType) for x in v)
+            return f"array({inner})" if inner else "array()"
         if isinstance(dt, T.StringType):
             return f"unhex('{v.encode('utf-8').hex()}')"
         if isinstance(dt, T.BooleanType):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hudi_demo_spark.sources.readers import load_table
+from hudi_demo_spark.operators.util import local_relation as _local_relation
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -6959,7 +6960,8 @@ def text_bm25_topk(spark, sf_dir):
     from hudi_demo_spark.operators.text import bm25_topk
 
     d = load_table(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(
+    qs = _local_relation(
+        spark,
         [(1, ["vector", "hash"]), (2, ["stream", "spark"]), (3, ["merge"])],
         "query_id int, terms array<string>",
     )
@@ -7049,7 +7051,8 @@ def text_hybrid_rrf(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    qs = spark.createDataFrame(
+    qs = _local_relation(
+        spark,
         [(1, ["vector", "hash"]), (2, ["stream", "spark"]), (3, ["merge"])],
         "query_id int, terms array<string>",
     )
@@ -9215,8 +9218,8 @@ def ann_recall_report(spark, sf_dir):
                 f"ANN recall regression: {method} recall@5={recall} < 0.85"
             )
         rows.append((method, recall))
-    return spark.createDataFrame(
-        rows, "method string, recall_at_5 double"
+    return _local_relation(
+        spark, rows, "method string, recall_at_5 double"
     ).orderBy("method")
 
 
@@ -9308,8 +9311,8 @@ def ann_pq_recall(spark, sf_dir):
         raise AssertionError(
             f"PQ recall regression: recall@5={recall} < 0.85"
         )
-    return spark.createDataFrame(
-        [("pq", recall)], "method string, recall_at_5 double"
+    return _local_relation(
+        spark, [("pq", recall)], "method string, recall_at_5 double"
     )
 
 
@@ -9357,8 +9360,8 @@ def ann_ivfpq_recall(spark, sf_dir):
             f"{n_q}×{shared['n_corpus']} — the cell index admitted a "
             "flat scan"
         )
-    return spark.createDataFrame(
-        [("ivfpq", recall)], "method string, recall_at_5 double"
+    return _local_relation(
+        spark, [("ivfpq", recall)], "method string, recall_at_5 double"
     )
 
 
@@ -9421,8 +9424,8 @@ def ann_indexed_pq_recall(spark, sf_dir):
         raise AssertionError(
             f"probe scan not partition-pruned: {n_probed}/{n_all} files"
         )
-    return spark.createDataFrame(
-        [("indexed_pq", recall)], "method string, recall_at_5 double"
+    return _local_relation(
+        spark, [("indexed_pq", recall)], "method string, recall_at_5 double"
     )
 
 
@@ -10311,7 +10314,7 @@ def engine_text_index(spark, sf_dir):
     from hudi_demo_spark.engine import Engine
     from hudi_demo_spark.engine.text_index import (
         _TB_COL,
-        _bucket,
+        _buckets_of,
         cluster_text_index,
         create_text_index,
         refresh_text_index,
@@ -10342,15 +10345,7 @@ def engine_text_index(spark, sf_dir):
     terms = ["hash", "stream", "vector"]
     # scale property IS the contract: the search-shaped read (bucket
     # partitions + term col-stats) must scan a strict file subset
-    tbs = sorted(
-        {
-            r[_TB_COL]
-            for r in spark.createDataFrame([(t,) for t in terms],
-                                           "term string")
-            .select(_bucket(F.col("term"), 8).alias(_TB_COL))
-            .collect()
-        }
-    )
+    tbs = _buckets_of(terms, 8)
     n_all = len(eng.read("tix").inputFiles())
     n_probed = len(
         eng.read(
@@ -10528,7 +10523,8 @@ def engine_text_search_batch(spark, sf_dir):
     refresh_text_index(eng, "tix")
     eng.insert(corpus.filter(F.col("doc_id") % 2 != 0), "docs")
     refresh_text_index(eng, "tix")
-    queries = spark.createDataFrame(
+    queries = _local_relation(
+        spark,
         [
             (1, ["hash", "vector"]),
             (2, ["stream", "vector"]),
@@ -10690,7 +10686,8 @@ def engine_hybrid_search(spark, sf_dir):
     refresh_vector_index(eng, "vix")
     eng.insert(e.filter(F.col("vec_id") % 3 != 0), "emb")
     refresh_vector_index(eng, "vix")
-    tqueries = spark.createDataFrame(
+    tqueries = _local_relation(
+        spark,
         [(2, ["hash", "vector"]), (4, ["stream", "vector"]),
          (6, ["hash", "stream"])],
         "query_id int, terms array<string>",
@@ -11027,7 +11024,8 @@ def engine_multi_index_stress(spark, sf_dir):
         f"vector index != batch assignment ({len(got_v)} vs {len(want_v)})"
     )
 
-    queries = spark.createDataFrame(
+    queries = _local_relation(
+        spark,
         [
             (1, ["hash", "vector"]),
             (2, ["stream", "vector"]),

@@ -267,10 +267,17 @@ def main() -> None:
             f"[bench] {name}: {best:.3f}s",
             file=sys.stderr,
         )
-    # Full per-query detail goes to stderr + a sidecar file; the single
-    # stdout JSON line stays SHORT so the driver's tail-capture window
-    # never truncates its head (round-2 postmortem: the 65-entry per-query
-    # map outgrew the window and BENCH_r02.json recorded parsed:null).
+    # Per-query detail goes three places so it SURVIVES to the driver
+    # (round-10 postmortem: the stdout line had only the total, stderr is
+    # tail-truncated, and the c8 scaling run overwrote BENCH_DETAIL.json —
+    # the driver ended up with per_query={} and no scaling signal):
+    # 1. the stdout JSON line itself carries `queries` (~5 KB at 147
+    #    entries — well inside the capture window that truncated the
+    #    round-2 65-entry + shapes + errors stderr dump);
+    # 2. BENCH_DETAIL_c{cpus}.json, keyed by core count so the low-cpus
+    #    scaling lap no longer clobbers the main lap's detail;
+    # 3. BENCH_DETAIL.json kept as the latest-run alias (existing
+    #    consumers/detail_file pointer unchanged).
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -281,19 +288,22 @@ def main() -> None:
         # rounds; walls alone are ambient-load-noisy on this box
         "shapes": per_query_shape,
         "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     if errors:
         detail["errors"] = errors
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    try:
-        detail_path.write_text(json.dumps(detail, indent=1))
-    except OSError as ex:  # pragma: no cover
-        print(f"[bench] could not write {detail_path}: {ex}", file=sys.stderr)
+    here = Path(__file__).resolve().parent
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{detail['cpus']}.json"):
+        try:
+            (here / fname).write_text(json.dumps(detail, indent=1))
+        except OSError as ex:  # pragma: no cover
+            print(f"[bench] could not write {fname}: {ex}", file=sys.stderr)
     print(f"[bench] detail: {json.dumps(detail)}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
+        "queries": per_query,
         "sf": sf,
         "n_queries": len(per_query),
         "detail_file": "BENCH_DETAIL.json",

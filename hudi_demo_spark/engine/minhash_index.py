@@ -50,7 +50,10 @@ from hudi_demo_spark.engine.derived import (
     _save_props,
 )
 from hudi_demo_spark.engine.timeline import Timeline
-from hudi_demo_spark.operators.dedup import minhash_signatures
+from hudi_demo_spark.operators.dedup import (
+    minhash_band_rows_py,
+    minhash_signatures,
+)
 
 _BAND_COL = "band"
 _BUCKET_COL = "bucket"
@@ -58,6 +61,10 @@ _BUCKET_COL = "bucket"
 # the batch into a local relation — same order as derived._PRUNE_VAL_CAP,
 # a few MB of (id, band, bucket) tuples at worst
 _PROBE_COLLECT_CAP = 50_000
+# max total TEXT bytes the driver-side signing twin will pull with the
+# batch head: past this, documents are big enough that distributed
+# signing (and an unpruned index read) beats dragging them to the driver
+_PROBE_TEXT_BYTES_CAP = 32 << 20
 
 
 def lsh_band_rows(
@@ -284,47 +291,57 @@ def minhash_probe(
     )
     point = None
     if prune:
-        # bounded row-collect: a small batch's signed band rows (id ×
-        # bands, NOT the shingles) come back to the driver ONCE, giving
-        # both the bucket prune-set and a broadcast-able local relation
-        # for the join — one signing pass instead of two (the old
-        # persist() was unpersisted before the caller's action, so the
-        # join recomputed the whole signing lineage). The cap decision
-        # itself must not sign either (a take() past the cap would
-        # still execute the signing groupBy's map stage), so it uses
-        # batch.count() × bands — an exact bound on q's row count
-        # (lsh_band_rows emits one row per band per distinct id) from
-        # a cheap count that never shingles. Past the cap the index
-        # read goes unpruned and the batch signs exactly once, in the
-        # join: a >50k-band-row batch's distinct buckets approach the
-        # index's bucket space anyway (pruning would keep most files),
-        # and at 100 TB batch sizes a signing pass just to learn that
-        # costs more than the unpruned scan saves.
-        # persist the batch across the two actions (count, then the
-        # signing collect) — for admission pipelines whose batch is a
-        # derived DataFrame, an unpersisted count would re-execute the
-        # batch's whole upstream lineage once per probe; released
-        # before returning (over the cap the join re-reads the batch
-        # exactly once in the caller's action, as before). A batch the
-        # CALLER already persisted is left alone — unpersisting it here
-        # would silently drop their cache.
+        # A small batch's band rows are a pure function of its (id,
+        # text) rows — computed DRIVER-SIDE via the bit-equal portable
+        # MinHash twin (guide §5, the text_index._buckets_of shape),
+        # giving both the bucket prune-set and a broadcast-able local
+        # relation for the join WITHOUT the per-probe shingle-explode +
+        # groupBy shuffle the old signing collect paid. The cap
+        # decision itself must not sign or pull text (a blind take()
+        # could drag GBs of documents to the driver before learning the
+        # batch is big): ONE tiny agg job reads count + text bytes,
+        # then under both caps the rows come back via take() — exactly
+        # as many as counted — and sign in-process (~µs/doc of md5).
+        # Past either cap the index read goes unpruned and the batch
+        # signs exactly once, distributed, in the join: a >50k-band-row
+        # batch's distinct buckets approach the index's bucket space
+        # anyway (pruning would keep most files), and at 100 TB batch
+        # sizes a signing pass just to learn that costs more than the
+        # unpruned scan saves.
+        # persist the batch across the two actions (agg, then take) —
+        # for admission pipelines whose batch is a derived DataFrame,
+        # an unpersisted agg would re-execute the batch's whole
+        # upstream lineage once per probe; released before returning
+        # (over the cap the join re-reads the batch exactly once in
+        # the caller's action, as before). A batch the CALLER already
+        # persisted is left alone — unpersisting it here would
+        # silently drop their cache.
         ours = not batch.storageLevel.useMemory and not (
             batch.storageLevel.useDisk
         )
         if ours:
             batch.persist()
         try:
-            if batch.count() * bands <= _PROBE_COLLECT_CAP:
-                head = q.collect()
+            stat = batch.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(F.octet_length(text_col)), F.lit(0)
+                ).alias("nbytes"),
+            ).collect()[0]
+            if (
+                int(stat["n"]) * bands <= _PROBE_COLLECT_CAP
+                and int(stat["nbytes"]) <= _PROBE_TEXT_BYTES_CAP
+            ):
+                head = batch.select(id_col, text_col).take(int(stat["n"]))
+                rows = minhash_band_rows_py(head, num_hashes, bands)
                 # createDataFrame, deliberately NOT a VALUES-backed
                 # LocalRelation: the probe head is hundreds of long
                 # bucket strings, and a literal tree that size re-pays
                 # constant folding in every action's optimizer pass —
                 # interleaved A/B measured it ~1-2 s WORSE across the
                 # probe gates than the one-off RDD-scan job this costs
-                q = engine.spark.createDataFrame(head, q.schema)
-                vals = sorted({r[_BUCKET_COL] for r in head
-                               if r[_BUCKET_COL] is not None}) or None
+                q = engine.spark.createDataFrame(rows, q.schema)
+                vals = sorted({r[2] for r in rows}) or None
                 if vals is not None:
                     point = (_BUCKET_COL, vals)
         finally:

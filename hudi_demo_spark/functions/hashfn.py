@@ -30,6 +30,20 @@ def portable_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_py(value: str | bytes) -> int:
+    """Driver-side twin of `portable_hash60` for one string: the first
+    15 hex chars of md5 as a non-negative int — bit-equal to the Spark
+    column (and the DuckDB SQL) by construction, both being plain md5.
+    Used by probe paths that already hold their few hundred rows on the
+    driver (see minhash_index.minhash_probe), where launching a Spark
+    job to evaluate a pure function of driver literals is one avoidable
+    shuffle per probe."""
+    import hashlib
+
+    data = value.encode("utf-8") if isinstance(value, str) else value
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
+
+
 # ---------------------------------------------------------------------
 # Driver-side twin of Spark's `xxhash64` (XXH64, default seed 42).
 # Bucket probes (text index term → partition bucket) need the SAME hash

@@ -20,6 +20,8 @@ banding width; frequent-shingle hot keys can be dropped with
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,6 +119,55 @@ def minhash_signatures(
         "array({})".format(",".join(f"h{i}" for i in range(num_hashes)))
     )
     return agg.select(F.col(id_col), sig.alias("sig"))
+
+
+# Java-regex `\s` (java.util.regex, no UNICODE_CHARACTER_CLASS) is
+# exactly this class — Python's str-mode `\s` is Unicode-aware and would
+# split on NBSP/NEL where Spark's `F.split(c, r"\s+")` does not.
+_JAVA_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def minhash_band_rows_py(
+    rows,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> list[tuple]:
+    """Driver-side twin of ``engine.minhash_index.lsh_band_rows`` with
+    ``portable=True`` for a SMALL row set already on the driver:
+    [(id, band, bucket), ...], bit-equal to collecting the distributed
+    plan (pinned by a differential pytest). `rows` are (id, text) pairs
+    (Row objects or tuples). Shingle-less ids (fewer than 3 tokens)
+    emit no band rows, duplicate ids merge their shingle sets — both
+    exactly as the explode + groupBy(id) plan behaves.
+
+    Why: a probe's batch signature is a pure function of a few hundred
+    driver-resident strings; evaluating it through a Spark job costs a
+    shingle-explode shuffle + a collect per probe (guide §5 — the same
+    driver-twin shape as text_index._buckets_of)."""
+    from hudi_demo_spark.functions.hashfn import portable_hash60_py
+
+    p = MINHASH_P
+    coeffs = minhash_coeffs(num_hashes, p)
+    rpb = num_hashes // bands
+    shingles: dict = {}
+    for rid, text in rows:
+        s = shingles.setdefault(rid, set())
+        toks = [t for t in _JAVA_WS.split(text or "") if t]
+        s.update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    out = []
+    for rid, sh in shingles.items():
+        if not sh:
+            continue
+        hs = [portable_hash60_py(x) % p for x in sh]
+        sig = [min((h * a + b) % p for h in hs) for a, b in coeffs]
+        for b in range(bands):
+            bucket = ":".join(
+                str(sig[b * rpb + r]) for r in range(rpb)
+            )
+            out.append((rid, b, bucket))
+    return out
 
 
 def lsh_candidate_pairs(
@@ -378,7 +429,13 @@ def edit_near_pairs(
     near = cand.withColumn(
         "edit", F.levenshtein(F.col("__tl"), F.col("__tr"))
     ).filter(F.col("edit") <= max_edit)
-    ids = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # distinct: duplicate (id, text) INPUT rows must not emit duplicate
+    # output pairs (the pre-r10 contract — its final .distinct() swallowed
+    # them); deduping the tiny id projection here is far cheaper than a
+    # distinct over the expanded pair union
+    ids = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).distinct()
     # expand string pairs back to id pairs (each id has ONE string, so
     # every unordered id pair appears exactly once) ∪ the edit-0 pairs
     # of ids sharing an identical string

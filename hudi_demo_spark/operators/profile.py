@@ -140,7 +140,11 @@ def profile_numeric(
         counts = df.groupBy(c).agg(F.count("*").alias("__cnt"))
         outs.append(
             counts.agg(
-                F.sum("__cnt").alias("n"),
+                # coalesce: SUM over the empty groupBy result is NULL,
+                # but n must be 0 on an empty input (as count(*) was)
+                F.coalesce(
+                    F.sum("__cnt"), F.lit(0).cast("long")
+                ).alias("n"),
                 F.coalesce(
                     F.sum(F.when(F.col(c).isNull(), F.col("__cnt"))),
                     F.lit(0).cast("long"),

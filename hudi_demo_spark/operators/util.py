@@ -28,9 +28,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     `df.rdd.getNumPartitions()`, which forces a plan→RDD conversion on
     every call. Unknown sizes err toward repartitioning (the repartition
     of an already-wide input is the rarer, cheaper mistake than
-    serializing a scan on one core)."""
+    serializing a scan on one core).
+
+    "The session's parallelism" is the SESSION's shuffle-partition conf,
+    not the shared SparkContext's defaultParallelism: gates/pipelines
+    that pin a cloned session to N shuffle partitions (the deployment
+    knob for bounded incremental work — see plans.queries._pinned_session)
+    must not have every spread() fan their micro-batches back out to
+    the full core count. Measured on engine_minhash_index's CDC
+    refresh: ten 32-task repartition stages inside one 8-pinned
+    refresh, pure scheduling overhead. On an unpinned session the conf
+    equals defaultParallelism here, so behavior is unchanged."""
     spark = df.sparkSession
-    target = min_partitions or spark._sc.defaultParallelism
+    target = min_partitions
+    if target is None:
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            target = spark._sc.defaultParallelism
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -50,7 +65,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def local_relation(spark, rows, schema):
+def local_relation(spark, rows, schema, max_rows: int = 10_000):
     """A driver-side LocalRelation for a SMALL row set — the cheap twin
     of ``spark.createDataFrame`` for probe/offset tables on hot query
     paths. PySpark's createDataFrame builds a Python-RDD-backed plan
@@ -81,7 +96,7 @@ def local_relation(spark, rows, schema):
             and isinstance(dt.elementType, supported)
         )
 
-    if len(rows) > 10_000 or not rows or not all(
+    if len(rows) > max_rows or not rows or not all(
         ok(f.dataType) for f in schema.fields
     ):
         return spark.createDataFrame(rows, schema)

@@ -1450,3 +1450,36 @@ def test_local_relation_matches_createdataframe(spark):
         T.StructType([T.StructField("a", T.ArrayType(T.IntegerType()))]),
     )
     assert [list(r["a"]) for r in arr.collect()] == [[1, 2]]
+
+
+def test_minhash_band_rows_py_matches_distributed(spark):
+    """The driver-side portable-MinHash twin must be bit-equal to
+    collecting `lsh_band_rows(portable plan)` — probe pruning reads
+    exactly the band/bucket rows the index producer wrote. Covers
+    Java-vs-Python whitespace-class divergence (NBSP must NOT split),
+    <3-token and empty docs (no band rows), duplicate ids (shingle
+    sets merge), and multi-byte UTF-8."""
+    from hudi_demo_spark.engine.minhash_index import lsh_band_rows
+    from hudi_demo_spark.operators.dedup import minhash_band_rows_py
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "a\u00a0b c d e"),    # NBSP is NOT Java \s: one token stays
+        (3, "one two"),                  # <3 tokens: no shingles
+        (4, ""),                         # empty: no shingles
+        (5, "tab\tand\nnewline\rsplit tokens here ok"),
+        (6, "naïve café ünïcödé 你好 мир end of doc"),
+        (7, "dup id first half of the text body"),
+        (7, "dup id second half entirely different words"),
+        (8, "  leading and trailing whitespace   padded text  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for num_hashes, bands in ((32, 8), (64, 16)):
+        want = {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in lsh_band_rows(
+                df, "doc_id", "text", num_hashes, bands
+            ).collect()
+        }
+        got = set(minhash_band_rows_py(rows, num_hashes, bands))
+        assert got == want, (num_hashes, bands)

@@ -37,6 +37,7 @@ from hudi_demo_spark.engine.config import (
 )
 from hudi_demo_spark.engine.keys import record_key_col
 from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 _OFFSET_PROP = "derived.last_refresh_instant"
 _ALLOWED = {"insert", "bootstrap_full", "bootstrap_metadata"}
@@ -542,7 +543,7 @@ def rollup_percentiles(
         .withColumn("total", F.sum("n").over(wall))
         .filter(F.col("total") > 0)
     )
-    qdf = engine.spark.createDataFrame(
+    qdf = _rows_df(engine.spark, 
         [(float(q),) for q in qs], "q double"
     )
     # first bin whose cumulative count reaches t = q*total; that bin is

@@ -52,6 +52,7 @@ from hudi_demo_spark.engine.config import (
 )
 from hudi_demo_spark.engine.keys import partition_path_col, record_key_col
 from hudi_demo_spark.engine.timeline import Timeline, new_instant
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 
 def _as_cond(cond: str | Column) -> Column:
@@ -1039,7 +1040,7 @@ class Engine:
         n_slices = min(
             len(rows), max(self.spark.sparkContext.defaultParallelism, 1)
         )
-        cand = self.spark.createDataFrame(
+        cand = _rows_df(self.spark, 
             rows, "__p string, __pp string"
         ).repartition(n_slices)
 
@@ -1083,7 +1084,7 @@ class Engine:
                 T.StructField(PARTITION_PATH_META, T.StringType()),
             ]
         )
-        return self.spark.createDataFrame([], schema)
+        return _rows_df(self.spark, [], schema)
 
     def _read_files(self, cfg: TableConfig, files: dict[str, dict]) -> DataFrame:
         """Read an explicit file set with the pinned table schema (missing
@@ -1396,7 +1397,7 @@ class Engine:
             if as_of is None:
                 ridx = self._record_index(cfg)
                 if ridx is not None and ridx.usable():
-                    kdf = self.spark.createDataFrame(
+                    kdf = _rows_df(self.spark, 
                         [(str(v),) for v in pvals],
                         f"{RECORD_KEY_META} string",
                     )
@@ -1485,7 +1486,7 @@ class Engine:
         if isinstance(partition_filter, _SegPred):
             keep = {p for p in pps if partition_filter.fn(p)}
         else:
-            pdf = self.spark.createDataFrame(
+            pdf = _rows_df(self.spark, 
                 [(p,) for p in pps],
                 T.StructType(
                     [T.StructField(PARTITION_PATH_META, T.StringType())]
@@ -2014,7 +2015,7 @@ class Engine:
              fi.FunctionalIndex(self.spark, cfg, name, expr).usable())
             for name, expr in sorted(fi.indexed_exprs(cfg).items())
         ]
-        return self.spark.createDataFrame(
+        return _rows_df(self.spark, 
             rows, "column string, index_type string, usable boolean"
         )
 
@@ -2162,7 +2163,7 @@ class Engine:
                 T.StructField("key_max", T.StringType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        return _rows_df(self.spark, rows, schema)
 
     def show_blooms(self, table: str | TableConfig) -> DataFrame:
         """Hudi `show_bloom_filters` analog: one row per live base file
@@ -2204,7 +2205,7 @@ class Engine:
                 T.StructField("sidecar_bytes", T.LongType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        return _rows_df(self.spark, rows, schema)
 
     def show_inflight(self, table: str | TableConfig) -> DataFrame:
         """Writes announced (marker present) but not yet committed —
@@ -2222,7 +2223,7 @@ class Engine:
                 T.StructField("age_s", T.DoubleType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        return _rows_df(self.spark, rows, schema)
 
     def validate(self, table: str | TableConfig) -> DataFrame:
         """Consistency checker (the `hudi-cli` table-validation analog):
@@ -2319,7 +2320,7 @@ class Engine:
                 T.StructField("detail", T.StringType()),
             ]
         )
-        return self.spark.createDataFrame(checks, schema)
+        return _rows_df(self.spark, checks, schema)
 
     def file_metadata(self, table: str | TableConfig) -> DataFrame:
         """The metadata table as a QUERYABLE DataFrame (the Hudi
@@ -2369,13 +2370,13 @@ class Engine:
                 # tail can hold thousands of paths, so anti-join against
                 # a (broadcast) frame instead of an N-literal isin plan
                 gone = sorted(removed | set(tail))
-                gone_df = self.spark.createDataFrame(
+                gone_df = _rows_df(self.spark, 
                     [(p,) for p in gone], "path string"
                 )
                 base = base.join(F.broadcast(gone_df), "path", "left_anti")
             live_tail = tail
         else:
-            base = self.spark.createDataFrame([], schema)
+            base = _rows_df(self.spark, [], schema)
             live_tail = tl.live_files()
         def _row(p: str, m: dict) -> tuple:
             return (
@@ -2391,7 +2392,7 @@ class Engine:
 
         rows = [_row(p, m) for p, m in live_tail.items()]
         return base.unionByName(
-            self.spark.createDataFrame(rows, schema)
+            _rows_df(self.spark, rows, schema)
         ).orderBy("path")
 
     def show_commits(self, table: str | TableConfig) -> DataFrame:
@@ -2421,7 +2422,7 @@ class Engine:
                 T.StructField("files_removed", T.IntegerType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema).orderBy(
+        return _rows_df(self.spark, rows, schema).orderBy(
             F.col("commit_time").desc()
         )
 
@@ -2933,7 +2934,7 @@ class Engine:
                 T.StructField("latest_commit", T.StringType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        return _rows_df(self.spark, rows, schema)
 
     def overwrite(self, df: DataFrame, table: str | TableConfig) -> dict:
         """INSERT OVERWRITE TABLE / mode(Overwrite) (W14) —

@@ -50,6 +50,7 @@ from hudi_demo_spark.engine.derived import (
     _save_props,
 )
 from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 from hudi_demo_spark.operators.dedup import (
     minhash_band_rows_py,
     minhash_signatures,
@@ -334,13 +335,13 @@ def minhash_probe(
             ):
                 head = batch.select(id_col, text_col).take(int(stat["n"]))
                 rows = minhash_band_rows_py(head, num_hashes, bands)
-                # createDataFrame, deliberately NOT a VALUES-backed
-                # LocalRelation: the probe head is hundreds of long
-                # bucket strings, and a literal tree that size re-pays
-                # constant folding in every action's optimizer pass —
-                # interleaved A/B measured it ~1-2 s WORSE across the
-                # probe gates than the one-off RDD-scan job this costs
-                q = engine.spark.createDataFrame(rows, q.schema)
+                # a few-slice Python-RDD relation (rows_df), deliberately
+                # NOT a VALUES-backed LocalRelation: the probe head is
+                # hundreds of long bucket strings, and a literal tree
+                # that size re-pays constant folding in every action's
+                # optimizer pass — interleaved A/B measured it ~1-2 s
+                # WORSE across the probe gates than the tiny RDD scan
+                q = _rows_df(engine.spark, rows, q.schema)
                 vals = sorted({r[2] for r in rows}) or None
                 if vals is not None:
                     point = (_BUCKET_COL, vals)

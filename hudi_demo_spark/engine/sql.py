@@ -15,6 +15,7 @@ Unsupported shapes raise with a pointer to the Python API.
 """
 
 from __future__ import annotations
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 import re
 
@@ -100,7 +101,7 @@ class SqlRouter:
         m = re.match(r"show\s+tblproperties\s+(\S+)$", s, re.I)
         if m:
             cfg = self.engine._resolve(m.group(1))
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 sorted((k, str(v)) for k, v in cfg.props.items()),
                 "key string, value string",
             )
@@ -299,7 +300,7 @@ class SqlRouter:
         rows.append(("Primary Key", ",".join(cfg.record_key_fields or []), ""))
         rows.append(("PreCombine Field", cfg.precombine_field or "", ""))
         rows.append(("Location", cfg.path, ""))
-        return self.spark.createDataFrame(
+        return _rows_df(self.spark, 
             rows, "col_name string, data_type string, comment string"
         )
 
@@ -330,7 +331,7 @@ class SqlRouter:
         if cfg.partition_fields:
             ddl += f"partitioned by ({', '.join(cfg.partition_fields)})\n"
         ddl += f"options ({', '.join(opts)})"
-        return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
+        return _rows_df(self.spark, [(ddl,)], "createtab_stmt string")
 
     def _create_index(self, s: str) -> None:
         """Hudi 1.0 index DDL:
@@ -428,7 +429,7 @@ class SqlRouter:
             names = self.engine.sync_catalog(
                 database=args.get("database")
             )
-            return self.engine.spark.createDataFrame(
+            return _rows_df(self.engine.spark, 
                 [(n,) for n in names], "table string"
             )
         if proc == "refresh_views":
@@ -437,7 +438,7 @@ class SqlRouter:
             from hudi_demo_spark.engine.derived import refresh_all
 
             out = refresh_all(self.engine)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [
                     (n, meta is not None, (meta or {}).get("instant"))
                     for n, meta in out.items()
@@ -477,7 +478,7 @@ class SqlRouter:
             # Hudi procedure surface: op => 'schedule' | 'run' (default)
             if args.get("op", "run").lower() == "schedule":
                 i = self.engine.schedule_compaction(table)
-                return self.spark.createDataFrame(
+                return _rows_df(self.spark, 
                     [(i,)], "requested_instant string"
                 )
             self.engine.compact(
@@ -491,7 +492,7 @@ class SqlRouter:
             self.engine.log_compact(table)
             return None
         if proc == "show_compaction":
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(i,) for i in self.engine.pending_compactions(table)],
                 "requested_instant string",
             )
@@ -508,7 +509,7 @@ class SqlRouter:
                 i = self.engine.schedule_clustering(
                     table, order, strategy=args.get("strategy", "linear")
                 )
-                return self.spark.createDataFrame(
+                return _rows_df(self.spark, 
                     [(i,)], "requested_instant string"
                 )
             if op == "execute":
@@ -525,7 +526,7 @@ class SqlRouter:
             )
             return None
         if proc == "show_clustering":
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(i,) for i in self.engine.pending_clusterings(table)],
                 "requested_instant string",
             )
@@ -552,7 +553,7 @@ class SqlRouter:
             self.engine.delete_savepoint(table, args.get("instant_time", ""))
             return None
         if proc == "show_savepoints":
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(i,) for i in self.engine.savepoints(table)],
                 "savepoint_time string",
             )
@@ -599,7 +600,7 @@ class SqlRouter:
                     retain_hours=float(hours) if hours else None,
                 )
             gone = meta.get("stats", {}).get("partitions_deleted", [])
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(p,) for p in gone] or [(None,)],
                 "expired_partition string",
             ).filter("expired_partition is not null")
@@ -624,7 +625,7 @@ class SqlRouter:
             n = self.engine.export_snapshot(
                 table, dest, as_of=args.get("instant_time")
             )
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(n,)], "exported_rows bigint"
             )
         if proc == "resize_bucket_index":
@@ -652,7 +653,7 @@ class SqlRouter:
             return None
         if proc == "rebuild_record_index":
             ok = self.engine.rebuild_record_index(table)
-            return self.spark.createDataFrame([(ok,)], "rebuilt boolean")
+            return _rows_df(self.spark, [(ok,)], "rebuilt boolean")
         if proc == "create_rollup":
             # derived-table surface (DeltaStreamer-style runnable jobs):
             # CALL create_rollup(table => 'src', name => 'roll',
@@ -695,7 +696,7 @@ class SqlRouter:
             from hudi_demo_spark.engine.derived import refresh_rollup
 
             meta = refresh_rollup(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
@@ -759,7 +760,7 @@ class SqlRouter:
             )
 
             meta = refresh_vector_index(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
@@ -791,7 +792,7 @@ class SqlRouter:
             )
 
             meta = refresh_minhash_index(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
@@ -824,7 +825,7 @@ class SqlRouter:
             )
 
             meta = refresh_decontam_view(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
@@ -852,7 +853,7 @@ class SqlRouter:
             from hudi_demo_spark.engine.derived import refresh_join_view
 
             meta = refresh_join_view(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",
@@ -881,7 +882,7 @@ class SqlRouter:
             from hudi_demo_spark.engine.derived import refresh_filter_view
 
             meta = refresh_filter_view(self.engine, table)
-            return self.spark.createDataFrame(
+            return _rows_df(self.spark, 
                 [(meta is not None,
                   (meta or {}).get("instant"))],
                 "refreshed boolean, instant string",

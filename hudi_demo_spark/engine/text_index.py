@@ -64,6 +64,7 @@ from hudi_demo_spark.engine.derived import (
 from hudi_demo_spark.engine.timeline import Timeline
 from hudi_demo_spark.functions.hashfn import xxhash64_py
 from hudi_demo_spark.functions.textfn import tokens
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 _TB_COL = "tb"
 _META = [RECORD_KEY_META, PARTITION_PATH_META, COMMIT_TIME_META]
@@ -449,10 +450,11 @@ def text_index_topk(
         # for the broadcast join, so a derived query table's lineage
         # never re-executes inside the join
         head = qterms.collect()
-        # createDataFrame, deliberately NOT a VALUES LocalRelation —
-        # same A/B finding as minhash_probe: string-heavy literal trees
-        # cost more in per-action constant folding than the RDD scan
-        qterms = engine.spark.createDataFrame(head, qterms.schema)
+        # few-slice RDD relation (rows_df), deliberately NOT a VALUES
+        # LocalRelation — same A/B finding as minhash_probe:
+        # string-heavy literal trees cost more in per-action constant
+        # folding than the tiny RDD scan
+        qterms = _rows_df(engine.spark, head, qterms.schema)
         terms = sorted(
             {r["term"] for r in head if r["term"] is not None}
         )

@@ -45,6 +45,7 @@ from hudi_demo_spark.engine.derived import (
     _save_props,
 )
 from hudi_demo_spark.engine.timeline import Timeline
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 from hudi_demo_spark.operators.similarity import (
     cosine_similarity,
     ivf_assign,
@@ -336,7 +337,7 @@ def vector_index_topk(
     )
     cells = sorted(r[0] for r in q.select(_CELL_COL).distinct().collect())
     if not cells:  # empty queries: 'cell IN ()' would be a parse error
-        return engine.spark.createDataFrame(
+        return _rows_df(engine.spark, 
             [],
             T.StructType(
                 [

@@ -14,6 +14,7 @@ and a map-side matmul projection — no iteration, no corpus shuffle.
 """
 
 from __future__ import annotations
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,7 +81,7 @@ def embedding_covariance(
         for i in range(dim)
         for j in range(i, dim)
     ]
-    return df.sparkSession.createDataFrame(
+    return _rows_df(df.sparkSession, 
         rows, "i int, j int, cov double"
     )
 

@@ -19,6 +19,7 @@ rounds so plans stay constant-size at any scale.
 """
 
 from __future__ import annotations
+from hudi_demo_spark.operators.util import rows_df as _rows_df
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,7 +153,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             T.StructField("component", e.schema["d"].dataType),
         ]
     )
-    return e.sparkSession.createDataFrame(out, schema)
+    return _rows_df(e.sparkSession, out, schema)
 
 
 def canonical_docs(

@@ -65,6 +65,28 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def rows_df(spark, rows, schema, rows_per_slice: int = 10_000):
+    """``spark.createDataFrame(rows, schema)`` minus the
+    defaultParallelism-wide Python scan. createDataFrame parallelizes a
+    driver list into ``sc.defaultParallelism`` slices, so EVERY action
+    over the relation schedules that many Python-worker tasks — 32 on
+    this box — to serve a handful of rows (measured: 32 tasks/0.49 s
+    warm vs 1 task/0.20 s for the same 1500-row relation). Slice count
+    scales with the row count instead, capped at defaultParallelism, so
+    genuinely large row sets still parallelize. Values, schema and
+    semantics are exactly createDataFrame's — the rows ride through the
+    same applySchemaToPythonRDD path, only the slice count differs.
+
+    Use for driver-resident probe/status/metadata row sets on hot query
+    paths. For scalar-typed rows a VALUES ``local_relation`` (below) is
+    cheaper still (no job at all) UNLESS the relation is consulted by
+    many actions with long literal strings — see the constant-folding
+    note at minhash_index.minhash_probe."""
+    sc = spark.sparkContext
+    n = max(1, min(sc.defaultParallelism, len(rows) // rows_per_slice + 1))
+    return spark.createDataFrame(sc.parallelize(rows, n), schema)
+
+
 def local_relation(spark, rows, schema, max_rows: int = 10_000):
     """A driver-side LocalRelation for a SMALL row set — the cheap twin
     of ``spark.createDataFrame`` for probe/offset tables on hot query
@@ -99,7 +121,7 @@ def local_relation(spark, rows, schema, max_rows: int = 10_000):
     if len(rows) > max_rows or not rows or not all(
         ok(f.dataType) for f in schema.fields
     ):
-        return spark.createDataFrame(rows, schema)
+        return rows_df(spark, rows, schema)
 
     def cell(v, dt):
         if v is None:

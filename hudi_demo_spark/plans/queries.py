@@ -9741,7 +9741,8 @@ def engine_truncate_partition(spark, sf_dir):
     eng.insert(o, "t")
     eng.sql("truncate table t partition (o_orderstatus='O')")
     eng.insert(
-        spark.createDataFrame(
+        _local_relation(
+            spark,
             [(-1, "Z", 0.0)],
             "o_orderkey bigint, o_orderstatus string, o_totalprice double",
         ),

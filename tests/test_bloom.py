@@ -180,6 +180,7 @@ def test_bloom_clean_sweeps_sidecars(engine, spark):
     assert on_disk == live
 
 
+@pytest.mark.slow
 def test_bulk_commit_writes_sidecars_executor_side(engine, spark):
     """Scale contract: a bulk commit landing many base files must not
     funnel bloom bitmaps through the driver — _build_blooms writes each

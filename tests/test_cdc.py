@@ -1,6 +1,7 @@
 """insert_overwrite (partition-scoped replacecommit) and read_cdc
 (change-data-capture snapshot diff) semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from hudi_demo_spark.engine.timeline import Timeline
@@ -193,6 +194,7 @@ def test_cdc_before_and_after_images(engine, spark):
     assert rows["delete"]["before"]["v"] == 20.0
 
 
+@pytest.mark.slow
 def test_changed_keys_differential_vs_read_cdc_randomized(engine, spark):
     """`Engine.changed_keys` (round 8: the column-pruned (key,
     commit_time) diff every derived-table refresh consumes) must relate

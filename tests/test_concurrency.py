@@ -3,6 +3,7 @@ writers commit without coordination; same-file-group writers conflict
 loudly and retries converge with NO lost updates (the property OCC
 exists to guarantee)."""
 
+import pytest
 import threading
 import time
 
@@ -38,6 +39,7 @@ def test_concurrent_disjoint_partition_upserts_all_commit(engine, spark):
     assert len(state) == 8
 
 
+@pytest.mark.slow
 def test_concurrent_contended_upserts_converge_with_retries(engine, spark):
     """8 writers hammer ONE file group (seed coalesced to a single
     file so every writer's key-range lookup hits it). OCC admits one at

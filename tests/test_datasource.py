@@ -498,6 +498,7 @@ def test_streaming_read_max_commits_per_trigger(engine, spark, tmp_path):
     assert all(len(b) <= 2 for b in nonempty), seen
 
 
+@pytest.mark.slow
 def test_streaming_capped_read_restart_exactly_once(engine, spark, tmp_path):
     """Checkpoint restart under admission control: the restarted stream
     resumes from the checkpoint (never re-emits, never skips), even
@@ -599,6 +600,7 @@ def test_writestream_format_hudi_roundtrip(engine, spark, tmp_path):
     assert sorted(r["id"] for r in inc.collect()) == [9]
 
 
+@pytest.mark.slow
 def test_writestream_restart_exactly_once(engine, spark, tmp_path):
     """Crash-replay contract of the hudi stream sink: re-running a
     batch whose batch_id is already on the timeline publishes nothing
@@ -734,6 +736,7 @@ def test_writer_refuses_validator_tables_and_invalidates_indexes(
     assert idx.usable() and idx.lookup_partitions(["zz"]) == {"dt=d2"}
 
 
+@pytest.mark.slow
 def test_multi_start_drain_contract(engine, spark, tmp_path):
     """Pins the Spark 4 Python-stream-source batching contract (round-3
     VERDICT #10): under `trigger(availableNow=True)` a Python source

@@ -8,6 +8,7 @@ Run in subprocesses because `enableHiveSupport` is a static conf that
 must be chosen before the JVM starts — the shared test session is
 non-hive."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -27,6 +28,7 @@ def _run(code: str, cwd: str) -> str:
     return r.stdout
 
 
+@pytest.mark.slow
 def test_sync_survives_new_process(tmp_path):
     ms = str(tmp_path / "metastore")
     lake = str(tmp_path / "lake")

@@ -193,6 +193,7 @@ def test_hash_split_stable_and_exhaustive(spark):
     assert hash_sample(df, "id", 0).count() == 0
 
 
+@pytest.mark.slow
 def test_connected_components_raises_on_nonconvergence(spark):
     import pytest as _pytest
 
@@ -554,6 +555,7 @@ def test_bpe_trainer_matches_reference(spark):
         assert got[did] == (len(want_toks), want_toks), did
 
 
+@pytest.mark.slow
 def test_bpe_sample_fraction_deterministic(spark, sf_dir):
     """`train_bpe(sample_fraction=...)` is the 100 TB contract: a
     content-hash (seeded, partitioning-independent) document sample.

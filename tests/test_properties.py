@@ -10,6 +10,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# endurance / randomized-property sweeps: excluded from the default run
+# (driver verify window); enable with --runslow or SPARK_GRAFT_SLOW=1
+pytestmark = pytest.mark.slow
+
 from hudi_demo_spark.engine.keys import (
     DEFAULT_PARTITION,
     EMPTY_PLACEHOLDER,

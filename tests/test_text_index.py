@@ -185,6 +185,7 @@ def test_postings_shape(spark):
     assert all(0 <= r[_TB_COL] < 4 for r in p)
 
 
+@pytest.mark.slow
 def test_randomized_dml_differential_vs_batch_operator(engine, spark):
     """Randomized windows of mixed insert/upsert/update/delete on the
     source, each folded by refresh_text_index — after EVERY window the

@@ -3,6 +3,7 @@
 show_commits order, exact (begin, end] reads, path-glob pruning
 (SURVEY §5 item 3). Plus archival/clean/time-travel."""
 
+import pytest
 from pyspark.sql import functions as F
 
 ROWS = [
@@ -719,6 +720,7 @@ def test_rollup_bottomk_sample_edges(engine, spark):
         rollup_sample(engine, "bk_roll", "k")
 
 
+@pytest.mark.slow
 def test_rollup_bottomk_sample_randomized_differential(engine, spark):
     """Randomized differential for the bottom-k fold algebra: arbitrary
     value multisets (heavy duplicates, negatives, NULL runs) split at
@@ -2332,6 +2334,7 @@ def test_minhash_admission_guard(engine, spark):
     assert got == [11, 12, 13]
 
 
+@pytest.mark.slow
 def test_planning_stays_flat_after_archival_at_4k_commits(engine, spark):
     """The 100x-scale risk on the driver side is the JSON timeline: a
     long-lived table accretes commits and snapshot-read PLANNING

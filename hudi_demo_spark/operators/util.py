@@ -37,15 +37,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     must not have every spread() fan their micro-batches back out to
     the full core count. Measured on engine_minhash_index's CDC
     refresh: ten 32-task repartition stages inside one 8-pinned
-    refresh, pure scheduling overhead. On an unpinned session the conf
-    equals defaultParallelism here, so behavior is unchanged."""
+    refresh, pure scheduling overhead. Capped at defaultParallelism:
+    spread exists to occupy CORES with map work, so a session running
+    Spark's stock 200-partition default (e.g. a bare driver session)
+    must not repartition a narrow scan into 200 micro-tasks — more
+    slices than cores only adds scheduling. On this repo's unpinned
+    sessions conf == defaultParallelism, so behavior is unchanged."""
     spark = df.sparkSession
     target = min_partitions
     if target is None:
+        target = spark._sc.defaultParallelism
         try:
-            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            target = min(
+                target, int(spark.conf.get("spark.sql.shuffle.partitions"))
+            )
         except Exception:
-            target = spark._sc.defaultParallelism
+            pass
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
